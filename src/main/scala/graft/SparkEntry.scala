@@ -1,13 +1,699 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every query has a deterministic ORDER BY and aliases every computed
+  * column identically to its oracle SQL. Money sums go through
+  * DECIMAL(18,4) on both sides so they are exact and order-independent
+  * (see SURVEY.md §3/§6).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared builders ------------------------------------------------
+
+  private def trades(s: SparkSession, d: String) = Tables.trades(s, d)
+  private def wt(s: SparkSession, d: String) =
+    Leaderboard.walletTrades(Tables.trades(s, d))
+  private def balances(s: SparkSession, d: String) =
+    Balances.balances(Tables.transfers(s, d))
+  private def lastPrice(s: SparkSession, d: String) = {
+    val t = Tables.trades(s, d)
+    Candles.lastPrice(t, col("token_id"), col("ts"), col("trade_id"), col("price"))
+  }
+  private def markets(s: SparkSession, d: String) =
+    Tables.part(s, d).select(col("p_partkey").cast("long").as("token_id"),
+      col("p_brand").as("market"))
+
+  // ---- queries --------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val dec = (c: String) => col(c).cast("decimal(12,2)")
+      li.filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          sum(dec("l_extendedprice") * (lit(1).cast("decimal(12,2)") - dec("l_discount"))
+            * (lit(1).cast("decimal(12,2)") + dec("l_tax")))
+            .cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q_dedup_ingest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dup = ev.unionAll(ev.filter(col("event_id") % 10 === 0))
+      Metadata.dedupIngest(dup, "event_id", "event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_wallet_trades" -> ((s, d) =>
+      wt(s, d).select(col("trade_id"), col("ts"), col("token_id"), col("qty"),
+          col("usd").cast("double").as("usd"), col("wallet"), col("role"), col("side"))
+        .orderBy(col("trade_id"), col("role"))),
+
+    "q_balances" -> ((s, d) =>
+      balances(s, d).orderBy(col("wallet"), col("token_id"))),
+
+    "q_candles_1m" -> ((s, d) => {
+      val ev = Tables.eventStream(s, d)
+      Candles.finalize(Candles.fromTicks(ev, "minute", col("token_id"), col("ts"),
+          col("event_id"), col("price"), col("usd")))
+        .orderBy(col("token_id"), col("bucket"))
+    }),
+
+    "q_candles_1h" -> ((s, d) => {
+      val ev = Tables.eventStream(s, d)
+      val c1m = Candles.fromTicks(ev, "minute", col("token_id"), col("ts"),
+        col("event_id"), col("price"), col("usd"))
+      Candles.finalize(Candles.reaggregate(c1m, "hour"))
+        .orderBy(col("token_id"), col("bucket"))
+    }),
+
+    "q_last_price" -> ((s, d) =>
+      lastPrice(s, d).orderBy(col("token_id"))),
+
+    "q_token_volume_1h" -> ((s, d) => {
+      val ev = Tables.eventStream(s, d)
+      Candles.tokenVolume(ev, "hour", col("token_id"), col("ts"), col("usd"))
+        .orderBy(col("token_id"), col("hour"))
+    }),
+
+    "q_leaderboard" -> ((s, d) => Leaderboard.leaderboard(wt(s, d), 100)),
+
+    "q_leaderboard_window" -> ((s, d) =>
+      Leaderboard.leaderboardWindow(wt(s, d), "1996-01-01", "1997-01-01", 100)),
+
+    "q_lb_explain" -> ((s, d) =>
+      Leaderboard.explain(wt(s, d), markets(s, d))
+        .orderBy(col("wallet"), col("market"))),
+
+    "q_positions" -> ((s, d) =>
+      Positions.positions(balances(s, d), wt(s, d), lastPrice(s, d))
+        .orderBy(col("wallet"), col("token_id"))),
+
+    "q_user_stats" -> ((s, d) =>
+      Stats.userStats(wt(s, d)).orderBy(col("wallet"))),
+
+    "q_activity" -> ((s, d) =>
+      Activity.feed(Tables.events(s, d), Seq("purchase", "click"), 100, 50)),
+
+    "q_token_trades" -> ((s, d) =>
+      Activity.tokenTrades(trades(s, d), 7L, 100)),
+
+    "q_market_stats" -> ((s, d) =>
+      Stats.marketStats(wt(s, d), balances(s, d), markets(s, d))
+        .orderBy(col("market"))),
+
+    "q_top_holders" -> ((s, d) =>
+      Balances.topHoldersPerToken(balances(s, d), 3)
+        .orderBy(col("token_id"), col("holder_rank"))),
+
+    "q_portfolio_history" -> ((s, d) =>
+      Snapshots.portfolioHistory(wt(s, d), lastPrice(s, d))
+        .orderBy(col("wallet"), col("day"))),
+
+    "q_pnl_delta" -> ((s, d) =>
+      Snapshots.pnlDelta(wt(s, d), "1997-01-01", "1999-01-01")
+        .orderBy(col("wallet"))),
+
+    "q_total_pnl" -> ((s, d) =>
+      Snapshots.totalPnl(wt(s, d), balances(s, d), lastPrice(s, d))
+        .orderBy(col("wallet"))),
+
+    "q_pnl_rollup_1d" -> ((s, d) =>
+      Rollup.pnlRollup1d(wt(s, d), markets(s, d))
+        .orderBy(col("wallet"), col("market"), col("day"))),
+
+    "q_reconcile" -> ((s, d) => {
+      val fromTransfers = balances(s, d)
+      val fromTrades = wt(s, d)
+        .groupBy(col("wallet"), col("token_id"))
+        .agg(sum(when(col("side") === "buy", col("qty")).otherwise(-col("qty"))
+          .cast("decimal(18,4)")).cast("double").as("balance"))
+      Rollup.reconcile(fromTransfers, fromTrades).orderBy(col("wallet"))
+    }),
+
+    "q_scd2" -> ((s, d) =>
+      Metadata.scd2(Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_orderpriority")),
+          "o_custkey", "o_orderdate", "o_orderkey")
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))),
+
+    "q_token_metadata" -> ((s, d) =>
+      Metadata.tokenMetadata(Tables.part(s, d)
+          .select(col("p_brand"), col("p_partkey").cast("long").as("p_partkey"),
+            col("p_name")),
+          "p_brand", "p_partkey", "p_name")
+        .orderBy(col("market"), col("outcome_index"))),
+
+    "q_discover" -> ((s, d) =>
+      Activity.discover(wt(s, d), markets(s, d), 24 * 90, 20)),
+
+    "q_watermark" -> ((s, d) =>
+      Metadata.watermark(Tables.events(s, d), "event_type", "event_id", "ts")
+        .orderBy(col("processor_id"))),
+
+    "q_ledger_fifo" -> ((s, d) =>
+      Ledger.realizedSummary(Ledger.build(s, wt(s, d)).toDF())
+        .orderBy(col("wallet"))),
+
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("text_hash"))),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+          ngramN = 3, bands = 8, rowsPerBand = 4, jaccardThreshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+          ngramN = 2, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          Dedup.wordNgrams(col("text"), 3).as("ngrams"))
+      // candidate pairs within the same source bucket only
+      val l = docs.select(col("source"), col("doc_id").as("id_a"),
+        col("ngrams").as("ngrams_a"))
+      val r = docs.select(col("source"), col("doc_id").as("id_b"),
+        col("ngrams").as("ngrams_b"))
+      l.join(r, Seq("source")).filter(col("id_a") < col("id_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("ngrams_a"), col("ngrams_b"))).cast("double") /
+            size(array_union(col("ngrams_a"), col("ngrams_b"))).cast("double"))
+        .filter(col("jaccard") >= 0.3)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_dedup_embedding" -> ((s, d) => {
+      val nrm = Similarity.normalized(Tables.embeddings(s, d), "vec_id", "embedding")
+      Similarity.lshTopK(nrm, nrm, dim = 64, planes = 8, k = 5)
+        .filter(col("cosine") >= 0.99)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_ann_topk" -> ((s, d) => {
+      val nrm = Similarity.normalized(Tables.embeddings(s, d), "vec_id", "embedding")
+      Similarity.bruteForceTopK(nrm, nrm.filter(col("id") < 5), 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_ann_lsh" -> ((s, d) => {
+      val nrm = Similarity.normalized(Tables.embeddings(s, d), "vec_id", "embedding")
+      Similarity.lshTopK(nrm, nrm.filter(col("id") < 5), dim = 64, planes = 6, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+        .orderBy(col("doc_id"))),
+
+    "q_text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.quality(col("text")).as("q"))
+        .select(col("doc_id"), col("q.n_chars").as("n_chars"),
+          col("q.n_words").as("n_words"),
+          col("q.words_per_char").as("words_per_char"),
+          col("q.nonalpha_ratio").as("nonalpha_ratio"),
+          col("q.stopword_ratio").as("stopword_ratio"),
+          col("q.space_ratio").as("space_ratio"))
+        .orderBy(col("doc_id"))),
+
+    "q_token_count" -> ((s, d) => {
+      val (ws, bpe) = TextAnalysis.tokenCounts(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), ws.as("ws_tokens"), bpe.as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint64(col("text")).as("fp64"))
+        .orderBy(col("doc_id")))
+  )
+
+  // ---- oracle SQL (DuckDB) -------------------------------------------
+
+  private val TRADES =
+    """trades AS (
+      |  SELECT l_orderkey*10 + l_linenumber AS trade_id,
+      |         l_shipdate AS ts,
+      |         CAST(l_suppkey + 1000000 AS BIGINT) AS maker,
+      |         CAST(o_custkey AS BIGINT) AS taker,
+      |         CAST(l_partkey AS BIGINT) AS token_id,
+      |         l_quantity AS qty,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |              (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      |              AS DECIMAL(18,4)) AS usd,
+      |         l_extendedprice * (1.0 - l_discount) / l_quantity AS price,
+      |         l_returnflag <> 'R' AS is_taker_buy,
+      |         l_returnflag = 'R' AS is_maker_buy
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""".stripMargin
+
+  private val WT =
+    s"""$TRADES,
+      |wt AS (
+      |  SELECT trade_id, ts, token_id, qty, usd, maker AS wallet,
+      |         'maker' AS role,
+      |         CASE WHEN is_maker_buy THEN 'buy' ELSE 'sell' END AS side
+      |  FROM trades
+      |  UNION ALL
+      |  SELECT trade_id, ts, token_id, qty, usd, taker AS wallet,
+      |         'taker' AS role,
+      |         CASE WHEN is_taker_buy THEN 'buy' ELSE 'sell' END AS side
+      |  FROM trades)""".stripMargin
+
+  private val BALANCES =
+    s"""$TRADES,
+      |transfers AS (
+      |  SELECT trade_id AS transfer_id, ts,
+      |         CASE WHEN is_taker_buy THEN maker ELSE taker END AS wfrom,
+      |         CASE WHEN is_taker_buy THEN taker ELSE maker END AS wto,
+      |         token_id, qty AS value
+      |  FROM trades),
+      |balances AS (
+      |  SELECT wallet, token_id, CAST(SUM(delta) AS DOUBLE) AS balance FROM (
+      |    SELECT wto AS wallet, token_id, CAST(value AS DECIMAL(18,4)) AS delta FROM transfers
+      |    UNION ALL
+      |    SELECT wfrom, token_id, -CAST(value AS DECIMAL(18,4)) FROM transfers) u
+      |  GROUP BY wallet, token_id)""".stripMargin
+
+  private val LP =
+    """lp AS (
+      |  SELECT token_id, price AS last_price, ts AS last_ts FROM (
+      |    SELECT token_id, price, ts,
+      |           row_number() OVER (PARTITION BY token_id
+      |             ORDER BY ts DESC, trade_id DESC) AS rn
+      |    FROM trades) t WHERE rn = 1)""".stripMargin
+
+  private val EV =
+    """ev AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id AS wallet, event_type,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS token_id,
+      |         value AS price,
+      |         CAST(value AS DECIMAL(18,4)) AS usd
+      |  FROM events)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) *
+        |    (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+        |  COUNT(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_dedup_ingest" ->
+      """WITH dup AS (
+        |  SELECT * FROM events
+        |  UNION ALL
+        |  SELECT * FROM events WHERE event_id % 10 = 0),
+        |dedup AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY event_id DESC) AS rn
+        |    FROM dup) t WHERE rn = 1)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM dedup GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_wallet_trades" ->
+      s"""WITH $WT
+        |SELECT trade_id, ts, token_id, qty, CAST(usd AS DOUBLE) AS usd,
+        |       wallet, role, side
+        |FROM wt ORDER BY trade_id, role""".stripMargin,
+
+    "q_balances" ->
+      s"""WITH $BALANCES
+        |SELECT wallet, token_id, balance FROM balances
+        |ORDER BY wallet, token_id""".stripMargin,
+
+    "q_candles_1m" ->
+      s"""WITH $EV,
+        |ticks AS (
+        |  SELECT token_id, date_trunc('minute', ts) AS bucket, price, usd, ts, event_id
+        |  FROM ev),
+        |oc AS (
+        |  SELECT token_id, bucket, price, usd,
+        |    first_value(price) OVER (PARTITION BY token_id, bucket ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+        |    last_value(price) OVER (PARTITION BY token_id, bucket ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+        |  FROM ticks)
+        |SELECT token_id, bucket, MAX(o) AS open, MAX(price) AS high,
+        |  MIN(price) AS low, MAX(c) AS close, COUNT(*) AS trades,
+        |  CAST(SUM(usd) AS DOUBLE) AS volume
+        |FROM oc GROUP BY token_id, bucket
+        |ORDER BY token_id, bucket""".stripMargin,
+
+    "q_candles_1h" ->
+      s"""WITH $EV,
+        |ticks AS (
+        |  SELECT token_id, date_trunc('hour', ts) AS bucket, price, usd, ts, event_id
+        |  FROM ev),
+        |oc AS (
+        |  SELECT token_id, bucket, price, usd,
+        |    first_value(price) OVER (PARTITION BY token_id, bucket ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+        |    last_value(price) OVER (PARTITION BY token_id, bucket ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+        |  FROM ticks)
+        |SELECT token_id, bucket, MAX(o) AS open, MAX(price) AS high,
+        |  MIN(price) AS low, MAX(c) AS close, COUNT(*) AS trades,
+        |  CAST(SUM(usd) AS DOUBLE) AS volume
+        |FROM oc GROUP BY token_id, bucket
+        |ORDER BY token_id, bucket""".stripMargin,
+
+    "q_last_price" ->
+      s"""WITH $TRADES,
+        |$LP
+        |SELECT token_id, last_price, last_ts FROM lp ORDER BY token_id""".stripMargin,
+
+    "q_token_volume_1h" ->
+      s"""WITH $EV
+        |SELECT token_id, date_trunc('hour', ts) AS hour,
+        |  CAST(SUM(usd) AS DOUBLE) AS volume_usd, COUNT(*) AS trades
+        |FROM ev GROUP BY token_id, hour
+        |ORDER BY token_id, hour""".stripMargin,
+
+    "q_leaderboard" ->
+      s"""WITH $WT
+        |SELECT wallet, COUNT(*) AS trades, CAST(SUM(usd) AS DOUBLE) AS volume_usd,
+        |  CAST(SUM(CASE WHEN side = 'sell' THEN usd ELSE -usd END) AS DOUBLE) AS net_cashflow_usd,
+        |  COUNT(DISTINCT token_id) AS markets
+        |FROM wt GROUP BY wallet
+        |ORDER BY net_cashflow_usd DESC, wallet LIMIT 100""".stripMargin,
+
+    "q_leaderboard_window" ->
+      s"""WITH $WT
+        |SELECT wallet, COUNT(*) AS trades, CAST(SUM(usd) AS DOUBLE) AS volume_usd,
+        |  CAST(SUM(CASE WHEN side = 'sell' THEN usd ELSE -usd END) AS DOUBLE) AS net_cashflow_usd,
+        |  COUNT(DISTINCT token_id) AS markets
+        |FROM wt
+        |WHERE ts >= TIMESTAMP '1996-01-01 00:00:00' AND ts < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY wallet
+        |ORDER BY net_cashflow_usd DESC, wallet LIMIT 100""".stripMargin,
+
+    "q_lb_explain" ->
+      s"""WITH $WT
+        |SELECT wallet, p_brand AS market, COUNT(*) AS trades,
+        |  CAST(SUM(CASE WHEN side = 'buy' THEN usd ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS buy_usd,
+        |  CAST(SUM(CASE WHEN side = 'sell' THEN usd ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sell_usd,
+        |  CAST(SUM(CASE WHEN side = 'sell' THEN usd ELSE -usd END) AS DOUBLE) AS net_cashflow_usd
+        |FROM wt JOIN part ON wt.token_id = part.p_partkey
+        |GROUP BY wallet, p_brand
+        |ORDER BY wallet, market""".stripMargin,
+
+    "q_positions" ->
+      s"""WITH $BALANCES,
+        |$LP,
+        |buys AS (
+        |  SELECT wallet, token_id,
+        |    CAST(SUM(usd) AS DOUBLE) AS buy_usd,
+        |    CAST(SUM(CAST(qty AS DECIMAL(18,4))) AS DOUBLE) AS buy_qty
+        |  FROM (
+        |    SELECT maker AS wallet, token_id, qty, usd FROM trades WHERE is_maker_buy
+        |    UNION ALL
+        |    SELECT taker, token_id, qty, usd FROM trades WHERE is_taker_buy) b
+        |  GROUP BY wallet, token_id)
+        |SELECT b.token_id AS token_id, b.wallet AS wallet, b.balance AS balance,
+        |  buys.buy_usd / buys.buy_qty AS avg_entry_price,
+        |  lp.last_price AS last_price,
+        |  b.balance * lp.last_price AS current_value,
+        |  b.balance * (lp.last_price - buys.buy_usd / buys.buy_qty) AS unrealized_pnl
+        |FROM balances b
+        |LEFT JOIN buys ON b.wallet = buys.wallet AND b.token_id = buys.token_id
+        |LEFT JOIN lp ON b.token_id = lp.token_id
+        |WHERE b.balance > 0
+        |ORDER BY wallet, token_id""".stripMargin,
+
+    "q_user_stats" ->
+      s"""WITH $WT
+        |SELECT wallet, COUNT(*) AS trades, CAST(SUM(usd) AS DOUBLE) AS volume_usd,
+        |  SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END) AS buy_count,
+        |  SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END) AS sell_count,
+        |  COUNT(DISTINCT token_id) AS markets,
+        |  MAX(CAST(CASE WHEN side = 'sell' THEN usd ELSE -usd END AS DOUBLE)) AS best_trade_usd,
+        |  MIN(CAST(CASE WHEN side = 'sell' THEN usd ELSE -usd END AS DOUBLE)) AS worst_trade_usd,
+        |  MIN(ts) AS first_trade_ts, MAX(ts) AS last_trade_ts
+        |FROM wt GROUP BY wallet ORDER BY wallet""".stripMargin,
+
+    "q_activity" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM events WHERE event_type IN ('purchase', 'click')
+        |ORDER BY ts DESC, event_id DESC LIMIT 100 OFFSET 50""".stripMargin,
+
+    "q_token_trades" ->
+      s"""WITH $TRADES
+        |SELECT trade_id, ts, maker, taker, qty, CAST(usd AS DOUBLE) AS usd, price
+        |FROM trades WHERE token_id = 7
+        |ORDER BY ts DESC, trade_id DESC LIMIT 100""".stripMargin,
+
+    "q_market_stats" ->
+      s"""WITH $BALANCES,
+        |wt AS (
+        |  SELECT trade_id, token_id, usd, maker AS wallet, 'maker' AS role FROM trades
+        |  UNION ALL
+        |  SELECT trade_id, token_id, usd, taker AS wallet, 'taker' AS role FROM trades),
+        |per_token AS (
+        |  SELECT token_id, COUNT(DISTINCT wallet) AS traders,
+        |    SUM(CASE WHEN role = 'taker' THEN 1 ELSE 0 END) AS fills,
+        |    SUM(CASE WHEN role = 'taker' THEN usd ELSE CAST(0 AS DECIMAL(18,4)) END) AS volume_dec
+        |  FROM wt GROUP BY token_id),
+        |holders AS (
+        |  SELECT token_id, COUNT(*) AS holders FROM balances WHERE balance > 0
+        |  GROUP BY token_id)
+        |SELECT part.p_brand AS market, SUM(traders) AS trader_slots,
+        |  SUM(fills) AS fills, CAST(SUM(volume_dec) AS DOUBLE) AS volume_usd,
+        |  SUM(COALESCE(holders.holders, 0)) AS holders, COUNT(*) AS tokens
+        |FROM per_token
+        |LEFT JOIN holders ON per_token.token_id = holders.token_id
+        |JOIN part ON per_token.token_id = part.p_partkey
+        |GROUP BY market ORDER BY market""".stripMargin,
+
+    "q_top_holders" ->
+      s"""WITH $BALANCES
+        |SELECT wallet, token_id, balance, holder_rank FROM (
+        |  SELECT wallet, token_id, balance,
+        |    row_number() OVER (PARTITION BY token_id ORDER BY balance DESC, wallet) AS holder_rank
+        |  FROM balances WHERE balance > 0) t
+        |WHERE holder_rank <= 3
+        |ORDER BY token_id, holder_rank""".stripMargin,
+
+    "q_portfolio_history" ->
+      s"""WITH $WT,
+        |$LP,
+        |daily AS (
+        |  SELECT wallet, token_id, date_trunc('day', ts) AS day,
+        |    SUM(CASE WHEN side = 'sell' THEN usd ELSE -usd END) AS cashflow_dec,
+        |    SUM(CAST(CASE WHEN side = 'buy' THEN qty ELSE -qty END AS DECIMAL(18,4))) AS qty_dec
+        |  FROM wt GROUP BY wallet, token_id, day),
+        |per_day AS (
+        |  SELECT wallet, day, SUM(cashflow_dec) AS day_cash,
+        |    SUM(CAST(FLOOR(CAST(qty_dec AS DOUBLE) * COALESCE(lp.last_price, 0.0) * 1e4) AS BIGINT)) AS day_value_s
+        |  FROM daily LEFT JOIN lp ON daily.token_id = lp.token_id
+        |  GROUP BY wallet, day)
+        |SELECT wallet, day,
+        |  CAST(SUM(day_cash) OVER w AS DOUBLE) AS cum_cashflow,
+        |  SUM(day_value_s) OVER w / 10000.0 AS portfolio_value,
+        |  CAST(SUM(day_cash) OVER w AS DOUBLE) + SUM(day_value_s) OVER w / 10000.0 AS total_value
+        |FROM per_day
+        |WINDOW w AS (PARTITION BY wallet ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY wallet, day""".stripMargin,
+
+    "q_pnl_delta" ->
+      s"""WITH $WT
+        |SELECT wallet,
+        |  CAST(SUM(CASE WHEN ts < TIMESTAMP '1997-01-01 00:00:00'
+        |    THEN CASE WHEN side = 'sell' THEN usd ELSE -usd END
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS cashflow_before,
+        |  CAST(SUM(CASE WHEN ts >= TIMESTAMP '1997-01-01 00:00:00' AND ts < TIMESTAMP '1999-01-01 00:00:00'
+        |    THEN CASE WHEN side = 'sell' THEN usd ELSE -usd END
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS cashflow_delta,
+        |  CAST(SUM(CASE WHEN side = 'sell' THEN usd ELSE -usd END) AS DOUBLE) AS cashflow_total
+        |FROM wt GROUP BY wallet ORDER BY wallet""".stripMargin,
+
+    "q_total_pnl" ->
+      s"""WITH $BALANCES,
+        |$LP,
+        |wt AS (
+        |  SELECT usd, maker AS wallet,
+        |    CASE WHEN is_maker_buy THEN 'buy' ELSE 'sell' END AS side FROM trades
+        |  UNION ALL
+        |  SELECT usd, taker AS wallet,
+        |    CASE WHEN is_taker_buy THEN 'buy' ELSE 'sell' END AS side FROM trades),
+        |cash AS (
+        |  SELECT wallet, SUM(CASE WHEN side = 'sell' THEN usd ELSE -usd END) AS cash_dec
+        |  FROM wt GROUP BY wallet),
+        |inv AS (
+        |  SELECT wallet,
+        |    SUM(CAST(FLOOR(balance * COALESCE(lp.last_price, 0.0) * 1e4) AS BIGINT)) AS inv_s
+        |  FROM balances LEFT JOIN lp ON balances.token_id = lp.token_id
+        |  GROUP BY wallet)
+        |SELECT cash.wallet AS wallet, CAST(cash_dec AS DOUBLE) AS net_cashflow_usd,
+        |  COALESCE(inv_s, 0) / 10000.0 AS inventory_value_usd,
+        |  CAST(cash_dec AS DOUBLE) + COALESCE(inv_s, 0) / 10000.0 AS total_pnl_usd
+        |FROM cash LEFT JOIN inv ON cash.wallet = inv.wallet
+        |ORDER BY wallet""".stripMargin,
+
+    "q_pnl_rollup_1d" ->
+      s"""WITH $WT
+        |SELECT wallet, part.p_brand AS market, date_trunc('day', ts) AS day,
+        |  CAST(SUM(CASE WHEN side = 'sell' THEN usd ELSE -usd END) AS DOUBLE) AS realized_pnl_usd,
+        |  CAST(SUM(usd) AS DOUBLE) AS volume_usd,
+        |  COUNT(*) AS pnl_rows,
+        |  SUM(CASE WHEN (CASE WHEN side = 'sell' THEN usd ELSE -usd END) > 0 THEN 1 ELSE 0 END) AS win_rows,
+        |  SUM(CASE WHEN (CASE WHEN side = 'sell' THEN usd ELSE -usd END) < 0 THEN 1 ELSE 0 END) AS loss_rows
+        |FROM wt JOIN part ON wt.token_id = part.p_partkey
+        |GROUP BY wallet, market, day
+        |ORDER BY wallet, market, day""".stripMargin,
+
+    "q_reconcile" ->
+      s"""WITH $BALANCES,
+        |wt AS (
+        |  SELECT token_id, qty, maker AS wallet,
+        |    CASE WHEN is_maker_buy THEN 'buy' ELSE 'sell' END AS side FROM trades
+        |  UNION ALL
+        |  SELECT token_id, qty, taker AS wallet,
+        |    CASE WHEN is_taker_buy THEN 'buy' ELSE 'sell' END AS side FROM trades),
+        |from_trades AS (
+        |  SELECT wallet, token_id,
+        |    CAST(SUM(CAST(CASE WHEN side = 'buy' THEN qty ELSE -qty END AS DECIMAL(18,4))) AS DOUBLE) AS balance
+        |  FROM wt GROUP BY wallet, token_id),
+        |joined AS (
+        |  SELECT COALESCE(a.wallet, b.wallet) AS wallet,
+        |    COALESCE(a.balance, 0.0) AS balance_a, COALESCE(b.balance, 0.0) AS balance_b,
+        |    COALESCE(a.balance, 0.0) - COALESCE(b.balance, 0.0) AS diff
+        |  FROM balances a FULL OUTER JOIN from_trades b
+        |    ON a.wallet = b.wallet AND a.token_id = b.token_id)
+        |SELECT wallet, COUNT(*) AS tokens_checked,
+        |  SUM(CASE WHEN diff <> 0.0 THEN 1 ELSE 0 END) AS mismatches,
+        |  CAST(SUM(CAST(ABS(diff) AS DECIMAL(18,4))) AS DOUBLE) AS abs_diff
+        |FROM joined GROUP BY wallet ORDER BY wallet""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |  lead(o_orderdate, 1, TIMESTAMP '2100-01-01 00:00:00')
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q_token_metadata" ->
+      """SELECT p_brand AS market, CAST(p_partkey AS BIGINT) AS token_id,
+        |  p_name AS outcome,
+        |  row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) - 1 AS outcome_index
+        |FROM part
+        |ORDER BY market, outcome_index""".stripMargin,
+
+    "q_discover" ->
+      s"""WITH $WT
+        |SELECT wt.token_id AS token_id, CAST(SUM(usd) AS DOUBLE) AS volume_usd,
+        |  COUNT(*) AS trades, COUNT(DISTINCT wallet) AS traders,
+        |  part.p_brand AS market
+        |FROM wt LEFT JOIN part ON wt.token_id = part.p_partkey
+        |WHERE ts > (SELECT MAX(l_shipdate) FROM lineitem) - INTERVAL 90 DAY
+        |GROUP BY wt.token_id, market
+        |ORDER BY volume_usd DESC, token_id LIMIT 20""".stripMargin,
+
+    "q_watermark" ->
+      """SELECT event_type AS processor_id, MAX(event_id) AS last_seq,
+        |  MAX(CAST(ts AS TIMESTAMP)) AS last_ts, COUNT(*) AS rows_ingested
+        |FROM events GROUP BY processor_id ORDER BY processor_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, COUNT(*) AS copies,
+        |  MIN(doc_id) AS canonical_id
+        |FROM documents GROUP BY text_hash ORDER BY text_hash""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(trim(text), ' +'),
+        |      x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS s_en,
+        |    len(list_filter(regexp_split_to_array(trim(text), ' +'),
+        |      x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |    len(list_filter(regexp_split_to_array(trim(text), ' +'),
+        |      x -> x IN ('le','la','les','et','est','un','une','pas'))) AS s_fr,
+        |    len(list_filter(regexp_split_to_array(trim(text), ' +'),
+        |      x -> x IN ('el','los','las','y','es','un','una','no'))) AS s_es
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(regexp_split_to_array(trim(text), ' +')) AS n_words,
+        |  CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE) /
+        |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS words_per_char,
+        |  CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) /
+        |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS nonalpha_ratio,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
+        |    x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE) /
+        |    greatest(CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE), 1.0) AS stopword_ratio,
+        |  (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, ' ', '', 'g'))) /
+        |    greatest(CAST(length(text) AS DOUBLE), 1.0) AS space_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), ' +')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH nrm AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS unit
+        |  FROM embeddings
+        |  WHERE sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) > 0),
+        |pairs AS (
+        |  SELECT q.id AS query_id, c.id AS corpus_id,
+        |    round(list_dot_product(q.unit, c.unit), 6) AS cosine
+        |  FROM nrm q JOIN nrm c ON q.id < 5 AND c.id <> q.id),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+        |  FROM pairs)
+        |SELECT query_id, rank, corpus_id, cosine FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  )
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for document corpora: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard. Designed so no step is O(n²) over the
+  * corpus — candidate pairs only ever form inside hash buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: md5-hash groupBy; keeps the lowest doc id as the
+    * canonical representative. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("copies"), min(col(idCol)).as("canonical_id"))
+
+  /** Character shingles of length n, distinct, as a column. */
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(text) - n, lit(0))),
+      i => text.substr(i + 1, lit(n))))
+
+  /** word n-grams via sliding window over the split array */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val w = split(trim(text), " +")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(w) - n, lit(0))),
+      i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: for each of k hash seeds, the minimum of
+    * h_seed(shingle) over the doc's shingle set. Uses xxhash64 with a
+    * per-band seed column — fully codegen'd, no UDF. */
+  def minhashSignature(ngrams: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(ngrams, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** MinHash + LSH near-dup candidate pairs: signatures are cut into
+    * `bands` bands of `rowsPerBand`; docs sharing any band hash become
+    * candidates; candidates are verified with exact Jaccard over
+    * n-gram sets. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Scale shape: explode(bands) → groupBy band bucket (one shuffle on
+    * the band hash) → pairs within buckets only → verify.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   ngramN: Int, bands: Int, rowsPerBand: Int,
+                   jaccardThreshold: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = docs
+      .select(col(idCol).as("id"), wordNgrams(col(textCol), ngramN).as("ngrams"))
+      .filter(size(col("ngrams")) > 0)
+      .withColumn("sig", minhashSignature(col("ngrams"), k))
+    val banded = withSig.select(col("id"), col("ngrams"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("ngrams").as("ngrams_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("ngrams").as("ngrams_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ngrams_a"), col("ngrams_b"))
+      .distinct()
+      .withColumn("jaccard",
+        size(array_intersect(col("ngrams_a"), col("ngrams_b"))).cast("double") /
+          size(array_union(col("ngrams_a"), col("ngrams_b"))).cast("double"))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over word n-grams: sign-sum of each feature
+    * hash's bits. Two docs are near-dups when hamming distance of
+    * their simhashes ≤ maxHamming (checked within 16-bit LSH blocks so
+    * the join stays bucketed). */
+  def simhash64(ngrams: Column): Column = {
+    val hashes = transform(ngrams, s => xxhash64(s))
+    // For each bit position, +1 if set else -1; simhash bit = sign.
+    val bits = (0 until 64).map { b =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), b)).otherwise(0L)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** SimHash near-dup pairs: block by the four 16-bit chunks (any pair
+    * within hamming ≤ 3 shares at least one identical chunk —
+    * pigeonhole), verify with bit_count. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   ngramN: Int, maxHamming: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      simhash64(wordNgrams(col(textCol), ngramN)).as("simhash"))
+    val blocked = sh.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("block", "chunk")))
+    val l = blocked.select(col("block"), col("chunk"), col("id").as("id_a"),
+      col("simhash").as("sh_a"))
+    val r = blocked.select(col("block"), col("chunk"), col("id").as("id_b"),
+      col("simhash").as("sh_b"))
+    l.join(r, Seq("block", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Embedding near-dup: cosine ≥ threshold via the Similarity ops. */
+  def embeddingPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val nrm = Similarity.normalized(embeddings, idCol, vecCol)
+    val l = nrm.select(col("id").as("id_a"), col("unit").as("u_a"))
+    val r = nrm.select(col("id").as("id_b"), col("unit").as("u_b"))
+    l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.dot(col("u_a"), col("u_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

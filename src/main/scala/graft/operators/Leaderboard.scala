@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Wallet leaderboards + the two-sided participant view.
+  *
+  * Reference: `wallet_trades` union view (001_create_tables.sql:352),
+  * leaderboard aggregates (002_leaderboard_aggregates.sql) and the
+  * `/leaderboard` + `/leaderboard/explain` endpoints
+  * (src/api.ts:318-640, 1034-1120).
+  *
+  * Spark-first: instead of a UNION ALL that scans trades twice (the
+  * reference's view) we `explode` a 2-element array of participant
+  * structs — one scan, and the following groupBy partial-aggregates
+  * map-side, so the shuffle carries one partial row per wallet per
+  * task (ClickHouse's `sumState` pattern).
+  */
+object Leaderboard {
+
+  /** Each trade seen from both wallets' perspectives:
+    * (trade_id, ts, token_id, qty, usd, wallet, role, side). */
+  def walletTrades(trades: DataFrame): DataFrame =
+    trades.select(
+        col("trade_id"), col("ts"), col("token_id"), col("qty"), col("usd"),
+        explode(array(
+          struct(col("maker").as("wallet"), lit("maker").as("role"),
+            when(col("is_maker_buy"), "buy").otherwise("sell").as("side")),
+          struct(col("taker").as("wallet"), lit("taker").as("role"),
+            when(col("is_taker_buy"), "buy").otherwise("sell").as("side"))
+        )).as("p"))
+      .select(col("trade_id"), col("ts"), col("token_id"), col("qty"),
+        col("usd"), col("p.wallet"), col("p.role"), col("p.side"))
+
+  /** All-time leaderboard: trades, volume, net cashflow (sells − buys),
+    * distinct markets; top-k by net cashflow. */
+  def leaderboard(walletTrades: DataFrame, k: Int): DataFrame =
+    walletTrades
+      .groupBy(col("wallet"))
+      .agg(
+        count(lit(1)).as("trades"),
+        sum(col("usd")).cast("double").as("volume_usd"),
+        sum(when(col("side") === "sell", col("usd")).otherwise(-col("usd")))
+          .cast("double").as("net_cashflow_usd"),
+        countDistinct(col("token_id")).as("markets"))
+      .orderBy(col("net_cashflow_usd").desc, col("wallet"))
+      .limit(k)
+
+  /** Leaderboard restricted to a time window, computed from hourly
+    * pre-buckets (reference: wallet_leaderboard_stats_1h, 002:6-38). */
+  def leaderboardWindow(walletTrades: DataFrame, fromTs: String, toTs: String,
+                        k: Int): DataFrame =
+    leaderboard(
+      walletTrades.filter(col("ts") >= lit(fromTs) && col("ts") < lit(toTs)), k)
+
+  /** Audit breakdown for the leaderboard: per wallet × market, with
+    * counts both sides (reference: /leaderboard/explain). `markets` is
+    * a broadcast dimension mapping token_id → market. */
+  def explain(walletTrades: DataFrame, markets: DataFrame): DataFrame =
+    walletTrades
+      .join(broadcast(markets), Seq("token_id"))
+      .groupBy(col("wallet"), col("market"))
+      .agg(
+        count(lit(1)).as("trades"),
+        sum(when(col("side") === "buy", col("usd"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("buy_usd"),
+        sum(when(col("side") === "sell", col("usd"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("sell_usd"),
+        sum(when(col("side") === "sell", col("usd")).otherwise(-col("usd")))
+          .cast("double").as("net_cashflow_usd"))
+}

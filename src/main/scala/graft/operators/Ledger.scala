@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** FIFO-lot PnL ledger engine.
+  *
+  * Reference: src/ledger-engine.ts:66-150 (`PositionManager`: lots are
+  * consumed FIFO; a sell realizes qty·(sellPrice − lotUnitCost)) and
+  * the wallet_ledger table (001:292-313).
+  *
+  * Spark-first: this is inherently a per-wallet sequential fold, so it
+  * cannot be a plain SQL aggregate — but it distributes perfectly by
+  * wallet. We repartition by wallet and sort within partitions by
+  * (wallet, ts, seq), then stream each partition once with
+  * `mapPartitions`, carrying only the open-lot state of the *current*
+  * wallet. One shuffle, no driver collect, memory bounded by a single
+  * wallet's open lots — this scales to any number of wallets/executors
+  * (the reference runs the same fold single-threaded per wallet).
+  */
+object Ledger {
+
+  /** One buy/sell fill from one wallet's perspective. */
+  final case class Fill(wallet: Long, ts: java.sql.Timestamp, seq: Long,
+                        tokenId: Long, isBuy: Boolean, qty: Double, usd: Double)
+
+  /** Output ledger row (reference wallet_ledger columns). */
+  final case class LedgerRow(wallet: Long, ts: java.sql.Timestamp, seq: Long,
+                             token_id: Long, event_type: String, qty: Double,
+                             usd_delta: Double, cost_basis: Double,
+                             realized_pnl: Double)
+
+  private final case class Lot(var qty: Double, unitCost: Double)
+
+  /** Fold one wallet's fills (already sorted by ts, seq) into ledger
+    * rows. Buys append lots; sells consume lots FIFO and realize
+    * proceeds − cost basis (ledger-engine.ts consumeTokens). Oversold
+    * quantity (no lots left) has zero basis, like the reference. */
+  def foldWallet(fills: Iterator[Fill]): Iterator[LedgerRow] = {
+    val lots = mutable.Map.empty[Long, mutable.Queue[Lot]]
+    fills.map { f =>
+      if (f.isBuy) {
+        val unit = if (f.qty > 0) f.usd / f.qty else 0.0
+        lots.getOrElseUpdate(f.tokenId, mutable.Queue.empty) += Lot(f.qty, unit)
+        LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "buy", f.qty, -f.usd, f.usd, 0.0)
+      } else {
+        val q = lots.getOrElse(f.tokenId, mutable.Queue.empty)
+        var remaining = f.qty
+        var basis = 0.0
+        while (remaining > 1e-7 && q.nonEmpty) {
+          val lot = q.head
+          val take = math.min(remaining, lot.qty)
+          basis += take * lot.unitCost
+          lot.qty -= take
+          remaining -= take
+          if (lot.qty <= 1e-7) q.dequeue()
+        }
+        LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "sell", -f.qty, f.usd,
+          basis, f.usd - basis)
+      }
+    }
+  }
+
+  /** Distributed ledger build over the two-sided trade view. */
+  def build(spark: SparkSession, walletTrades: DataFrame): Dataset[LedgerRow] = {
+    import spark.implicits._
+    val fills: Dataset[Fill] = walletTrades.select(
+        col("wallet").cast("long").as("wallet"),
+        col("ts"),
+        col("trade_id").cast("long").as("seq"),
+        col("token_id").cast("long").as("tokenId"),
+        (col("side") === "buy").as("isBuy"),
+        col("qty").cast("double").as("qty"),
+        col("usd").cast("double").as("usd"))
+      .as[Fill]
+    fills
+      .repartition(col("wallet"))
+      .sortWithinPartitions(col("wallet"), col("ts"), col("seq"))
+      .mapPartitions { it =>
+        // partitions hold many wallets, contiguously after the sort —
+        // flush state at each wallet boundary
+        new Iterator[LedgerRow] {
+          private var cur: Iterator[LedgerRow] = Iterator.empty
+          private val grouped = new Iterator[Iterator[Fill]] {
+            private val buf = it.buffered
+            def hasNext: Boolean = buf.hasNext
+            def next(): Iterator[Fill] = {
+              val w = buf.head.wallet
+              val fills = mutable.ArrayBuffer.empty[Fill]
+              while (buf.hasNext && buf.head.wallet == w) fills += buf.next()
+              fills.iterator
+            }
+          }
+          def hasNext: Boolean = {
+            while (!cur.hasNext && grouped.hasNext)
+              cur = foldWallet(grouped.next())
+            cur.hasNext
+          }
+          def next(): LedgerRow = { hasNext; cur.next() }
+        }
+      }
+  }
+
+  /** Wallet-level realized PnL summary from the ledger rows
+    * (reference: PnlResult realizedFromSells / totalRealized). */
+  def realizedSummary(ledger: DataFrame): DataFrame =
+    ledger.groupBy(col("wallet"))
+      .agg(
+        sum(when(col("event_type") === "sell", col("realized_pnl"))
+          .otherwise(0.0).cast("decimal(18,6)")).cast("double").as("realized_pnl"),
+        sum(when(col("event_type") === "sell", 1L).otherwise(0L)).as("sells"),
+        sum(when(col("event_type") === "buy", 1L).otherwise(0L)).as("buys"))
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Metadata shaping: array explode, SCD2 history, watermarks, dedup
+  * ingest.
+  *
+  * Reference: token_metadata ARRAY JOIN MV (001:463-477), the SCD2
+  * `market_categories_history` view via leadInFrame (001:493-522),
+  * `indexer_status` watermark (001:337), and ReplacingMergeTree
+  * keep-latest ingest semantics (001:42, src/main.ts).
+  */
+object Metadata {
+
+  /** Market → ordered token list → exploded (token, outcome_index) rows.
+    * Mirrors `arrayZip(token_ids, outcomes, arrayEnumerate(...))` +
+    * ARRAY JOIN: build the array per market, then posexplode. */
+  def tokenMetadata(markets: DataFrame, marketCol: String, tokenCol: String,
+                    nameCol: String): DataFrame =
+    markets
+      .groupBy(col(marketCol).as("market"))
+      .agg(sort_array(collect_list(struct(col(tokenCol).as("token_id"),
+        col(nameCol).as("outcome")))).as("toks"))
+      .select(col("market"), posexplode(col("toks")).as(Seq("outcome_index", "t")))
+      .select(col("market"), col("t.token_id").as("token_id"),
+        col("t.outcome").as("outcome"), col("outcome_index"))
+
+  /** SCD2: derive valid_to as the next version's valid_from (open
+    * intervals end 2100-01-01), exactly the reference's leadInFrame
+    * window — no UPDATE-heavy writes, valid_to is derived at read. */
+  def scd2(history: DataFrame, keyCol: String, validFromCol: String,
+           tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(validFromCol), col(tieBreak))
+    history.withColumn("valid_to",
+      lead(col(validFromCol), 1,
+        java.sql.Timestamp.valueOf("2100-01-01 00:00:00")).over(w))
+  }
+
+  /** Sync watermark per processor (reference: indexer_status). */
+  def watermark(stream: DataFrame, processorCol: String, seqCol: String,
+                tsCol: String): DataFrame =
+    stream.groupBy(col(processorCol).as("processor_id"))
+      .agg(max(col(seqCol)).as("last_seq"), max(col(tsCol)).as("last_ts"),
+        count(lit(1)).as("rows_ingested"))
+
+  /** Idempotent ingest: drop re-delivered rows, keeping the latest
+    * version per id (ReplacingMergeTree(height) semantics). One
+    * window, partitioned by id — at scale this is a single hash
+    * shuffle on the primary key, the same cost ClickHouse pays at
+    * merge time. */
+  def dedupIngest(rows: DataFrame, idCol: String, versionCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col(versionCol).desc)
+    rows.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Open positions with entry price and unrealized PnL.
+  *
+  * Reference: `/positions` endpoint (src/api.ts:758-860) — balances
+  * joined with avg entry price (wallet_token_buys MV, 001:592-622) and
+  * the last traded price (token_last_price MV, 001:552).
+  *
+  * Spark-first: the two fact-sized inputs (balances, buy aggregates)
+  * are co-partitioned by (wallet, token_id) — one shuffle each, then a
+  * shuffle-free sort-merge join; the per-token last-price dim is tiny
+  * and broadcast.
+  */
+object Positions {
+
+  /** @param balances  (wallet, token_id, balance)
+    * @param walletTrades output of [[Leaderboard.walletTrades]]
+    * @param lastPrice (token_id, last_price)
+    */
+  def positions(balances: DataFrame, walletTrades: DataFrame,
+                lastPrice: DataFrame): DataFrame = {
+    val buys = walletTrades.filter(col("side") === "buy")
+      .groupBy(col("wallet"), col("token_id"))
+      .agg(sum(col("usd")).cast("double").as("buy_usd"),
+           sum(col("qty").cast("decimal(18,4)")).cast("double").as("buy_qty"))
+    balances.filter(col("balance") > 0)
+      .join(buys, Seq("wallet", "token_id"), "left")
+      .join(broadcast(lastPrice.select(col("token_id"), col("last_price"))),
+        Seq("token_id"), "left")
+      .select(
+        col("wallet"), col("token_id"), col("balance"),
+        (col("buy_usd") / col("buy_qty")).as("avg_entry_price"),
+        col("last_price"),
+        (col("balance") * col("last_price")).as("current_value"),
+        (col("balance") * (col("last_price") - col("buy_usd") / col("buy_qty")))
+          .as("unrealized_pnl"))
+  }
+}

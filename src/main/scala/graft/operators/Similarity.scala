@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale path: random-
+  * hyperplane LSH — vectors are bucketed by sign patterns, top-k runs
+  * per bucket, so the join is bucketed instead of a full cross
+  * product. All vector math is `zip_with`/`aggregate` column
+  * expressions in double precision (no UDFs).
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ over two equal-length double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** (id, unit) with vectors cast to double and scaled to unit norm —
+    * cosine then reduces to a plain dot product. */
+  def normalized(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("n", norm(col("v")))
+      .filter(col("n") > 0)
+      .select(col("id"), transform(col("v"), x => x / col("n")).as("unit"))
+
+  /** Exact brute-force top-k: for each query vector, the k nearest
+    * corpus vectors by cosine. The (small) query set is broadcast —
+    * the corpus streams once, no shuffle until the per-query top-k. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.select(col("id").as("corpus_id"), col("unit").as("cu"))
+      .crossJoin(broadcast(
+        queries.select(col("id").as("query_id"), col("unit").as("qu"))))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", round(dot(col("cu"), col("qu")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits of `planes` fixed
+    * pseudo-random hyperplanes (deterministic, seeded by xxhash64 of
+    * dimension index — no RNG at plan time). */
+  def lshBucket(unit: Column, dim: Int, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      // hyperplane p: component j = hash(p, j) mapped to [-1, 1)
+      val proj = aggregate(
+        zip_with(unit,
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => (xxhash64(lit(p), j).cast("double") / lit(Long.MaxValue.toDouble))),
+          (x, h) => x * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1), p)).otherwise(0)
+    }
+    bits.reduce(_.bitwiseOR(_)).as("bucket")
+  }
+
+  /** Approximate top-k: queries probe only their own LSH bucket.
+    * Recall vs [[bruteForceTopK]] is measured in SimilaritySpec. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, planes: Int,
+              k: Int): DataFrame = {
+    val cb = corpus.withColumn("bucket", lshBucket(col("unit"), dim, planes))
+      .select(col("bucket"), col("id").as("corpus_id"), col("unit").as("cu"))
+    val qb = queries.withColumn("bucket", lshBucket(col("unit"), dim, planes))
+      .select(col("bucket"), col("id").as("query_id"), col("unit").as("qu"))
+    val joined = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", round(dot(col("cu"), col("qu")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+  }
+}

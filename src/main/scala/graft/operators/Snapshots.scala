@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Portfolio history, PnL deltas, and total-PnL valuation.
+  *
+  * Reference: `wallet_pnl_snapshots` (001:318), snapshot-scheduler.ts,
+  * `/portfolio/history` (api.ts:995) and `/pnl/:wallet` (delta between
+  * two snapshots, src/pnl-from-snapshots.ts), plus the ledger engine's
+  * `PnlMode.TOTAL_PNL` (cashflow + inventory marked at last price,
+  * src/ledger-engine.ts:17-22).
+  *
+  * Spark-first: snapshots are running window sums over per-day partial
+  * aggregates — the day-level pre-aggregation shrinks the window input
+  * by orders of magnitude before any sort, and the window partitions by
+  * wallet(/token) so state never crosses executors.
+  */
+object Snapshots {
+
+  /** Per wallet × day: running net cashflow, running inventory value
+    * (holdings marked at the global last price), and their sum.
+    *
+    * @param walletTrades [[Leaderboard.walletTrades]] output
+    * @param lastPrice    (token_id, last_price) dim, broadcast
+    */
+  def portfolioHistory(walletTrades: DataFrame, lastPrice: DataFrame): DataFrame = {
+    // Day-level partials per wallet × token (tiny vs raw trades). The
+    // portfolio value as-of day d, marked at the final last price, is
+    // Σ_t cumqty_t(d)·lp_t = running sum over days of Σ_t Δqty_t(d)·lp_t,
+    // so one wallet-level running window over day deltas suffices.
+    val daily = walletTrades
+      .groupBy(col("wallet"), col("token_id"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(
+        sum(when(col("side") === "sell", col("usd")).otherwise(-col("usd")))
+          .as("cashflow_dec"),
+        sum(when(col("side") === "buy", col("qty")).otherwise(-col("qty"))
+          .cast("decimal(18,4)")).as("qty_dec"))
+    // Product-of-doubles summands are scaled ×10⁴ and floored to
+    // BIGINT: floor depends only on the binary double (identical in
+    // any engine), and integer sums are exact — so the running totals
+    // are bit-reproducible.
+    val perDay = daily
+      .join(broadcast(lastPrice.select(col("token_id"), col("last_price"))),
+        Seq("token_id"), "left")
+      .withColumn("value_delta_s",
+        floor(col("qty_dec").cast("double") * coalesce(col("last_price"), lit(0.0))
+          * 1e4).cast("long"))
+      .groupBy(col("wallet"), col("day"))
+      .agg(sum(col("cashflow_dec")).as("day_cash"),
+           sum(col("value_delta_s")).as("day_value_s"))
+    val wW = Window.partitionBy(col("wallet")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perDay
+      .withColumn("cum_cashflow", sum(col("day_cash")).over(wW).cast("double"))
+      .withColumn("portfolio_value", sum(col("day_value_s")).over(wW) / 10000.0)
+      .withColumn("total_value",
+        sum(col("day_cash")).over(wW).cast("double") +
+          sum(col("day_value_s")).over(wW) / 10000.0)
+      .select(col("wallet"), col("day"), col("cum_cashflow"),
+        col("portfolio_value"), col("total_value"))
+  }
+
+  /** Realized-cashflow PnL delta between two timestamps per wallet
+    * (reference: /pnl/:wallet?startTs=&endTs=). */
+  def pnlDelta(walletTrades: DataFrame, fromTs: String, toTs: String): DataFrame =
+    walletTrades
+      .withColumn("signed",
+        when(col("side") === "sell", col("usd")).otherwise(-col("usd")))
+      .groupBy(col("wallet"))
+      .agg(
+        sum(when(col("ts") < lit(fromTs), col("signed"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("cashflow_before"),
+        sum(when(col("ts") >= lit(fromTs) && col("ts") < lit(toTs), col("signed"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("cashflow_delta"),
+        sum(col("signed")).cast("double").as("cashflow_total"))
+
+  /** Mode-4 total PnL: net cashflow + final inventory marked at last
+    * traded price (reference: ledger-engine PnlMode.TOTAL_PNL). */
+  def totalPnl(walletTrades: DataFrame, balances: DataFrame,
+               lastPrice: DataFrame): DataFrame = {
+    val cash = walletTrades
+      .groupBy(col("wallet"))
+      .agg(sum(when(col("side") === "sell", col("usd")).otherwise(-col("usd")))
+        .as("cash_dec"))
+    // scale-and-floor to BIGINT: engine-independent (see portfolioHistory)
+    val inv = balances
+      .join(broadcast(lastPrice.select(col("token_id"), col("last_price"))),
+        Seq("token_id"), "left")
+      .groupBy(col("wallet"))
+      .agg(sum(floor(col("balance") * coalesce(col("last_price"), lit(0.0)) * 1e4)
+        .cast("long")).as("inv_s"))
+    cash.join(inv, Seq("wallet"), "left")
+      .select(col("wallet"),
+        col("cash_dec").cast("double").as("net_cashflow_usd"),
+        (coalesce(col("inv_s"), lit(0L)) / 10000.0).as("inventory_value_usd"),
+        (col("cash_dec").cast("double") + coalesce(col("inv_s"), lit(0L)) / 10000.0)
+          .as("total_pnl_usd"))
+  }
+}

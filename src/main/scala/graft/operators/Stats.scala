@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-user and per-market analytics.
+  *
+  * Reference: `/user/stats` (trades, volume, buy/sell split, best/worst
+  * trade) and `/market/stats` (traders, volume, holders) endpoints in
+  * src/api.ts.
+  */
+object Stats {
+
+  /** Per-wallet stats over the two-sided trade view. Best/worst trade =
+    * max/min signed cashflow of a single fill. */
+  def userStats(walletTrades: DataFrame): DataFrame = {
+    val signed = col("signed_usd")
+    walletTrades
+      .withColumn("signed_usd",
+        when(col("side") === "sell", col("usd")).otherwise(-col("usd"))
+          .cast("double"))
+      .groupBy(col("wallet"))
+      .agg(
+        count(lit(1)).as("trades"),
+        sum(col("usd")).cast("double").as("volume_usd"),
+        sum(when(col("side") === "buy", 1L).otherwise(0L)).as("buy_count"),
+        sum(when(col("side") === "sell", 1L).otherwise(0L)).as("sell_count"),
+        countDistinct(col("token_id")).as("markets"),
+        max(signed).as("best_trade_usd"),
+        min(signed).as("worst_trade_usd"),
+        min(col("ts")).as("first_trade_ts"),
+        max(col("ts")).as("last_trade_ts"))
+  }
+
+  /** Per-market stats: distinct traders, fills, volume, holder count.
+    * `markets` is a broadcast dim token_id → market; `balances` feeds
+    * the holder count (positive balances only). */
+  def marketStats(walletTrades: DataFrame, balances: DataFrame,
+                  markets: DataFrame): DataFrame = {
+    // Each fill appears twice in walletTrades (maker + taker row):
+    // count distinct traders over both roles, but count fills/volume
+    // from the taker rows only so nothing is double-counted.
+    val perToken = walletTrades
+      .groupBy(col("token_id"))
+      .agg(countDistinct(col("wallet")).as("traders"),
+        sum(when(col("role") === "taker", 1L).otherwise(0L)).as("fills"),
+        sum(when(col("role") === "taker", col("usd"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("volume_dec"))
+    val holders = balances.filter(col("balance") > 0)
+      .groupBy(col("token_id")).agg(count(lit(1)).as("holders"))
+    perToken
+      .join(holders, Seq("token_id"), "left")
+      .join(broadcast(markets), Seq("token_id"))
+      .groupBy(col("market"))
+      .agg(sum(col("traders")).as("trader_slots"),
+        sum(col("fills")).as("fills"),
+        // decimal all the way to the final cast: exact, order-independent
+        sum(col("volume_dec")).cast("double").as("volume_usd"),
+        sum(coalesce(col("holders"), lit(0L))).as("holders"),
+        count(lit(1)).as("tokens"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, fingerprinting. All pure column
+  * expressions (whole-stage-codegen friendly, no UDFs).
+  */
+object TextAnalysis {
+
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+  private def words(text: Column): Column =
+    split(trim(text), " +")
+
+  /** Tokens, chars, words, punctuation/digit/space ratios, stopword
+    * ratio, mean word length — the usual quality-filter features. */
+  def quality(text: Column): Column = {
+    val n = length(text).cast("double")
+    val w = words(text)
+    val stop = size(filter(w, c => c.isin(StopwordsEn: _*)))
+    struct(
+      length(text).as("n_chars"),
+      size(w).as("n_words"),
+      (size(w).cast("double") / greatest(n, lit(1.0))).as("words_per_char"),
+      (length(regexp_replace(text, "[a-z ]", "")).cast("double") /
+        greatest(n, lit(1.0))).as("nonalpha_ratio"),
+      (stop.cast("double") / greatest(size(w).cast("double"), lit(1.0)))
+        .as("stopword_ratio"),
+      ((n - length(regexp_replace(text, " ", ""))) / greatest(n, lit(1.0)))
+        .as("space_ratio"))
+  }
+
+  /** Whitespace tokens + a BPE-ish segment count (letter runs, single
+    * digits, single other chars — a cheap proxy for subword count). */
+  def tokenCounts(text: Column): (Column, Column) = {
+    val ws = size(words(text))
+    val bpe = size(regexp_extract_all(text, lit("[a-z]+|[0-9]|[^a-z0-9 ]"), lit(0)))
+    (ws, bpe)
+  }
+
+  /** Stopword-vote language ID over a fixed language set. Ties break
+    * by the order of `langs` (first wins). */
+  def langId(text: Column): Column = {
+    val langs: Seq[(String, Seq[String])] = Seq(
+      "en" -> StopwordsEn,
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "pas"),
+      "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "no"))
+    val w = words(text)
+    val scores = langs.map { case (lang, stops) =>
+      lit(lang).as("lang") -> size(filter(w, c => c.isin(stops: _*)))
+    }
+    // greatest-by: fold into (bestLang, bestScore)
+    scores.tail.foldLeft(
+      struct(scores.head._1.as("lang"), scores.head._2.as("score"))) {
+      case (best, (lang, score)) =>
+        when(score > best.getField("score"),
+          struct(lang.as("lang"), score.as("score"))).otherwise(best)
+    }.getField("lang")
+  }
+
+  /** Polynomial rolling hash of the text (document fingerprint),
+    * folded mod 2^40 so it never overflows a long under ANSI
+    * arithmetic. Built from codegen'd primitives — deterministic,
+    * locale-free. */
+  def fingerprint64(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(1099511627689L),
+      (acc, ch) => pmod(acc * lit(31L), lit(1L << 40)) +
+        when(length(ch) > 0, ascii(ch).cast("long")).otherwise(0L))
+}

@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Local pre-validation of oracle parity (mimics the driver's t2 gate):
+runs each oracle_sql.json query in DuckDB over the sf tables and
+compares against the Spark-written parquet, column-name-sorted,
+row-sorted, exact values."""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(f).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+ok, bad = [], []
+for name, sql in sorted(oracle.items()):
+    try:
+        want = con.sql(sql).df()
+        got = con.sql(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
+        want = want.reindex(sorted(want.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(want.columns) != list(got.columns):
+            bad.append((name, f"cols want={list(want.columns)} got={list(got.columns)}"))
+            continue
+        ws = want.sort_values(by=list(want.columns), ignore_index=True)
+        gs = got.sort_values(by=list(got.columns), ignore_index=True)
+        if len(ws) != len(gs):
+            bad.append((name, f"rows want={len(ws)} got={len(gs)}"))
+            continue
+        diffs = []
+        for c in ws.columns:
+            a, b = ws[c], gs[c]
+            try:
+                if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+                    neq = ~((a == b) | (a.isna() & b.isna()))
+                else:
+                    neq = ~((a.astype(str) == b.astype(str)))
+                if neq.any():
+                    i = neq.idxmax()
+                    diffs.append(f"{c}[{i}]: want={a[i]!r} got={b[i]!r} (n={int(neq.sum())})")
+            except Exception as e:
+                diffs.append(f"{c}: cmp error {e}")
+        if diffs:
+            bad.append((name, "; ".join(diffs[:3])))
+        else:
+            ok.append(name)
+    except Exception as e:
+        bad.append((name, f"EXC {str(e)[:200]}"))
+
+print(f"OK ({len(ok)}): {' '.join(ok)}")
+for name, why in bad:
+    print(f"FAIL {name}: {why}")
+sys.exit(1 if bad else 0)
