@@ -77,16 +77,8 @@ object Dedup {
     * hash's bits. Two docs are near-dups when hamming distance of
     * their simhashes ≤ maxHamming (checked within 16-bit LSH blocks so
     * the join stays bucketed). */
-  def simhash64(ngrams: Column): Column = {
-    val hashes = transform(ngrams, s => xxhash64(s))
-    // For each bit position, +1 if set else -1; simhash bit = sign.
-    val bits = (0 until 64).map { b =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), b)).otherwise(0L)
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+  def simhash64(ngrams: Column): Column =
+    graft.functions.SimHash64.simhash64(transform(ngrams, s => xxhash64(s)))
 
   /** SimHash near-dup pairs: block by the four 16-bit chunks (any pair
     * within hamming ≤ 3 shares at least one identical chunk —

@@ -45,34 +45,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
-  /** Random-hyperplane LSH bucket id: sign bits of `planes` fixed
-    * pseudo-random hyperplanes (deterministic, seeded by xxhash64 of
-    * dimension index — no RNG at plan time). */
-  def lshBucket(unit: Column, dim: Int, planes: Int): Column = {
+  /** Random-hyperplane LSH bucket id for one hash table: sign bits of
+    * `planes` fixed pseudo-random hyperplanes (deterministic, seeded
+    * by xxhash64 of (table, plane, dimension) — no RNG at plan time). */
+  def lshBucket(unit: Column, dim: Int, planes: Int, table: Int): Column = {
     val bits = (0 until planes).map { p =>
-      // hyperplane p: component j = hash(p, j) mapped to [-1, 1)
+      // hyperplane (table, p): component j = hash(table, p, j) → [-1, 1)
       val proj = aggregate(
         zip_with(unit,
           transform(sequence(lit(0), lit(dim - 1)),
-            j => (xxhash64(lit(p), j).cast("double") / lit(Long.MaxValue.toDouble))),
+            j => (xxhash64(lit(table * 1024 + p), j).cast("double") /
+              lit(Long.MaxValue.toDouble))),
           (x, h) => x * h),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1), p)).otherwise(0)
     }
-    bits.reduce(_.bitwiseOR(_)).as("bucket")
+    bits.reduce(_.bitwiseOR(_))
   }
 
-  /** Approximate top-k: queries probe only their own LSH bucket.
+  /** All (table, bucket) postings for a vector — multi-table LSH: a
+    * pair is a candidate if it collides in ANY of the `tables` hash
+    * tables, which is what lifts recall without widening buckets. */
+  private def lshPostings(unit: Column, dim: Int, planes: Int, tables: Int): Column =
+    array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(unit, dim, planes, t).as("bucket"))
+    }: _*)
+
+  /** Approximate top-k: queries probe their bucket in each of
+    * `tables` hash tables; candidates are deduped, then ranked.
     * Recall vs [[bruteForceTopK]] is measured in SimilaritySpec. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, planes: Int,
-              k: Int): DataFrame = {
-    val cb = corpus.withColumn("bucket", lshBucket(col("unit"), dim, planes))
-      .select(col("bucket"), col("id").as("corpus_id"), col("unit").as("cu"))
-    val qb = queries.withColumn("bucket", lshBucket(col("unit"), dim, planes))
-      .select(col("bucket"), col("id").as("query_id"), col("unit").as("qu"))
-    val joined = cb.join(broadcast(qb), Seq("bucket"))
+              k: Int, tables: Int = 4): DataFrame = {
+    val post = lshPostings(col("unit"), dim, planes, tables)
+    val cb = corpus.select(col("id").as("corpus_id"), col("unit").as("cu"),
+      explode(post).as("p")).select(col("p.tbl"), col("p.bucket"),
+      col("corpus_id"), col("cu"))
+    val qb = queries.select(col("id").as("query_id"), col("unit").as("qu"),
+      explode(post).as("p")).select(col("p.tbl"), col("p.bucket"),
+      col("query_id"), col("qu"))
+    val joined = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", round(dot(col("cu"), col("qu")), 6))
+      .select(col("query_id"), col("corpus_id"),
+        round(dot(col("cu"), col("qu")), 6).as("cosine"))
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     joined.withColumn("rank", row_number().over(w))

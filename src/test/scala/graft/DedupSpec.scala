@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different content about spark engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (5L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exact(docs, "doc_id", "text").filter($"copies" > 1).collect()
+    assert(d.length == 1)
+    assert(d(0).getAs[Long]("copies") == 2)
+    assert(d(0).getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("minhash LSH finds the planted near-dup pair") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        ngramN = 2, bands = 8, rowsPerBand = 2, jaccardThreshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"missing (1,2) in $pairs")
+    assert(pairs.contains((1L, 4L)))  // exact dups always collide
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash expression matches a slow reference implementation") {
+    val grams = Dedup.wordNgrams($"text", 2)
+    val got = docs.select($"doc_id", Dedup.simhash64(grams).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // slow reference: same xxhash64 features via Spark, vote in Scala
+    val feats = docs.select($"doc_id",
+        transform(grams, s => xxhash64(s)).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    feats.foreach { case (id, hs) =>
+      val votes = Array.fill(64)(0)
+      hs.foreach { h =>
+        (0 until 64).foreach { b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1 } }
+      val want = (0 until 64).foldLeft(0L) { (acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc }
+      assert(got(id) == want, s"doc $id")
+    }
+  }
+
+  test("simhash pairs: exact dup has hamming 0; near-dup is close") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", ngramN = 2, maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(pairs.get((1L, 2L)).exists(_ <= 16))
+  }
+
+  test("embedding near-dup via LSH buckets finds identical vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.001f, 0.0f, 0.0f)),  // nearly identical to 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val nrm = Similarity.normalized(vecs, "vec_id", "embedding")
+    val pairs = Similarity.lshTopK(nrm, nrm, dim = 4, planes = 4, k = 2)
+      .filter($"cosine" >= 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 1L)))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.model.Tables
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Cross-operator invariants on sf0.001 (the DuckDB value-equality
+  * gate lives in Verify + tools/crosscheck.py; these are structural). */
+class OperatorsSpec extends SparkSpec {
+
+  test("every queries entry runs and q1 has rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("balances sum to zero per token (closed system)") {
+    val b = Balances.balances(Tables.transfers(spark, sf))
+    val bad = b.groupBy("token_id")
+      .agg(sum(col("balance").cast("decimal(18,4)")).as("s"))
+      .filter(col("s") =!= 0).count()
+    assert(bad == 0)
+  }
+
+  test("reconcile finds zero mismatches between the two balance books") {
+    val fromTransfers = Balances.balances(Tables.transfers(spark, sf))
+    val wt = Leaderboard.walletTrades(Tables.trades(spark, sf))
+    val fromTrades = wt.groupBy(col("wallet"), col("token_id"))
+      .agg(sum(when(col("side") === "buy", col("qty")).otherwise(-col("qty"))
+        .cast("decimal(18,4)")).cast("double").as("balance"))
+    val r = Rollup.reconcile(fromTransfers, fromTrades)
+    assert(r.agg(sum("mismatches")).head().getLong(0) == 0)
+  }
+
+  test("candles: low <= open,close <= high; volume positive") {
+    val ev = Tables.eventStream(spark, sf)
+    val c = Candles.finalize(Candles.fromTicks(ev, "minute", col("token_id"),
+      col("ts"), col("event_id"), col("price"), col("usd")))
+    val bad = c.filter(col("low") > col("high") ||
+      col("open") > col("high") || col("open") < col("low") ||
+      col("close") > col("high") || col("close") < col("low") ||
+      col("volume") <= 0).count()
+    assert(bad == 0)
+  }
+
+  test("candle re-aggregation conserves volume and trade count") {
+    val ev = Tables.eventStream(spark, sf)
+    val c1m = Candles.fromTicks(ev, "minute", col("token_id"), col("ts"),
+      col("event_id"), col("price"), col("usd"))
+    val c1h = Candles.reaggregate(c1m, "hour")
+    val v1m = c1m.agg(sum("volume_dec"), sum("trades")).head()
+    val v1h = c1h.agg(sum("volume_dec"), sum("trades")).head()
+    assert(v1m == v1h)
+  }
+
+  test("scd2 intervals: valid_to >= valid_from, chained per key") {
+    val h = Metadata.scd2(Tables.orders(spark, sf).select(col("o_custkey"),
+      col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+      "o_custkey", "o_orderdate", "o_orderkey")
+    assert(h.filter(col("valid_to") < col("o_orderdate")).count() == 0)
+  }
+
+  test("leaderboard: maker+taker cashflows cancel system-wide") {
+    val wt = Leaderboard.walletTrades(Tables.trades(spark, sf))
+    val total = wt.agg(sum(when(col("side") === "sell", col("usd"))
+      .otherwise(-col("usd")))).head().getDecimal(0)
+    assert(total.signum == 0)
+  }
+
+  test("dedup ingest is idempotent: re-delivery leaves counts unchanged") {
+    val ev = Tables.events(spark, sf)
+    val dup = ev.unionAll(ev.limit(100))
+    val n = Metadata.dedupIngest(dup, "event_id", "event_id").count()
+    assert(n == ev.count())
+  }
+}

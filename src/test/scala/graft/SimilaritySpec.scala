@@ -1,0 +1,43 @@
+package graft
+
+import graft.model.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("dot/norm column math is correct") {
+    import spark.implicits._
+    val df = Seq((Array(3.0, 4.0), Array(1.0, 0.0))).toDF("a", "b")
+    val r = df.select(Similarity.dot($"a", $"b").as("d"),
+      Similarity.norm($"a").as("n")).head()
+    assert(r.getDouble(0) == 3.0 && r.getDouble(1) == 5.0)
+  }
+
+  test("brute-force top-k is self-consistent and ordered") {
+    val nrm = Similarity.normalized(Tables.embeddings(spark, sf), "vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(nrm, nrm.filter(col("id") < 3), 5).collect()
+    val byQ = topk.groupBy(_.getLong(0))
+    assert(byQ.size == 3)
+    byQ.values.foreach { rows =>
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.sliding(2).forall(p => p.head >= p.last), "descending cosine")
+      assert(rows.length == 5)
+    }
+  }
+
+  test("LSH top-k achieves reasonable recall vs brute force") {
+    val nrm = Similarity.normalized(Tables.embeddings(spark, sf), "vec_id", "embedding")
+    nrm.cache()
+    val q = nrm.filter(col("id") < 10)
+    val exact = Similarity.bruteForceTopK(nrm, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(nrm, q, dim = 64, planes = 4, k = 5,
+        tables = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 8 tables × 16 buckets: approximate by design, but multi-probe
+    // should recover most true neighbors
+    assert(recall > 0.5, s"recall=$recall")
+  }
+}
