@@ -20,15 +20,13 @@ object SparkEntry {
 
   // ---- shared builders ------------------------------------------------
 
-  private def trades(s: SparkSession, d: String) = Tables.trades(s, d)
+  private def trades(s: SparkSession, d: String) = graft.model.Views.trades(s, d)
   private def wt(s: SparkSession, d: String) =
-    Leaderboard.walletTrades(Tables.trades(s, d))
+    Leaderboard.walletTrades(graft.model.Views.trades(s, d))
   private def balances(s: SparkSession, d: String) =
-    Balances.balances(Tables.transfers(s, d))
-  private def lastPrice(s: SparkSession, d: String) = {
-    val t = Tables.trades(s, d)
-    Candles.lastPrice(t, col("token_id"), col("ts"), col("trade_id"), col("price"))
-  }
+    graft.model.Views.balances(s, d)
+  private def lastPrice(s: SparkSession, d: String) =
+    graft.model.Views.lastPrice(s, d)
   private def markets(s: SparkSession, d: String) =
     Tables.part(s, d).select(col("p_partkey").cast("long").as("token_id"),
       col("p_brand").as("market"))
@@ -74,14 +72,14 @@ object SparkEntry {
       balances(s, d).orderBy(col("wallet"), col("token_id"))),
 
     "q_candles_1m" -> ((s, d) => {
-      val ev = Tables.eventStream(s, d)
+      val ev = graft.model.Views.eventStream(s, d)
       Candles.finalize(Candles.fromTicks(ev, "minute", col("token_id"), col("ts"),
           col("event_id"), col("price"), col("usd")))
         .orderBy(col("token_id"), col("bucket"))
     }),
 
     "q_candles_1h" -> ((s, d) => {
-      val ev = Tables.eventStream(s, d)
+      val ev = graft.model.Views.eventStream(s, d)
       val c1m = Candles.fromTicks(ev, "minute", col("token_id"), col("ts"),
         col("event_id"), col("price"), col("usd"))
       Candles.finalize(Candles.reaggregate(c1m, "hour"))
@@ -92,7 +90,7 @@ object SparkEntry {
       lastPrice(s, d).orderBy(col("token_id"))),
 
     "q_token_volume_1h" -> ((s, d) => {
-      val ev = Tables.eventStream(s, d)
+      val ev = graft.model.Views.eventStream(s, d)
       Candles.tokenVolume(ev, "hour", col("token_id"), col("ts"), col("usd"))
         .orderBy(col("token_id"), col("hour"))
     }),
@@ -190,23 +188,10 @@ object SparkEntry {
           ngramN = 2, maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
-    "q_ngram_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          Dedup.wordNgrams(col("text"), 3).as("ngrams"))
-      // candidate pairs within the same source bucket only
-      val l = docs.select(col("source"), col("doc_id").as("id_a"),
-        col("ngrams").as("ngrams_a"))
-      val r = docs.select(col("source"), col("doc_id").as("id_b"),
-        col("ngrams").as("ngrams_b"))
-      l.join(r, Seq("source")).filter(col("id_a") < col("id_b"))
-        .withColumn("jaccard",
-          size(array_intersect(col("ngrams_a"), col("ngrams_b"))).cast("double") /
-            size(array_union(col("ngrams_a"), col("ngrams_b"))).cast("double"))
-        .filter(col("jaccard") >= 0.3)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    "q_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          bucketCol = "source", ngramN = 3, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
 
     "q_dedup_embedding" -> ((s, d) => {
       val nrm = Similarity.normalized(Tables.embeddings(s, d), "vec_id", "embedding")

@@ -75,7 +75,10 @@ object Tables {
     * wallet to the buying wallet (reference: polymarket.transfers
     * 001:160 feeding user_balances 001:382). */
   def transfers(spark: SparkSession, dir: String): DataFrame =
-    trades(spark, dir).select(
+    transfersFrom(trades(spark, dir))
+
+  def transfersFrom(trades: DataFrame): DataFrame =
+    trades.select(
       col("trade_id").as("transfer_id"),
       col("ts"),
       when(col("is_taker_buy"), col("maker")).otherwise(col("taker")).as("from"),

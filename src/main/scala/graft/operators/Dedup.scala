@@ -22,21 +22,15 @@ object Dedup {
       sequence(lit(0), greatest(length(text) - n, lit(0))),
       i => text.substr(i + 1, lit(n))))
 
-  /** word n-grams via sliding window over the split array */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val w = split(trim(text), " +")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(w) - n, lit(0))),
-      i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-  }
+  /** Distinct word n-grams (native single-pass expression). */
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.functions.WordNgrams.word_ngrams(text, n)
 
-  /** MinHash signature: for each of k hash seeds, the minimum of
-    * h_seed(shingle) over the doc's shingle set. Uses xxhash64 with a
-    * per-band seed column — fully codegen'd, no UDF. */
+  /** MinHash signature: k permutation-mins over the n-gram hash set,
+    * computed in one native pass (k mins kept simultaneously). */
   def minhashSignature(ngrams: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(ngrams, s => xxhash64(lit(seed), s)))
-    }: _*)
+    graft.functions.MinHashSig.minhash_sig(
+      transform(ngrams, s => xxhash64(s)), k)
 
   /** MinHash + LSH near-dup candidate pairs: signatures are cut into
     * `bands` bands of `rowsPerBand`; docs sharing any band hash become
@@ -54,22 +48,59 @@ object Dedup {
       .select(col(idCol).as("id"), wordNgrams(col(textCol), ngramN).as("ngrams"))
       .filter(size(col("ngrams")) > 0)
       .withColumn("sig", minhashSignature(col("ngrams"), k))
-    val banded = withSig.select(col("id"), col("ngrams"),
+    // Bands carry only (id, bucket) — the n-gram arrays would be
+    // duplicated ×bands through the join otherwise. Candidates are
+    // deduped as bare id pairs, then the (much smaller) candidate set
+    // re-joins the n-gram sets once per side for exact verification.
+    val banded = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
-      col("ngrams").as("ngrams_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
-      col("ngrams").as("ngrams_b"))
-    l.join(r, Seq("band", "bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ngrams_a"), col("ngrams_b"))
-      .distinct()
+      .select(col("id_a"), col("id_b")).distinct()
+    val sets = withSig.select(col("id"), col("ngrams"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("ngrams").as("ngrams_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("ngrams").as("ngrams_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("ngrams_a"), col("ngrams_b"))).cast("double") /
           size(array_union(col("ngrams_a"), col("ngrams_b"))).cast("double"))
       .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard pairs via an inverted index: explode each
+    * doc's distinct n-grams into postings, self-join postings on the
+    * gram (optionally within a bucket column), count shared grams per
+    * pair, and derive jaccard = shared / (|A|+|B|−shared).
+    *
+    * Never materializes a doc×doc cross product: pair work is
+    * Σ_gram df², bounded by the posting-list lengths — the shape that
+    * survives 100 TB (hot grams can be df-capped like prefix
+    * filtering if a corpus needs it).
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        bucketCol: String, ngramN: Int,
+                        threshold: Double): DataFrame = {
+    val withSets = docs.select(col(bucketCol).as("bkt"), col(idCol).as("id"),
+        wordNgrams(col(textCol), ngramN).as("ngrams"))
+      .withColumn("n_grams", size(col("ngrams")))
+    val posts = withSets.select(col("bkt"), col("id"), col("n_grams"),
+      explode(col("ngrams")).as("gram"))
+    val a = posts.select(col("bkt"), col("gram"), col("id").as("id_a"),
+      col("n_grams").as("n_a"))
+    val b = posts.select(col("bkt"), col("gram"), col("id").as("id_b"),
+      col("n_grams").as("n_b"))
+    a.join(b, Seq("bkt", "gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ over two equal-length double arrays. */
+  /** Σ aᵢ·bᵢ over two equal-length double arrays (native one-pass
+    * expression; left-to-right summation order). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -45,45 +46,20 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
-  /** Random-hyperplane LSH bucket id for one hash table: sign bits of
-    * `planes` fixed pseudo-random hyperplanes (deterministic, seeded
-    * by xxhash64 of (table, plane, dimension) — no RNG at plan time). */
-  def lshBucket(unit: Column, dim: Int, planes: Int, table: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      // hyperplane (table, p): component j = hash(table, p, j) → [-1, 1)
-      val proj = aggregate(
-        zip_with(unit,
-          transform(sequence(lit(0), lit(dim - 1)),
-            j => (xxhash64(lit(table * 1024 + p), j).cast("double") /
-              lit(Long.MaxValue.toDouble))),
-          (x, h) => x * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1), p)).otherwise(0)
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
-
-  /** All (table, bucket) postings for a vector — multi-table LSH: a
-    * pair is a candidate if it collides in ANY of the `tables` hash
-    * tables, which is what lifts recall without widening buckets. */
-  private def lshPostings(unit: Column, dim: Int, planes: Int, tables: Int): Column =
-    array((0 until tables).map { t =>
-      struct(lit(t).as("tbl"), lshBucket(unit, dim, planes, t).as("bucket"))
-    }: _*)
-
   /** Approximate top-k: queries probe their bucket in each of
-    * `tables` hash tables; candidates are deduped, then ranked.
+    * `tables` hash tables (multi-table random-hyperplane LSH — a pair
+    * is a candidate if it collides in ANY table, which lifts recall
+    * without widening buckets); candidates are deduped, then ranked.
+    * Postings are one native expression pass per vector.
     * Recall vs [[bruteForceTopK]] is measured in SimilaritySpec. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, planes: Int,
               k: Int, tables: Int = 4): DataFrame = {
-    val post = lshPostings(col("unit"), dim, planes, tables)
+    val post = graft.functions.LshPostings.lsh_postings(col("unit"), planes, tables)
     val cb = corpus.select(col("id").as("corpus_id"), col("unit").as("cu"),
-      explode(post).as("p")).select(col("p.tbl"), col("p.bucket"),
-      col("corpus_id"), col("cu"))
+      explode(post).as("post"))
     val qb = queries.select(col("id").as("query_id"), col("unit").as("qu"),
-      explode(post).as("p")).select(col("p.tbl"), col("p.bucket"),
-      col("query_id"), col("qu"))
-    val joined = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      explode(post).as("post"))
+    val joined = cb.join(broadcast(qb), Seq("post"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         round(dot(col("cu"), col("qu")), 6).as("cosine"))

@@ -56,6 +56,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.get((1L, 2L)).exists(_ <= 16))
   }
 
+  test("inverted-index jaccard equals brute-force jaccard") {
+    val withBkt = docs.withColumn("bkt", lit("all"))
+    val got = Dedup.ngramJaccardPairs(withBkt, "doc_id", "text", "bkt",
+        ngramN = 2, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force over all pairs
+    val sets = docs.select($"doc_id", Dedup.wordNgrams($"text", 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    for (a <- sets.keys; b <- sets.keys if a < b) {
+      val inter = (sets(a) & sets(b)).size
+      val uni = (sets(a) | sets(b)).size
+      val want = inter.toDouble / uni
+      if (inter > 0)
+        assert(math.abs(got((a, b)) - want) < 1e-12, s"pair ($a,$b)")
+      else
+        assert(!got.contains((a, b)), s"pair ($a,$b) should be absent")
+    }
+  }
+
   test("embedding near-dup via LSH buckets finds identical vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
