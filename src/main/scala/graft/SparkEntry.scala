@@ -174,6 +174,27 @@ object SparkEntry {
       Ledger.realizedSummary(Ledger.build(s, wt(s, d)).toDF())
         .orderBy(col("wallet"))),
 
+    "q_price_asof" -> ((s, d) => {
+      val t = trades(s, d)
+      // one quote per (token, ts): last trade of the tick wins
+      val quotes = t.groupBy(col("token_id"), col("ts"))
+        .agg(max_by(col("price"), col("trade_id")).as("price"))
+      val probes = t.select(col("token_id"),
+        date_trunc("month", col("ts")).as("pts")).distinct()
+      AsOf.joinAsOf(quotes, probes, "token_id", "ts", "price", "pts")
+        .orderBy(col("token_id"), col("pts"))
+    }),
+
+    "q_dormant_wallets" -> ((s, d) => {
+      val active = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01"))
+        .select(col("o_custkey"))
+      Tables.customer(s, d)
+        .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("text_hash"))),
@@ -618,6 +639,26 @@ object SparkEntry {
       """SELECT event_type AS processor_id, MAX(event_id) AS last_seq,
         |  MAX(CAST(ts AS TIMESTAMP)) AS last_ts, COUNT(*) AS rows_ingested
         |FROM events GROUP BY processor_id ORDER BY processor_id""".stripMargin,
+
+    "q_price_asof" ->
+      s"""WITH $TRADES,
+        |quotes AS (
+        |  SELECT token_id, ts, arg_max(price, trade_id) AS price
+        |  FROM trades GROUP BY token_id, ts),
+        |probes AS (
+        |  SELECT DISTINCT token_id, date_trunc('month', ts) AS pts FROM trades)
+        |SELECT probes.token_id AS token_id, pts, quotes.price AS value_asof
+        |FROM probes ASOF LEFT JOIN quotes
+        |  ON probes.token_id = quotes.token_id AND probes.pts >= quotes.ts
+        |ORDER BY token_id, pts""".stripMargin,
+
+    "q_dormant_wallets" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, COUNT(*) AS copies,

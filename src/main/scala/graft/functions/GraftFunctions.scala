@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL surface for the native expressions: register once, then call
+  * from `spark.sql` like any built-in. Two seams:
+  *  - [[GraftFunctions.register]] on a live session, or
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` at build
+  *    time (the library-injection path).
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression): Int =
+    e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_simhash64" -> ((es: Seq[Expression]) => SimHash64(es.head)),
+    "graft_word_ngrams" -> ((es: Seq[Expression]) =>
+      WordNgrams(es(0), intArg(es(1)))),
+    "graft_minhash_sig" -> ((es: Seq[Expression]) =>
+      MinHashSig(es(0), intArg(es(1)))),
+    "graft_dot" -> ((es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    "graft_lsh_postings" -> ((es: Seq[Expression]) =>
+      LshPostings(es(0), intArg(es(1)), intArg(es(2)))))
+
+  def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
+  }
+}
+
+/** `SparkSessionExtensions` hook (spark.sql.extensions config). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
