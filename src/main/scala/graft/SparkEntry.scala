@@ -174,6 +174,11 @@ object SparkEntry {
       Ledger.realizedSummary(Ledger.build(s, wt(s, d)).toDF())
         .orderBy(col("wallet"))),
 
+    "q_ledger_rows" -> ((s, d) =>
+      Ledger.build(s, wt(s, d)).toDF()
+        .orderBy(col("wallet"), col("ts"), col("seq"), col("token_id"))
+        .limit(1000)),
+
     "q_price_asof" -> ((s, d) => {
       val t = trades(s, d)
       // one quote per (token, ts): last trade of the tick wins

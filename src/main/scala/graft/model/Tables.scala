@@ -66,6 +66,11 @@ object Tables {
           (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
           .cast("decimal(18,4)").as("usd"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount")) / col("l_quantity")).as("price"),
+        // exchange fee on the fill (reference: trades.fee, 001:27) —
+        // the tax rate stands in for the fee schedule
+        (col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")) *
+          col("l_tax").cast("decimal(18,4)")).cast("decimal(18,6)").as("fee"),
         (col("l_returnflag") =!= lit("R")).as("is_taker_buy"),
         (col("l_returnflag") === lit("R")).as("is_maker_buy")
       )

@@ -18,9 +18,20 @@ object Views {
   private val cache = new ConcurrentHashMap[(String, String, String), DataFrame]()
 
   def cached(spark: SparkSession, dir: String, name: String)
-            (build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((spark.sparkContext.applicationId, dir, name),
-      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+            (build: => DataFrame): DataFrame = {
+    val key = (spark.sparkContext.applicationId, dir, name)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else this.synchronized {   // reentrant: building one view may build another
+      val again = cache.get(key)
+      if (again != null) again
+      else {
+        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        cache.put(key, df)
+        df
+      }
+    }
+  }
 
   def trades(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "trades")(Tables.trades(spark, dir))

@@ -23,6 +23,7 @@ object Leaderboard {
   def walletTrades(trades: DataFrame): DataFrame =
     trades.select(
         col("trade_id"), col("ts"), col("token_id"), col("qty"), col("usd"),
+        col("fee"),
         explode(array(
           struct(col("maker").as("wallet"), lit("maker").as("role"),
             when(col("is_maker_buy"), "buy").otherwise("sell").as("side")),
@@ -30,7 +31,7 @@ object Leaderboard {
             when(col("is_taker_buy"), "buy").otherwise("sell").as("side"))
         )).as("p"))
       .select(col("trade_id"), col("ts"), col("token_id"), col("qty"),
-        col("usd"), col("p.wallet"), col("p.role"), col("p.side"))
+        col("usd"), col("fee"), col("p.wallet"), col("p.role"), col("p.side"))
 
   /** All-time leaderboard: trades, volume, net cashflow (sells − buys),
     * distinct markets; top-k by net cashflow. */

@@ -23,13 +23,14 @@ object Ledger {
 
   /** One buy/sell fill from one wallet's perspective. */
   final case class Fill(wallet: Long, ts: java.sql.Timestamp, seq: Long,
-                        tokenId: Long, isBuy: Boolean, qty: Double, usd: Double)
+                        tokenId: Long, isBuy: Boolean, qty: Double, usd: Double,
+                        fee: Double = 0.0)
 
   /** Output ledger row (reference wallet_ledger columns). */
   final case class LedgerRow(wallet: Long, ts: java.sql.Timestamp, seq: Long,
                              token_id: Long, event_type: String, qty: Double,
                              usd_delta: Double, cost_basis: Double,
-                             realized_pnl: Double)
+                             realized_pnl: Double, fee: Double)
 
   private final case class Lot(var qty: Double, unitCost: Double)
 
@@ -43,7 +44,8 @@ object Ledger {
       if (f.isBuy) {
         val unit = if (f.qty > 0) f.usd / f.qty else 0.0
         lots.getOrElseUpdate(f.tokenId, mutable.Queue.empty) += Lot(f.qty, unit)
-        LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "buy", f.qty, -f.usd, f.usd, 0.0)
+        LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "buy", f.qty, -f.usd, f.usd,
+          0.0, f.fee)
       } else {
         val q = lots.getOrElse(f.tokenId, mutable.Queue.empty)
         var remaining = f.qty
@@ -57,7 +59,7 @@ object Ledger {
           if (lot.qty <= 1e-7) q.dequeue()
         }
         LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "sell", -f.qty, f.usd,
-          basis, f.usd - basis)
+          basis, f.usd - basis, f.fee)
       }
     }
   }
@@ -72,7 +74,8 @@ object Ledger {
         col("token_id").cast("long").as("tokenId"),
         (col("side") === "buy").as("isBuy"),
         col("qty").cast("double").as("qty"),
-        col("usd").cast("double").as("usd"))
+        col("usd").cast("double").as("usd"),
+        col("fee").cast("double").as("fee"))
       .as[Fill]
     fills
       .repartition(col("wallet"))
@@ -103,12 +106,17 @@ object Ledger {
   }
 
   /** Wallet-level realized PnL summary from the ledger rows
-    * (reference: PnlResult realizedFromSells / totalRealized). */
+    * (reference: PnlResult realizedFromSells / realizedFromFees /
+    * totalRealized). */
   def realizedSummary(ledger: DataFrame): DataFrame =
     ledger.groupBy(col("wallet"))
       .agg(
         sum(when(col("event_type") === "sell", col("realized_pnl"))
           .otherwise(0.0).cast("decimal(18,6)")).cast("double").as("realized_pnl"),
+        sum(col("fee").cast("decimal(18,6)")).cast("double").as("fees_paid"),
+        (sum(when(col("event_type") === "sell", col("realized_pnl"))
+          .otherwise(0.0).cast("decimal(18,6)")) -
+          sum(col("fee").cast("decimal(18,6)"))).cast("double").as("net_realized"),
         sum(when(col("event_type") === "sell", 1L).otherwise(0L)).as("sells"),
         sum(when(col("event_type") === "buy", 1L).otherwise(0L)).as("buys"))
 }
