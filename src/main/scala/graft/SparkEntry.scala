@@ -232,6 +232,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_ann_ivf" -> ((s, d) => {
+      val nrm = Similarity.normalized(Tables.embeddings(s, d), "vec_id", "embedding")
+      val model = IvfIndex.build(s, nrm, nlist = 16)
+      IvfIndex.topK(s, model, nrm.filter(col("id") < 5), k = 10, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_ann_lsh" -> ((s, d) => {
       val nrm = Similarity.normalized(Tables.embeddings(s, d), "vec_id", "embedding")
       Similarity.lshTopK(nrm, nrm.filter(col("id") < 5), dim = 64, planes = 6, k = 10)

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbour index.
+  *
+  * The second scale path beside LSH ([[Similarity.lshTopK]]): k-means
+  * partitions the corpus into `nlist` cells; queries probe only the
+  * `nprobe` nearest cells. Centroids are tiny (nlist × dim) and live
+  * on the driver/broadcast — corpus assignment is one ML transform,
+  * probing is a bucketed join, never a cross product.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Cluster the corpus (id, unit) into nlist cells. */
+  def build(spark: SparkSession, corpus: DataFrame, nlist: Int,
+            seed: Long = 42L): Model = {
+    val vecs = corpus.withColumn("fv", array_to_vector(col("unit")))
+    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv")
+      .setPredictionCol("cell")
+    val m = km.fit(vecs)
+    val assigned = m.transform(vecs).select(col("id"), col("unit"), col("cell"))
+    Model(m.clusterCenters.map(_.toArray), assigned)
+  }
+
+  /** Top-k per query probing the nprobe nearest cells. */
+  def topK(spark: SparkSession, model: Model, queries: DataFrame, k: Int,
+           nprobe: Int): DataFrame = {
+    import spark.implicits._
+    // nearest-centroid ranking happens driver-side: nlist × dim floats
+    val centroids = model.centroids
+    val cellsFor = udf { (q: Seq[Double]) =>
+      centroids.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < c.length && j < q.length) {
+          val diff = c(j) - q(j); d += diff * diff; j += 1
+        }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    }
+    val probes = queries.select(col("id").as("query_id"), col("unit").as("qu"),
+        explode(cellsFor(col("unit"))).as("cell"))
+    val joined = model.assigned
+      .select(col("cell"), col("id").as("corpus_id"), col("unit").as("cu"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(Similarity.dot(col("cu"), col("qu")), 6).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+  }
+}
