@@ -174,6 +174,17 @@ object SparkEntry {
       Ledger.realizedSummary(Ledger.build(s, wt(s, d)).toDF())
         .orderBy(col("wallet"))),
 
+    "q_ledger_resolved" -> ((s, d) => {
+      // resolution payouts: a deterministic 0/1 outcome per token
+      val resolutions = Tables.part(s, d)
+        .select(col("p_partkey").cast("long"), (col("p_size") % 2 === 0))
+        .collect().map(r => r.getLong(0) -> (if (r.getBoolean(1)) 1.0 else 0.0))
+        .toMap
+      Ledger.resolvedSummary(
+          Ledger.buildResolved(s, wt(s, d), resolutions).toDF())
+        .orderBy(col("wallet"))
+    }),
+
     "q_ledger_rows" -> ((s, d) =>
       Ledger.build(s, wt(s, d)).toDF()
         .orderBy(col("wallet"), col("ts"), col("seq"), col("token_id"))

@@ -38,9 +38,43 @@ object Ledger {
     * rows. Buys append lots; sells consume lots FIFO and realize
     * proceeds − cost basis (ledger-engine.ts consumeTokens). Oversold
     * quantity (no lots left) has zero basis, like the reference. */
-  def foldWallet(fills: Iterator[Fill]): Iterator[LedgerRow] = {
+  def foldWallet(fills: Iterator[Fill]): Iterator[LedgerRow] =
+    foldWalletInto(fills, mutable.Map.empty, _ => ())
+
+  /** Fold one wallet's fills, then settle remaining open lots against
+    * market resolutions: tokens with a defined payout emit one
+    * "redeem" row each — realized = qty·payout − cost basis (a zero
+    * payout is the reference's resolutionLoss: the full basis is
+    * realized as loss). Mirrors PayoutRedemption handling in
+    * ledger-engine.ts. */
+  def foldWalletResolved(fills: Iterator[Fill],
+                         resolutions: Long => Option[Double]): Iterator[LedgerRow] = {
     val lots = mutable.Map.empty[Long, mutable.Queue[Lot]]
+    var wallet = 0L
+    var lastTs: java.sql.Timestamp = null
+    var lastSeq = 0L
+    val traded = foldWalletInto(fills, lots, f => {
+      wallet = f.wallet; lastTs = f.ts; lastSeq = math.max(lastSeq, f.seq)
+    })
+    def settlements: Iterator[LedgerRow] =
+      lots.iterator.filter(_._2.nonEmpty).flatMap { case (token, q) =>
+        resolutions(token).map { payout =>
+          val qty = q.iterator.map(_.qty).sum
+          val basis = q.iterator.map(l => l.qty * l.unitCost).sum
+          LedgerRow(wallet, lastTs, lastSeq + 1, token, "redeem", -qty,
+            qty * payout, basis, qty * payout - basis, 0.0)
+        }
+      }.toSeq.sortBy(_.token_id).iterator
+    traded ++ settlements
+  }
+
+  /** Shared fold core: emits trade rows, mutating `lots`; `observe`
+    * sees every fill (for wallet/ts bookkeeping). */
+  private def foldWalletInto(fills: Iterator[Fill],
+      lots: mutable.Map[Long, mutable.Queue[Lot]],
+      observe: Fill => Unit): Iterator[LedgerRow] =
     fills.map { f =>
+      observe(f)
       if (f.isBuy) {
         val unit = if (f.qty > 0) f.usd / f.qty else 0.0
         lots.getOrElseUpdate(f.tokenId, mutable.Queue.empty) += Lot(f.qty, unit)
@@ -62,10 +96,23 @@ object Ledger {
           basis, f.usd - basis, f.fee)
       }
     }
-  }
 
   /** Distributed ledger build over the two-sided trade view. */
-  def build(spark: SparkSession, walletTrades: DataFrame): Dataset[LedgerRow] = {
+  def build(spark: SparkSession, walletTrades: DataFrame): Dataset[LedgerRow] =
+    buildWith(spark, walletTrades, foldWallet)
+
+  /** Distributed build with end-of-history resolution settlement.
+    * `resolutions` (token → payout/share) is a small dim broadcast to
+    * executors; at 100 TB it rides the closure exactly like a
+    * broadcast-hash-join build side. */
+  def buildResolved(spark: SparkSession, walletTrades: DataFrame,
+                    resolutions: Map[Long, Double]): Dataset[LedgerRow] = {
+    val bc = spark.sparkContext.broadcast(resolutions)
+    buildWith(spark, walletTrades, fills => foldWalletResolved(fills, bc.value.get))
+  }
+
+  private def buildWith(spark: SparkSession, walletTrades: DataFrame,
+      folder: Iterator[Fill] => Iterator[LedgerRow]): Dataset[LedgerRow] = {
     import spark.implicits._
     val fills: Dataset[Fill] = walletTrades.select(
         col("wallet").cast("long").as("wallet"),
@@ -97,7 +144,7 @@ object Ledger {
           }
           def hasNext: Boolean = {
             while (!cur.hasNext && grouped.hasNext)
-              cur = foldWallet(grouped.next())
+              cur = folder(grouped.next())
             cur.hasNext
           }
           def next(): LedgerRow = { hasNext; cur.next() }
@@ -119,4 +166,21 @@ object Ledger {
           sum(col("fee").cast("decimal(18,6)"))).cast("double").as("net_realized"),
         sum(when(col("event_type") === "sell", 1L).otherwise(0L)).as("sells"),
         sum(when(col("event_type") === "buy", 1L).otherwise(0L)).as("buys"))
+
+  /** Summary decomposed by realization source (reference: PnlResult
+    * realizedFromSells / realizedFromRedemptions / resolution losses). */
+  def resolvedSummary(ledger: DataFrame): DataFrame =
+    ledger.groupBy(col("wallet"))
+      .agg(
+        sum(when(col("event_type") === "sell", col("realized_pnl"))
+          .otherwise(0.0).cast("decimal(18,6)")).cast("double")
+          .as("realized_from_sells"),
+        sum(when(col("event_type") === "redeem" && col("realized_pnl") >= 0,
+          col("realized_pnl")).otherwise(0.0).cast("decimal(18,6)")).cast("double")
+          .as("realized_from_redemptions"),
+        sum(when(col("event_type") === "redeem" && col("realized_pnl") < 0,
+          col("realized_pnl")).otherwise(0.0).cast("decimal(18,6)")).cast("double")
+          .as("realized_from_resolution_losses"),
+        sum(col("realized_pnl").cast("decimal(18,6)")).cast("double")
+          .as("total_realized"))
 }
