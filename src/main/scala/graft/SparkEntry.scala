@@ -97,6 +97,15 @@ object SparkEntry {
 
     "q_leaderboard" -> ((s, d) => Leaderboard.leaderboard(wt(s, d), 100)),
 
+    "q_leaderboard_rollup" -> ((s, d) =>
+      Leaderboard.leaderboardFromRollup(wt(s, d), "day", 100)),
+
+    "q_portfolio_resample" -> ((s, d) =>
+      Snapshots.downsample(
+          Snapshots.portfolioHistory(wt(s, d), lastPrice(s, d)), "day", "week",
+          Seq("cum_cashflow", "portfolio_value", "total_value"))
+        .orderBy(col("wallet"), col("bucket"))),
+
     "q_leaderboard_window" -> ((s, d) =>
       Leaderboard.leaderboardWindow(wt(s, d), "1996-01-01", "1997-01-01", 100)),
 
@@ -443,7 +452,17 @@ object SparkEntry {
         |SELECT wallet, COUNT(*) AS trades, CAST(SUM(usd) AS DOUBLE) AS volume_usd,
         |  CAST(SUM(CASE WHEN side = 'sell' THEN usd ELSE -usd END) AS DOUBLE) AS net_cashflow_usd,
         |  COUNT(DISTINCT token_id) AS markets
-        |FROM wt GROUP BY wallet
+        |FROM wt WHERE wallet NOT IN (1000001, 1000002)
+        |GROUP BY wallet HAVING COUNT(*) >= 5
+        |ORDER BY net_cashflow_usd DESC, wallet LIMIT 100""".stripMargin,
+
+    "q_leaderboard_rollup" ->
+      s"""WITH $WT
+        |SELECT wallet, COUNT(*) AS trades, CAST(SUM(usd) AS DOUBLE) AS volume_usd,
+        |  CAST(SUM(CASE WHEN side = 'sell' THEN usd ELSE -usd END) AS DOUBLE) AS net_cashflow_usd,
+        |  COUNT(DISTINCT token_id) AS markets
+        |FROM wt WHERE wallet NOT IN (1000001, 1000002)
+        |GROUP BY wallet HAVING COUNT(*) >= 5
         |ORDER BY net_cashflow_usd DESC, wallet LIMIT 100""".stripMargin,
 
     "q_leaderboard_window" ->
@@ -453,8 +472,37 @@ object SparkEntry {
         |  COUNT(DISTINCT token_id) AS markets
         |FROM wt
         |WHERE ts >= TIMESTAMP '1996-01-01 00:00:00' AND ts < TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY wallet
+        |  AND wallet NOT IN (1000001, 1000002)
+        |GROUP BY wallet HAVING COUNT(*) >= 5
         |ORDER BY net_cashflow_usd DESC, wallet LIMIT 100""".stripMargin,
+
+    "q_portfolio_resample" ->
+      s"""WITH $WT,
+        |$LP,
+        |daily AS (
+        |  SELECT wallet, token_id, date_trunc('day', ts) AS day,
+        |    SUM(CASE WHEN side = 'sell' THEN usd ELSE -usd END) AS cashflow_dec,
+        |    SUM(CAST(CASE WHEN side = 'buy' THEN qty ELSE -qty END AS DECIMAL(18,4))) AS qty_dec
+        |  FROM wt GROUP BY wallet, token_id, day),
+        |per_day AS (
+        |  SELECT wallet, day, SUM(cashflow_dec) AS day_cash,
+        |    SUM(CAST(FLOOR(CAST(qty_dec AS DOUBLE) * COALESCE(lp.last_price, 0.0) * 1e4) AS BIGINT)) AS day_value_s
+        |  FROM daily LEFT JOIN lp ON daily.token_id = lp.token_id
+        |  GROUP BY wallet, day),
+        |hist AS (
+        |  SELECT wallet, day,
+        |    CAST(SUM(day_cash) OVER w AS DOUBLE) AS cum_cashflow,
+        |    SUM(day_value_s) OVER w / 10000.0 AS portfolio_value,
+        |    CAST(SUM(day_cash) OVER w AS DOUBLE) + SUM(day_value_s) OVER w / 10000.0 AS total_value
+        |  FROM per_day
+        |  WINDOW w AS (PARTITION BY wallet ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT wallet, date_trunc('week', day) AS bucket, MAX(day) AS asof_ts,
+        |  arg_max(cum_cashflow, day) AS cum_cashflow,
+        |  arg_max(portfolio_value, day) AS portfolio_value,
+        |  arg_max(total_value, day) AS total_value
+        |FROM hist GROUP BY wallet, bucket
+        |ORDER BY wallet, bucket""".stripMargin,
 
     "q_lb_explain" ->
       s"""WITH $WT

@@ -33,10 +33,17 @@ object Leaderboard {
       .select(col("trade_id"), col("ts"), col("token_id"), col("qty"),
         col("usd"), col("fee"), col("p.wallet"), col("p.role"), col("p.side"))
 
+  /** Operator wallets excluded from rankings (reference:
+    * LEADERBOARD_EXCLUDED_WALLETS in src/api.ts). */
+  val ExcludedWallets: Seq[Long] = Seq(1000001L, 1000002L)
+
   /** All-time leaderboard: trades, volume, net cashflow (sells − buys),
-    * distinct markets; top-k by net cashflow. */
-  def leaderboard(walletTrades: DataFrame, k: Int): DataFrame =
+    * distinct markets; operator wallets excluded, minimum activity
+    * threshold (reference: HAVING totalTrades >= 5), top-k by net
+    * cashflow. */
+  def leaderboard(walletTrades: DataFrame, k: Int, minTrades: Int = 5): DataFrame =
     walletTrades
+      .filter(!col("wallet").isin(ExcludedWallets: _*))
       .groupBy(col("wallet"))
       .agg(
         count(lit(1)).as("trades"),
@@ -44,8 +51,34 @@ object Leaderboard {
         sum(when(col("side") === "sell", col("usd")).otherwise(-col("usd")))
           .cast("double").as("net_cashflow_usd"),
         countDistinct(col("token_id")).as("markets"))
+      .filter(col("trades") >= minTrades)
       .orderBy(col("net_cashflow_usd").desc, col("wallet"))
       .limit(k)
+
+  /** Leaderboard from pre-aggregated per-bucket partials — the
+    * AggregatingMergeTree merge path (reference:
+    * wallet_leaderboard_stats_1h + countMerge/sumMerge/uniqExactMerge,
+    * 002_leaderboard_aggregates.sql). Counts and sums compose
+    * additively; the exact distinct-markets state is a token set,
+    * merged by flatten+distinct (the HLL-sketch slot at 100 TB). */
+  def leaderboardFromRollup(walletTrades: DataFrame, bucket: String, k: Int,
+                            minTrades: Int = 5): DataFrame = {
+    val pre = walletTrades
+      .filter(!col("wallet").isin(ExcludedWallets: _*))
+      .groupBy(col("wallet"), date_trunc(bucket, col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("t"), sum(col("usd")).as("v"),
+        sum(when(col("side") === "sell", col("usd")).otherwise(-col("usd"))).as("c"),
+        collect_set(col("token_id")).as("toks"))
+    pre.groupBy(col("wallet"))
+      .agg(sum(col("t")).as("trades"),
+        sum(col("v")).cast("double").as("volume_usd"),
+        sum(col("c")).cast("double").as("net_cashflow_usd"),
+        size(array_distinct(flatten(collect_list(col("toks"))))).cast("long")
+          .as("markets"))
+      .filter(col("trades") >= minTrades)
+      .orderBy(col("net_cashflow_usd").desc, col("wallet"))
+      .limit(k)
+  }
 
   /** Leaderboard restricted to a time window, computed from hourly
     * pre-buckets (reference: wallet_leaderboard_stats_1h, 002:6-38). */

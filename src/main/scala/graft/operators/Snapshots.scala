@@ -63,6 +63,16 @@ object Snapshots {
         col("portfolio_value"), col("total_value"))
   }
 
+  /** Downsample snapshot rows to a coarser interval, keeping the
+    * latest row in each bucket (reference: /portfolio/history —
+    * toStartOfInterval + argMax(value, snapshot_time)). */
+  def downsample(snapshots: DataFrame, tsCol: String, interval: String,
+                 valueCols: Seq[String]): DataFrame =
+    snapshots.groupBy(col("wallet"),
+        date_trunc(interval, col(tsCol)).as("bucket"))
+      .agg(max(col(tsCol)).as("asof_ts"),
+        valueCols.map(c => max_by(col(c), col(tsCol)).as(c)): _*)
+
   /** Realized-cashflow PnL delta between two timestamps per wallet
     * (reference: /pnl/:wallet?startTs=&endTs=). */
   def pnlDelta(walletTrades: DataFrame, fromTs: String, toTs: String): DataFrame =
