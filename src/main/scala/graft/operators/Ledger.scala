@@ -97,6 +97,24 @@ object Ledger {
       }
     }
 
+  /** Resumable fold: start from carried-over open lots, return the
+    * emitted rows plus the surviving lot state — the seam the
+    * streaming ledger uses to persist FIFO state across micro-batches
+    * (token → [(qty, unitCost)], FIFO order preserved). */
+  def foldWalletStateful(fills: Iterator[Fill],
+      initial: Map[Long, Seq[(Double, Double)]])
+      : (Seq[LedgerRow], Map[Long, Seq[(Double, Double)]]) = {
+    val lots = mutable.Map.empty[Long, mutable.Queue[Lot]]
+    initial.foreach { case (token, ls) =>
+      lots(token) = mutable.Queue(ls.map(p => Lot(p._1, p._2)): _*)
+    }
+    val rows = foldWalletInto(fills, lots, _ => ()).toSeq
+    val out = lots.iterator.collect { case (token, q) if q.nonEmpty =>
+      token -> q.iterator.map(l => (l.qty, l.unitCost)).toSeq
+    }.toMap
+    (rows, out)
+  }
+
   /** Distributed ledger build over the two-sided trade view. */
   def build(spark: SparkSession, walletTrades: DataFrame): Dataset[LedgerRow] =
     buildWith(spark, walletTrades, foldWallet)

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.operators.Ledger
+import graft.operators.Ledger.{Fill, LedgerRow}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Incremental FIFO ledger over a fill stream.
+  *
+  * Reference: the snapshot scheduler re-runs the ledger engine per
+  * wallet as new blocks arrive (snapshot-scheduler.ts). Streaming-first
+  * instead: `flatMapGroupsWithState` keyed by wallet carries the open
+  * FIFO lots across micro-batches and emits the new ledger rows of
+  * each batch — no recomputation of history, state bounded by open
+  * lots per wallet.
+  *
+  * Ordering: fills are sorted (ts, seq) within each micro-batch;
+  * cross-batch ordering is the source's responsibility (late fills
+  * would need watermark + buffering, as in the reference's
+  * hot-block window).
+  */
+object StreamingLedger {
+
+  final case class LotsState(lots: Map[Long, Seq[(Double, Double)]])
+
+  def updateWallet(wallet: Long, fills: Iterator[Fill],
+                   state: GroupState[LotsState]): Iterator[LedgerRow] = {
+    val initial = state.getOption.map(_.lots).getOrElse(Map.empty)
+    val sorted = fills.toSeq.sortBy(f => (f.ts.getTime, f.seq))
+    val (rows, remaining) = Ledger.foldWalletStateful(sorted.iterator, initial)
+    state.update(LotsState(remaining))
+    rows.iterator
+  }
+
+  def track(spark: SparkSession, fills: Dataset[Fill]): Dataset[LedgerRow] = {
+    import spark.implicits._
+    fills.groupByKey(_.wallet)
+      .flatMapGroupsWithState[LotsState, LedgerRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(updateWallet)
+  }
+}
