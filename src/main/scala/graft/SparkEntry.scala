@@ -194,6 +194,25 @@ object SparkEntry {
         .orderBy(col("wallet"))
     }),
 
+    // PnL mode decomposition (reference: calculate-pnl.ts PnlMode 1-4):
+    // FIFO realized + mark-to-last-price unrealized + their total.
+    "q_pnl_modes" -> ((s, d) => {
+      val realized = Ledger.realizedSummary(Ledger.build(s, wt(s, d)).toDF())
+        .select(col("wallet"), col("realized_pnl"))
+      val unrealized = Positions.positions(balances(s, d), wt(s, d), lastPrice(s, d))
+        .groupBy(col("wallet"))
+        .agg(sum(col("unrealized_pnl").cast("decimal(18,6)")).cast("double")
+          .as("unrealized_pnl"),
+          count(lit(1)).as("open_positions"))
+      realized.join(unrealized, Seq("wallet"), "left")
+        .select(col("wallet"), col("realized_pnl"),
+          coalesce(col("unrealized_pnl"), lit(0.0)).as("unrealized_pnl"),
+          (col("realized_pnl") + coalesce(col("unrealized_pnl"), lit(0.0)))
+            .as("total_pnl"),
+          coalesce(col("open_positions"), lit(0L)).as("open_positions"))
+        .orderBy(col("wallet"))
+    }),
+
     "q_ledger_rows" -> ((s, d) =>
       Ledger.build(s, wt(s, d)).toDF()
         .orderBy(col("wallet"), col("ts"), col("seq"), col("token_id"))
