@@ -239,6 +239,31 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // Binary media plumbing driven end-to-end: text bytes stand in for
+    // image/audio payloads; batched fake decode → feature stats.
+    "q_multimodal_features" -> ((s, d) => {
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+        col("text").cast("binary").as("data"))
+      Multimodal.extractFeatures(s, media, dim = 16).toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"),
+          countDistinct(col("checksum")).as("distinct_media"))
+        .orderBy(col("kind"))
+    }),
+
+    // HLL leaderboard: approx_count_distinct is the markets_state slot
+    // at 100 TB (exact set-merge shown in q_leaderboard_rollup).
+    "q_leaderboard_approx" -> ((s, d) =>
+      wt(s, d).filter(!col("wallet").isin(Leaderboard.ExcludedWallets: _*))
+        .groupBy(col("wallet"))
+        .agg(count(lit(1)).as("trades"),
+          sum(col("usd")).cast("double").as("volume_usd"),
+          approx_count_distinct(col("token_id")).as("markets_approx"))
+        .filter(col("trades") >= 5)
+        .orderBy(col("volume_usd").desc, col("wallet")).limit(100)),
+
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("text_hash"))),
