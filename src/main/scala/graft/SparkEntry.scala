@@ -138,6 +138,30 @@ object SparkEntry {
       Snapshots.portfolioHistory(wt(s, d), lastPrice(s, d))
         .orderBy(col("wallet"), col("day"))),
 
+    "q_portfolio_light" -> ((s, d) =>
+      Snapshots.portfolioHistoryLight(wt(s, d), lastPrice(s, d))
+        .orderBy(col("wallet"), col("day"))),
+
+    "q_reorg_rewrite" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // hot tail = trailing 10% of the stream; its re-delivery restates
+      // every 7th value (a reorg correction)
+      val cutoff = ev.count() * 9 / 10
+      val corrected = ev.withColumn("value",
+        when(col("event_id") % 7 === 0, col("value") * 2).otherwise(col("value")))
+      Metadata.replaceHotRange(ev, corrected, "event_id", fromSeq = cutoff)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_changelog" -> ((s, d) =>
+      Metadata.changelog(Tables.orders(s, d).select(col("o_custkey"),
+          col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          "o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))),
+
     "q_pnl_delta" -> ((s, d) =>
       Snapshots.pnlDelta(wt(s, d), "1997-01-01", "1999-01-01")
         .orderBy(col("wallet"))),
@@ -655,6 +679,49 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY wallet ORDER BY day
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY wallet, day""".stripMargin,
+
+    "q_portfolio_light" ->
+      s"""WITH $WT,
+        |$LP,
+        |per_day AS (
+        |  SELECT wallet, date_trunc('day', ts) AS day,
+        |    SUM(CASE WHEN side = 'sell' THEN usd ELSE -usd END) AS day_cash,
+        |    SUM(CAST(FLOOR((CASE WHEN side = 'buy' THEN qty ELSE -qty END) *
+        |      COALESCE(lp.last_price, 0.0) * 1e4) AS BIGINT)) AS day_value_s
+        |  FROM wt LEFT JOIN lp ON wt.token_id = lp.token_id
+        |  GROUP BY wallet, day)
+        |SELECT wallet, day,
+        |  CAST(SUM(day_cash) OVER w AS DOUBLE) AS cum_cashflow,
+        |  SUM(day_value_s) OVER w / 10000.0 AS portfolio_value,
+        |  CAST(SUM(day_cash) OVER w AS DOUBLE) + SUM(day_value_s) OVER w / 10000.0 AS total_value
+        |FROM per_day
+        |WINDOW w AS (PARTITION BY wallet ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY wallet, day""".stripMargin,
+
+    "q_reorg_rewrite" ->
+      """WITH cutoff AS (SELECT CAST(9*COUNT(*)/10 AS BIGINT) AS c FROM events),
+        |corrected AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
+        |  FROM events WHERE event_id >= (SELECT c FROM cutoff)),
+        |merged AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE event_id < (SELECT c FROM cutoff)
+        |  UNION ALL
+        |  SELECT event_type, value FROM corrected)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_changelog" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders) t
+        |WHERE prev IS NULL OR prev <> o_orderpriority
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
 
     "q_pnl_delta" ->
       s"""WITH $WT

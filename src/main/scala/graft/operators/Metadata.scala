@@ -46,6 +46,31 @@ object Metadata {
       .agg(max(col(seqCol)).as("last_seq"), max(col(tsCol)).as("last_ts"),
         count(lit(1)).as("rows_ingested"))
 
+  /** Reorg-safe hot-range rewrite (reference: HOT_BLOCKS_DEPTH /
+    * FINALITY_CONFIRMATION in main.ts — the last N blocks may be
+    * replaced wholesale when the chain reorganizes). Stored rows at or
+    * past the rewrite point are dropped; the corrected rows take their
+    * place. Pure column ops: a filter plus a union, no state. */
+  def replaceHotRange(stored: DataFrame, incoming: DataFrame, seqCol: String,
+                      fromSeq: Long): DataFrame =
+    stored.filter(col(seqCol) < fromSeq)
+      .unionAll(incoming.filter(col(seqCol) >= fromSeq))
+
+  /** Change-detection changelog: keep only rows whose value differs
+    * from the key's previous row (reference:
+    * sync-indexer-metadata.ts — a new taxonomy version row is written
+    * only when the categories actually changed). First row per key is
+    * always a change. */
+  def changelog(history: DataFrame, keyCol: String, orderCol: String,
+                tieBreak: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol), col(tieBreak))
+    history
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(valueCol))
+      .drop("__prev")
+  }
+
   /** Idempotent ingest: drop re-delivered rows, keeping the latest
     * version per id (ReplacingMergeTree(height) semantics). One
     * window, partitioned by id — at scale this is a single hash

@@ -51,6 +51,35 @@ object Snapshots {
       .groupBy(col("wallet"), col("day"))
       .agg(sum(col("cashflow_dec")).as("day_cash"),
            sum(col("value_delta_s")).as("day_value_s"))
+
+    runningTotals(perDay)
+  }
+
+  /** Lighter plan shape for the same snapshot semantics, with the
+    * mark-to-market delta floored per FILL instead of per
+    * (wallet, token, day): the broadcast price join happens on the raw
+    * rows, so the whole pipeline is one (wallet, day) groupBy plus the
+    * running window — two keyed shuffles instead of three (PLANS.md
+    * r2 item). Values differ from [[portfolioHistory]] only by the
+    * per-row vs per-day flooring (≤1e-4 per fill). */
+  def portfolioHistoryLight(walletTrades: DataFrame, lastPrice: DataFrame): DataFrame = {
+    val perDay = walletTrades
+      .join(broadcast(lastPrice.select(col("token_id"), col("last_price"))),
+        Seq("token_id"), "left")
+      .withColumn("signed_qty",
+        when(col("side") === "buy", col("qty")).otherwise(-col("qty")))
+      .withColumn("value_delta_s",
+        floor(col("signed_qty") * coalesce(col("last_price"), lit(0.0)) * 1e4)
+          .cast("long"))
+      .groupBy(col("wallet"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(when(col("side") === "sell", col("usd")).otherwise(-col("usd")))
+          .as("day_cash"),
+        sum(col("value_delta_s")).as("day_value_s"))
+
+    runningTotals(perDay)
+  }
+
+  private def runningTotals(perDay: DataFrame): DataFrame = {
     val wW = Window.partitionBy(col("wallet")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, 0)
     perDay
