@@ -1,0 +1,24 @@
+package graft.model
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL surface: registers the canonical derived views as temp views
+  * (the reference exposes the same names as ClickHouse tables/views —
+  * trades, wallet_trades, user_balances, token_last_price). With
+  * [[graft.functions.GraftFunctions.register]] this makes the whole
+  * engine usable from plain `spark.sql`.
+  */
+object GraftCatalog {
+  def register(spark: SparkSession, dir: String): Unit = {
+    Views.trades(spark, dir).createOrReplaceTempView("trades")
+    graft.operators.Leaderboard.walletTrades(Views.trades(spark, dir))
+      .createOrReplaceTempView("wallet_trades")
+    Views.balances(spark, dir).createOrReplaceTempView("user_balances")
+    Views.lastPrice(spark, dir).createOrReplaceTempView("token_last_price")
+    Views.eventStream(spark, dir).createOrReplaceTempView("event_stream")
+    Tables.part(spark, dir).selectExpr("CAST(p_partkey AS BIGINT) AS token_id",
+      "p_brand AS market", "p_name AS outcome")
+      .createOrReplaceTempView("token_metadata")
+    graft.functions.GraftFunctions.register(spark)
+  }
+}
