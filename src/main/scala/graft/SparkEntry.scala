@@ -288,6 +288,27 @@ object SparkEntry {
         .filter(col("trades") >= 5)
         .orderBy(col("volume_usd").desc, col("wallet")).limit(100)),
 
+    "q_sessions" -> ((s, d) =>
+      Sessions.sessionStats(Tables.events(s, d), "user_id", "ts", "value", 30)
+        .orderBy(col("user_id"), col("session_id"))),
+
+    "q_corpus_clean" -> ((s, d) =>
+      CorpusPipeline.clean(Tables.documents(s, d), "doc_id", "text", "lang",
+          "en", CorpusPipeline.Thresholds())
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    "q_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        ngramN = 3, bands = 8, rowsPerBand = 4, jaccardThreshold = 0.5)
+      Dedup.clusters(s, pairs, docs, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("members"), min(col("id")).as("canonical_id"))
+        .filter(col("members") > 1)
+        .orderBy(col("cluster_id"))
+    }),
+
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("text_hash"))),
@@ -846,6 +867,45 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, COUNT(*) AS copies,
         |  MIN(doc_id) AS canonical_id
         |FROM documents GROUP BY text_hash ORDER BY text_hash""".stripMargin,
+
+    "q_sessions" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |e2 AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsl,
+        |    lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
+        |      (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM ev),
+        |e3 AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR tsl - prev > 1800
+        |    THEN 1 ELSE 0 END AS ns FROM e2),
+        |e4 AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM e3)
+        |SELECT user_id, session_id, COUNT(*) AS events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  MAX(tsl) - MIN(tsl) AS span_seconds,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+        |FROM e4 GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_corpus_clean" ->
+      """WITH filtered AS (
+        |  SELECT doc_id, source, n_chars, text FROM documents
+        |  WHERE lang = 'en'
+        |    AND length(text) >= 50
+        |    AND CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) /
+        |        greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.3
+        |    AND CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
+        |        x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE) /
+        |        greatest(CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE), 1.0) >= 0.02),
+        |canon AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY md5(text))
+        |SELECT f.doc_id AS doc_id, f.source AS source, f.n_chars AS n_chars
+        |FROM filtered f JOIN canon USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" ->
       """WITH scored AS (

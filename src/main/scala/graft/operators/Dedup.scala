@@ -134,6 +134,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Collapse near-dup pairs into clusters: connected components over
+    * the pair graph (GraphX Pregel CC — iterative, distributed, no
+    * driver-side union-find). Returns (id, cluster_id) where
+    * cluster_id is the smallest doc id in the component — the
+    * canonical representative a training pipeline keeps. */
+  def clusters(spark: org.apache.spark.sql.SparkSession, pairs: DataFrame,
+               docs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    import spark.implicits._
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
+    val vertices = docs.select(col(idCol).cast("long")).as[Long].rdd
+      .map(id => (id, ()))
+    val cc = Graph(vertices, edges).connectedComponents().vertices
+    spark.createDataFrame(cc.map { case (id, c) => (id, c) })
+      .toDF("id", "cluster_id")
+  }
+
   /** Embedding near-dup: cosine ≥ threshold via the Similarity ops. */
   def embeddingPairs(embeddings: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {

@@ -75,6 +75,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components collapse pair graph into clusters") {
+    val pairs = Seq((1L, 2L), (2L, 4L), (7L, 9L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 4L, 7L, 9L).toDF("doc_id")
+    val got = Dedup.clusters(spark, pairs, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L) && got(2L) == got(4L))   // {1,2,4}
+    assert(got(7L) == got(9L) && got(7L) != got(1L))   // {7,9}
+    assert(got(3L) != got(1L) && got(3L) != got(7L))   // singleton
+  }
+
   test("embedding near-dup via LSH buckets finds identical vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
