@@ -242,6 +242,37 @@ object SparkEntry {
         .orderBy(col("wallet"), col("ts"), col("seq"), col("token_id"))
         .limit(1000)),
 
+    // 7-day moving average of daily token volume (RANGE frame keyed on
+    // day number — candle smoothing for charts).
+    "q_volume_ma7" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = trades(s, d)
+        .groupBy(col("token_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("usd")).as("vol_dec"))
+        .withColumn("day_num", datediff(col("day"), lit("1990-01-01")))
+      val w = Window.partitionBy(col("token_id")).orderBy(col("day_num"))
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("volume_usd", col("vol_dec").cast("double"))
+        // double division (not decimal/decimal): engines share IEEE
+        // semantics but not decimal-division scale rules
+        .withColumn("ma7_usd", sum(col("vol_dec")).over(w).cast("double") /
+          count(lit(1)).over(w))
+        .select(col("token_id"), col("day"), col("volume_usd"), col("ma7_usd"))
+        .orderBy(col("token_id"), col("day"))
+    }),
+
+    // ROLLUP subtotals (ClickHouse WITH ROLLUP): volumes by
+    // (returnflag, linestatus) including subtotal and grand-total rows.
+    "q_group_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     "q_price_asof" -> ((s, d) => {
       val t = trades(s, d)
       // one quote per (token, ts): last trade of the tick wins
@@ -842,6 +873,26 @@ object SparkEntry {
       """SELECT event_type AS processor_id, MAX(event_id) AS last_seq,
         |  MAX(CAST(ts AS TIMESTAMP)) AS last_ts, COUNT(*) AS rows_ingested
         |FROM events GROUP BY processor_id ORDER BY processor_id""".stripMargin,
+
+    "q_volume_ma7" ->
+      s"""WITH $TRADES,
+        |daily AS (
+        |  SELECT token_id, date_trunc('day', ts) AS day, SUM(usd) AS vol_dec,
+        |    datediff('day', DATE '1990-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_num
+        |  FROM trades GROUP BY token_id, day)
+        |SELECT token_id, day, CAST(vol_dec AS DOUBLE) AS volume_usd,
+        |  CAST(SUM(vol_dec) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7_usd
+        |FROM daily
+        |WINDOW w AS (PARTITION BY token_id ORDER BY day_num
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY token_id, day""".stripMargin,
+
+    "q_group_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q_price_asof" ->
       s"""WITH $TRADES,
