@@ -660,8 +660,8 @@ object SparkEntry {
     "q_user_stats" ->
       s"""WITH $WT
         |SELECT wallet, COUNT(*) AS trades, CAST(SUM(usd) AS DOUBLE) AS volume_usd,
-        |  SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END) AS buy_count,
-        |  SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END) AS sell_count,
+        |  CAST(SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END) AS BIGINT) AS buy_count,
+        |  CAST(SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END) AS BIGINT) AS sell_count,
         |  COUNT(DISTINCT token_id) AS markets,
         |  MAX(CAST(CASE WHEN side = 'sell' THEN usd ELSE -usd END AS DOUBLE)) AS best_trade_usd,
         |  MIN(CAST(CASE WHEN side = 'sell' THEN usd ELSE -usd END AS DOUBLE)) AS worst_trade_usd,
@@ -693,9 +693,9 @@ object SparkEntry {
         |holders AS (
         |  SELECT token_id, COUNT(*) AS holders FROM balances WHERE balance > 0
         |  GROUP BY token_id)
-        |SELECT part.p_brand AS market, SUM(traders) AS trader_slots,
-        |  SUM(fills) AS fills, CAST(SUM(volume_dec) AS DOUBLE) AS volume_usd,
-        |  SUM(COALESCE(holders.holders, 0)) AS holders, COUNT(*) AS tokens
+        |SELECT part.p_brand AS market, CAST(SUM(traders) AS BIGINT) AS trader_slots,
+        |  CAST(SUM(fills) AS BIGINT) AS fills, CAST(SUM(volume_dec) AS DOUBLE) AS volume_usd,
+        |  CAST(SUM(COALESCE(holders.holders, 0)) AS BIGINT) AS holders, COUNT(*) AS tokens
         |FROM per_token
         |LEFT JOIN holders ON per_token.token_id = holders.token_id
         |JOIN part ON per_token.token_id = part.p_partkey
@@ -816,8 +816,8 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN side = 'sell' THEN usd ELSE -usd END) AS DOUBLE) AS realized_pnl_usd,
         |  CAST(SUM(usd) AS DOUBLE) AS volume_usd,
         |  COUNT(*) AS pnl_rows,
-        |  SUM(CASE WHEN (CASE WHEN side = 'sell' THEN usd ELSE -usd END) > 0 THEN 1 ELSE 0 END) AS win_rows,
-        |  SUM(CASE WHEN (CASE WHEN side = 'sell' THEN usd ELSE -usd END) < 0 THEN 1 ELSE 0 END) AS loss_rows
+        |  CAST(SUM(CASE WHEN (CASE WHEN side = 'sell' THEN usd ELSE -usd END) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS win_rows,
+        |  CAST(SUM(CASE WHEN (CASE WHEN side = 'sell' THEN usd ELSE -usd END) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS loss_rows
         |FROM wt JOIN part ON wt.token_id = part.p_partkey
         |GROUP BY wallet, market, day
         |ORDER BY wallet, market, day""".stripMargin,
@@ -841,7 +841,7 @@ object SparkEntry {
         |  FROM balances a FULL OUTER JOIN from_trades b
         |    ON a.wallet = b.wallet AND a.token_id = b.token_id)
         |SELECT wallet, COUNT(*) AS tokens_checked,
-        |  SUM(CASE WHEN diff <> 0.0 THEN 1 ELSE 0 END) AS mismatches,
+        |  CAST(SUM(CASE WHEN diff <> 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS mismatches,
         |  CAST(SUM(CAST(ABS(diff) AS DECIMAL(18,4))) AS DOUBLE) AS abs_diff
         |FROM joined GROUP BY wallet ORDER BY wallet""".stripMargin,
 
@@ -932,8 +932,8 @@ object SparkEntry {
         |  SELECT *, CASE WHEN prev IS NULL OR tsl - prev > 1800
         |    THEN 1 ELSE 0 END AS ns FROM e2),
         |e4 AS (
-        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM e3)
         |SELECT user_id, session_id, COUNT(*) AS events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,

@@ -24,6 +24,18 @@ for name, sql in sorted(oracle.items()):
         if list(want.columns) != list(got.columns):
             bad.append((name, f"cols want={list(want.columns)} got={list(got.columns)}"))
             continue
+        # dtype-kind-strict: the driver hashes serialized values, so a
+        # DuckDB HUGEINT (object/float in pandas) vs Spark BIGINT (int64)
+        # FAILS there (123.0 vs 123) even when numerically equal — but
+        # int32 vs int64 both print "123" and pass. Compare the pandas
+        # dtype *kind* (int / float / object / datetime / bool) only.
+        dt = [(c, str(want[c].dtype), str(got[c].dtype)) for c in want.columns
+              if want[c].dtype.kind != got[c].dtype.kind
+              and not (want[c].dtype.kind in 'iu' and got[c].dtype.kind in 'iu')]
+        if dt:
+            bad.append((name, "dtype " + "; ".join(
+                f"{c}: want={a} got={b}" for c, a, b in dt[:4])))
+            continue
         ws = want.sort_values(by=list(want.columns), ignore_index=True)
         gs = got.sort_values(by=list(got.columns), ignore_index=True)
         if len(ws) != len(gs):
