@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.operators._
@@ -83,6 +83,18 @@ object SparkEntry {
       val c1m = Candles.fromTicks(ev, "minute", col("token_id"), col("ts"),
         col("event_id"), col("price"), col("usd"))
       Candles.finalize(Candles.reaggregate(c1m, "hour"))
+        .orderBy(col("token_id"), col("bucket"))
+    }),
+
+    // 15-minute candles re-aggregated from the 1m partials — the
+    // arbitrary-interval path (5m/15m/4h/1w) of the reference's
+    // /market/candles endpoint.
+    "q_candles_15m" -> ((s, d) => {
+      val ev = graft.model.Views.eventStream(s, d)
+      val c1m = Candles.fromTicks(ev, "minute", col("token_id"), col("ts"),
+        col("event_id"), col("price"), col("usd"))
+      Candles.finalize(
+          Candles.reaggregateInterval(c1m, Candles.intervalSeconds("15m")))
         .orderBy(col("token_id"), col("bucket"))
     }),
 
@@ -208,11 +220,11 @@ object SparkEntry {
         .orderBy(col("wallet"))),
 
     "q_ledger_resolved" -> ((s, d) => {
-      // resolution payouts: a deterministic 0/1 outcome per token
+      // resolution payouts: a deterministic 0/1 outcome per token,
+      // kept as a DataFrame dim (broadcast-joined, never collected)
       val resolutions = Tables.part(s, d)
-        .select(col("p_partkey").cast("long"), (col("p_size") % 2 === 0))
-        .collect().map(r => r.getLong(0) -> (if (r.getBoolean(1)) 1.0 else 0.0))
-        .toMap
+        .select(col("p_partkey").cast("long").as("token_id"),
+          when(col("p_size") % 2 === 0, 1.0).otherwise(0.0).as("payout"))
       Ledger.resolvedSummary(
           Ledger.buildResolved(s, wt(s, d), resolutions).toDF())
         .orderBy(col("wallet"))
@@ -235,6 +247,71 @@ object SparkEntry {
             .as("total_pnl"),
           coalesce(col("open_positions"), lit(0L)).as("open_positions"))
         .orderBy(col("wallet"))
+    }),
+
+    // Per-interval snapshot decomposition: realized / unrealized /
+    // open value / token count per (wallet, day) — the
+    // wallet_pnl_snapshots row shape.
+    "q_pnl_snapshots" -> ((s, d) =>
+      Snapshots.pnlSnapshots(wt(s, d), lastPrice(s, d))
+        .orderBy(col("wallet"), col("day"))),
+
+    // Current-version projection of the SCD2 history (reference:
+    // market_categories_current view).
+    "q_market_categories" -> ((s, d) =>
+      Metadata.scd2Current(Tables.orders(s, d).select(col("o_custkey"),
+          col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          "o_custkey", "o_orderdate", "o_orderkey")
+        .orderBy(col("o_custkey"), col("o_orderkey"))),
+
+    // Leaderboard audit: all-time ranking vs the 1996-window ranking —
+    // overlap + rank deltas (reference: leaderboard-audit-agent.ts).
+    "q_lb_audit" -> ((s, d) =>
+      Leaderboard.audit(
+          Leaderboard.leaderboard(wt(s, d), 100),
+          Leaderboard.leaderboardWindow(wt(s, d), "1996-01-01", "1997-01-01", 100))
+        .orderBy(col("wallet"))),
+
+    // Generalized ledger over the full event-type surface: buy/sell
+    // fills plus split/merge/transfer events synthesized
+    // deterministically from the trade stream (reference:
+    // PositionSplit/PositionMerge/ERC1155 transfer handling in
+    // ledger-engine.ts:1252/1297/1752). Every 13th taker fill also
+    // splits a (token, token+100000) pair and later merges half of it
+    // back; every 19th moves tokens between the two wallets.
+    "q_ledger_events" -> ((s, d) => {
+      val w = wt(s, d)
+      val base = w.select(col("wallet"), col("ts"),
+        (col("trade_id") * 10).as("seq"), col("token_id"),
+        col("side").as("kind"), col("qty"),
+        col("usd").cast("double").as("usd"),
+        col("fee").cast("double").as("fee"), lit(0L).as("token_id2"))
+      val taker = w.filter(col("role") === "taker")
+      def synth(cond: Column, offset: Int, kind: String, qtyCol: Column,
+                usdCol: Column, walletCol: Column, tok2: Column) =
+        taker.filter(cond).select(walletCol.as("wallet"), col("ts"),
+          (col("trade_id") * 10 + offset).as("seq"), col("token_id"),
+          lit(kind).as("kind"), qtyCol.as("qty"),
+          usdCol.cast("double").as("usd"), lit(0.0).as("fee"),
+          tok2.as("token_id2"))
+      val splits = synth(col("trade_id") % 13 === 0, 5, "split",
+        col("qty"), col("usd"), col("wallet"), col("token_id") + 100000L)
+      val merges = synth(col("trade_id") % 13 === 0, 6, "merge",
+        col("qty") / 2, col("usd") / lit(2.0), col("wallet"),
+        col("token_id") + 100000L)
+      val outs = synth(col("trade_id") % 19 === 0, 7, "transfer_out",
+        col("qty") / 2, lit(0.0), col("wallet"), lit(0L))
+      val ins = synth(col("trade_id") % 19 === 0, 8, "transfer_in",
+        col("qty") / 2, lit(0.0), col("wallet") + 5000000L, lit(0L))
+      val events = base.unionByName(splits).unionByName(merges)
+        .unionByName(outs).unionByName(ins)
+      Ledger.buildEvents(s, events).toDF()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty").cast("decimal(18,6)")).cast("double").as("net_qty"),
+          sum(col("usd_delta").cast("decimal(18,6)")).cast("double").as("net_usd"),
+          sum(col("realized_pnl").cast("decimal(18,6)")).cast("double").as("realized"))
+        .orderBy(col("event_type"))
     }),
 
     "q_ledger_rows" -> ((s, d) =>
@@ -359,11 +436,23 @@ object SparkEntry {
           bucketCol = "source", ngramN = 3, threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // The test embeddings are random (max natural cosine ≈ 0.51), so a
+    // near-dup query over them alone is vacuous. Seed 25 known
+    // near-duplicates from the table itself: scaled copies (×2) of
+    // vec_id < 25 — a power-of-two scale normalizes to a bit-identical
+    // unit vector, so the pair is a guaranteed LSH collision AND the
+    // exact-oracle cosine is deterministic. The query must recover
+    // exactly those 25 pairs at threshold 0.999.
     "q_dedup_embedding" -> ((s, d) => {
-      val nrm = Similarity.normalized(Tables.embeddings(s, d), "vec_id", "embedding")
-      Similarity.lshTopK(nrm, nrm, dim = 64, planes = 8, k = 5)
-        .filter(col("cosine") >= 0.99)
-        .orderBy(col("query_id"), col("rank"))
+      val base = Tables.embeddings(s, d).select(
+        col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val seeded = base.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0)).as("embedding"))
+      Dedup.embeddingPairs(base.unionAll(seeded), "vec_id", "embedding",
+          threshold = 0.999)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     "q_ann_topk" -> ((s, d) => {
@@ -541,6 +630,26 @@ object SparkEntry {
       s"""WITH $EV,
         |ticks AS (
         |  SELECT token_id, date_trunc('hour', ts) AS bucket, price, usd, ts, event_id
+        |  FROM ev),
+        |oc AS (
+        |  SELECT token_id, bucket, price, usd,
+        |    first_value(price) OVER (PARTITION BY token_id, bucket ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+        |    last_value(price) OVER (PARTITION BY token_id, bucket ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+        |  FROM ticks)
+        |SELECT token_id, bucket, MAX(o) AS open, MAX(price) AS high,
+        |  MIN(price) AS low, MAX(c) AS close, COUNT(*) AS trades,
+        |  CAST(SUM(usd) AS DOUBLE) AS volume
+        |FROM oc GROUP BY token_id, bucket
+        |ORDER BY token_id, bucket""".stripMargin,
+
+    "q_candles_15m" ->
+      s"""WITH $EV,
+        |ticks AS (
+        |  SELECT token_id,
+        |    make_timestamp(CAST(FLOOR(epoch(ts)/900) AS BIGINT) * 900 * 1000000) AS bucket,
+        |    price, usd, ts, event_id
         |  FROM ev),
         |oc AS (
         |  SELECT token_id, bucket, price, usd,
@@ -822,6 +931,86 @@ object SparkEntry {
         |GROUP BY wallet, market, day
         |ORDER BY wallet, market, day""".stripMargin,
 
+    "q_pnl_snapshots" ->
+      s"""WITH $WT,
+        |$LP,
+        |daily AS (
+        |  SELECT wallet, token_id, date_trunc('day', ts) AS day,
+        |    SUM(CASE WHEN side = 'buy' THEN usd ELSE CAST(0 AS DECIMAL(18,4)) END) AS buy_usd_d,
+        |    SUM(CAST(CASE WHEN side = 'buy' THEN qty ELSE 0 END AS DECIMAL(18,4))) AS buy_qty_d,
+        |    SUM(CASE WHEN side = 'sell' THEN usd ELSE CAST(0 AS DECIMAL(18,4)) END) AS sell_usd_d,
+        |    SUM(CAST(CASE WHEN side = 'sell' THEN qty ELSE 0 END AS DECIMAL(18,4))) AS sell_qty_d
+        |  FROM wt GROUP BY wallet, token_id, day),
+        |days AS (SELECT DISTINCT wallet, day FROM daily),
+        |toks AS (SELECT DISTINCT wallet, token_id FROM daily),
+        |grid AS (
+        |  SELECT d.wallet AS wallet, d.day AS day, t.token_id AS token_id
+        |  FROM days d JOIN toks t ON d.wallet = t.wallet),
+        |filled AS (
+        |  SELECT g.wallet AS wallet, g.token_id AS token_id, g.day AS day,
+        |    SUM(COALESCE(buy_usd_d, CAST(0 AS DECIMAL(18,4)))) OVER w AS cum_buy_usd,
+        |    SUM(COALESCE(buy_qty_d, CAST(0 AS DECIMAL(18,4)))) OVER w AS cum_buy_qty,
+        |    SUM(COALESCE(sell_usd_d, CAST(0 AS DECIMAL(18,4)))) OVER w AS cum_sell_usd,
+        |    SUM(COALESCE(sell_qty_d, CAST(0 AS DECIMAL(18,4)))) OVER w AS cum_sell_qty
+        |  FROM grid g LEFT JOIN daily
+        |    ON g.wallet = daily.wallet AND g.token_id = daily.token_id AND g.day = daily.day
+        |  WINDOW w AS (PARTITION BY g.wallet, g.token_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |contrib AS (
+        |  SELECT wallet, day,
+        |    CAST(FLOOR((CAST(cum_sell_usd AS DOUBLE) - CAST(cum_sell_qty AS DOUBLE) *
+        |      (CASE WHEN cum_buy_qty > 0
+        |        THEN CAST(cum_buy_usd AS DOUBLE) / CAST(cum_buy_qty AS DOUBLE)
+        |        ELSE 0.0 END)) * 1e4) AS BIGINT) AS realized_s,
+        |    CAST(FLOOR(CAST(cum_buy_qty - cum_sell_qty AS DOUBLE) *
+        |      (COALESCE(lp.last_price, 0.0) -
+        |       (CASE WHEN cum_buy_qty > 0
+        |        THEN CAST(cum_buy_usd AS DOUBLE) / CAST(cum_buy_qty AS DOUBLE)
+        |        ELSE 0.0 END)) * 1e4) AS BIGINT) AS unreal_s,
+        |    CAST(FLOOR(CAST(cum_buy_qty - cum_sell_qty AS DOUBLE) *
+        |      COALESCE(lp.last_price, 0.0) * 1e4) AS BIGINT) AS value_s,
+        |    CASE WHEN cum_buy_qty - cum_sell_qty > 0 THEN 1 ELSE 0 END AS has_pos
+        |  FROM filled LEFT JOIN lp ON filled.token_id = lp.token_id)
+        |SELECT wallet, day,
+        |  SUM(realized_s) / 10000.0 AS realized_pnl,
+        |  SUM(unreal_s) / 10000.0 AS unrealized_pnl,
+        |  SUM(value_s) / 10000.0 AS open_value,
+        |  CAST(SUM(has_pos) AS BIGINT) AS token_count,
+        |  SUM(realized_s) / 10000.0 + SUM(unreal_s) / 10000.0 AS total_pnl
+        |FROM contrib GROUP BY wallet, day
+        |ORDER BY wallet, day""".stripMargin,
+
+    "q_market_categories" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS nxt
+        |  FROM orders) t
+        |WHERE nxt IS NULL
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_lb_audit" ->
+      s"""WITH $WT,
+        |la AS (
+        |  SELECT wallet, CAST(SUM(CASE WHEN side = 'sell' THEN usd ELSE -usd END) AS DOUBLE) AS ncf
+        |  FROM wt WHERE wallet NOT IN (1000001, 1000002)
+        |  GROUP BY wallet HAVING COUNT(*) >= 5
+        |  ORDER BY ncf DESC, wallet LIMIT 100),
+        |lb AS (
+        |  SELECT wallet, CAST(SUM(CASE WHEN side = 'sell' THEN usd ELSE -usd END) AS DOUBLE) AS ncf
+        |  FROM wt
+        |  WHERE ts >= TIMESTAMP '1996-01-01 00:00:00' AND ts < TIMESTAMP '1997-01-01 00:00:00'
+        |    AND wallet NOT IN (1000001, 1000002)
+        |  GROUP BY wallet HAVING COUNT(*) >= 5
+        |  ORDER BY ncf DESC, wallet LIMIT 100),
+        |ra AS (SELECT wallet, row_number() OVER (ORDER BY ncf DESC, wallet) AS rank_a FROM la),
+        |rb AS (SELECT wallet, row_number() OVER (ORDER BY ncf DESC, wallet) AS rank_b FROM lb)
+        |SELECT COALESCE(ra.wallet, rb.wallet) AS wallet, rank_a, rank_b,
+        |  rank_a - rank_b AS rank_delta,
+        |  rank_a IS NOT NULL AND rank_b IS NOT NULL AS in_both
+        |FROM ra FULL OUTER JOIN rb ON ra.wallet = rb.wallet
+        |ORDER BY wallet""".stripMargin,
+
     "q_reconcile" ->
       s"""WITH $BALANCES,
         |wt AS (
@@ -996,6 +1185,54 @@ object SparkEntry {
         |  len(regexp_split_to_array(trim(text), ' +')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), ' +') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(greatest(len(ws) - 3, 0) + 1),
+        |      i -> array_to_string(ws[(i+1):least(i+3, len(ws))], ' '))) AS grams
+        |  FROM w),
+        |posts AS (
+        |  SELECT source AS bkt, doc_id AS id, len(grams) AS ng,
+        |    unnest(grams) AS gram
+        |  FROM g),
+        |j AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.ng AS n_a, b.ng AS n_b,
+        |    COUNT(*) AS shared
+        |  FROM posts a JOIN posts b
+        |    ON a.bkt = b.bkt AND a.gram = b.gram AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        |  CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) AS jaccard
+        |FROM j
+        |WHERE CAST(shared AS DOUBLE) / CAST(n_a + n_b - shared AS DOUBLE) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH base AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |seeded AS (
+        |  SELECT vec_id + 10000 AS vec_id,
+        |    list_transform(emb, x -> x * 2.0) AS emb
+        |  FROM base WHERE vec_id < 25),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM seeded),
+        |nrm AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(emb, x -> x /
+        |      sqrt(list_sum(list_transform(emb, y -> y * y)))) AS unit
+        |  FROM allv
+        |  WHERE sqrt(list_sum(list_transform(emb, y -> y * y))) > 0),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    round(list_dot_product(a.unit, b.unit), 6) AS cosine
+        |  FROM nrm a JOIN nrm b ON a.id < b.id)
+        |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ann_topk" ->
       """WITH nrm AS (

@@ -34,15 +34,12 @@ object Activity {
     * their market dim. */
   def discover(ticks: DataFrame, markets: DataFrame, windowHours: Int,
                k: Int): DataFrame = {
-    // timestamps may surface as Timestamp (TIMESTAMP) or LocalDateTime
-    // (TIMESTAMP_NTZ) depending on the parquet logical type
-    val cutoff: Any = ticks.agg(max(col("ts"))).head().get(0) match {
-      case t: java.sql.Timestamp =>
-        java.sql.Timestamp.from(t.toInstant.minusSeconds(windowHours.toLong * 3600))
-      case t: java.time.LocalDateTime => t.minusHours(windowHours.toLong)
-      case t: java.time.Instant => t.minusSeconds(windowHours.toLong * 3600)
-    }
-    ticks.filter(col("ts") > lit(cutoff))
+    // data-dependent cutoff computed in the same job: the 1-row max-ts
+    // aggregate is broadcast (a scalar-subquery shape), not collected
+    // to the driver as a separate blocking action
+    val maxTs = ticks.agg(max(col("ts")).as("_max_ts"))
+    ticks.join(broadcast(maxTs))
+      .filter(col("ts") > col("_max_ts") - expr(s"INTERVAL $windowHours HOURS"))
       .groupBy(col("token_id"))
       .agg(sum(col("usd")).cast("double").as("volume_usd"),
         count(lit(1)).as("trades"),

@@ -65,6 +65,45 @@ object Candles {
       .withColumnRenamed("bucket2", "bucket")
   }
 
+  /** Re-aggregate fine candles into an arbitrary epoch-aligned
+    * interval — 5m/15m/4h/1w and friends (reference: the
+    * `/market/candles` endpoint's `toStartOfInterval(INTERVAL n unit)`
+    * re-aggregation of candles_1m, src/api.ts:1841-1859). Buckets are
+    * floor(epoch / seconds) · seconds, so any interval works — not
+    * just the named `date_trunc` units that [[reaggregate]] takes. */
+  def reaggregateInterval(candles: DataFrame, intervalSeconds: Long): DataFrame = {
+    val ord = col("bucket")
+    val b2 = timestamp_seconds(
+      floor(col("bucket").cast("long") / intervalSeconds).cast("long") *
+        intervalSeconds).cast("timestamp_ntz")
+    candles
+      .groupBy(col("token_id"), b2.as("bucket2"))
+      .agg(
+        min_by(col("open"), ord).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), ord).as("close"),
+        sum(col("volume_dec")).as("volume_dec"),
+        sum(col("trades")).as("trades")
+      )
+      .withColumnRenamed("bucket2", "bucket")
+  }
+
+  /** "5m" / "15m" / "4h" / "1d" / "1w" → seconds (the reference API's
+    * interval grammar, api.ts:1824). */
+  def intervalSeconds(interval: String): Long = {
+    val m = "^(\\d+)([smhdw])$".r
+    interval.trim match {
+      case m(n, u) =>
+        n.toLong * (u match {
+          case "s" => 1L; case "m" => 60L; case "h" => 3600L
+          case "d" => 86400L; case "w" => 604800L
+        })
+      case other => throw new IllegalArgumentException(
+        s"bad interval '$other' (want e.g. 5m, 15m, 4h, 1w)")
+    }
+  }
+
   /** Last traded price per token (reference: token_last_price MV,
     * 001:552-568 — argMax over (block_number, log_index)). */
   def lastPrice(ticks: DataFrame, token: Column, ts: Column, seq: Column,

@@ -152,14 +152,33 @@ object Dedup {
       .toDF("id", "cluster_id")
   }
 
-  /** Embedding near-dup: cosine ≥ threshold via the Similarity ops. */
+  /** Embedding near-dup pairs: cosine ≥ threshold via multi-table
+    * random-hyperplane LSH postings. Candidates only ever form inside
+    * shared buckets (one shuffle on the posting key — never a
+    * corpus×corpus cross product), are deduped as bare id pairs, then
+    * re-join the unit vectors once per side for exact verification —
+    * the same candidate/verify shape as [[minhashPairs]].
+    *
+    * Recall follows the hyperplane collision bound (miss probability
+    * (1−p^planes)^tables with p = 1 − θ/π); exact duplicates emit
+    * identical postings and are always found.
+    */
   def embeddingPairs(embeddings: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double): DataFrame = {
+                     threshold: Double, planes: Int = 6,
+                     tables: Int = 8): DataFrame = {
     val nrm = Similarity.normalized(embeddings, idCol, vecCol)
-    val l = nrm.select(col("id").as("id_a"), col("unit").as("u_a"))
-    val r = nrm.select(col("id").as("id_b"), col("unit").as("u_b"))
-    l.crossJoin(r).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.dot(col("u_a"), col("u_b")))
+    val banded = nrm.select(col("id"),
+      explode(graft.functions.LshPostings.lsh_postings(col("unit"), planes, tables))
+        .as("post"))
+    val l = banded.select(col("post"), col("id").as("id_a"))
+    val r = banded.select(col("post"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("post"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    candidates
+      .join(nrm.select(col("id").as("id_a"), col("unit").as("u_a")), "id_a")
+      .join(nrm.select(col("id").as("id_b"), col("unit").as("u_b")), "id_b")
+      .withColumn("cosine", round(Similarity.dot(col("u_a"), col("u_b")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

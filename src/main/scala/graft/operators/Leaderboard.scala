@@ -59,22 +59,29 @@ object Leaderboard {
     * AggregatingMergeTree merge path (reference:
     * wallet_leaderboard_stats_1h + countMerge/sumMerge/uniqExactMerge,
     * 002_leaderboard_aggregates.sql). Counts and sums compose
-    * additively; the exact distinct-markets state is a token set,
-    * merged by flatten+distinct (the HLL-sketch slot at 100 TB). */
+    * additively from the rollup; the exact distinct-market count is
+    * computed via [[Skew.saltedDistinctCount]] — per-salt disjoint
+    * distincts summed per wallet — so no per-wallet token *set* ever
+    * rides a shuffle and a whale wallet cannot produce a straggler
+    * reducer (`approx_count_distinct` is the sketch alternative, shown
+    * in q_leaderboard_approx). */
   def leaderboardFromRollup(walletTrades: DataFrame, bucket: String, k: Int,
-                            minTrades: Int = 5): DataFrame = {
-    val pre = walletTrades
-      .filter(!col("wallet").isin(ExcludedWallets: _*))
+                            minTrades: Int = 5, distinctSalts: Int = 16): DataFrame = {
+    val base = walletTrades.filter(!col("wallet").isin(ExcludedWallets: _*))
+    val pre = base
       .groupBy(col("wallet"), date_trunc(bucket, col("ts")).as("bucket"))
       .agg(count(lit(1)).as("t"), sum(col("usd")).as("v"),
-        sum(when(col("side") === "sell", col("usd")).otherwise(-col("usd"))).as("c"),
-        collect_set(col("token_id")).as("toks"))
-    pre.groupBy(col("wallet"))
+        sum(when(col("side") === "sell", col("usd")).otherwise(-col("usd"))).as("c"))
+    val sums = pre.groupBy(col("wallet"))
       .agg(sum(col("t")).as("trades"),
         sum(col("v")).cast("double").as("volume_usd"),
-        sum(col("c")).cast("double").as("net_cashflow_usd"),
-        size(array_distinct(flatten(collect_list(col("toks"))))).cast("long")
-          .as("markets"))
+        sum(col("c")).cast("double").as("net_cashflow_usd"))
+    val markets = Skew.saltedDistinctCount(base, col("wallet"), col("token_id"),
+        distinctSalts, "markets")
+      .withColumnRenamed("k", "wallet")
+    sums.join(markets, Seq("wallet"))
+      .select(col("wallet"), col("trades"), col("volume_usd"),
+        col("net_cashflow_usd"), col("markets"))
       .filter(col("trades") >= minTrades)
       .orderBy(col("net_cashflow_usd").desc, col("wallet"))
       .limit(k)
@@ -86,6 +93,24 @@ object Leaderboard {
                         k: Int): DataFrame =
     leaderboard(
       walletTrades.filter(col("ts") >= lit(fromTs) && col("ts") < lit(toTs)), k)
+
+  /** Rank-comparison audit of two leaderboards (reference:
+    * leaderboard-audit-agent.ts — overlap ratio and rank deltas
+    * between the internal ranking and an external one): the two ranked
+    * lists are full-outer-joined on wallet; `rank_delta` is null when
+    * a wallet appears in only one list. Ranks are assigned over the
+    * already-top-k inputs, so the single-partition window is bounded
+    * by k, not by the corpus. */
+  def audit(lbA: DataFrame, lbB: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("net_cashflow_usd").desc, col("wallet"))
+    val a = lbA.select(col("wallet"), row_number().over(w).cast("long").as("rank_a"))
+    val b = lbB.select(col("wallet"), row_number().over(w).cast("long").as("rank_b"))
+    a.join(b, Seq("wallet"), "full_outer")
+      .select(col("wallet"), col("rank_a"), col("rank_b"),
+        (col("rank_a") - col("rank_b")).as("rank_delta"),
+        (col("rank_a").isNotNull && col("rank_b").isNotNull).as("in_both"))
+  }
 
   /** Audit breakdown for the leaderboard: per wallet × market, with
     * counts both sides (reference: /leaderboard/explain). `markets` is

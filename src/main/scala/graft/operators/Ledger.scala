@@ -21,10 +21,27 @@ import scala.collection.mutable
   */
 object Ledger {
 
-  /** One buy/sell fill from one wallet's perspective. */
+  /** One ledger event from one wallet's perspective.
+    *
+    * `kind` selects the semantics (empty = buy/sell via `isBuy`, the
+    * original fill shape):
+    *  - `"split"`: pay `usd` collateral, mint `qty` of `tokenId` AND
+    *    `qty` of `tokenId2` at uniform unit cost usd/(2·qty)
+    *    (ledger-engine.ts:1252 — PositionSplit mints every outcome).
+    *  - `"merge"`: burn `qty` of both pair tokens, receive `usd`;
+    *    realized = usd − FIFO basis of both legs (:1297).
+    *  - `"transfer_out"`: `qty` of `tokenId` leaves; lots are consumed
+    *    FIFO, zero usdc delta, zero realized — the basis just leaves
+    *    the wallet (:1752).
+    *  - `"transfer_in"`: `qty` arrives; the unit cost is the wallet's
+    *    own average open-lot cost for the token (0 if none) — the
+    *    reference's getAverageUnitCost fallback (:1786), which keeps
+    *    the fold per-wallet (no cross-wallet basis dependency).
+    */
   final case class Fill(wallet: Long, ts: java.sql.Timestamp, seq: Long,
                         tokenId: Long, isBuy: Boolean, qty: Double, usd: Double,
-                        fee: Double = 0.0)
+                        fee: Double = 0.0, kind: String = "",
+                        tokenId2: Long = 0L)
 
   /** Output ledger row (reference wallet_ledger columns). */
   final case class LedgerRow(wallet: Long, ts: java.sql.Timestamp, seq: Long,
@@ -72,30 +89,74 @@ object Ledger {
     * sees every fill (for wallet/ts bookkeeping). */
   private def foldWalletInto(fills: Iterator[Fill],
       lots: mutable.Map[Long, mutable.Queue[Lot]],
-      observe: Fill => Unit): Iterator[LedgerRow] =
+      observe: Fill => Unit): Iterator[LedgerRow] = {
+
+    def addLot(token: Long, qty: Double, unitCost: Double): Unit =
+      lots.getOrElseUpdate(token, mutable.Queue.empty) += Lot(qty, unitCost)
+
+    // FIFO consumption; oversold quantity (no lots left) carries zero
+    // basis, like the reference's consumeTokens
+    def consume(token: Long, qty: Double): Double = {
+      val q = lots.getOrElse(token, mutable.Queue.empty)
+      var remaining = qty
+      var basis = 0.0
+      while (remaining > 1e-7 && q.nonEmpty) {
+        val lot = q.head
+        val take = math.min(remaining, lot.qty)
+        basis += take * lot.unitCost
+        lot.qty -= take
+        remaining -= take
+        if (lot.qty <= 1e-7) q.dequeue()
+      }
+      basis
+    }
+
+    def avgUnitCost(token: Long): Double =
+      lots.get(token).filter(_.nonEmpty).map { q =>
+        val qty = q.iterator.map(_.qty).sum
+        if (qty > 0) q.iterator.map(l => l.qty * l.unitCost).sum / qty else 0.0
+      }.getOrElse(0.0)
+
     fills.map { f =>
       observe(f)
-      if (f.isBuy) {
-        val unit = if (f.qty > 0) f.usd / f.qty else 0.0
-        lots.getOrElseUpdate(f.tokenId, mutable.Queue.empty) += Lot(f.qty, unit)
-        LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "buy", f.qty, -f.usd, f.usd,
-          0.0, f.fee)
-      } else {
-        val q = lots.getOrElse(f.tokenId, mutable.Queue.empty)
-        var remaining = f.qty
-        var basis = 0.0
-        while (remaining > 1e-7 && q.nonEmpty) {
-          val lot = q.head
-          val take = math.min(remaining, lot.qty)
-          basis += take * lot.unitCost
-          lot.qty -= take
-          remaining -= take
-          if (lot.qty <= 1e-7) q.dequeue()
-        }
-        LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "sell", -f.qty, f.usd,
-          basis, f.usd - basis, f.fee)
+      f.kind match {
+        case "" | "buy" | "sell" =>
+          if (f.isBuy || f.kind == "buy") {
+            val unit = if (f.qty > 0) f.usd / f.qty else 0.0
+            addLot(f.tokenId, f.qty, unit)
+            LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "buy", f.qty, -f.usd,
+              f.usd, 0.0, f.fee)
+          } else {
+            val basis = consume(f.tokenId, f.qty)
+            LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "sell", -f.qty, f.usd,
+              basis, f.usd - basis, f.fee)
+          }
+        case "split" =>
+          // usd collateral in, qty minted per leg at uniform unit cost
+          val minted = 2 * f.qty
+          val unit = if (minted > 0) f.usd / minted else 0.0
+          addLot(f.tokenId, f.qty, unit)
+          addLot(f.tokenId2, f.qty, unit)
+          LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "split", minted, -f.usd,
+            f.usd, 0.0, f.fee)
+        case "merge" =>
+          val basis = consume(f.tokenId, f.qty) + consume(f.tokenId2, f.qty)
+          LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "merge", -2 * f.qty,
+            f.usd, basis, f.usd - basis, f.fee)
+        case "transfer_out" =>
+          val basis = consume(f.tokenId, f.qty)
+          LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "transfer_out", -f.qty,
+            0.0, basis, 0.0, f.fee)
+        case "transfer_in" =>
+          val unit = avgUnitCost(f.tokenId)
+          addLot(f.tokenId, f.qty, unit)
+          LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "transfer_in", f.qty,
+            0.0, f.qty * unit, 0.0, f.fee)
+        case other =>
+          throw new IllegalArgumentException(s"unknown ledger event kind '$other'")
       }
     }
+  }
 
   /** Resumable fold: start from carried-over open lots, return the
     * emitted rows plus the surviving lot state — the seam the
@@ -122,11 +183,80 @@ object Ledger {
   /** Distributed build with end-of-history resolution settlement.
     * `resolutions` (token → payout/share) is a small dim broadcast to
     * executors; at 100 TB it rides the closure exactly like a
-    * broadcast-hash-join build side. */
+    * broadcast-hash-join build side. Prefer the DataFrame overload —
+    * this one exists for tests / in-memory dims that are already maps. */
   def buildResolved(spark: SparkSession, walletTrades: DataFrame,
                     resolutions: Map[Long, Double]): Dataset[LedgerRow] = {
     val bc = spark.sparkContext.broadcast(resolutions)
     buildWith(spark, walletTrades, fills => foldWalletResolved(fills, bc.value.get))
+  }
+
+  /** Resolution settlement with the resolutions dim kept as a
+    * DataFrame end to end — no driver-side collect anywhere.
+    *
+    * The FIFO fold runs once; open-lot leftovers are then *derived
+    * from the emitted rows*: per (wallet, token), leftover qty is the
+    * signed qty sum and leftover basis is Σ buy basis − Σ basis
+    * consumed by sells (exactly what remains in the lot queue, because
+    * lots are consumed in order and oversold quantity carries zero
+    * basis). Settlement joins those leftovers against the
+    * broadcast resolutions dim — `(token_id, payout)` — and emits one
+    * "redeem" row per resolved open position, payout·qty − basis
+    * realized (zero payout = the reference's resolutionLoss;
+    * ledger-engine.ts PayoutRedemption).
+    */
+  def buildResolved(spark: SparkSession, walletTrades: DataFrame,
+                    resolutions: DataFrame): Dataset[LedgerRow] = {
+    import spark.implicits._
+    // both the union branch and the leftover aggregation consume the
+    // fold output — persist so the wallet-fold shuffle runs once
+    val rows = build(spark, walletTrades).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val leftovers = rows.groupBy(col("wallet"), col("token_id"))
+      .agg(sum(col("qty")).as("qty_left"),
+        sum(when(col("event_type") === "buy", col("cost_basis"))
+          .otherwise(-col("cost_basis"))).as("basis_left"))
+      .filter(col("qty_left") > 1e-7)
+    val walletMax = rows.groupBy(col("wallet"))
+      .agg(max(col("ts")).as("ts"), (max(col("seq")) + 1L).as("seq"))
+    val settlements = leftovers
+      .join(broadcast(resolutions.select(col("token_id"), col("payout"))),
+        Seq("token_id"))
+      .join(walletMax, Seq("wallet"))
+      .select(col("wallet"), col("ts"), col("seq"), col("token_id"),
+        lit("redeem").as("event_type"),
+        (-col("qty_left")).as("qty"),
+        (col("qty_left") * col("payout")).as("usd_delta"),
+        col("basis_left").as("cost_basis"),
+        (col("qty_left") * col("payout") - col("basis_left")).as("realized_pnl"),
+        lit(0.0).as("fee"))
+    rows.unionByName(settlements).as[LedgerRow]
+  }
+
+  /** Distributed ledger build over a generalized event stream:
+    * columns (wallet, ts, seq, token_id, kind, qty, usd[, fee]
+    * [, token_id2]) with kind ∈ buy / sell / split / merge /
+    * transfer_in / transfer_out — the 12-event-type surface of
+    * ledger-engine.ts reduced to its position-mutating core. Same
+    * scale shape as [[build]]: one shuffle by wallet, per-wallet fold. */
+  def buildEvents(spark: SparkSession, events: DataFrame): Dataset[LedgerRow] = {
+    import spark.implicits._
+    val cols = events.columns.toSet
+    val fills: Dataset[Fill] = events.select(
+        col("wallet").cast("long").as("wallet"),
+        col("ts"),
+        col("seq").cast("long").as("seq"),
+        col("token_id").cast("long").as("tokenId"),
+        (col("kind") === "buy").as("isBuy"),
+        col("qty").cast("double").as("qty"),
+        col("usd").cast("double").as("usd"),
+        (if (cols("fee")) coalesce(col("fee").cast("double"), lit(0.0))
+         else lit(0.0)).as("fee"),
+        col("kind"),
+        (if (cols("token_id2")) coalesce(col("token_id2").cast("long"), lit(0L))
+         else lit(0L)).as("tokenId2"))
+      .as[Fill]
+    foldFills(fills, foldWallet)
   }
 
   private def buildWith(spark: SparkSession, walletTrades: DataFrame,
@@ -140,8 +270,16 @@ object Ledger {
         (col("side") === "buy").as("isBuy"),
         col("qty").cast("double").as("qty"),
         col("usd").cast("double").as("usd"),
-        col("fee").cast("double").as("fee"))
+        col("fee").cast("double").as("fee"),
+        lit("").as("kind"),
+        lit(0L).as("tokenId2"))
       .as[Fill]
+    foldFills(fills, folder)
+  }
+
+  private def foldFills(fills: Dataset[Fill],
+      folder: Iterator[Fill] => Iterator[LedgerRow]): Dataset[LedgerRow] = {
+    import fills.sparkSession.implicits._
     fills
       .repartition(col("wallet"))
       .sortWithinPartitions(col("wallet"), col("ts"), col("seq"))

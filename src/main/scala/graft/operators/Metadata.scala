@@ -39,6 +39,19 @@ object Metadata {
         java.sql.Timestamp.valueOf("2100-01-01 00:00:00")).over(w))
   }
 
+  /** Current-version projection of the SCD2 history (reference:
+    * market_categories_current view, 001:525-535): the rows whose
+    * validity interval is still open, i.e. the last version per key —
+    * detected as `lead(valid_from) IS NULL` so no sentinel literal is
+    * compared. */
+  def scd2Current(history: DataFrame, keyCol: String, validFromCol: String,
+                  tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(validFromCol), col(tieBreak))
+    history.withColumn("__next", lead(col(validFromCol), 1).over(w))
+      .filter(col("__next").isNull).drop("__next")
+  }
+
   /** Sync watermark per processor (reference: indexer_status). */
   def watermark(stream: DataFrame, processorCol: String, seqCol: String,
                 tsCol: String): DataFrame =

@@ -102,6 +102,73 @@ object Snapshots {
       .agg(max(col(tsCol)).as("asof_ts"),
         valueCols.map(c => max_by(col(c), col(tsCol)).as(c)): _*)
 
+  /** Per-interval PnL decomposition snapshots (reference:
+    * wallet_pnl_snapshots 001:318-334 carries realized_pnl,
+    * unrealized_pnl, open_positions_value, token_count per snapshot
+    * row; /portfolio/history serves realized+unrealized per interval,
+    * api.ts:995-1030).
+    *
+    * Average-cost decomposition, cumulative as of each snapshot day d:
+    *   avg_cost_t(d)  = cum_buy_usd_t / cum_buy_qty_t
+    *   realized(d)    = Σ_t cum_sell_usd_t − cum_sell_qty_t · avg_cost_t
+    *   open_qty_t(d)  = cum_buy_qty_t − cum_sell_qty_t
+    *   unrealized(d)  = Σ_t open_qty_t · (last_price_t − avg_cost_t)
+    *   open_value(d)  = Σ_t open_qty_t · last_price_t
+    *   token_count(d) = #{t : open_qty_t(d) > 0}
+    *
+    * The snapshot grid is the wallet's own active-day set, densified
+    * per token (days × tokens of that wallet) so per-token cumulative
+    * state carries to snapshot days the token didn't trade — the same
+    * densification the reference's snapshot scheduler performs when it
+    * persists one row per wallet per tick. Cross-token double sums are
+    * scaled ×10⁴ and floored to BIGINT first, so they are exact and
+    * order-independent (oracle-hash safe, see portfolioHistory).
+    */
+  def pnlSnapshots(walletTrades: DataFrame, lastPrice: DataFrame): DataFrame = {
+    val dec0 = lit(0).cast("decimal(18,4)")
+    val daily = walletTrades
+      .groupBy(col("wallet"), col("token_id"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(
+        sum(when(col("side") === "buy", col("usd")).otherwise(dec0)).as("buy_usd_d"),
+        sum(when(col("side") === "buy", col("qty")).otherwise(lit(0))
+          .cast("decimal(18,4)")).as("buy_qty_d"),
+        sum(when(col("side") === "sell", col("usd")).otherwise(dec0)).as("sell_usd_d"),
+        sum(when(col("side") === "sell", col("qty")).otherwise(lit(0))
+          .cast("decimal(18,4)")).as("sell_qty_d"))
+    val days = daily.select(col("wallet"), col("day")).distinct()
+    val toks = daily.select(col("wallet"), col("token_id")).distinct()
+    val grid = days.join(toks, Seq("wallet"))
+    val w = Window.partitionBy(col("wallet"), col("token_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = grid.join(daily, Seq("wallet", "token_id", "day"), "left")
+      .withColumn("cum_buy_usd", sum(coalesce(col("buy_usd_d"), dec0)).over(w))
+      .withColumn("cum_buy_qty", sum(coalesce(col("buy_qty_d"), dec0)).over(w))
+      .withColumn("cum_sell_usd", sum(coalesce(col("sell_usd_d"), dec0)).over(w))
+      .withColumn("cum_sell_qty", sum(coalesce(col("sell_qty_d"), dec0)).over(w))
+    filled
+      .join(broadcast(lastPrice.select(col("token_id"), col("last_price"))),
+        Seq("token_id"), "left")
+      .withColumn("lp", coalesce(col("last_price"), lit(0.0)))
+      .withColumn("avg_cost", when(col("cum_buy_qty") > 0,
+        col("cum_buy_usd").cast("double") / col("cum_buy_qty").cast("double"))
+        .otherwise(0.0))
+      .withColumn("open_qty", (col("cum_buy_qty") - col("cum_sell_qty")).cast("double"))
+      .withColumn("realized_s", floor((col("cum_sell_usd").cast("double") -
+        col("cum_sell_qty").cast("double") * col("avg_cost")) * 1e4).cast("long"))
+      .withColumn("unreal_s",
+        floor(col("open_qty") * (col("lp") - col("avg_cost")) * 1e4).cast("long"))
+      .withColumn("value_s", floor(col("open_qty") * col("lp") * 1e4).cast("long"))
+      .withColumn("has_pos",
+        when(col("cum_buy_qty") - col("cum_sell_qty") > 0, 1L).otherwise(0L))
+      .groupBy(col("wallet"), col("day"))
+      .agg((sum(col("realized_s")) / 10000.0).as("realized_pnl"),
+        (sum(col("unreal_s")) / 10000.0).as("unrealized_pnl"),
+        (sum(col("value_s")) / 10000.0).as("open_value"),
+        sum(col("has_pos")).as("token_count"))
+      .withColumn("total_pnl", col("realized_pnl") + col("unrealized_pnl"))
+  }
+
   /** Realized-cashflow PnL delta between two timestamps per wallet
     * (reference: /pnl/:wallet?startTs=&endTs=). */
   def pnlDelta(walletTrades: DataFrame, fromTs: String, toTs: String): DataFrame =

@@ -63,6 +63,77 @@ class LedgerSpec extends SparkSpec {
     assert(redeems(100L).qty == -8.0 && redeems(200L).qty == -4.0)
   }
 
+  test("split mints both outcome legs at uniform cost; merge realizes vs FIFO basis") {
+    val fills = Seq(
+      // pay 10 collateral, mint 10 of token 100 AND 10 of token 101 @0.50
+      Fill(1, ts(1), 1, 100, isBuy = false, qty = 10, usd = 10.0,
+        kind = "split", tokenId2 = 101),
+      // burn 4 of each leg for 4.4 proceeds; basis 4×0.5×2 = 4 → +0.4
+      Fill(1, ts(2), 2, 100, isBuy = false, qty = 4, usd = 4.4,
+        kind = "merge", tokenId2 = 101),
+      // sell the remaining 6 of token 100 @1.00: basis 3 → +3
+      Fill(1, ts(3), 3, 100, isBuy = false, qty = 6, usd = 6.0)
+    )
+    val rows = Ledger.foldWallet(fills.iterator).toSeq
+    val Seq(split, merge, sell) = rows
+    assert(split.event_type == "split" && split.qty == 20.0 &&
+      split.usd_delta == -10.0 && split.realized_pnl == 0.0)
+    assert(merge.event_type == "merge" && merge.qty == -8.0)
+    assert(math.abs(merge.cost_basis - 4.0) < 1e-9)
+    assert(math.abs(merge.realized_pnl - 0.4) < 1e-9)
+    assert(math.abs(sell.cost_basis - 3.0) < 1e-9)
+    assert(math.abs(sell.realized_pnl - 3.0) < 1e-9)
+    // the other leg still holds 6 @0.5
+  }
+
+  test("transfer_out consumes basis without realizing; transfer_in uses own avg cost") {
+    val fills = Seq(
+      Fill(1, ts(1), 1, 100, isBuy = true, qty = 10, usd = 10.0),  // @1.00
+      Fill(1, ts(2), 2, 100, isBuy = true, qty = 10, usd = 30.0),  // @3.00, avg 2.00
+      Fill(1, ts(3), 3, 100, isBuy = false, qty = 5, usd = 0.0,
+        kind = "transfer_in"),                                     // in @avg 2.00
+      Fill(1, ts(4), 4, 100, isBuy = false, qty = 12, usd = 0.0,
+        kind = "transfer_out"),                  // out: 10@1 + 2@3 = basis 16
+      Fill(1, ts(5), 5, 100, isBuy = false, qty = 13, usd = 39.0)
+        // sell all: 8@3 + 5@2 = basis 34, realized 5
+    )
+    val rows = Ledger.foldWallet(fills.iterator).toSeq
+    val tin = rows(2); val tout = rows(3); val sell = rows(4)
+    assert(tin.event_type == "transfer_in" && tin.qty == 5.0)
+    assert(math.abs(tin.cost_basis - 10.0) < 1e-9 && tin.realized_pnl == 0.0)
+    assert(tout.event_type == "transfer_out" && tout.qty == -12.0 &&
+      tout.usd_delta == 0.0 && tout.realized_pnl == 0.0)
+    assert(math.abs(tout.cost_basis - 16.0) < 1e-9)
+    assert(math.abs(sell.cost_basis - 34.0) < 1e-9)
+    assert(math.abs(sell.realized_pnl - 5.0) < 1e-9)
+  }
+
+  test("transfer_in with no prior lots carries zero basis") {
+    val fills = Seq(
+      Fill(1, ts(1), 1, 100, isBuy = false, qty = 5, usd = 0.0, kind = "transfer_in"),
+      Fill(1, ts(2), 2, 100, isBuy = false, qty = 5, usd = 4.0)  // sell: 0 basis
+    )
+    val rows = Ledger.foldWallet(fills.iterator).toSeq
+    assert(rows(0).cost_basis == 0.0)
+    assert(math.abs(rows(1).realized_pnl - 4.0) < 1e-9)
+  }
+
+  test("DataFrame-dim resolution settlement matches the Map-based fold") {
+    import org.apache.spark.sql.functions._
+    val wt = operators.Leaderboard.walletTrades(model.Tables.trades(spark, sf))
+    val resMap: Map[Long, Double] = (1L to 3000L).map(t => t -> (if (t % 2 == 0) 1.0 else 0.0)).toMap
+    val resDf = spark.range(1, 3001).select(col("id").as("token_id"),
+      when(col("id") % 2 === 0, 1.0).otherwise(0.0).as("payout"))
+    val a = Ledger.resolvedSummary(Ledger.buildResolved(spark, wt, resMap).toDF())
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val b = Ledger.resolvedSummary(Ledger.buildResolved(spark, wt, resDf).toDF())
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (w, v) =>
+      assert(math.abs(v - b(w)) < 1e-6, s"wallet $w: $v vs ${b(w)}")
+    }
+  }
+
   test("property: realized total = cashflow + inventory at cost (random fills)") {
     import org.scalacheck.{Gen, Prop}
     import org.scalacheck.{Test => SCTest}
