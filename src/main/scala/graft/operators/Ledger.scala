@@ -191,46 +191,60 @@ object Ledger {
     buildWith(spark, walletTrades, fills => foldWalletResolved(fills, bc.value.get))
   }
 
+  /** Fold one wallet's fills, then emit one synthetic `"_open"` row
+    * per token still holding lots — exact end-of-fold lot state
+    * (qty = Σ lot qty, cost_basis = Σ qty·unitCost), stamped with the
+    * wallet's last ts and seq+1. Deriving leftovers from the trade
+    * rows instead would be wrong for wallets that oversold and
+    * re-bought (the oversold portion consumes no lots but still rides
+    * the sell row's qty), so the fold itself reports its state. */
+  def foldWalletOpen(fills: Iterator[Fill]): Iterator[LedgerRow] = {
+    val lots = mutable.Map.empty[Long, mutable.Queue[Lot]]
+    var wallet = 0L
+    var lastTs: java.sql.Timestamp = null
+    var lastSeq = 0L
+    val traded = foldWalletInto(fills, lots, f => {
+      wallet = f.wallet; lastTs = f.ts; lastSeq = math.max(lastSeq, f.seq)
+    })
+    def openRows: Iterator[LedgerRow] =
+      lots.iterator.filter(_._2.nonEmpty).map { case (token, q) =>
+        LedgerRow(wallet, lastTs, lastSeq + 1, token, "_open",
+          q.iterator.map(_.qty).sum, 0.0,
+          q.iterator.map(l => l.qty * l.unitCost).sum, 0.0, 0.0)
+      }.toSeq.sortBy(_.token_id).iterator
+    traded ++ openRows
+  }
+
   /** Resolution settlement with the resolutions dim kept as a
     * DataFrame end to end — no driver-side collect anywhere.
     *
-    * The FIFO fold runs once; open-lot leftovers are then *derived
-    * from the emitted rows*: per (wallet, token), leftover qty is the
-    * signed qty sum and leftover basis is Σ buy basis − Σ basis
-    * consumed by sells (exactly what remains in the lot queue, because
-    * lots are consumed in order and oversold quantity carries zero
-    * basis). Settlement joins those leftovers against the
-    * broadcast resolutions dim — `(token_id, payout)` — and emits one
-    * "redeem" row per resolved open position, payout·qty − basis
-    * realized (zero payout = the reference's resolutionLoss;
-    * ledger-engine.ts PayoutRedemption).
+    * The FIFO fold runs once and emits its exact open-lot state as
+    * `"_open"` rows (see [[foldWalletOpen]]). Settlement joins those
+    * against the broadcast resolutions dim — `(token_id, payout)` —
+    * and emits one "redeem" row per resolved open position,
+    * payout·qty − basis realized (zero payout = the reference's
+    * resolutionLoss; ledger-engine.ts PayoutRedemption). Unresolved
+    * `"_open"` rows are dropped from the output.
     */
   def buildResolved(spark: SparkSession, walletTrades: DataFrame,
                     resolutions: DataFrame): Dataset[LedgerRow] = {
     import spark.implicits._
-    // both the union branch and the leftover aggregation consume the
-    // fold output — persist so the wallet-fold shuffle runs once
-    val rows = build(spark, walletTrades).toDF()
+    // both the trade branch and the settlement join consume the fold
+    // output — persist so the wallet-fold shuffle runs once
+    val rows = buildWith(spark, walletTrades, foldWalletOpen).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val leftovers = rows.groupBy(col("wallet"), col("token_id"))
-      .agg(sum(col("qty")).as("qty_left"),
-        sum(when(col("event_type") === "buy", col("cost_basis"))
-          .otherwise(-col("cost_basis"))).as("basis_left"))
-      .filter(col("qty_left") > 1e-7)
-    val walletMax = rows.groupBy(col("wallet"))
-      .agg(max(col("ts")).as("ts"), (max(col("seq")) + 1L).as("seq"))
-    val settlements = leftovers
+    val settlements = rows.filter(col("event_type") === "_open")
       .join(broadcast(resolutions.select(col("token_id"), col("payout"))),
         Seq("token_id"))
-      .join(walletMax, Seq("wallet"))
       .select(col("wallet"), col("ts"), col("seq"), col("token_id"),
         lit("redeem").as("event_type"),
-        (-col("qty_left")).as("qty"),
-        (col("qty_left") * col("payout")).as("usd_delta"),
-        col("basis_left").as("cost_basis"),
-        (col("qty_left") * col("payout") - col("basis_left")).as("realized_pnl"),
+        (-col("qty")).as("qty"),
+        (col("qty") * col("payout")).as("usd_delta"),
+        col("cost_basis"),
+        (col("qty") * col("payout") - col("cost_basis")).as("realized_pnl"),
         lit(0.0).as("fee"))
-    rows.unionByName(settlements).as[LedgerRow]
+    rows.filter(col("event_type") =!= "_open")
+      .unionByName(settlements).as[LedgerRow]
   }
 
   /** Distributed ledger build over a generalized event stream:

@@ -17,7 +17,9 @@ class StreamingLedgerSpec extends SparkSpec {
         (col("side") === "buy").as("isBuy"),
         col("qty").cast("double").as("qty"),
         col("usd").cast("double").as("usd"),
-        col("fee").cast("double").as("fee"))
+        col("fee").cast("double").as("fee"),
+        lit("").as("kind"),
+        lit(0L).as("tokenId2"))
       .as[Fill]
 
     // split by time so batch 2 strictly follows batch 1
