@@ -157,11 +157,12 @@ object SparkEntry {
     "q_reorg_rewrite" -> ((s, d) => {
       val ev = Tables.events(s, d)
       // hot tail = trailing 10% of the stream; its re-delivery restates
-      // every 7th value (a reorg correction)
-      val cutoff = ev.count() * 9 / 10
+      // every 7th value (a reorg correction). The cutoff is a 1-row
+      // aggregate broadcast inside the same job, not a driver count().
+      val cutoff = ev.agg(expr("CAST(count(1) * 9 DIV 10 AS BIGINT)").as("c"))
       val corrected = ev.withColumn("value",
         when(col("event_id") % 7 === 0, col("value") * 2).otherwise(col("value")))
-      Metadata.replaceHotRange(ev, corrected, "event_id", fromSeq = cutoff)
+      Metadata.replaceHotRangeAt(ev, corrected, "event_id", cutoff)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
@@ -501,7 +502,48 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.fingerprint64(col("text")).as("fp64"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Gopher-style repetition signals (dup n-gram fractions, top-bigram
+    // coverage) per document.
+    "q_doc_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Falcon/RefinedWeb-style segment dedup: 10-token windows duplicated
+    // across ≥2 documents, audited per doc.
+    "q_segment_dedup" -> ((s, d) =>
+      Dedup.segmentDuplication(Tables.documents(s, d), "doc_id", "text",
+          chunk = 10, maxDupFrac = 0.5)
+        .orderBy(col("doc_id"))),
+
+    // Pure-SQL surface: the full query is ANSI SQL text over the
+    // registered catalog views (graft.model.GraftCatalog) — the
+    // reference's ClickHouse SQL surface, served by spark.sql.
+    "q_sql_market_volume" -> ((s, d) => {
+      graft.model.GraftCatalog.register(s, d)
+      s.sql("""SELECT m.market, COUNT(*) AS trades,
+              |  CAST(SUM(CAST(w.usd AS DECIMAL(18,4))) AS DOUBLE) AS volume_usd,
+              |  COUNT(DISTINCT w.wallet) AS traders
+              |FROM wallet_trades w JOIN token_metadata m USING (token_id)
+              |GROUP BY m.market
+              |ORDER BY volume_usd DESC, market
+              |LIMIT 20""".stripMargin)
+    }),
+
+    "q_sql_daily_cumvol" -> ((s, d) => {
+      graft.model.GraftCatalog.register(s, d)
+      s.sql("""WITH daily AS (
+              |  SELECT wallet, CAST(date_trunc('DAY', ts) AS DATE) AS day,
+              |    CAST(SUM(CAST(usd AS DECIMAL(18,4))) AS DOUBLE) AS vol
+              |  FROM wallet_trades GROUP BY wallet, date_trunc('DAY', ts))
+              |SELECT wallet, day, vol,
+              |  CAST(SUM(CAST(vol AS DECIMAL(18,4)))
+              |    OVER (PARTITION BY wallet ORDER BY day) AS DOUBLE) AS cum_vol
+              |FROM daily
+              |WHERE wallet % 100 = 0
+              |ORDER BY wallet, day""".stripMargin)
+    })
   )
 
   // ---- oracle SQL (DuckDB) -------------------------------------------
@@ -861,7 +903,7 @@ object SparkEntry {
         |ORDER BY wallet, day""".stripMargin,
 
     "q_reorg_rewrite" ->
-      """WITH cutoff AS (SELECT CAST(9*COUNT(*)/10 AS BIGINT) AS c FROM events),
+      """WITH cutoff AS (SELECT CAST(9*COUNT(*)//10 AS BIGINT) AS c FROM events),
         |corrected AS (
         |  SELECT event_id, event_type,
         |    CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
@@ -1250,6 +1292,80 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
         |  FROM pairs)
         |SELECT query_id, rank, corpus_id, cosine FROM ranked
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_doc_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n,
+        |    unnest(CASE WHEN len(ws) >= n
+        |      THEN list_transform(range(1, len(ws) - n + 2),
+        |        i -> array_to_string(ws[i:i+n-1], ' '))
+        |      ELSE [] END) AS gram
+        |  FROM w, (SELECT unnest([1, 2, 3]) AS n)),
+        |c AS (
+        |  SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT doc_id, n, CAST(SUM(c) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS uniq, CAST(MAX(c) AS BIGINT) AS maxc
+        |  FROM c GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(MAX(CASE WHEN n = 1 THEN total END) AS BIGINT) AS n_tokens,
+        |  CAST(MAX(CASE WHEN n = 1 THEN uniq END) AS DOUBLE) /
+        |    CAST(MAX(CASE WHEN n = 1 THEN total END) AS DOUBLE) AS distinct_token_ratio,
+        |  CAST(MAX(CASE WHEN n = 2 THEN total END) - MAX(CASE WHEN n = 2 THEN uniq END) AS DOUBLE) /
+        |    greatest(CAST(MAX(CASE WHEN n = 2 THEN total END) AS DOUBLE), 1.0) AS dup_bigram_frac,
+        |  CAST(MAX(CASE WHEN n = 3 THEN total END) - MAX(CASE WHEN n = 3 THEN uniq END) AS DOUBLE) /
+        |    greatest(CAST(MAX(CASE WHEN n = 3 THEN total END) AS DOUBLE), 1.0) AS dup_trigram_frac,
+        |  CAST(MAX(CASE WHEN n = 2 THEN maxc END) AS DOUBLE) * 2.0 /
+        |    CAST(MAX(CASE WHEN n = 1 THEN total END) AS DOUBLE) AS top_bigram_cover
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_segment_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(ws) >= 10
+        |      THEN list_transform(range(1, CAST(len(ws) // 10 AS BIGINT) + 1),
+        |        i -> array_to_string(ws[((i-1)*10+1):(i*10)], ' '))
+        |      ELSE [] END) AS seg
+        |  FROM w),
+        |d AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM seg GROUP BY 1)
+        |SELECT s.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_segments,
+        |  CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS dup_segment_frac,
+        |  (CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE)) < 0.5 AS keep
+        |FROM seg s JOIN d USING (seg)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "q_sql_market_volume" ->
+      s"""WITH $WT
+        |SELECT p.p_brand AS market, COUNT(*) AS trades,
+        |  CAST(SUM(CAST(usd AS DECIMAL(18,4))) AS DOUBLE) AS volume_usd,
+        |  COUNT(DISTINCT wallet) AS traders
+        |FROM wt JOIN part p ON wt.token_id = p.p_partkey
+        |GROUP BY p.p_brand
+        |ORDER BY volume_usd DESC, market
+        |LIMIT 20""".stripMargin,
+
+    "q_sql_daily_cumvol" ->
+      s"""WITH $WT,
+        |daily AS (
+        |  SELECT wallet, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(SUM(CAST(usd AS DECIMAL(18,4))) AS DOUBLE) AS vol
+        |  FROM wt GROUP BY wallet, date_trunc('day', ts))
+        |SELECT wallet, day, vol,
+        |  CAST(SUM(CAST(vol AS DECIMAL(18,4)))
+        |    OVER (PARTITION BY wallet ORDER BY day) AS DOUBLE) AS cum_vol
+        |FROM daily
+        |WHERE wallet % 100 = 0
+        |ORDER BY wallet, day""".stripMargin
   )
 }

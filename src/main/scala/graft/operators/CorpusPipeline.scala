@@ -34,18 +34,24 @@ object CorpusPipeline {
     filtered.join(canonical, Seq(idCol), "left_semi")
   }
 
-  /** Per-stage survival counts — the pipeline's audit row. */
+  /** Per-stage survival counts — the pipeline's audit row. Stages are
+    * nested filters, so every count is a conditional aggregate of one
+    * flagged pass over the corpus (plus the dedup groupBy) — a single
+    * job, no driver-blocking per-stage `.head()` actions. */
   def stats(docs: DataFrame, idCol: String, textCol: String, langCol: String,
             keepLang: String, t: Thresholds): DataFrame = {
-    val total = docs.agg(count(lit(1))).head().getLong(0)
-    val lang = docs.filter(col(langCol) === keepLang)
-    val langN = lang.agg(count(lit(1))).head().getLong(0)
-    val quality = lang.filter(qualityPredicate(col(textCol), t))
-    val qualityN = quality.agg(count(lit(1))).head().getLong(0)
-    val cleanN = clean(docs, idCol, textCol, langCol, keepLang, t)
-      .agg(count(lit(1))).head().getLong(0)
-    import docs.sparkSession.implicits._
-    Seq(("total", total), ("lang_pass", langN), ("quality_pass", qualityN),
-      ("dedup_pass", cleanN)).toDF("stage", "docs")
+    val langOk = col(langCol) === keepLang
+    val flagged = docs.select(col(idCol), col(textCol), langOk.as("lang_ok"),
+      (langOk && qualityPredicate(col(textCol), t)).as("q_ok"))
+    val base = flagged.agg(count(lit(1)).as("total"),
+      sum(when(col("lang_ok"), 1L).otherwise(0L)).as("lang_pass"),
+      sum(when(col("q_ok"), 1L).otherwise(0L)).as("quality_pass"))
+    val ded = flagged.filter(col("q_ok"))
+      .groupBy(md5(col(textCol))).agg(min(col(idCol)))
+      .agg(count(lit(1)).as("dedup_pass"))
+    base.join(ded).selectExpr(
+      """stack(4, 'total', total, 'lang_pass', lang_pass,
+        |'quality_pass', quality_pass, 'dedup_pass', dedup_pass)
+        |AS (stage, docs)""".stripMargin)
   }
 }

@@ -152,6 +152,40 @@ object Dedup {
       .toDF("id", "cluster_id")
   }
 
+  /** Segment-level duplication audit (the Falcon/RefinedWeb line-dedup
+    * shape, applied to fixed token windows since the corpus has no
+    * newlines): documents are cut into consecutive full `chunk`-token
+    * windows; a window is a duplicate when it appears in ≥ 2 distinct
+    * documents corpus-wide. Per doc: window count, duplicated-window
+    * count and fraction, and a keep flag (< `maxDupFrac` duplicated).
+    *
+    * Scale shape: explode windows → one groupBy on the window text
+    * (count distinct docs) → join back on the window key → per-doc
+    * re-agg. Two keyed shuffles, candidates never pair up — the
+    * duplicate test is an aggregate, not a self-join.
+    */
+  def segmentDuplication(docs: DataFrame, idCol: String, textCol: String,
+                         chunk: Int = 10, maxDupFrac: Double = 0.5): DataFrame = {
+    val ws = split(trim(col(textCol)), " +")
+    val windows = docs.select(col(idCol).as("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), explode(
+        when(size(col("ws")) >= chunk,
+          transform(sequence(lit(1), (size(col("ws")) / lit(chunk)).cast("int")),
+            i => concat_ws(" ", slice(col("ws"), (i - 1) * chunk + 1, lit(chunk)))))
+          .otherwise(array().cast("array<string>"))).as("seg"))
+    val perSeg = windows.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    windows.join(perSeg, Seq("seg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_segments"))
+      .select(col("doc_id"), col("n_segments"), col("dup_segments"),
+        (col("dup_segments").cast("double") / col("n_segments").cast("double"))
+          .as("dup_segment_frac"),
+        (col("dup_segments").cast("double") / col("n_segments").cast("double")
+          < maxDupFrac).as("keep"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold via multi-table
     * random-hyperplane LSH postings. Candidates only ever form inside
     * shared buckets (one shuffle on the posting key — never a

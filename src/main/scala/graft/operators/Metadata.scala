@@ -69,6 +69,20 @@ object Metadata {
     stored.filter(col(seqCol) < fromSeq)
       .unionAll(incoming.filter(col(seqCol) >= fromSeq))
 
+  /** [[replaceHotRange]] with a data-dependent rewrite point: `cutoff`
+    * is a 1-row (single-column) aggregate computed in the same job and
+    * broadcast to both branches — a scalar-subquery shape, so no
+    * driver-blocking `.count()`/`.head()` pre-action runs before the
+    * rewrite. */
+  def replaceHotRangeAt(stored: DataFrame, incoming: DataFrame, seqCol: String,
+                        cutoff: DataFrame): DataFrame = {
+    val cut = cutoff.toDF("__from_seq")
+    stored.join(broadcast(cut)).filter(col(seqCol) < col("__from_seq"))
+      .unionAll(incoming.join(broadcast(cut))
+        .filter(col(seqCol) >= col("__from_seq")))
+      .drop("__from_seq")
+  }
+
   /** Change-detection changelog: keep only rows whose value differs
     * from the key's previous row (reference:
     * sync-indexer-metadata.ts — a new taxonomy version row is written

@@ -62,6 +62,47 @@ object TextAnalysis {
     }.getField("lang")
   }
 
+  /** Gopher-style repetition signals per document (Rae et al. 2021,
+    * "Scaling Language Models", table A1): distinct-token ratio,
+    * duplicate bi/tri-gram occurrence fractions, and the fraction of
+    * tokens covered by the single most frequent bigram. One explode of
+    * tagged (n, gram) rows, one (doc, n, gram) count, one per-doc
+    * re-aggregation — two keyed shuffles, linear in token count, no
+    * per-row n-gram maps held in memory.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def grams(ws: Column, n: Int): Column =
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(ws, i, lit(n))).as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    val ws = split(trim(col(textCol)), " +")
+    val exploded = docs
+      .select(col(idCol).as("doc_id"),
+        explode(concat(grams(ws, 1), grams(ws, 2), grams(ws, 3))).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val counts = exploded.groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val per = counts.groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("uniq"),
+        max(col("c")).as("maxc"))
+    def at(n: Int, c: String): Column = max(when(col("n") === n, col(c)))
+    per.groupBy(col("doc_id"))
+      .agg(
+        at(1, "total").cast("long").as("n_tokens"),
+        (at(1, "uniq").cast("double") / at(1, "total").cast("double"))
+          .as("distinct_token_ratio"),
+        ((at(2, "total") - at(2, "uniq")).cast("double") /
+          greatest(at(2, "total").cast("double"), lit(1.0)))
+          .as("dup_bigram_frac"),
+        ((at(3, "total") - at(3, "uniq")).cast("double") /
+          greatest(at(3, "total").cast("double"), lit(1.0)))
+          .as("dup_trigram_frac"),
+        (at(2, "maxc").cast("double") * 2.0 / at(1, "total").cast("double"))
+          .as("top_bigram_cover"))
+  }
+
   /** Polynomial rolling hash of the text (document fingerprint),
     * folded mod 2^40 so it never overflows a long under ANSI
     * arithmetic. Built from codegen'd primitives — deterministic,

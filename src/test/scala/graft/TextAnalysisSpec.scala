@@ -45,4 +45,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
   }
+
+  test("repetition signals on hand-computed documents") {
+    val df = Seq(
+      (1L, "a b a b a b"),      // 6 tokens {a,b}; bigrams: ab ba ab ba ab
+      (2L, "w x y z q r")       // all distinct
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val d1 = r(1L)
+    assert(d1.getLong(1) == 6)                                  // n_tokens
+    assert(math.abs(d1.getDouble(2) - 2.0 / 6) < 1e-9)          // distinct ratio
+    // bigrams: 5 total, 2 uniq ("a b"×3, "b a"×2) → dup frac 3/5
+    assert(math.abs(d1.getDouble(3) - 3.0 / 5) < 1e-9)
+    // trigrams: 4 total, 2 uniq → 2/4
+    assert(math.abs(d1.getDouble(4) - 0.5) < 1e-9)
+    // top bigram "a b" ×3 → 3·2/6 = 1.0
+    assert(math.abs(d1.getDouble(5) - 1.0) < 1e-9)
+    val d2 = r(2L)
+    assert(d2.getDouble(2) == 1.0 && d2.getDouble(3) == 0.0 &&
+      d2.getDouble(4) == 0.0)
+  }
+
+  test("segment duplication flags cross-doc duplicated windows only") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val own1 = (1 to 10).map(i => s"a$i").mkString(" ")
+    val own2 = (1 to 10).map(i => s"b$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$shared $own1"),            // 2 windows, 1 duplicated
+      (2L, s"$shared $own2"),            // 2 windows, 1 duplicated
+      (3L, (1 to 25).map(i => s"c$i").mkString(" "))  // 2 full windows, 0 dup
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.segmentDuplication(df, "doc_id", "text", chunk = 10)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 2 && r(1L).getLong(2) == 1)
+    assert(math.abs(r(1L).getDouble(3) - 0.5) < 1e-9 && !r(1L).getBoolean(4))
+    assert(r(2L).getLong(2) == 1)
+    assert(r(3L).getLong(1) == 2 && r(3L).getLong(2) == 0 && r(3L).getBoolean(4))
+  }
 }
