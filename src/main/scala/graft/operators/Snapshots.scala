@@ -116,12 +116,17 @@ object Snapshots {
     *   open_value(d)  = Σ_t open_qty_t · last_price_t
     *   token_count(d) = #{t : open_qty_t(d) > 0}
     *
-    * The snapshot grid is the wallet's own active-day set, densified
-    * per token (days × tokens of that wallet) so per-token cumulative
-    * state carries to snapshot days the token didn't trade — the same
-    * densification the reference's snapshot scheduler performs when it
-    * persists one row per wallet per tick. Cross-token double sums are
-    * scaled ×10⁴ and floored to BIGINT first, so they are exact and
+    * A wallet's snapshot grid is its active-day set, but the grid is
+    * never materialized: a token's per-day state f_t(d) (all scaled to
+    * exact BIGINTs) changes only on days the token trades, so the
+    * wallet-day total A(d) = Σ_t f_t(d) satisfies
+    * A(d) = A(d−1) + Σ_{t traded on d} (f_t(d) − f_t(prev trade day)).
+    * We therefore compute per-token state on trade days only, lag-diff
+    * it into deltas, sum deltas per (wallet, day), and take one running
+    * window per wallet. Rows stay bounded by distinct
+    * (wallet, token, trade-day) — no days × tokens cross product (the
+    * naive densified grid is quadratic per wallet and was 50× slower
+    * at sf0.1). Integer summands make every step exact and
     * order-independent (oracle-hash safe, see portfolioHistory).
     */
   def pnlSnapshots(walletTrades: DataFrame, lastPrice: DataFrame): DataFrame = {
@@ -136,17 +141,13 @@ object Snapshots {
         sum(when(col("side") === "sell", col("usd")).otherwise(dec0)).as("sell_usd_d"),
         sum(when(col("side") === "sell", col("qty")).otherwise(lit(0))
           .cast("decimal(18,4)")).as("sell_qty_d"))
-    val days = daily.select(col("wallet"), col("day")).distinct()
-    val toks = daily.select(col("wallet"), col("token_id")).distinct()
-    val grid = days.join(toks, Seq("wallet"))
     val w = Window.partitionBy(col("wallet"), col("token_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = grid.join(daily, Seq("wallet", "token_id", "day"), "left")
-      .withColumn("cum_buy_usd", sum(coalesce(col("buy_usd_d"), dec0)).over(w))
-      .withColumn("cum_buy_qty", sum(coalesce(col("buy_qty_d"), dec0)).over(w))
-      .withColumn("cum_sell_usd", sum(coalesce(col("sell_usd_d"), dec0)).over(w))
-      .withColumn("cum_sell_qty", sum(coalesce(col("sell_qty_d"), dec0)).over(w))
-    filled
+    val state = daily
+      .withColumn("cum_buy_usd", sum(col("buy_usd_d")).over(w))
+      .withColumn("cum_buy_qty", sum(col("buy_qty_d")).over(w))
+      .withColumn("cum_sell_usd", sum(col("sell_usd_d")).over(w))
+      .withColumn("cum_sell_qty", sum(col("sell_qty_d")).over(w))
       .join(broadcast(lastPrice.select(col("token_id"), col("last_price"))),
         Seq("token_id"), "left")
       .withColumn("lp", coalesce(col("last_price"), lit(0.0)))
@@ -161,11 +162,27 @@ object Snapshots {
       .withColumn("value_s", floor(col("open_qty") * col("lp") * 1e4).cast("long"))
       .withColumn("has_pos",
         when(col("cum_buy_qty") - col("cum_sell_qty") > 0, 1L).otherwise(0L))
+    // lag-diff each exact per-token series into deltas on trade days
+    val lagW = Window.partitionBy(col("wallet"), col("token_id")).orderBy(col("day"))
+    def delta(c: String): org.apache.spark.sql.Column =
+      col(c) - lag(col(c), 1, 0L).over(lagW)
+    val perDay = state.select(col("wallet"), col("day"),
+        delta("realized_s").as("d_realized"),
+        delta("unreal_s").as("d_unreal"),
+        delta("value_s").as("d_value"),
+        delta("has_pos").as("d_pos"))
       .groupBy(col("wallet"), col("day"))
-      .agg((sum(col("realized_s")) / 10000.0).as("realized_pnl"),
-        (sum(col("unreal_s")) / 10000.0).as("unrealized_pnl"),
-        (sum(col("value_s")) / 10000.0).as("open_value"),
-        sum(col("has_pos")).as("token_count"))
+      .agg(sum(col("d_realized")).as("d_realized"),
+        sum(col("d_unreal")).as("d_unreal"),
+        sum(col("d_value")).as("d_value"),
+        sum(col("d_pos")).as("d_pos"))
+    val runW = Window.partitionBy(col("wallet")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perDay.select(col("wallet"), col("day"),
+        (sum(col("d_realized")).over(runW) / 10000.0).as("realized_pnl"),
+        (sum(col("d_unreal")).over(runW) / 10000.0).as("unrealized_pnl"),
+        (sum(col("d_value")).over(runW) / 10000.0).as("open_value"),
+        sum(col("d_pos")).over(runW).as("token_count"))
       .withColumn("total_pnl", col("realized_pnl") + col("unrealized_pnl"))
   }
 
