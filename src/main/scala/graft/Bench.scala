@@ -26,7 +26,12 @@ object Bench {
     }
     // a failing query must not pass as a fast one: its slot reports the
     // -1 sentinel and its name lands in "failed"
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (targeted re-bench)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val runs = selected.map { case (name, fn) =>
       val (t1, ok1) = once(name, fn)
       val (t2, ok2) = once(name, fn)
       (name, math.min(t1, t2), ok1 && ok2)

