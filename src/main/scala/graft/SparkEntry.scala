@@ -268,9 +268,7 @@ object SparkEntry {
     // Leaderboard audit: all-time ranking vs the 1996-window ranking —
     // overlap + rank deltas (reference: leaderboard-audit-agent.ts).
     "q_lb_audit" -> ((s, d) =>
-      Leaderboard.audit(
-          Leaderboard.leaderboard(wt(s, d), 100),
-          Leaderboard.leaderboardWindow(wt(s, d), "1996-01-01", "1997-01-01", 100))
+      Leaderboard.auditOnePass(wt(s, d), "1996-01-01", "1997-01-01", 100)
         .orderBy(col("wallet"))),
 
     // Generalized ledger over the full event-type surface: buy/sell

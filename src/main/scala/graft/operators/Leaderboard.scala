@@ -112,6 +112,34 @@ object Leaderboard {
         (col("rank_a").isNotNull && col("rank_b").isNotNull).as("in_both"))
   }
 
+  /** One-pass [[audit]] of the all-time leaderboard against a
+    * time-window leaderboard: both metric sets are conditional
+    * aggregates of a single wallet groupBy, so the corpus is scanned
+    * and shuffled once (AQE reuses the exchange for the two top-k
+    * slices) instead of running two independent leaderboards. Produces
+    * exactly `audit(leaderboard(wt, k), leaderboardWindow(wt, from,
+    * to, k))`. */
+  def auditOnePass(walletTrades: DataFrame, fromTs: String, toTs: String,
+                   k: Int, minTrades: Int = 5): DataFrame = {
+    val inWin = col("ts") >= lit(fromTs) && col("ts") < lit(toTs)
+    val signed = when(col("side") === "sell", col("usd")).otherwise(-col("usd"))
+    val g = walletTrades.filter(!col("wallet").isin(ExcludedWallets: _*))
+      .groupBy(col("wallet"))
+      .agg(
+        count(lit(1)).as("trades_a"),
+        sum(signed).cast("double").as("net_a"),
+        sum(when(inWin, 1L).otherwise(0L)).as("trades_b"),
+        sum(when(inWin, signed).otherwise(lit(0).cast("decimal(18,4)")))
+          .cast("double").as("net_b"))
+    val lbA = g.filter(col("trades_a") >= minTrades)
+      .orderBy(col("net_a").desc, col("wallet")).limit(k)
+      .select(col("wallet"), col("net_a").as("net_cashflow_usd"))
+    val lbB = g.filter(col("trades_b") >= minTrades)
+      .orderBy(col("net_b").desc, col("wallet")).limit(k)
+      .select(col("wallet"), col("net_b").as("net_cashflow_usd"))
+    audit(lbA, lbB)
+  }
+
   /** Audit breakdown for the leaderboard: per wallet × market, with
     * counts both sides (reference: /leaderboard/explain). `markets` is
     * a broadcast dimension mapping token_id → market. */
