@@ -467,6 +467,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SQ8 ANN: int8-quantized scan + exact rerank (rows-only; recall
+    // vs brute force asserted in SimilaritySpec).
+    "q_ann_sq" -> ((s, d) => {
+      val nrm = Similarity.normalized(Tables.embeddings(s, d), "vec_id", "embedding")
+      Similarity.sqTopK(nrm, nrm.filter(col("id") < 5), k = 10, refine = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_ann_lsh" -> ((s, d) => {
       val nrm = Similarity.normalized(Tables.embeddings(s, d), "vec_id", "embedding")
       Similarity.lshTopK(nrm, nrm.filter(col("id") < 5), dim = 64, planes = 6, k = 10)

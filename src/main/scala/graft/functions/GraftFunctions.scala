@@ -23,7 +23,10 @@ object GraftFunctions {
       MinHashSig(es(0), intArg(es(1)))),
     "graft_dot" -> ((es: Seq[Expression]) => DotProduct(es(0), es(1))),
     "graft_lsh_postings" -> ((es: Seq[Expression]) =>
-      LshPostings(es(0), intArg(es(1)), intArg(es(2)))))
+      LshPostings(es(0), intArg(es(1)), intArg(es(2)))),
+    "graft_vec_abs_max" -> ((es: Seq[Expression]) => VecAbsMax(es.head)),
+    "graft_quantize_i8" -> ((es: Seq[Expression]) => QuantizeI8(es(0), es(1))),
+    "graft_dot_i8" -> ((es: Seq[Expression]) => DotI8(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -101,3 +101,104 @@ object LshPostings {
     ColumnBridge.column(
       LshPostings(ColumnBridge.expression(unit), planes, tables))
 }
+
+/** max |aᵢ| over a double array — the per-vector int8 quantization
+  * scale. */
+case class VecAbsMax(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    VecAbsMax.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecAbsMax.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): VecAbsMax =
+    copy(child = newChild)
+}
+
+object VecAbsMax {
+  def compute(a: ArrayData): Double = {
+    var m = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val v = math.abs(a.getDouble(i)); if (v > m) m = v; i += 1 }
+    m
+  }
+
+  def vec_abs_max(a: Column): Column =
+    ColumnBridge.column(VecAbsMax(ColumnBridge.expression(a)))
+}
+
+/** Symmetric int8 scalar quantization: qᵢ = round(127·aᵢ/scale) as a
+  * packed byte array — 8× smaller than the double vector, the standard
+  * SQ8 index layout. */
+case class QuantizeI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, s: Any): Any =
+    QuantizeI8.compute(a.asInstanceOf[ArrayData], s.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, s) =>
+      s"${ev.value} = graft.functions.QuantizeI8.compute($a, $s);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): QuantizeI8 = copy(left = newLeft, right = newRight)
+}
+
+object QuantizeI8 {
+  def compute(a: ArrayData, scale: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    val f = if (scale > 0) 127.0 / scale else 0.0
+    var i = 0
+    while (i < n) {
+      out(i) = math.max(-127, math.min(127, math.round(a.getDouble(i) * f))).toByte
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  def quantize_i8(a: Column, scale: Column): Column =
+    ColumnBridge.column(QuantizeI8(
+      ColumnBridge.expression(a), ColumnBridge.expression(scale)))
+}
+
+/** Σ qaᵢ·qbᵢ over two int8 arrays with integer accumulation — the SQ8
+  * approximate-dot hot loop (reconstruct cosine as
+  * sa·sb/127² · dot). */
+case class DotI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotI8.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DotI8.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotI8 = copy(left = newLeft, right = newRight)
+}
+
+object DotI8 {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getByte(i).toLong * b.getByte(i).toLong; i += 1 }
+    acc
+  }
+
+  def dot_i8(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotI8(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -46,6 +46,54 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
 
+  /** (id, unit, scale, q) — unit vectors plus their symmetric-int8
+    * quantization (per-vector abs-max scale). The byte vectors are 8×
+    * smaller than the doubles: at 100 TB the SQ index is what streams
+    * through the scan, with the full-precision vectors fetched only
+    * for the rerank candidates. */
+  def quantized(corpus: DataFrame): DataFrame = {
+    val scale = graft.functions.VecAbsMax.vec_abs_max(col("unit"))
+    corpus.select(col("id"), col("unit"), scale.as("scale"))
+      .withColumn("q",
+        graft.functions.QuantizeI8.quantize_i8(col("unit"), col("scale")))
+  }
+
+  /** SQ8 approximate top-k with exact rerank: approximate cosine
+    * sa·sb/127² · Σ qaᵢ·qbᵢ over the byte vectors selects `refine`·k
+    * candidates per query (scanning only the 8×-compressed index),
+    * then the surviving candidates rejoin their full-precision unit
+    * vectors for the exact cosine and final rank. Recall is measured
+    * against [[bruteForceTopK]] in SimilaritySpec. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             refine: Int = 4): DataFrame = {
+    val qc = quantized(corpus).select(col("id").as("corpus_id"),
+      col("q").as("cq"), col("scale").as("cs"))
+    val qq = quantized(queries).select(col("id").as("query_id"),
+      col("q").as("qq"), col("scale").as("qs"))
+    val approx = qc.crossJoin(broadcast(qq))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("approx_cos",
+        col("cs") * col("qs") / lit(127.0 * 127.0) *
+          graft.functions.DotI8.dot_i8(col("cq"), col("qq")))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("corpus_id"))
+    val candidates = approx.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= k * refine)
+      .select(col("query_id"), col("corpus_id"))
+    val exact = candidates
+      .join(corpus.select(col("id").as("corpus_id"), col("unit").as("cu")),
+        "corpus_id")
+      .join(broadcast(
+        queries.select(col("id").as("query_id"), col("unit").as("qu"))),
+        "query_id")
+      .withColumn("cosine", round(dot(col("cu"), col("qu")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
+  }
+
   /** Approximate top-k: queries probe their bucket in each of
     * `tables` hash tables (multi-table random-hyperplane LSH — a pair
     * is a candidate if it collides in ANY table, which lifts recall

@@ -40,4 +40,27 @@ class SimilaritySpec extends SparkSpec {
     // should recover most true neighbors
     assert(recall > 0.5, s"recall=$recall")
   }
+
+  test("int8 quantization round-trips within scale/127 per component") {
+    import spark.implicits._
+    val df = Seq((1L, Array(0.6, -0.8, 0.0, 0.05))).toDF("id", "unit")
+    val r = Similarity.quantized(df).head()
+    assert(math.abs(r.getDouble(2) - 0.8) < 1e-12)        // scale = abs max
+    val q = r.getSeq[Byte](3)
+    assert(q == Seq[Byte](95, -127, 0, 8))                // round(127·x/0.8)
+  }
+
+  test("SQ8 top-k with exact rerank matches brute force almost everywhere") {
+    val nrm = Similarity.normalized(Tables.embeddings(spark, sf), "vec_id", "embedding")
+    nrm.cache()
+    val q = nrm.filter(col("id") < 10)
+    val exact = Similarity.bruteForceTopK(nrm, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq = Similarity.sqTopK(nrm, q, 5, refine = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & sq).size.toDouble / exact.size
+    // int8 error is ~1/127 per component; with 4x rerank headroom the
+    // exact rerank should recover nearly all true neighbors
+    assert(recall > 0.9, s"recall=$recall")
+  }
 }
