@@ -253,6 +253,15 @@ object SparkEntry {
     // Per-interval snapshot decomposition: realized / unrealized /
     // open value / token count per (wallet, day) — the
     // wallet_pnl_snapshots row shape.
+    // Period-scoped PnL modes 1-4 (reference: calculate-pnl.ts) —
+    // FIFO fold with per-lot open-time provenance, rows-only
+    // (LedgerSpec carries the hand-computed oracle).
+    "q_pnl_period" -> ((s, d) =>
+      Ledger.periodModes(
+          Ledger.buildPeriod(s, wt(s, d), "1996-01-01", "1997-01-01").toDF(),
+          lastPrice(s, d))
+        .orderBy(col("wallet"))),
+
     "q_pnl_snapshots" -> ((s, d) =>
       Snapshots.pnlSnapshots(wt(s, d), lastPrice(s, d))
         .orderBy(col("wallet"), col("day"))),

@@ -322,6 +322,138 @@ object Ledger {
       }
   }
 
+  /** Per-(wallet, token) period PnL components (reference:
+    * calculate-pnl.ts modes 1-4 / ledger-engine.ts calculatePnl).
+    * Realized is split by lot provenance — mode 1 counts only the
+    * portion of each in-period sell consuming lots that were ALSO
+    * opened in the period; mode 2 counts every in-period sell. Open
+    * lots at end of history are split the same way so the caller can
+    * add unrealized for period-opened positions (mode 3) or all open
+    * positions (mode 4) after marking at last price. */
+  final case class PeriodPnl(wallet: Long, token_id: Long,
+                             realized_period_only: Double,
+                             realized_with_history: Double,
+                             open_qty_period: Double, open_basis_period: Double,
+                             open_qty_all: Double, open_basis_all: Double)
+
+  private final case class TsLot(var qty: Double, unitCost: Double,
+                                 openTs: java.sql.Timestamp)
+
+  /** FIFO fold with per-lot open-time provenance (buy/sell fills
+    * only — the shape calculate-pnl.ts runs on). Oversold quantity
+    * carries zero basis and counts as history, not period-opened. */
+  def foldWalletPeriod(fills: Iterator[Fill],
+                       periodStart: java.sql.Timestamp,
+                       periodEnd: java.sql.Timestamp): Iterator[PeriodPnl] = {
+    val lots = mutable.Map.empty[Long, mutable.Queue[TsLot]]
+    var wallet = 0L
+    val realized1 = mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    val realized2 = mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    fills.foreach { f =>
+      wallet = f.wallet
+      if (f.isBuy) {
+        val unit = if (f.qty > 0) f.usd / f.qty else 0.0
+        lots.getOrElseUpdate(f.tokenId, mutable.Queue.empty) +=
+          TsLot(f.qty, unit, f.ts)
+      } else {
+        val sellPrice = if (f.qty > 0) f.usd / f.qty else 0.0
+        val inPeriod = !f.ts.before(periodStart) && f.ts.before(periodEnd)
+        val q = lots.getOrElse(f.tokenId, mutable.Queue.empty)
+        var remaining = f.qty
+        while (remaining > 1e-7 && q.nonEmpty) {
+          val lot = q.head
+          val take = math.min(remaining, lot.qty)
+          if (inPeriod) {
+            val gain = take * (sellPrice - lot.unitCost)
+            realized2(f.tokenId) += gain
+            if (!lot.openTs.before(periodStart) && lot.openTs.before(periodEnd))
+              realized1(f.tokenId) += gain
+          }
+          lot.qty -= take
+          remaining -= take
+          if (lot.qty <= 1e-7) q.dequeue()
+        }
+        // oversold remainder: zero basis, full proceeds realized (history)
+        if (remaining > 1e-7 && inPeriod)
+          realized2(f.tokenId) += remaining * sellPrice
+      }
+    }
+    val tokens = (lots.keySet ++ realized1.keySet ++ realized2.keySet).toSeq.sorted
+    tokens.iterator.map { token =>
+      val open = lots.getOrElse(token, mutable.Queue.empty)
+      val inP = open.iterator.filter(l =>
+        !l.openTs.before(periodStart) && l.openTs.before(periodEnd)).toSeq
+      PeriodPnl(wallet, token,
+        realized1(token), realized2(token),
+        inP.map(_.qty).sum, inP.map(l => l.qty * l.unitCost).sum,
+        open.iterator.map(_.qty).sum,
+        open.iterator.map(l => l.qty * l.unitCost).sum)
+    }.filter(p => p.realized_period_only != 0.0 || p.realized_with_history != 0.0 ||
+      p.open_qty_all > 1e-7)
+  }
+
+  /** Distributed period-PnL build: one shuffle by wallet, per-wallet
+    * fold (same scale shape as [[build]]). */
+  def buildPeriod(spark: SparkSession, walletTrades: DataFrame,
+                  periodStart: String, periodEnd: String): Dataset[PeriodPnl] = {
+    import spark.implicits._
+    val ps = java.sql.Timestamp.valueOf(periodStart + " 00:00:00")
+    val pe = java.sql.Timestamp.valueOf(periodEnd + " 00:00:00")
+    val fills: Dataset[Fill] = walletTrades.select(
+        col("wallet").cast("long").as("wallet"),
+        col("ts"),
+        col("trade_id").cast("long").as("seq"),
+        col("token_id").cast("long").as("tokenId"),
+        (col("side") === "buy").as("isBuy"),
+        col("qty").cast("double").as("qty"),
+        col("usd").cast("double").as("usd"),
+        lit(0.0).as("fee"), lit("").as("kind"), lit(0L).as("tokenId2"))
+      .as[Fill]
+    fills
+      .repartition(col("wallet"))
+      .sortWithinPartitions(col("wallet"), col("ts"), col("seq"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[PeriodPnl] {
+          private var cur: Iterator[PeriodPnl] = Iterator.empty
+          def hasNext: Boolean = {
+            while (!cur.hasNext && buf.hasNext) {
+              val w = buf.head.wallet
+              val fs = mutable.ArrayBuffer.empty[Fill]
+              while (buf.hasNext && buf.head.wallet == w) fs += buf.next()
+              cur = foldWalletPeriod(fs.iterator, ps, pe)
+            }
+            cur.hasNext
+          }
+          def next(): PeriodPnl = { hasNext; cur.next() }
+        }
+      }
+  }
+
+  /** The four reference PnL modes per wallet (calculate-pnl.ts):
+    * mode 1 realized period-only, mode 2 realized with history,
+    * mode 3 = 1 + unrealized on period-opened positions,
+    * mode 4 = 2 + unrealized on all open positions — unrealized marks
+    * open lots at the broadcast last price. */
+  def periodModes(period: DataFrame, lastPrice: DataFrame): DataFrame =
+    period
+      .join(broadcast(lastPrice.select(col("token_id"), col("last_price"))),
+        Seq("token_id"), "left")
+      .withColumn("lp", coalesce(col("last_price"), lit(0.0)))
+      .groupBy(col("wallet"))
+      .agg(
+        sum(floor(col("realized_period_only") * 1e4).cast("long")).as("m1_s"),
+        sum(floor(col("realized_with_history") * 1e4).cast("long")).as("m2_s"),
+        sum(floor((col("open_qty_period") * col("lp") - col("open_basis_period"))
+          * 1e4).cast("long")).as("up_s"),
+        sum(floor((col("open_qty_all") * col("lp") - col("open_basis_all"))
+          * 1e4).cast("long")).as("ua_s"))
+      .select(col("wallet"),
+        (col("m1_s") / 10000.0).as("realized_period_only"),
+        (col("m2_s") / 10000.0).as("realized_with_history"),
+        ((col("m1_s") + col("up_s")) / 10000.0).as("realized_plus_unrealized_period"),
+        ((col("m2_s") + col("ua_s")) / 10000.0).as("total_pnl"))
+
   /** Wallet-level realized PnL summary from the ledger rows
     * (reference: PnlResult realizedFromSells / realizedFromFees /
     * totalRealized). */

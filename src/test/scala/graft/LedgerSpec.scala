@@ -118,6 +118,40 @@ class LedgerSpec extends SparkSpec {
     assert(math.abs(rows(1).realized_pnl - 4.0) < 1e-9)
   }
 
+  test("period PnL modes: lot provenance splits realized and unrealized") {
+    import graft.operators.Ledger.PeriodPnl
+    val ps = Timestamp.valueOf("2024-06-01 00:00:00")
+    val pe = Timestamp.valueOf("2024-07-01 00:00:00")
+    def t(s: String) = Timestamp.valueOf(s)
+    val fills = Seq(
+      // token 100: lot opened BEFORE period @1.00, sold IN period @3.00
+      //   → mode2 realized +20, mode1 nothing (lot predates period)
+      Fill(1, t("2024-05-01 00:00:00"), 1, 100, isBuy = true, qty = 10, usd = 10.0),
+      Fill(1, t("2024-06-10 00:00:00"), 2, 100, isBuy = false, qty = 10, usd = 30.0),
+      // token 200: opened IN period @2.00, half sold IN period @5.00
+      //   → mode1 = mode2 = +15; 5 left open, period-opened, basis 10
+      Fill(1, t("2024-06-05 00:00:00"), 3, 200, isBuy = true, qty = 10, usd = 20.0),
+      Fill(1, t("2024-06-20 00:00:00"), 4, 200, isBuy = false, qty = 5, usd = 25.0),
+      // token 300: opened BEFORE period @1.00, never sold
+      //   → open (history) 4 @1.00
+      Fill(1, t("2024-01-01 00:00:00"), 5, 300, isBuy = true, qty = 4, usd = 4.0),
+      // token 400: sold AFTER the period — no realized in any mode
+      Fill(1, t("2024-06-15 00:00:00"), 6, 400, isBuy = true, qty = 2, usd = 2.0),
+      Fill(1, t("2024-08-01 00:00:00"), 7, 400, isBuy = false, qty = 2, usd = 6.0))
+    val out = Ledger.foldWalletPeriod(fills.iterator, ps, pe)
+      .map(p => p.token_id -> p).toMap
+    val t100 = out(100L)
+    assert(math.abs(t100.realized_with_history - 20.0) < 1e-9)
+    assert(t100.realized_period_only == 0.0 && t100.open_qty_all == 0.0)
+    val t200 = out(200L)
+    assert(math.abs(t200.realized_period_only - 15.0) < 1e-9)
+    assert(math.abs(t200.realized_with_history - 15.0) < 1e-9)
+    assert(t200.open_qty_period == 5.0 && math.abs(t200.open_basis_period - 10.0) < 1e-9)
+    val t300 = out(300L)
+    assert(t300.open_qty_all == 4.0 && t300.open_qty_period == 0.0)
+    assert(!out.contains(400L) || out(400L).realized_with_history == 0.0)
+  }
+
   test("DataFrame-dim resolution settlement matches the Map-based fold") {
     import org.apache.spark.sql.functions._
     val wt = operators.Leaderboard.walletTrades(model.Tables.trades(spark, sf))
