@@ -280,6 +280,16 @@ object SparkEntry {
       Leaderboard.auditOnePass(wt(s, d), "1996-01-01", "1997-01-01", 100)
         .orderBy(col("wallet"))),
 
+    // Per-market top-3 wallets by volume (market-scoped leaderboard).
+    "q_top_per_market" -> ((s, d) =>
+      Leaderboard.topPerMarket(wt(s, d), markets(s, d), 3)
+        .orderBy(col("market"), col("rank"))),
+
+    // Weekly cohort retention matrix over the event stream.
+    "q_retention" -> ((s, d) =>
+      Cohorts.retention(Tables.eventStream(s, d), "wallet", "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
     // Generalized ledger over the full event-type surface: buy/sell
     // fills plus split/merge/transfer events synthesized
     // deterministically from the trade stream (reference:
@@ -1359,6 +1369,37 @@ object SparkEntry {
         |    CAST(COUNT(*) AS DOUBLE)) < 0.5 AS keep
         |FROM seg s JOIN d USING (seg)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "q_top_per_market" ->
+      s"""WITH $WT,
+        |vol AS (
+        |  SELECT p.p_brand AS market, wallet,
+        |    CAST(SUM(CAST(usd AS DECIMAL(18,4))) AS DOUBLE) AS volume_usd,
+        |    COUNT(*) AS trades
+        |  FROM wt JOIN part p ON wt.token_id = p.p_partkey
+        |  WHERE wallet NOT IN (1000001, 1000002)
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT market, wallet, volume_usd, trades,
+        |    CAST(row_number() OVER (PARTITION BY market
+        |      ORDER BY volume_usd DESC, wallet) AS BIGINT) AS rank
+        |  FROM vol)
+        |SELECT market, rank, wallet, volume_usd, trades
+        |FROM ranked WHERE rank <= 3 ORDER BY market, rank""".stripMargin,
+
+    "q_retention" ->
+      s"""WITH $EV,
+        |weekly AS (
+        |  SELECT DISTINCT wallet AS u,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM ev),
+        |cohort AS (
+        |  SELECT u, MIN(week) AS cohort_week FROM weekly GROUP BY u)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
+        |  COUNT(*) AS users
+        |FROM weekly JOIN cohort USING (u)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_sql_market_volume" ->
       s"""WITH $WT

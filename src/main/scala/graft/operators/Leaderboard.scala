@@ -112,6 +112,28 @@ object Leaderboard {
         (col("rank_a").isNotNull && col("rank_b").isNotNull).as("in_both"))
   }
 
+  /** Top-n wallets per market by volume (the per-market leaderboard
+    * shape of the /leaderboard?market= path): one volume groupBy over
+    * the corpus, then a row_number window partitioned by market over
+    * the already-aggregated (market, wallet) rows — the window input
+    * is aggregate-sized, never raw trades. */
+  def topPerMarket(walletTrades: DataFrame, markets: DataFrame,
+                   n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vol = walletTrades
+      .filter(!col("wallet").isin(ExcludedWallets: _*))
+      .join(broadcast(markets), Seq("token_id"))
+      .groupBy(col("market"), col("wallet"))
+      .agg(sum(col("usd")).cast("double").as("volume_usd"),
+        count(lit(1)).as("trades"))
+    val w = Window.partitionBy(col("market"))
+      .orderBy(col("volume_usd").desc, col("wallet"))
+    vol.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select(col("market"), col("rank"), col("wallet"),
+        col("volume_usd"), col("trades"))
+  }
+
   /** One-pass [[audit]] of the all-time leaderboard against a
     * time-window leaderboard: both metric sets are conditional
     * aggregates of a single wallet groupBy, so the corpus is scanned
