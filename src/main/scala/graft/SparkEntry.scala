@@ -481,7 +481,7 @@ object SparkEntry {
 
     "q_ann_ivf" -> ((s, d) => {
       val nrm = Similarity.normalized(Tables.embeddings(s, d), "vec_id", "embedding")
-      val model = IvfIndex.build(s, nrm, nlist = 16)
+      val model = IvfIndex.buildCached(s, nrm, corpusKey = d, nlist = 16)
       IvfIndex.topK(s, model, nrm.filter(col("id") < 5), k = 10, nprobe = 4)
         .orderBy(col("query_id"), col("rank"))
     }),

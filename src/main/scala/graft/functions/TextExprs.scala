@@ -108,3 +108,53 @@ object MinHashSig {
   def minhash_sig(hashes: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashes), k))
 }
+
+/** Occurrence counts of each stopword set in a space-separated text,
+  * one pass over the words (multiplicity counted — same semantics as
+  * `size(filter(words, isin(set)))`, which is a CodegenFallback
+  * higher-order tree evaluated once per set). Drives language ID and
+  * quality scoring. */
+case class StopwordVotes(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val lookup: Array[java.util.HashSet[String]] =
+    sets.map { s =>
+      val h = new java.util.HashSet[String]()
+      s.foreach(h.add)
+      h
+    }.toArray
+
+  def computeVotes(text: UTF8String): ArrayData = {
+    val words = text.toString.trim.split(" +", -1)
+    val counts = new Array[Int](lookup.length)
+    var i = 0
+    while (i < words.length) {
+      var s = 0
+      while (s < lookup.length) {
+        if (lookup(s).contains(words(i))) counts(s) += 1
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts.map(Int.box).asInstanceOf[Array[Any]])
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeVotes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("votes", this,
+      classOf[StopwordVotes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.computeVotes($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordVotes =
+    copy(child = newChild)
+}
+
+object StopwordVotes {
+  def stopword_votes(text: Column, sets: Seq[Seq[String]]): Column =
+    ColumnBridge.column(StopwordVotes(ColumnBridge.expression(text), sets))
+}

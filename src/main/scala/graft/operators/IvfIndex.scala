@@ -18,6 +18,9 @@ object IvfIndex {
 
   final case class Model(centroids: Array[Array[Double]], assigned: DataFrame)
 
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Model]()
+
   /** Cluster the corpus (id, unit) into nlist cells. */
   def build(spark: SparkSession, corpus: DataFrame, nlist: Int,
             seed: Long = 42L): Model = {
@@ -26,8 +29,19 @@ object IvfIndex {
       .setPredictionCol("cell")
     val m = km.fit(vecs)
     val assigned = m.transform(vecs).select(col("id"), col("unit"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Model(m.clusterCenters.map(_.toArray), assigned)
   }
+
+  /** Session-cached [[build]] keyed by a caller-chosen corpus key
+    * (e.g. the table path): an IVF index is built once at ingest and
+    * probed by every query — the reference's persistent-index
+    * semantics, same policy as [[graft.model.Views]]. */
+  def buildCached(spark: SparkSession, corpus: DataFrame, corpusKey: String,
+                  nlist: Int, seed: Long = 42L): Model =
+    cache.computeIfAbsent(
+      (spark.sparkContext.applicationId, corpusKey, nlist),
+      _ => build(spark, corpus, nlist, seed))
 
   /** Top-k per query probing the nprobe nearest cells. */
   def topK(spark: SparkSession, model: Model, queries: DataFrame, k: Int,

@@ -16,11 +16,15 @@ object TextAnalysis {
     split(trim(text), " +")
 
   /** Tokens, chars, words, punctuation/digit/space ratios, stopword
-    * ratio, mean word length — the usual quality-filter features. */
+    * ratio, mean word length — the usual quality-filter features.
+    * Stopword counting is a native one-pass expression
+    * ([[graft.functions.StopwordVotes]]) instead of a CodegenFallback
+    * `filter(words, isin)` tree. */
   def quality(text: Column): Column = {
     val n = length(text).cast("double")
     val w = words(text)
-    val stop = size(filter(w, c => c.isin(StopwordsEn: _*)))
+    val stop = element_at(
+      graft.functions.StopwordVotes.stopword_votes(text, Seq(StopwordsEn)), 1)
     struct(
       length(text).as("n_chars"),
       size(w).as("n_words"),
@@ -42,16 +46,19 @@ object TextAnalysis {
   }
 
   /** Stopword-vote language ID over a fixed language set. Ties break
-    * by the order of `langs` (first wins). */
+    * by the order of `langs` (first wins). All four stopword counts
+    * come from ONE pass over the words (native
+    * [[graft.functions.StopwordVotes]]); the argmax is a small
+    * when-fold over the counts array. */
   def langId(text: Column): Column = {
     val langs: Seq[(String, Seq[String])] = Seq(
       "en" -> StopwordsEn,
       "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
       "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "pas"),
       "es" -> Seq("el", "los", "las", "y", "es", "un", "una", "no"))
-    val w = words(text)
-    val scores = langs.map { case (lang, stops) =>
-      lit(lang).as("lang") -> size(filter(w, c => c.isin(stops: _*)))
+    val votes = graft.functions.StopwordVotes.stopword_votes(text, langs.map(_._2))
+    val scores = langs.zipWithIndex.map { case ((lang, _), i) =>
+      lit(lang) -> element_at(votes, i + 1)
     }
     // greatest-by: fold into (bestLang, bestScore)
     scores.tail.foldLeft(
