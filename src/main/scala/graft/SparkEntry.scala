@@ -27,6 +27,8 @@ object SparkEntry {
     graft.model.Views.balances(s, d)
   private def lastPrice(s: SparkSession, d: String) =
     graft.model.Views.lastPrice(s, d)
+  private def dailyFlows(s: SparkSession, d: String) =
+    graft.model.Views.dailyFlows(s, d)
   private def markets(s: SparkSession, d: String) =
     Tables.part(s, d).select(col("p_partkey").cast("long").as("token_id"),
       col("p_brand").as("market"))
@@ -114,7 +116,8 @@ object SparkEntry {
 
     "q_portfolio_resample" -> ((s, d) =>
       Snapshots.downsample(
-          Snapshots.portfolioHistory(wt(s, d), lastPrice(s, d)), "day", "week",
+          Snapshots.portfolioHistoryFromDaily(dailyFlows(s, d), lastPrice(s, d)),
+          "day", "week",
           Seq("cum_cashflow", "portfolio_value", "total_value"))
         .orderBy(col("wallet"), col("bucket"))),
 
@@ -147,7 +150,7 @@ object SparkEntry {
         .orderBy(col("token_id"), col("holder_rank"))),
 
     "q_portfolio_history" -> ((s, d) =>
-      Snapshots.portfolioHistory(wt(s, d), lastPrice(s, d))
+      Snapshots.portfolioHistoryFromDaily(dailyFlows(s, d), lastPrice(s, d))
         .orderBy(col("wallet"), col("day"))),
 
     "q_portfolio_light" -> ((s, d) =>
@@ -263,7 +266,7 @@ object SparkEntry {
         .orderBy(col("wallet"))),
 
     "q_pnl_snapshots" -> ((s, d) =>
-      Snapshots.pnlSnapshots(wt(s, d), lastPrice(s, d))
+      Snapshots.pnlSnapshotsFromDaily(dailyFlows(s, d), lastPrice(s, d))
         .orderBy(col("wallet"), col("day"))),
 
     // Current-version projection of the SCD2 history (reference:

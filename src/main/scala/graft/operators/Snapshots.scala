@@ -38,11 +38,26 @@ object Snapshots {
           .as("cashflow_dec"),
         sum(when(col("side") === "buy", col("qty")).otherwise(-col("qty"))
           .cast("decimal(18,4)")).as("qty_dec"))
+    portfolioHistoryFromDaily(daily, lastPrice)
+  }
+
+  /** [[portfolioHistory]] over pre-maintained wallet-day flow partials
+    * (`graft.model.Views.dailyFlows` — the reference's ingest-time
+    * MV): the raw-trade groupBy is skipped entirely; the partials are
+    * orders of magnitude smaller than the trades. Accepts either the
+    * (cashflow_dec, qty_dec) shape or the buy/sell flow shape. */
+  def portfolioHistoryFromDaily(daily: DataFrame, lastPrice: DataFrame): DataFrame = {
+    val cols = daily.columns.toSet
+    val shaped =
+      if (cols("cashflow_dec")) daily
+      else daily.select(col("wallet"), col("token_id"), col("day"),
+        (col("sell_usd_d") - col("buy_usd_d")).as("cashflow_dec"),
+        (col("buy_qty_d") - col("sell_qty_d")).as("qty_dec"))
     // Product-of-doubles summands are scaled ×10⁴ and floored to
     // BIGINT: floor depends only on the binary double (identical in
     // any engine), and integer sums are exact — so the running totals
     // are bit-reproducible.
-    val perDay = daily
+    val perDay = shaped
       .join(broadcast(lastPrice.select(col("token_id"), col("last_price"))),
         Seq("token_id"), "left")
       .withColumn("value_delta_s",
@@ -141,6 +156,12 @@ object Snapshots {
         sum(when(col("side") === "sell", col("usd")).otherwise(dec0)).as("sell_usd_d"),
         sum(when(col("side") === "sell", col("qty")).otherwise(lit(0))
           .cast("decimal(18,4)")).as("sell_qty_d"))
+    pnlSnapshotsFromDaily(daily, lastPrice)
+  }
+
+  /** [[pnlSnapshots]] over the pre-maintained wallet-day flow MV
+    * (`graft.model.Views.dailyFlows`) — skips the raw-trade groupBy. */
+  def pnlSnapshotsFromDaily(daily: DataFrame, lastPrice: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("wallet"), col("token_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val state = daily
