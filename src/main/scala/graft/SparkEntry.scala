@@ -532,6 +532,17 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint64(col("text")).as("fp64"))
         .orderBy(col("doc_id"))),
 
+    // Eval-set decontamination (GPT-3 appendix C, 13-gram overlap):
+    // every 10th doc poses as the benchmark; the rest is the corpus.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 13)
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals (dup n-gram fractions, top-bigram
     // coverage) per document.
     "q_doc_repetition" -> ((s, d) =>
@@ -1321,6 +1332,27 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT query_id, rank, corpus_id, cosine FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(greatest(len(ws) - 13, 0) + 1),
+        |      i -> array_to_string(ws[(i+1):least(i+13, len(ws))], ' ')))) AS gram
+        |  FROM w),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        |m AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS contaminated_ngrams
+        |  FROM g WHERE doc_id % 10 <> 0 AND gram IN (SELECT gram FROM bench)
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(m.contaminated_ngrams, 0) AS BIGINT) AS contaminated_ngrams,
+        |  coalesce(m.contaminated_ngrams, 0) = 0 AS keep
+        |FROM documents d LEFT JOIN m USING (doc_id)
+        |WHERE d.doc_id % 10 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_doc_repetition" ->
       """WITH w AS (

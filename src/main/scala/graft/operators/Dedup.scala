@@ -186,6 +186,31 @@ object Dedup {
           < maxDupFrac).as("keep"))
   }
 
+  /** Training-corpus decontamination against an evaluation set (the
+    * GPT-3 appendix-C shape, usually run with 13-grams): a training
+    * document is contaminated when it shares any word n-gram with any
+    * benchmark document. Returns per-doc overlap counts and a keep
+    * flag — callers `filter(keep)` + left-semi to drop.
+    *
+    * Scale shape: both sides explode to (hash(n-gram)) postings; the
+    * benchmark side is distinct'd (eval sets are tiny vs the corpus)
+    * and the join is hash-on-gram — never doc × doc. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.WordNgrams.word_ngrams(col(textCol), n)).as("gram"))
+    val bench = grams(benchmark).select(xxhash64(col("gram")).as("gh")).distinct()
+    val matches = grams(docs)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .join(bench, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("contaminated_ngrams"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated_ngrams"), lit(0L)).as("contaminated_ngrams"),
+        (coalesce(col("contaminated_ngrams"), lit(0L)) === 0L).as("keep"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold via multi-table
     * random-hyperplane LSH postings. Candidates only ever form inside
     * shared buckets (one shuffle on the posting key — never a
