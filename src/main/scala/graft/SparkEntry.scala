@@ -145,6 +145,11 @@ object SparkEntry {
       Stats.marketStats(wt(s, d), balances(s, d), markets(s, d))
         .orderBy(col("market"))),
 
+    // Exact interpolated quantiles per market (CH quantile() surface).
+    "q_trade_quantiles" -> ((s, d) =>
+      Stats.tradeSizeQuantiles(wt(s, d), markets(s, d))
+        .orderBy(col("market"))),
+
     "q_top_holders" -> ((s, d) =>
       Balances.topHoldersPerToken(balances(s, d), 3)
         .orderBy(col("token_id"), col("holder_rank"))),
@@ -1404,6 +1409,16 @@ object SparkEntry {
         |    CAST(COUNT(*) AS DOUBLE)) < 0.5 AS keep
         |FROM seg s JOIN d USING (seg)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "q_trade_quantiles" ->
+      s"""WITH $WT
+        |SELECT p.p_brand AS market, COUNT(*) AS trades,
+        |  quantile_cont(CAST(qty AS DOUBLE), 0.5) AS median_qty,
+        |  quantile_cont(CAST(qty AS DOUBLE), 0.9) AS p90_qty,
+        |  quantile_cont(CAST(usd AS DOUBLE), 0.5) AS median_usd
+        |FROM wt JOIN part p ON wt.token_id = p.p_partkey
+        |GROUP BY p.p_brand
+        |ORDER BY market""".stripMargin,
 
     "q_top_per_market" ->
       s"""WITH $WT,

@@ -59,4 +59,19 @@ object Stats {
         sum(coalesce(col("holders"), lit(0L))).as("holders"),
         count(lit(1)).as("tokens"))
   }
+
+  /** Trade-size distribution per market (ClickHouse `quantile()`
+    * surface): exact interpolated median/p90 over the per-market
+    * quantity sets. `percentile` sorts within each market group —
+    * aggregate-buffer cost is the market's trade count, the same cost
+    * ClickHouse pays for exact quantiles; the approx_percentile
+    * sketch is the bounded-memory alternative at 100 TB. */
+  def tradeSizeQuantiles(walletTrades: DataFrame, markets: DataFrame): DataFrame =
+    walletTrades
+      .join(broadcast(markets), Seq("token_id"))
+      .groupBy(col("market"))
+      .agg(count(lit(1)).as("trades"),
+        expr("percentile(CAST(qty AS DOUBLE), 0.5)").as("median_qty"),
+        expr("percentile(CAST(qty AS DOUBLE), 0.9)").as("p90_qty"),
+        expr("percentile(CAST(usd AS DOUBLE), 0.5)").as("median_usd"))
 }
