@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
+import org.apache.spark.sql.functions.col
 
 /** Binary media column plumbing (SURVEY §2 #40): schema, batched
   * decode shape, typed output, dedup over checksums. */
@@ -36,5 +37,26 @@ class MultimodalSpec extends SparkSpec {
     assert(dupes.length == 1)
     assert(dupes(0).getAs[Long]("copies") == 2)
     assert(dupes(0).getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("end-to-end media retrieval: binary -> features -> ANN top-k") {
+    import graft.operators.Similarity
+    // a bigger synthetic corpus so top-k has something to rank
+    val corpus = (1L to 40L).map(i =>
+      (i, "image", s"fake-png-payload-$i".getBytes("UTF-8"))).toDF(
+      "media_id", "kind", "data")
+    val feats = Multimodal.extractFeatures(spark, corpus, dim = 16).toDF()
+      .select(col("media_id"), col("features"))
+    val nrm = Similarity.normalized(feats, "media_id", "features")
+    val hits = Similarity.sqTopK(nrm, nrm.filter(col("id") <= 2), k = 5)
+      .collect()
+    assert(hits.length == 10)                      // 2 queries × top-5
+    val byQ = hits.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.sliding(2).forall(p => p.head >= p.last))
+    }
+    // exact self-match excluded, ranks are 1..5
+    assert(hits.forall(r => r.getLong(0) != r.getLong(2)))
   }
 }
