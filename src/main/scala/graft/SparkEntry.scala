@@ -575,6 +575,26 @@ object SparkEntry {
               |LIMIT 20""".stripMargin)
     }),
 
+    // Pure-SQL arbitrary-interval candle re-aggregation over the
+    // registered candles_1m view (the /market/candles SQL shape).
+    "q_sql_candles_4h" -> ((s, d) => {
+      graft.model.GraftCatalog.register(s, d)
+      s.sql("""WITH c4 AS (
+              |  SELECT token_id, bucket, open, high, low, close,
+              |    volume_dec, trades,
+              |    CAST(timestamp_seconds(
+              |      CAST(FLOOR(CAST(bucket AS BIGINT) / 14400) AS BIGINT) * 14400)
+              |      AS TIMESTAMP_NTZ) AS b4
+              |  FROM candles_1m)
+              |SELECT token_id, b4 AS bucket,
+              |  min_by(open, bucket) AS open, MAX(high) AS high,
+              |  MIN(low) AS low, max_by(close, bucket) AS close,
+              |  SUM(trades) AS trades,
+              |  CAST(SUM(volume_dec) AS DOUBLE) AS volume
+              |FROM c4 GROUP BY token_id, b4
+              |ORDER BY token_id, bucket""".stripMargin)
+    }),
+
     "q_sql_daily_cumvol" -> ((s, d) => {
       graft.model.GraftCatalog.register(s, d)
       s.sql("""WITH daily AS (
@@ -1460,6 +1480,26 @@ object SparkEntry {
         |GROUP BY p.p_brand
         |ORDER BY volume_usd DESC, market
         |LIMIT 20""".stripMargin,
+
+    "q_sql_candles_4h" ->
+      s"""WITH $EV,
+        |ticks AS (
+        |  SELECT token_id,
+        |    make_timestamp(CAST(FLOOR(epoch(ts)/14400) AS BIGINT) * 14400 * 1000000) AS bucket,
+        |    price, usd, ts, event_id
+        |  FROM ev),
+        |oc AS (
+        |  SELECT token_id, bucket, price, usd,
+        |    first_value(price) OVER (PARTITION BY token_id, bucket ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+        |    last_value(price) OVER (PARTITION BY token_id, bucket ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+        |  FROM ticks)
+        |SELECT token_id, bucket, MAX(o) AS open, MAX(price) AS high,
+        |  MIN(price) AS low, MAX(c) AS close, COUNT(*) AS trades,
+        |  CAST(SUM(usd) AS DOUBLE) AS volume
+        |FROM oc GROUP BY token_id, bucket
+        |ORDER BY token_id, bucket""".stripMargin,
 
     "q_sql_daily_cumvol" ->
       s"""WITH $WT,

@@ -19,6 +19,12 @@ object GraftCatalog {
     Tables.part(spark, dir).selectExpr("CAST(p_partkey AS BIGINT) AS token_id",
       "p_brand AS market", "p_name AS outcome")
       .createOrReplaceTempView("token_metadata")
+    import org.apache.spark.sql.functions.col
+    graft.operators.Candles.fromTicks(Views.eventStream(spark, dir), "minute",
+        col("token_id"), col("ts"), col("event_id"), col("price"), col("usd"))
+      .createOrReplaceTempView("candles_1m")
+    Views.dailyFlows(spark, dir).createOrReplaceTempView("wallet_daily_flows")
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
     graft.functions.GraftFunctions.register(spark)
   }
 }
