@@ -59,14 +59,17 @@ object Leaderboard {
     * AggregatingMergeTree merge path (reference:
     * wallet_leaderboard_stats_1h + countMerge/sumMerge/uniqExactMerge,
     * 002_leaderboard_aggregates.sql). Counts and sums compose
-    * additively from the rollup; the exact distinct-market count is
-    * computed via [[Skew.saltedDistinctCount]] — per-salt disjoint
-    * distincts summed per wallet — so no per-wallet token *set* ever
-    * rides a shuffle and a whale wallet cannot produce a straggler
-    * reducer (`approx_count_distinct` is the sketch alternative, shown
-    * in q_leaderboard_approx). */
+    * additively from the rollup; the exact distinct-market count
+    * comes from distinct (wallet, token) pairs re-counted per wallet —
+    * the pair groupBy spreads a whale wallet's rows across reducers by
+    * (wallet, token) hash and the per-wallet count is a partial-agg
+    * sum, so no per-wallet token *set* ever rides a shuffle and no
+    * single reducer owns a hot wallet ([[Skew.saltedDistinctCount]] is
+    * the same guarantee for value domains too large to pair-group;
+    * `approx_count_distinct` is the sketch alternative, shown in
+    * q_leaderboard_approx). */
   def leaderboardFromRollup(walletTrades: DataFrame, bucket: String, k: Int,
-                            minTrades: Int = 5, distinctSalts: Int = 16): DataFrame = {
+                            minTrades: Int = 5): DataFrame = {
     val base = walletTrades.filter(!col("wallet").isin(ExcludedWallets: _*))
     val pre = base
       .groupBy(col("wallet"), date_trunc(bucket, col("ts")).as("bucket"))
@@ -76,9 +79,8 @@ object Leaderboard {
       .agg(sum(col("t")).as("trades"),
         sum(col("v")).cast("double").as("volume_usd"),
         sum(col("c")).cast("double").as("net_cashflow_usd"))
-    val markets = Skew.saltedDistinctCount(base, col("wallet"), col("token_id"),
-        distinctSalts, "markets")
-      .withColumnRenamed("k", "wallet")
+    val markets = base.select(col("wallet"), col("token_id")).distinct()
+      .groupBy(col("wallet")).agg(count(lit(1)).as("markets"))
     sums.join(markets, Seq("wallet"))
       .select(col("wallet"), col("trades"), col("volume_usd"),
         col("net_cashflow_usd"), col("markets"))
