@@ -225,7 +225,7 @@ object SparkEntry {
         .orderBy(col("processor_id"))),
 
     "q_ledger_fifo" -> ((s, d) =>
-      Ledger.realizedSummary(Ledger.build(s, wt(s, d)).toDF())
+      Ledger.realizedSummary(graft.model.Views.ledger(s, d))
         .orderBy(col("wallet"))),
 
     "q_ledger_resolved" -> ((s, d) => {
@@ -242,7 +242,7 @@ object SparkEntry {
     // PnL mode decomposition (reference: calculate-pnl.ts PnlMode 1-4):
     // FIFO realized + mark-to-last-price unrealized + their total.
     "q_pnl_modes" -> ((s, d) => {
-      val realized = Ledger.realizedSummary(Ledger.build(s, wt(s, d)).toDF())
+      val realized = Ledger.realizedSummary(graft.model.Views.ledger(s, d))
         .select(col("wallet"), col("realized_pnl"))
       val unrealized = Positions.positions(balances(s, d), wt(s, d), lastPrice(s, d))
         .groupBy(col("wallet"))
@@ -341,7 +341,7 @@ object SparkEntry {
     }),
 
     "q_ledger_rows" -> ((s, d) =>
-      Ledger.build(s, wt(s, d)).toDF()
+      graft.model.Views.ledger(s, d)
         .orderBy(col("wallet"), col("ts"), col("seq"), col("token_id"))
         .limit(1000)),
 

@@ -51,6 +51,15 @@ object Views {
   def eventStream(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "event_stream")(Tables.eventStream(spark, dir))
 
+  /** The FIFO ledger rows, folded once per session — `wallet_ledger`
+    * is a materialized table in the reference (built by
+    * build-ledger.ts, queried by /ledger, PnL modes and
+    * reconciliation), not something recomputed per request. */
+  def ledger(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "ledger")(
+      graft.operators.Ledger.build(spark,
+        graft.operators.Leaderboard.walletTrades(trades(spark, dir))).toDF())
+
   /** Per (wallet, token_id, day) buy/sell flow partials — the
     * wallet-day MV the reference maintains at ingest
     * (wallet_pnl_snapshots feeder). Every portfolio/snapshot query
