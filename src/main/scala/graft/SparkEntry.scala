@@ -100,6 +100,17 @@ object SparkEntry {
         .orderBy(col("token_id"), col("bucket"))
     }),
 
+    // Gap-filled hourly candles (CH WITH FILL): empty hours become
+    // flat zero-volume candles at the previous close.
+    "q_candles_fill" -> ((s, d) => {
+      val ev = graft.model.Views.eventStream(s, d)
+      val c1h = Candles.finalize(Candles.reaggregate(
+        Candles.fromTicks(ev, "minute", col("token_id"), col("ts"),
+          col("event_id"), col("price"), col("usd")), "hour"))
+      Candles.gapFill(c1h, 3600)
+        .orderBy(col("token_id"), col("bucket"))
+    }),
+
     "q_last_price" -> ((s, d) =>
       lastPrice(s, d).orderBy(col("token_id"))),
 
@@ -769,6 +780,43 @@ object SparkEntry {
         |  CAST(SUM(usd) AS DOUBLE) AS volume
         |FROM oc GROUP BY token_id, bucket
         |ORDER BY token_id, bucket""".stripMargin,
+
+    "q_candles_fill" ->
+      s"""WITH $EV,
+        |ticks AS (
+        |  SELECT token_id, date_trunc('hour', ts) AS bucket, price, usd, ts, event_id
+        |  FROM ev),
+        |oc AS (
+        |  SELECT token_id, bucket, price, usd,
+        |    first_value(price) OVER (PARTITION BY token_id, bucket ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+        |    last_value(price) OVER (PARTITION BY token_id, bucket ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+        |  FROM ticks),
+        |c1h AS (
+        |  SELECT token_id, bucket, MAX(o) AS open, MAX(price) AS high,
+        |    MIN(price) AS low, MAX(c) AS close, COUNT(*) AS trades,
+        |    CAST(SUM(usd) AS DOUBLE) AS volume
+        |  FROM oc GROUP BY token_id, bucket),
+        |bounds AS (
+        |  SELECT token_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM c1h GROUP BY 1),
+        |grid AS (
+        |  SELECT token_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.token_id, g.bucket, c.open, c.high, c.low, c.close,
+        |    c.volume, c.trades,
+        |    last_value(c.close IGNORE NULLS) OVER (PARTITION BY g.token_id
+        |      ORDER BY g.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS close_ff
+        |  FROM grid g LEFT JOIN c1h c USING (token_id, bucket))
+        |SELECT token_id, bucket,
+        |  coalesce(open, close_ff) AS open, coalesce(high, close_ff) AS high,
+        |  coalesce(low, close_ff) AS low, coalesce(close, close_ff) AS close,
+        |  coalesce(volume, 0.0) AS volume,
+        |  CAST(coalesce(trades, 0) AS BIGINT) AS trades,
+        |  open IS NULL AS filled
+        |FROM j ORDER BY token_id, bucket""".stripMargin,
 
     "q_last_price" ->
       s"""WITH $TRADES,

@@ -104,6 +104,33 @@ object Candles {
     }
   }
 
+  /** Gap-fill a candle series to a dense per-token time grid — the
+    * ClickHouse `WITH FILL` / chart-API surface: buckets with no
+    * trades become flat candles at the previous close with zero
+    * volume/trades. The grid spans each token's own [min, max] bucket
+    * range (sequence + explode), the fill is one `last_value ignore
+    * nulls` window per token — grid size is #tokens × #buckets, chart
+    * cardinality, never trade cardinality. */
+  def gapFill(candles: DataFrame, stepSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = candles.groupBy(col("token_id"))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col("token_id"), explode(sequence(col("b0"), col("b1"),
+        expr(s"INTERVAL $stepSeconds SECONDS"))).as("bucket"))
+    val w = Window.partitionBy(col("token_id")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(candles, Seq("token_id", "bucket"), "left")
+      .withColumn("close_ff", last(col("close"), ignoreNulls = true).over(w))
+      .select(col("token_id"), col("bucket"),
+        coalesce(col("open"), col("close_ff")).as("open"),
+        coalesce(col("high"), col("close_ff")).as("high"),
+        coalesce(col("low"), col("close_ff")).as("low"),
+        coalesce(col("close"), col("close_ff")).as("close"),
+        coalesce(col("volume"), lit(0.0)).as("volume"),
+        coalesce(col("trades"), lit(0L)).as("trades"),
+        col("open").isNull.as("filled"))
+  }
+
   /** Last traded price per token (reference: token_last_price MV,
     * 001:552-568 — argMax over (block_number, log_index)). */
   def lastPrice(ticks: DataFrame, token: Column, ts: Column, seq: Column,
