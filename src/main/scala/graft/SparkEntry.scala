@@ -161,6 +161,11 @@ object SparkEntry {
       Stats.tradeSizeQuantiles(wt(s, d), markets(s, d))
         .orderBy(col("market"))),
 
+    // Market concentration: HHI + top-10 wallet volume share.
+    "q_market_hhi" -> ((s, d) =>
+      Stats.marketConcentration(wt(s, d), markets(s, d))
+        .orderBy(col("market"))),
+
     "q_top_holders" -> ((s, d) =>
       Balances.topHoldersPerToken(balances(s, d), 3)
         .orderBy(col("token_id"), col("holder_rank"))),
@@ -1477,6 +1482,24 @@ object SparkEntry {
         |    CAST(COUNT(*) AS DOUBLE)) < 0.5 AS keep
         |FROM seg s JOIN d USING (seg)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "q_market_hhi" ->
+      s"""WITH $WT,
+        |vol AS (
+        |  SELECT p.p_brand AS market, wallet, SUM(CAST(usd AS DECIMAL(18,4))) AS v
+        |  FROM wt JOIN part p ON wt.token_id = p.p_partkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT market, SUM(v) AS tot FROM vol GROUP BY 1),
+        |r AS (
+        |  SELECT vol.market, wallet, v, tot,
+        |    CAST(v AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+        |    row_number() OVER (PARTITION BY vol.market ORDER BY v DESC, wallet) AS rank
+        |  FROM vol JOIN tot USING (market))
+        |SELECT market, COUNT(*) AS wallets,
+        |  CAST(SUM(CAST(FLOOR(share * share * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS hhi,
+        |  CAST(SUM(CASE WHEN rank <= 10 THEN v ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |    CAST(MAX(tot) AS DOUBLE) AS top10_share
+        |FROM r GROUP BY market ORDER BY market""".stripMargin,
 
     "q_trade_quantiles" ->
       s"""WITH $WT

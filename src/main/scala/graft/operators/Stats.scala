@@ -60,6 +60,34 @@ object Stats {
         count(lit(1)).as("tokens"))
   }
 
+  /** Market concentration: Herfindahl–Hirschman index and top-10
+    * wallet volume share per market. Shares are exact decimal ratios
+    * cast to double; share² summands are scaled ×10¹² and floored to
+    * BIGINT before summing, so the cross-wallet sum is exact and
+    * order-independent (the SURVEY §3 money discipline applied to a
+    * nonlinear metric). */
+  def marketConcentration(walletTrades: DataFrame, markets: DataFrame,
+                          topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vol = walletTrades
+      .join(broadcast(markets), Seq("token_id"))
+      .groupBy(col("market"), col("wallet"))
+      .agg(sum(col("usd")).as("v"))
+    val tot = vol.groupBy(col("market")).agg(sum(col("v")).as("tot"))
+    val w = Window.partitionBy(col("market"))
+      .orderBy(col("v").desc, col("wallet"))
+    vol.join(tot, Seq("market"))
+      .withColumn("share", col("v").cast("double") / col("tot").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .groupBy(col("market"))
+      .agg(count(lit(1)).as("wallets"),
+        (sum(floor(col("share") * col("share") * 1e12).cast("long")) / 1e12)
+          .as("hhi"),
+        (sum(when(col("rank") <= topK, col("v"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          max(col("tot")).cast("double")).as("top10_share"))
+  }
+
   /** Trade-size distribution per market (ClickHouse `quantile()`
     * surface): exact interpolated median/p90 over the per-market
     * quantity sets. `percentile` sorts within each market group —
