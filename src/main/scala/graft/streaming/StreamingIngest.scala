@@ -39,6 +39,22 @@ object StreamingIngest {
         col("high"), col("low"), col("close"),
         col("volume_dec").cast("double").as("volume"), col("trades"))
 
+  /** Incremental leaderboard aggregates over a fill stream — the
+    * streaming twin of the wallet_leaderboard_stats_1h MV (update
+    * mode: each micro-batch emits the wallets whose daily bucket
+    * changed; a serving layer upserts them, exactly ClickHouse's
+    * AggregatingMergeTree merge). Watermark bounds the open-bucket
+    * state. */
+  def leaderboardStream(fills: DataFrame, watermark: String): DataFrame =
+    fills.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("wallet"))
+      .agg(count(lit(1)).as("trades"),
+        sum(col("usd")).cast("double").as("volume_usd"),
+        sum(when(col("side") === "sell", col("usd")).otherwise(-col("usd")))
+          .cast("double").as("net_cashflow_usd"))
+      .select(col("w.start").as("bucket"), col("wallet"), col("trades"),
+        col("volume_usd"), col("net_cashflow_usd"))
+
   /** Drive a streaming query from a bounded source synchronously into
     * an in-memory table (local smoke harness). */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,

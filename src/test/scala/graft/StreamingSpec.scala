@@ -50,6 +50,33 @@ class StreamingSpec extends SparkSpec {
     assert(g.getLong(1) == b.getLong(1))
   }
 
+  test("update-mode leaderboard stream converges to the batch leaderboard buckets") {
+    val fills = streamingEvents.select(col("ts"),
+      col("user_id").as("wallet"),
+      col("value").cast("decimal(18,4)").as("usd"),
+      when(col("event_id") % 2 === 0, "sell").otherwise("buy").as("side"))
+    StreamingIngest.runToMemory(spark,
+      StreamingIngest.leaderboardStream(fills, "1 hour"), "lb_stream_out",
+      outputMode = "update")
+    // update mode re-emits a (bucket, wallet) row every batch it
+    // changes — the LAST emission per key is the converged value
+    val got = spark.table("lb_stream_out")
+      .groupBy(col("bucket"), col("wallet"))
+      .agg(last(col("trades")).as("trades"),
+        last(col("volume_usd")).as("volume_usd"))
+    val ev = graft.model.Tables.eventStream(spark, sf)
+    val batch = ev.select(date_trunc("day", col("ts")).as("bucket"),
+        col("wallet"), col("usd"))
+      .groupBy(col("bucket"), col("wallet"))
+      .agg(count(lit(1)).as("trades"),
+        sum(col("usd")).cast("double").as("volume_usd"))
+    assert(got.count() == batch.count())
+    val g = got.agg(sum("trades"), sum("volume_usd")).head()
+    val b = batch.agg(sum("trades"), sum("volume_usd")).head()
+    assert(g.getLong(0) == b.getLong(0))
+    assert(math.abs(g.getDouble(1) - b.getDouble(1)) < 1e-6)
+  }
+
   test("streaming dedup drops within-watermark re-deliveries") {
     val dup = streamingEvents.unionAll(streamingEvents)
     StreamingIngest.runToMemory(spark,
