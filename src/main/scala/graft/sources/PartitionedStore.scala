@@ -31,4 +31,47 @@ object PartitionedStore {
   def readMonths(spark: SparkSession, path: String, fromYm: String,
                  toYm: String): DataFrame =
     read(spark, path).filter(col("ym") >= fromYm && col("ym") <= toYm)
+
+  /** Compact a month partition's small files into ~`targetFileBytes`
+    * outputs, preserving the in-file ORDER BY — the explicit analogue
+    * of a ClickHouse background part merge. Streaming/incremental
+    * ingest produces one small file per micro-batch/backfill slice; at
+    * 100 TB unmerged small files dominate scan cost (footer reads,
+    * scheduler overhead), so compaction is part of the table contract.
+    * Rewrites only the named partition (atomic per-partition swap via
+    * overwrite of its directory). */
+  def compactMonth(spark: SparkSession, path: String, ym: String,
+                   orderCols: Seq[String],
+                   targetFileBytes: Long = 128L << 20): Unit = {
+    val src = s"$path/ym=$ym"
+    val tmp = s"$path/.compact-$ym"
+    val part = spark.read.parquet(src)
+    val bytes = part.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f)).length()).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    // write the compacted copy aside, then swap directories — never
+    // overwrite the files the job is still reading
+    part.repartition(nOut)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(src))
+    if (!new java.io.File(tmp).renameTo(new java.io.File(src)))
+      throw new java.io.IOException(s"compaction swap failed for $src")
+  }
+
+  /** File counts per partition — the compaction trigger metric. */
+  def partitionFileStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    read(spark, path).inputFiles
+      .flatMap { f =>
+        "ym=([0-9]{6})".r.findFirstMatchIn(f).map(m =>
+          (m.group(1), new java.io.File(new java.net.URI(f)).length()))
+      }.toSeq.toDF("ym", "bytes")
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("files"), sum(col("bytes")).as("bytes"))
+  }
 }
