@@ -41,19 +41,25 @@ object Leaderboard {
     * distinct markets; operator wallets excluded, minimum activity
     * threshold (reference: HAVING totalTrades >= 5), top-k by net
     * cashflow. */
-  def leaderboard(walletTrades: DataFrame, k: Int, minTrades: Int = 5): DataFrame =
-    walletTrades
-      .filter(!col("wallet").isin(ExcludedWallets: _*))
+  def leaderboard(walletTrades: DataFrame, k: Int, minTrades: Int = 5): DataFrame = {
+    val base = walletTrades.filter(!col("wallet").isin(ExcludedWallets: _*))
+    val sums = base
       .groupBy(col("wallet"))
       .agg(
         count(lit(1)).as("trades"),
         sum(col("usd")).cast("double").as("volume_usd"),
         sum(when(col("side") === "sell", col("usd")).otherwise(-col("usd")))
-          .cast("double").as("net_cashflow_usd"),
-        countDistinct(col("token_id")).as("markets"))
+          .cast("double").as("net_cashflow_usd"))
+    // distinct (wallet, token) pairs re-counted per wallet: the same
+    // result as countDistinct but without the Expand phase doubling
+    // every input row through the aggregate (see PLANS.md r3)
+    val markets = base.select(col("wallet"), col("token_id")).distinct()
+      .groupBy(col("wallet")).agg(count(lit(1)).as("markets"))
+    sums.join(markets, Seq("wallet"))
       .filter(col("trades") >= minTrades)
       .orderBy(col("net_cashflow_usd").desc, col("wallet"))
       .limit(k)
+  }
 
   /** Leaderboard from pre-aggregated per-bucket partials — the
     * AggregatingMergeTree merge path (reference:

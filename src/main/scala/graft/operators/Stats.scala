@@ -15,7 +15,7 @@ object Stats {
     * max/min signed cashflow of a single fill. */
   def userStats(walletTrades: DataFrame): DataFrame = {
     val signed = col("signed_usd")
-    walletTrades
+    val sums = walletTrades
       .withColumn("signed_usd",
         when(col("side") === "sell", col("usd")).otherwise(-col("usd"))
           .cast("double"))
@@ -25,11 +25,19 @@ object Stats {
         sum(col("usd")).cast("double").as("volume_usd"),
         sum(when(col("side") === "buy", 1L).otherwise(0L)).as("buy_count"),
         sum(when(col("side") === "sell", 1L).otherwise(0L)).as("sell_count"),
-        countDistinct(col("token_id")).as("markets"),
         max(signed).as("best_trade_usd"),
         min(signed).as("worst_trade_usd"),
         min(col("ts")).as("first_trade_ts"),
         max(col("ts")).as("last_trade_ts"))
+    // distinct-pair markets count: no Expand doubling of the 8-state
+    // aggregate input (see PLANS.md r3)
+    val markets = walletTrades.select(col("wallet"), col("token_id")).distinct()
+      .groupBy(col("wallet")).agg(count(lit(1)).as("markets"))
+    sums.join(markets, Seq("wallet"))
+      .select(col("wallet"), col("trades"), col("volume_usd"),
+        col("buy_count"), col("sell_count"), col("markets"),
+        col("best_trade_usd"), col("worst_trade_usd"),
+        col("first_trade_ts"), col("last_trade_ts"))
   }
 
   /** Per-market stats: distinct traders, fills, volume, holder count.
@@ -40,12 +48,14 @@ object Stats {
     // Each fill appears twice in walletTrades (maker + taker row):
     // count distinct traders over both roles, but count fills/volume
     // from the taker rows only so nothing is double-counted.
-    val perToken = walletTrades
+    val tokenSums = walletTrades
       .groupBy(col("token_id"))
-      .agg(countDistinct(col("wallet")).as("traders"),
-        sum(when(col("role") === "taker", 1L).otherwise(0L)).as("fills"),
+      .agg(sum(when(col("role") === "taker", 1L).otherwise(0L)).as("fills"),
         sum(when(col("role") === "taker", col("usd"))
           .otherwise(lit(0).cast("decimal(18,4)"))).as("volume_dec"))
+    val traders = walletTrades.select(col("token_id"), col("wallet")).distinct()
+      .groupBy(col("token_id")).agg(count(lit(1)).as("traders"))
+    val perToken = tokenSums.join(traders, Seq("token_id"))
     val holders = balances.filter(col("balance") > 0)
       .groupBy(col("token_id")).agg(count(lit(1)).as("holders"))
     perToken
