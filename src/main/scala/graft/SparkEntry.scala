@@ -345,8 +345,15 @@ object SparkEntry {
         col("qty") / 2, lit(0.0), col("wallet"), lit(0L))
       val ins = synth(col("trade_id") % 19 === 0, 8, "transfer_in",
         col("qty") / 2, lit(0.0), col("wallet") + 5000000L, lit(0L))
+      val converts = synth(col("trade_id") % 23 === 0, 9, "convert",
+        col("qty") / 4, lit(0.0), col("wallet"), col("token_id") + 200000L)
+      val refunds = synth(col("trade_id") % 29 === 0, 11, "fee_refund",
+        lit(0.0), col("usd") / lit(100.0), col("wallet"), lit(0L))
+      val feeDraws = synth(col("trade_id") % 31 === 0, 12, "fee_withdrawal",
+        lit(0.0), col("usd") / lit(200.0), col("wallet"), lit(0L))
       val events = base.unionByName(splits).unionByName(merges)
-        .unionByName(outs).unionByName(ins)
+        .unionByName(outs).unionByName(ins).unionByName(converts)
+        .unionByName(refunds).unionByName(feeDraws)
       Ledger.buildEvents(s, events).toDF()
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),

@@ -152,6 +152,25 @@ object Ledger {
           addLot(f.tokenId, f.qty, unit)
           LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "transfer_in", f.qty,
             0.0, f.qty * unit, 0.0, f.fee)
+        case "convert" =>
+          // adapter conversion (ledger-engine.ts:1463-1670): qty of
+          // tokenId becomes qty of tokenId2 at the SAME FIFO basis —
+          // position changes identity, cost basis carries, nothing
+          // realizes
+          val basis = consume(f.tokenId, f.qty)
+          val unit = if (f.qty > 0) basis / f.qty else 0.0
+          addLot(f.tokenId2, f.qty, unit)
+          LedgerRow(f.wallet, f.ts, f.seq, f.tokenId2, "convert", f.qty,
+            0.0, basis, 0.0, f.fee)
+        case "fee_refund" =>
+          // fee returned to the wallet (:1811): cash in, fees_paid down
+          LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "fee_refund", 0.0,
+            f.usd, 0.0, 0.0, -f.usd)
+        case "fee_withdrawal" =>
+          // post-hoc fee charge settled from the wallet (:1838): cash
+          // out, fees_paid up
+          LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "fee_withdrawal", 0.0,
+            -f.usd, 0.0, 0.0, f.usd)
         case other =>
           throw new IllegalArgumentException(s"unknown ledger event kind '$other'")
       }

@@ -118,6 +118,32 @@ class LedgerSpec extends SparkSpec {
     assert(math.abs(rows(1).realized_pnl - 4.0) < 1e-9)
   }
 
+  test("convert carries FIFO basis to the new token; fee events move cash and fees only") {
+    val fills = Seq(
+      Fill(1, ts(1), 1, 100, isBuy = true, qty = 10, usd = 10.0),  // @1.00
+      Fill(1, ts(2), 2, 100, isBuy = true, qty = 10, usd = 30.0),  // @3.00
+      // convert 12 of token 100 → token 500: basis 10·1 + 2·3 = 16
+      Fill(1, ts(3), 3, 100, isBuy = false, qty = 12, usd = 0.0,
+        kind = "convert", tokenId2 = 500),
+      // sell all 12 of token 500 @2.00: realized 24 − 16 = 8
+      Fill(1, ts(4), 4, 500, isBuy = false, qty = 12, usd = 24.0),
+      Fill(1, ts(5), 5, 0, isBuy = false, qty = 0, usd = 3.0, kind = "fee_refund"),
+      Fill(1, ts(6), 6, 0, isBuy = false, qty = 0, usd = 1.0, kind = "fee_withdrawal"))
+    val rows = Ledger.foldWallet(fills.iterator).toSeq
+    val conv = rows(2); val sell = rows(3); val refund = rows(4); val draw = rows(5)
+    assert(conv.event_type == "convert" && conv.token_id == 500)
+    assert(math.abs(conv.cost_basis - 16.0) < 1e-9 && conv.realized_pnl == 0.0)
+    assert(math.abs(sell.cost_basis - 16.0) < 1e-9)
+    assert(math.abs(sell.realized_pnl - 8.0) < 1e-9)
+    assert(refund.usd_delta == 3.0 && refund.fee == -3.0 && refund.qty == 0.0)
+    assert(draw.usd_delta == -1.0 && draw.fee == 1.0)
+    // token 100 still holds 8 @3.00 after the partial convert
+    val open = Ledger.foldWalletOpen(fills.iterator).toSeq
+      .filter(_.event_type == "_open")
+    assert(open.map(r => r.token_id -> r.qty).toMap == Map(100L -> 8.0))
+    assert(math.abs(open.head.cost_basis - 24.0) < 1e-9)
+  }
+
   test("period PnL modes: lot provenance splits realized and unrealized") {
     import graft.operators.Ledger.PeriodPnl
     val ps = Timestamp.valueOf("2024-06-01 00:00:00")
