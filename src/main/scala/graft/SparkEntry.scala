@@ -149,6 +149,11 @@ object SparkEntry {
     "q_activity" -> ((s, d) =>
       Activity.feed(Tables.events(s, d), Seq("purchase", "click"), 100, 50)),
 
+    // Keyset-cursor page of the feed (pushed predicate, no offset skip).
+    "q_activity_cursor" -> ((s, d) =>
+      Activity.feedAfter(Tables.events(s, d), Seq("purchase", "click"),
+        "2024-01-25 00:00:00", 50000L, 100)),
+
     "q_token_trades" -> ((s, d) =>
       Activity.tokenTrades(trades(s, d), 7L, 100)),
 
@@ -947,6 +952,13 @@ object SparkEntry {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
         |FROM events WHERE event_type IN ('purchase', 'click')
         |ORDER BY ts DESC, event_id DESC LIMIT 100 OFFSET 50""".stripMargin,
+
+    "q_activity_cursor" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM events WHERE event_type IN ('purchase', 'click')
+        |  AND (CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-25 00:00:00'
+        |    OR (CAST(ts AS TIMESTAMP) = TIMESTAMP '2024-01-25 00:00:00' AND event_id < 50000))
+        |ORDER BY ts DESC, event_id DESC LIMIT 100""".stripMargin,
 
     "q_token_trades" ->
       s"""WITH $TRADES

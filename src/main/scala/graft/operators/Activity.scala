@@ -20,6 +20,20 @@ object Activity {
       .orderBy(col("ts").desc, col("event_id").desc)
       .offset(offset).limit(limit)
 
+  /** Keyset-paginated feed — the scale-correct cursor form the
+    * reference's API uses: the `(ts, event_id) < cursor` predicate is
+    * pushed to the scan, so page N costs the same as page 1 (an
+    * `offset` skip instead sorts and discards N·limit rows). Cursor =
+    * the last row of the previous page. */
+  def feedAfter(events: DataFrame, types: Seq[String], cursorTs: String,
+                cursorId: Long, limit: Int): DataFrame =
+    events
+      .filter(col("event_type").isin(types: _*))
+      .filter(col("ts") < lit(cursorTs) ||
+        (col("ts") === lit(cursorTs) && col("event_id") < cursorId))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(limit)
+
   /** Trade history for one token, newest first (PushedFilters does the
     * work of ClickHouse's bloom_filter skip index). */
   def tokenTrades(trades: DataFrame, tokenId: Long, limit: Int): DataFrame =
