@@ -64,4 +64,23 @@ object StreamingIngest {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Sink a stream into the monthly-partitioned warehouse layout via
+    * foreachBatch: each micro-batch appends month-partitioned,
+    * order-sorted parquet (one small file set per batch —
+    * [[graft.sources.PartitionedStore.compactMonth]] is the
+    * background-merge half of the contract). This is the ingest path
+    * that feeds every batch query in the engine. */
+  def sinkMonthly(stream: DataFrame, tsCol: String, path: String,
+                  orderCols: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.withColumn("ym", date_format(col(tsCol), "yyyyMM"))
+          .repartition(col("ym"))
+          .sortWithinPartitions(("ym" +: orderCols).map(col): _*)
+          .write.partitionBy("ym").mode("append").parquet(path)
+      }
+      .start()
 }

@@ -77,6 +77,23 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(g.getDouble(1) - b.getDouble(1)) < 1e-6)
   }
 
+  test("foreachBatch sink lands month-partitioned parquet that compaction can merge") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-sink-ck").toString
+    val q = StreamingIngest.sinkMonthly(streamingEvents, "ts", s"$out/events",
+      Seq("event_id"), ck)
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(s"$out/events")
+    val src = graft.model.Tables.events(spark, sf)
+    assert(landed.count() == src.count())
+    assert(landed.select(col("ym")).distinct().count() == 1)  // one month of data
+    // the landed layout is the PartitionedStore layout: pruning works
+    val pruned = graft.sources.PartitionedStore
+      .readMonths(spark, s"$out/events", "202401", "202401")
+    assert(pruned.count() == src.count())
+  }
+
   test("streaming dedup drops within-watermark re-deliveries") {
     val dup = streamingEvents.unionAll(streamingEvents)
     StreamingIngest.runToMemory(spark,
