@@ -314,6 +314,13 @@ object SparkEntry {
       Leaderboard.topPerMarket(wt(s, d), markets(s, d), 3)
         .orderBy(col("market"), col("rank"))),
 
+    // windowFunnel: view → click → purchase within 24h per wallet.
+    "q_funnel" -> ((s, d) =>
+      Funnel.windowFunnel(Tables.eventStream(s, d), "wallet", "ts",
+          "event_type", Seq("view", "click", "purchase"), 24)
+        .withColumnRenamed("user", "wallet")
+        .orderBy(col("wallet"))),
+
     // Weekly cohort retention matrix over the event stream.
     "q_retention" -> ((s, d) =>
       Cohorts.retention(Tables.eventStream(s, d), "wallet", "ts")
@@ -1546,6 +1553,29 @@ object SparkEntry {
         |  FROM vol)
         |SELECT market, rank, wallet, volume_usd, trades
         |FROM ranked WHERE rank <= 3 ORDER BY market, rank""".stripMargin,
+
+    "q_funnel" ->
+      s"""WITH $EV,
+        |s1 AS (
+        |  SELECT wallet AS u, MIN(ts) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.wallet AS u, MIN(e.ts) AS t2
+        |  FROM ev e JOIN s1 ON e.wallet = s1.u
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.wallet AS u, MIN(e.ts) AS t3
+        |  FROM ev e JOIN s1 ON e.wallet = s1.u JOIN s2 ON e.wallet = s2.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+        |  GROUP BY 1)
+        |SELECT s1.u AS wallet, t1, t2, t3,
+        |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |    ELSE 1 END AS level
+        |FROM s1 LEFT JOIN s2 USING (u) LEFT JOIN s3 USING (u)
+        |ORDER BY wallet""".stripMargin,
 
     "q_retention" ->
       s"""WITH $EV,
