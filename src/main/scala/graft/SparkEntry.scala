@@ -321,6 +321,26 @@ object SparkEntry {
         .withColumnRenamed("user", "wallet")
         .orderBy(col("wallet"))),
 
+    // Funnel conversion summary (users per reached level).
+    "q_funnel_summary" -> ((s, d) =>
+      Funnel.funnelSummary(
+          Funnel.windowFunnel(Tables.eventStream(s, d), "wallet", "ts",
+            "event_type", Seq("view", "click", "purchase"), 24))
+        .orderBy(col("level"))),
+
+    // Daily active / new wallets over the event stream.
+    "q_active_wallets" -> ((s, d) => {
+      val daily = Tables.eventStream(s, d)
+        .select(col("wallet"), date_trunc("day", col("ts")).cast("date").as("day"))
+        .distinct()
+      val first = daily.groupBy(col("wallet")).agg(min(col("day")).as("first_day"))
+      daily.join(first, Seq("wallet"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("active"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_wallets"))
+        .orderBy(col("day"))
+    }),
+
     // Weekly cohort retention matrix over the event stream.
     "q_retention" -> ((s, d) =>
       Cohorts.retention(Tables.eventStream(s, d), "wallet", "ts")
@@ -1576,6 +1596,42 @@ object SparkEntry {
         |    ELSE 1 END AS level
         |FROM s1 LEFT JOIN s2 USING (u) LEFT JOIN s3 USING (u)
         |ORDER BY wallet""".stripMargin,
+
+    "q_funnel_summary" ->
+      s"""WITH $EV,
+        |s1 AS (
+        |  SELECT wallet AS u, MIN(ts) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.wallet AS u, MIN(e.ts) AS t2
+        |  FROM ev e JOIN s1 ON e.wallet = s1.u
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.wallet AS u, MIN(e.ts) AS t3
+        |  FROM ev e JOIN s1 ON e.wallet = s1.u JOIN s2 ON e.wallet = s2.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |    ELSE 1 END AS level
+        |  FROM s1 LEFT JOIN s2 USING (u) LEFT JOIN s3 USING (u))
+        |SELECT level, COUNT(*) AS users FROM f GROUP BY level
+        |ORDER BY level""".stripMargin,
+
+    "q_active_wallets" ->
+      s"""WITH $EV,
+        |daily AS (
+        |  SELECT DISTINCT wallet, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM ev),
+        |first AS (SELECT wallet, MIN(day) AS first_day FROM daily GROUP BY 1)
+        |SELECT day, COUNT(*) AS active,
+        |  CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_wallets
+        |FROM daily JOIN first USING (wallet)
+        |GROUP BY day ORDER BY day""".stripMargin,
 
     "q_retention" ->
       s"""WITH $EV,
