@@ -1518,16 +1518,21 @@ object SparkEntry {
         |        i -> array_to_string(ws[((i-1)*10+1):(i*10)], ' '))
         |      ELSE [] END) AS seg
         |  FROM w),
-        |d AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM seg GROUP BY 1)
-        |SELECT s.doc_id,
-        |  CAST(COUNT(*) AS BIGINT) AS n_segments,
-        |  CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_segments,
-        |  CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
-        |    CAST(COUNT(*) AS DOUBLE) AS dup_segment_frac,
-        |  (CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) /
-        |    CAST(COUNT(*) AS DOUBLE)) < 0.5 AS keep
-        |FROM seg s JOIN d USING (seg)
-        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+        |d AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM seg GROUP BY 1),
+        |per AS (
+        |  SELECT s.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |    CAST(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_segments
+        |  FROM seg s JOIN d USING (seg) GROUP BY s.doc_id)
+        |SELECT w.doc_id,
+        |  COALESCE(per.n_segments, 0) AS n_segments,
+        |  COALESCE(per.dup_segments, 0) AS dup_segments,
+        |  COALESCE(CAST(per.dup_segments AS DOUBLE) /
+        |    CAST(per.n_segments AS DOUBLE), 0.0) AS dup_segment_frac,
+        |  COALESCE(CAST(per.dup_segments AS DOUBLE) /
+        |    CAST(per.n_segments AS DOUBLE) < 0.5, true) AS keep
+        |FROM w LEFT JOIN per USING (doc_id)
+        |ORDER BY w.doc_id""".stripMargin,
 
     "q_market_hhi" ->
       s"""WITH $WT,

@@ -167,23 +167,27 @@ object Dedup {
   def segmentDuplication(docs: DataFrame, idCol: String, textCol: String,
                          chunk: Int = 10, maxDupFrac: Double = 0.5): DataFrame = {
     val ws = split(trim(col(textCol)), " +")
+    // explode_outer: docs shorter than one chunk keep a (doc_id, null)
+    // row, so the audit covers EVERY document — a plain explode would
+    // silently drop short docs from the output and a filter(keep) +
+    // semi-join caller would lose them with no signal
     val windows = docs.select(col(idCol).as("doc_id"), ws.as("ws"))
-      .select(col("doc_id"), explode(
+      .select(col("doc_id"), explode_outer(
         when(size(col("ws")) >= chunk,
           transform(sequence(lit(1), (size(col("ws")) / lit(chunk)).cast("int")),
             i => concat_ws(" ", slice(col("ws"), (i - 1) * chunk + 1, lit(chunk)))))
           .otherwise(array().cast("array<string>"))).as("seg"))
-    val perSeg = windows.groupBy(col("seg"))
+    val perSeg = windows.filter(col("seg").isNotNull).groupBy(col("seg"))
       .agg(countDistinct(col("doc_id")).as("nd"))
-    windows.join(perSeg, Seq("seg"))
+    val frac = when(col("n_segments") === 0L, lit(0.0))
+      .otherwise(col("dup_segments").cast("double") / col("n_segments").cast("double"))
+    windows.join(perSeg, Seq("seg"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_segments"),
+      .agg(count(col("seg")).as("n_segments"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_segments"))
       .select(col("doc_id"), col("n_segments"), col("dup_segments"),
-        (col("dup_segments").cast("double") / col("n_segments").cast("double"))
-          .as("dup_segment_frac"),
-        (col("dup_segments").cast("double") / col("n_segments").cast("double")
-          < maxDupFrac).as("keep"))
+        frac.as("dup_segment_frac"),
+        (frac < maxDupFrac).as("keep"))
   }
 
   /** Training-corpus decontamination against an evaluation set (the

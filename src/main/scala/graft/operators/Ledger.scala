@@ -167,10 +167,12 @@ object Ledger {
           LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "fee_refund", 0.0,
             f.usd, 0.0, 0.0, -f.usd)
         case "fee_withdrawal" =>
-          // post-hoc fee charge settled from the wallet (:1838): cash
-          // out, fees_paid up
+          // earned maker fees withdrawn to the wallet (:1838-1862):
+          // the reference books it identically to fee_refund —
+          // usdc_delta = +amount, realized income. Cash in, fees_paid
+          // down (our fee channel carries the income into net_realized).
           LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "fee_withdrawal", 0.0,
-            -f.usd, 0.0, 0.0, f.usd)
+            f.usd, 0.0, 0.0, -f.usd)
         case other =>
           throw new IllegalArgumentException(s"unknown ledger event kind '$other'")
       }
@@ -360,7 +362,11 @@ object Ledger {
 
   /** FIFO fold with per-lot open-time provenance (buy/sell fills
     * only — the shape calculate-pnl.ts runs on). Oversold quantity
-    * carries zero basis and counts as history, not period-opened. */
+    * consumes no lots and realizes nothing in any mode — the
+    * reference's consumeTokens returns no consumption for the
+    * unmatched remainder (ledger-engine.ts:78-100), so its proceeds
+    * never enter realizedEvents. The period is inclusive on BOTH ends
+    * (isInPeriod, ledger-engine.ts:1972 — only ts > endTs excluded). */
   def foldWalletPeriod(fills: Iterator[Fill],
                        periodStart: java.sql.Timestamp,
                        periodEnd: java.sql.Timestamp): Iterator[PeriodPnl] = {
@@ -368,6 +374,8 @@ object Ledger {
     var wallet = 0L
     val realized1 = mutable.Map.empty[Long, Double].withDefaultValue(0.0)
     val realized2 = mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    def inPeriod(ts: java.sql.Timestamp): Boolean =
+      !ts.before(periodStart) && !ts.after(periodEnd)
     fills.foreach { f =>
       wallet = f.wallet
       if (f.isBuy) {
@@ -376,32 +384,29 @@ object Ledger {
           TsLot(f.qty, unit, f.ts)
       } else {
         val sellPrice = if (f.qty > 0) f.usd / f.qty else 0.0
-        val inPeriod = !f.ts.before(periodStart) && f.ts.before(periodEnd)
+        val sellInPeriod = inPeriod(f.ts)
         val q = lots.getOrElse(f.tokenId, mutable.Queue.empty)
         var remaining = f.qty
         while (remaining > 1e-7 && q.nonEmpty) {
           val lot = q.head
           val take = math.min(remaining, lot.qty)
-          if (inPeriod) {
+          if (sellInPeriod) {
             val gain = take * (sellPrice - lot.unitCost)
             realized2(f.tokenId) += gain
-            if (!lot.openTs.before(periodStart) && lot.openTs.before(periodEnd))
+            if (inPeriod(lot.openTs))
               realized1(f.tokenId) += gain
           }
           lot.qty -= take
           remaining -= take
           if (lot.qty <= 1e-7) q.dequeue()
         }
-        // oversold remainder: zero basis, full proceeds realized (history)
-        if (remaining > 1e-7 && inPeriod)
-          realized2(f.tokenId) += remaining * sellPrice
+        // oversold remainder: no consumption, nothing realized
       }
     }
     val tokens = (lots.keySet ++ realized1.keySet ++ realized2.keySet).toSeq.sorted
     tokens.iterator.map { token =>
       val open = lots.getOrElse(token, mutable.Queue.empty)
-      val inP = open.iterator.filter(l =>
-        !l.openTs.before(periodStart) && l.openTs.before(periodEnd)).toSeq
+      val inP = open.iterator.filter(l => inPeriod(l.openTs)).toSeq
       PeriodPnl(wallet, token,
         realized1(token), realized2(token),
         inP.map(_.qty).sum, inP.map(l => l.qty * l.unitCost).sum,

@@ -58,9 +58,24 @@ object PartitionedStore {
       Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit
     }
-    rm(new java.io.File(src))
-    if (!new java.io.File(tmp).renameTo(new java.io.File(src)))
+    // swap: move the live dir ASIDE first (one rename), move tmp into
+    // place (one rename), only then delete the old copy. A crash
+    // between the renames leaves either the old or the new data fully
+    // intact under `old` / `src`; the live partition is never a
+    // recursive-delete hole, and a failed swap restores the original.
+    val srcDir = new java.io.File(src)
+    val tmpDir = new java.io.File(tmp)
+    val oldDir = new java.io.File(s"$path/.old-$ym")
+    rm(oldDir)
+    if (!srcDir.renameTo(oldDir))
+      throw new java.io.IOException(s"compaction: cannot move $src aside")
+    if (!tmpDir.renameTo(srcDir)) {
+      // restore the original partition before failing
+      oldDir.renameTo(srcDir)
+      rm(tmpDir)
       throw new java.io.IOException(s"compaction swap failed for $src")
+    }
+    rm(oldDir)
   }
 
   /** File counts per partition — the compaction trigger metric. */

@@ -18,43 +18,50 @@ object StreamingSessions {
 
   final case class SessionEvent(user: Long, ts: java.sql.Timestamp, value: Double)
   final case class OpenSession(start: Long, last: Long, events: Long, value: Double)
+  /** State = ALL of the user's not-yet-final sessions, gap-closed ones
+    * included — a gap-closed session stays in state until the
+    * watermark passes its deadline, so a late event that lands between
+    * two sessions (still inside the watermark) re-merges correctly
+    * instead of corrupting the newer session. Emission happens only on
+    * event-time timeout: output is final. */
+  final case class SessionState(sessions: List[OpenSession])
   final case class SessionRow(user: Long, session_start: java.sql.Timestamp,
                               session_end: java.sql.Timestamp, events: Long,
                               span_seconds: Long, value_sum: Double)
 
   def update(gapMs: Long)(user: Long, events: Iterator[SessionEvent],
-             state: GroupState[OpenSession]): Iterator[SessionRow] = {
+             state: GroupState[SessionState]): Iterator[SessionRow] = {
     def row(s: OpenSession): SessionRow =
       SessionRow(user, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
         s.events, (s.last - s.start) / 1000L, s.value)
-    if (state.hasTimedOut) {
-      // watermark passed last + gap: the session is final
-      val out = state.getOption.map(row).iterator
-      state.remove()
-      out
-    } else {
-      val sorted = events.toSeq.sortBy(_.ts.getTime)
-      var closed = List.empty[SessionRow]
-      var cur = state.getOption
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.last <= gapMs =>
-            cur = Some(OpenSession(s.start, math.max(s.last, t),
-              s.events + 1, s.value + e.value))
-          case Some(s) =>
-            closed ::= row(s)
-            cur = Some(OpenSession(t, t, 1, e.value))
-          case None =>
-            cur = Some(OpenSession(t, t, 1, e.value))
-        }
-      }
-      cur.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp(s.last + gapMs)
-      }
-      closed.reverseIterator
+    val existing = state.getOption.map(_.sessions).getOrElse(Nil)
+    val incoming = events
+      .map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1, e.value)).toList
+    // interval-coalesce: sort every candidate (old sessions + new
+    // single-event sessions) by start and merge neighbours within the
+    // gap — late events extend, bridge, or prepend sessions exactly as
+    // a batch re-sessionization of the union would
+    val merged = (existing ++ incoming).sortBy(s => (s.start, s.last)) match {
+      case Nil => Nil
+      case h :: t =>
+        t.foldLeft(List(h)) { (acc, s) =>
+          val cur = acc.head
+          if (s.start - cur.last <= gapMs)
+            OpenSession(cur.start, math.max(cur.last, s.last),
+              cur.events + s.events, cur.value + s.value) :: acc.tail
+          else s :: acc
+        }.reverse
     }
+    // a session is final only once the watermark passes last + gap —
+    // nothing inside the watermark can change it anymore
+    val wm = state.getCurrentWatermarkMs()
+    val (fin, pending) = merged.partition(s => s.last + gapMs <= wm)
+    if (pending.isEmpty) state.remove()
+    else {
+      state.update(SessionState(pending))
+      state.setTimeoutTimestamp(pending.map(_.last + gapMs).min)
+    }
+    fin.map(row).iterator
   }
 
   /** Append-mode session summaries; `events` must carry a watermark on
@@ -63,7 +70,7 @@ object StreamingSessions {
             gapMinutes: Int): Dataset[SessionRow] = {
     import spark.implicits._
     events.groupByKey(_.user)
-      .flatMapGroupsWithState[OpenSession, SessionRow](
+      .flatMapGroupsWithState[SessionState, SessionRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         update(gapMinutes * 60000L))
   }

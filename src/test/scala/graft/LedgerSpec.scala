@@ -136,7 +136,8 @@ class LedgerSpec extends SparkSpec {
     assert(math.abs(sell.cost_basis - 16.0) < 1e-9)
     assert(math.abs(sell.realized_pnl - 8.0) < 1e-9)
     assert(refund.usd_delta == 3.0 && refund.fee == -3.0 && refund.qty == 0.0)
-    assert(draw.usd_delta == -1.0 && draw.fee == 1.0)
+    // fee_withdrawal is income like fee_refund (ledger-engine.ts:1838-1862)
+    assert(draw.usd_delta == 1.0 && draw.fee == -1.0)
     // token 100 still holds 8 @3.00 after the partial convert
     val open = Ledger.foldWalletOpen(fills.iterator).toSeq
       .filter(_.event_type == "_open")
