@@ -31,10 +31,15 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val runs = selected.map { case (name, fn) =>
-      val (t1, ok1) = once(name, fn)
-      val (t2, ok2) = once(name, fn)
-      (name, math.min(t1, t2), ok1 && ok2)
+    // the two timed runs are SEPARATE full passes, not back-to-back:
+    // a transient host stall (shared box, 20-30 s GC/JIT/noisy
+    // neighbour) then lands on at most one of a query's two samples,
+    // so the min still reflects steady state
+    val pass1 = selected.map { case (name, fn) => once(name, fn) }
+    val pass2 = selected.map { case (name, fn) => once(name, fn) }
+    val runs = selected.zip(pass1.zip(pass2)).map {
+      case ((name, _), ((t1, ok1), (t2, ok2))) =>
+        (name, math.min(t1, t2), ok1 && ok2)
     }
     val qs = runs.map { case (k, v, ok) =>
       s"\"" + k + "\":" + (if (ok) v else -1.0)

@@ -346,6 +346,42 @@ object SparkEntry {
       Cohorts.retention(Tables.eventStream(s, d), "wallet", "ts")
         .orderBy(col("cohort_week"), col("week_offset"))),
 
+    // Deterministic hash sample (the CH SAMPLE clause): the md5-prefix
+    // slice of wallets (~6.25%), aggregated. Re-runs pick the same
+    // wallets; a smaller threshold picks a subset of a larger one.
+    "q_sample_hash" -> ((s, d) =>
+      Sampling.hashSample(wt(s, d), col("wallet"), "1000")
+        .groupBy(col("wallet"))
+        .agg(count(lit(1)).as("trades"),
+          sum(col("usd")).cast("double").as("volume_usd"))
+        .orderBy(col("wallet"))),
+
+    // Stratified deterministic sample: 10% of every language's
+    // documents by md5 rank — the reproducible data-mix recipe.
+    "q_sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedSample(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          col("lang"), col("doc_id"), 0.1)
+        .orderBy(col("doc_id"))),
+
+    // Corpus-wide token frequency top-k (the Zipf table).
+    "q_word_freq" -> ((s, d) =>
+      TextAnalysis.wordFrequency(Tables.documents(s, d), "text", 100)),
+
+    // BM25 keyword search over the corpus (lexical retrieval twin of
+    // the embedding ANN surface).
+    "q_bm25" -> ((s, d) =>
+      Search.bm25(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "window", "hash"))),
+
+    // sequenceMatch surface: view → purchase → view, any spacing —
+    // an unbounded-horizon ordered-subsequence test per wallet.
+    "q_sequence_match" -> ((s, d) =>
+      Funnel.sequenceMatch(Tables.eventStream(s, d), "wallet", "ts",
+          "event_type", Seq("view", "purchase", "view"))
+        .withColumnRenamed("user", "wallet")
+        .orderBy(col("wallet"))),
+
     // Generalized ledger over the full event-type surface: buy/sell
     // fills plus split/merge/transfer events synthesized
     // deterministically from the trade stream (reference:
@@ -1651,6 +1687,79 @@ object SparkEntry {
         |  COUNT(*) AS users
         |FROM weekly JOIN cohort USING (u)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sample_hash" ->
+      s"""WITH $WT
+        |SELECT wallet, COUNT(*) AS trades,
+        |  CAST(SUM(usd) AS DOUBLE) AS volume_usd
+        |FROM wt
+        |WHERE substr(md5(CAST(wallet AS VARCHAR)), 1, 4) < '1000'
+        |GROUP BY wallet ORDER BY wallet""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r
+        |WHERE rn <= CEIL(n * 0.1)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_word_freq" ->
+      """SELECT word, COUNT(*) AS occurrences FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word
+        |  FROM documents) t
+        |WHERE len(word) > 0
+        |GROUP BY word
+        |ORDER BY occurrences DESC, word
+        |LIMIT 100""".stripMargin,
+
+    "q_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), ' +')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+        |c AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_dl
+        |  FROM dl),
+        |qt AS (SELECT * FROM t WHERE term IN ('spark', 'window', 'hash')),
+        |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |    CAST(SUM(CAST(FLOOR(
+        |      ln(1 + (c.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+        |        * (tf.tf * (1.2 + 1.0))
+        |        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avg_dl))
+        |      * 1e4) AS BIGINT)) AS BIGINT) AS score_4,
+        |    COUNT(*) AS matched_terms
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN c
+        |  GROUP BY 1)
+        |SELECT doc_id, matched_terms, score_4
+        |FROM s ORDER BY score_4 DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q_sequence_match" ->
+      s"""WITH $EV,
+        |s1 AS (
+        |  SELECT wallet AS u, MIN(ts) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.wallet AS u, MIN(e.ts) AS t2
+        |  FROM ev e JOIN s1 ON e.wallet = s1.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.wallet AS u, MIN(e.ts) AS t3
+        |  FROM ev e JOIN s2 ON e.wallet = s2.u
+        |  WHERE e.event_type = 'view' AND e.ts > s2.t2
+        |  GROUP BY 1)
+        |SELECT s1.u AS wallet, (s3.t3 IS NOT NULL) AS matched
+        |FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
+        |ORDER BY wallet""".stripMargin,
 
     "q_sql_market_volume" ->
       s"""WITH $WT

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling surfaces.
+  *
+  * Reference: ClickHouse's `SAMPLE k` clause reads a deterministic
+  * slice selected by the table's sampling-key hash — the same rows
+  * every time, independent of parallelism. That reproducibility is
+  * exactly what a training-data mix needs: re-running the pipeline
+  * yields the same corpus slice, and a different `den`/threshold
+  * widens the slice monotonically (SAMPLE 1/8 ⊂ SAMPLE 1/4).
+  *
+  * Spark-first: the keep decision is a pure column expression on a
+  * cryptographic hash of the sampling key — no shuffle, no state, no
+  * RNG seed plumbed through executors; the filter evaluates inside the
+  * scan stage and composes with predicate pushdown on other columns.
+  * md5 (not xxhash64) so the decision is reproducible bit-for-bit in
+  * any engine that can hash a string — the DuckDB oracle replays it.
+  */
+object Sampling {
+
+  /** Hex-prefix keep predicate: keeps rows whose md5(key) prefix sorts
+    * below `hexThreshold` (lowercase hex, 4 chars → fraction =
+    * parseInt(threshold,16)/65536). Nested samples: a smaller
+    * threshold selects a subset of a larger one. */
+  def keep(key: Column, hexThreshold: String): Column = {
+    require(hexThreshold.matches("[0-9a-f]{4}"), "threshold: 4 lowercase hex chars")
+    substring(md5(key.cast("string")), 1, 4) < hexThreshold
+  }
+
+  /** Deterministic ~fraction sample of `df` by `key`. */
+  def hashSample(df: DataFrame, key: Column, hexThreshold: String): DataFrame =
+    df.filter(keep(key, hexThreshold))
+
+  /** Stratified deterministic sample: the `ceil(frac · |stratum|)`
+    * rows of each stratum that sort first by md5(key) — every stratum
+    * is represented at the same rate regardless of its size (the
+    * data-mix recipe: "10% of every language", not "10% overall").
+    *
+    * Scale shape: one window (rank within stratum by hash) over a
+    * single shuffle on the stratum key plus a count per stratum
+    * carried by the same window — no join, no driver action. Skewed
+    * strata sort within their partition only.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       frac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratum)
+    val ord = w.orderBy(md5(key.cast("string")), key)
+    df.withColumn("_rn", row_number().over(ord))
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_rn") <= ceil(col("_n") * frac))
+      .drop("_rn", "_n")
+  }
+}

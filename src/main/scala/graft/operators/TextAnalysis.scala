@@ -117,6 +117,21 @@ object TextAnalysis {
           .as("top_bigram_cover"))
   }
 
+  /** Corpus-wide token frequency top-k (the Zipf table): one explode,
+    * one groupBy(word) count, one global top-k. The word key space is
+    * the vocabulary, orders of magnitude smaller than the corpus, so
+    * the shuffle carries only per-task partial counts (map-side
+    * combine) and the top-k runs as TakeOrderedAndProject — at 100 TB
+    * this is the cheapest full-corpus statistic there is. Ties break
+    * by word for a deterministic tail. */
+  def wordFrequency(docs: DataFrame, textCol: String, topK: Int): DataFrame =
+    docs.select(explode(split(trim(col(textCol)), " +")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("word"))
+      .limit(topK)
+
   /** Polynomial rolling hash of the text (document fingerprint),
     * folded mod 2^40 so it never overflows a long under ANSI
     * arithmetic. Built from codegen'd primitives — deterministic,
