@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // Queries whose per-query timing is NOT in the printed one-line JSON
+  // (they still run and count toward "value"). The driver captures only
+  // the last ~2000 chars of output; with 80+ queries the full map no
+  // longer fits, so the line carries the headline subset — every heavy
+  // or plan-interesting query — and the complete map goes to
+  // BENCH_LOCAL.json next to the build.
+  private val nonHeadline: Set[String] = Set(
+    "q_watermark", "q_reorg_rewrite", "q_changelog", "q_dedup_ingest",
+    "q_dormant_wallets", "q_activity_cursor", "q_sample_hash",
+    "q_sample_stratified", "q_sequence_match", "q_funnel_summary",
+    "q_sql_daily_cumvol", "q_sql_candles_4h", "q_retention",
+    "q_group_rollup", "q_top_per_market", "q_trade_quantiles",
+    "q_candles_15m", "q_last_price", "q_token_volume_1h",
+    "q_multimodal_features", "q_fingerprint", "q_active_wallets")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,13 +56,22 @@ object Bench {
       case ((name, _), ((t1, ok1), (t2, ok2))) =>
         (name, math.min(t1, t2), ok1 && ok2)
     }
-    val qs = runs.map { case (k, v, ok) =>
-      s"\"" + k + "\":" + (if (ok) v else -1.0)
-    }.mkString("{", ",", "}")
+    def fmt(v: Double): String = f"$v%.3f"
+    def mapJson(rs: Seq[(String, Double, Boolean)]): String =
+      rs.map { case (k, v, ok) => s"\"$k\":" + (if (ok) fmt(v) else "-1") }
+        .mkString("{", ",", "}")
     val failed = runs.collect { case (k, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = runs.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // complete per-query map (plus both raw passes) for post-hoc reading
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(runs)},"pass1":${
+      mapJson(selected.zip(pass1).map { case ((n, _), (t, ok)) => (n, t, ok) })},"pass2":${
+      mapJson(selected.zip(pass2).map { case ((n, _), (t, ok)) => (n, t, ok) })},"failed":$failed,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full)
+    catch { case e: Throwable => System.err.println(s"[bench] local dump: ${e.getMessage}") }
+    // the ONE parseable line, last: headline queries only, "value" = ALL
+    val headline = runs.filter { case (k, _, _) => !nonHeadline(k) }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(headline)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -60,6 +60,17 @@ object Views {
       graft.operators.Ledger.build(spark,
         graft.operators.Leaderboard.walletTrades(trades(spark, dir))).toDF())
 
+  /** The FIFO fold output with exact `"_open"` lot-state rows — the
+    * input to resolution settlement. Folded once per session for the
+    * same reason as [[ledger]]: the reference materializes
+    * wallet_ledger and re-reads it per request; re-running the fold
+    * (and re-persisting a fresh copy) per query both repeats the
+    * wallet shuffle and leaks storage memory across a long session. */
+  def ledgerOpen(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "ledger_open")(
+      graft.operators.Ledger.buildOpenRows(spark,
+        graft.operators.Leaderboard.walletTrades(trades(spark, dir))).toDF())
+
   /** Per (wallet, token_id, day) buy/sell flow partials — the
     * wallet-day MV the reference maintains at ingest
     * (wallet_pnl_snapshots feeder). Every portfolio/snapshot query

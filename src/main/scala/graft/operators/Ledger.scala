@@ -251,9 +251,25 @@ object Ledger {
                     resolutions: DataFrame): Dataset[LedgerRow] = {
     import spark.implicits._
     // both the trade branch and the settlement join consume the fold
-    // output — persist so the wallet-fold shuffle runs once
-    val rows = buildWith(spark, walletTrades, foldWalletOpen).toDF()
+    // output — persist so the wallet-fold shuffle runs once. Callers
+    // issuing the query repeatedly should persist/bind the open-rows
+    // fold themselves (see graft.model.Views.ledgerOpen) and use
+    // [[resolveOpen]] — this overload persists a fresh copy per call.
+    val rows = buildOpenRows(spark, walletTrades).toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    resolveOpen(rows, resolutions).as[LedgerRow]
+  }
+
+  /** The FIFO fold emitting trade rows plus exact `"_open"` lot-state
+    * rows (see [[foldWalletOpen]]) — the materializable half of
+    * [[buildResolved]]. */
+  def buildOpenRows(spark: SparkSession, walletTrades: DataFrame): Dataset[LedgerRow] =
+    buildWith(spark, walletTrades, foldWalletOpen)
+
+  /** Settlement over an already-built (usually cached) open-rows fold
+    * output: resolved `"_open"` rows become "redeem" rows, unresolved
+    * ones are dropped, trade rows pass through. */
+  def resolveOpen(rows: DataFrame, resolutions: DataFrame): DataFrame = {
     val settlements = rows.filter(col("event_type") === "_open")
       .join(broadcast(resolutions.select(col("token_id"), col("payout"))),
         Seq("token_id"))
@@ -265,7 +281,7 @@ object Ledger {
         (col("qty") * col("payout") - col("cost_basis")).as("realized_pnl"),
         lit(0.0).as("fee"))
     rows.filter(col("event_type") =!= "_open")
-      .unionByName(settlements).as[LedgerRow]
+      .unionByName(settlements)
   }
 
   /** Distributed ledger build over a generalized event stream:
