@@ -371,6 +371,24 @@ object SparkEntry {
     "q_word_freq" -> ((s, d) =>
       TextAnalysis.wordFrequency(Tables.documents(s, d), "text", 100)),
 
+    // Unigram-LM fluency score (CCNet-style quality filter): mean
+    // token negative log-likelihood under the corpus's own smoothed
+    // unigram model, floored ×1e4.
+    "q_lm_score" -> ((s, d) =>
+      TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // Per-label embedding centroids (IVF-training / class-prototype
+    // building block): one row per (label, dim), mean floored ×1e6.
+    "q_embed_centroid" -> ((s, d) =>
+      Similarity.groupCentroids(Tables.embeddings(s, d), "label", "embedding")
+        .orderBy(col("label"), col("dim"))),
+
+    // Top movers: price change vs 7 days before the last trade,
+    // floored basis points (the discovery "24h change" column).
+    "q_price_change" -> ((s, d) =>
+      Candles.priceChange(trades(s, d), 7, 50)),
+
     // BM25 keyword search over the corpus (lexical retrieval twin of
     // the embedding ANN surface).
     "q_bm25" -> ((s, d) =>
@@ -1797,6 +1815,57 @@ object SparkEntry {
         |GROUP BY word
         |ORDER BY occurrences DESC, word
         |LIMIT 100""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), ' +')) AS word
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, word FROM t WHERE len(word) > 0),
+        |c AS (SELECT word, COUNT(*) AS cnt FROM t2 GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total,
+        |         CAST(COUNT(*) AS DOUBLE) AS vocab
+        |  FROM c)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(FLOOR(SUM(-ln(CAST(c.cnt + 1 AS DOUBLE)
+        |      / (tot.n_total + tot.vocab)))
+        |    / COUNT(*) * 1e4) AS BIGINT) AS nll_4
+        |FROM t2 JOIN c USING (word) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // embedding dim is fixed at 64 in the testdata tables
+    "q_embed_centroid" ->
+      """WITH u AS (
+        |  SELECT label, CAST(s.i - 1 AS INT) AS dim,
+        |         CAST(embedding[s.i] AS DOUBLE) AS v
+        |  FROM embeddings, (SELECT UNNEST(range(1, 65)) AS i) s)
+        |SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(FLOOR(SUM(v) / COUNT(*) * 1e6) AS BIGINT) AS centroid_6
+        |FROM u GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
+    "q_price_change" ->
+      s"""WITH $TRADES,
+        |mx AS (SELECT MAX(CAST(ts AS DATE)) - 7 AS cutoff FROM trades),
+        |l AS (
+        |  SELECT token_id, price AS last_price FROM (
+        |    SELECT token_id, price,
+        |      row_number() OVER (PARTITION BY token_id
+        |        ORDER BY ts DESC, trade_id DESC) AS rn
+        |    FROM trades) t WHERE rn = 1),
+        |p AS (
+        |  SELECT token_id, price AS prev_price FROM (
+        |    SELECT token_id, price,
+        |      row_number() OVER (PARTITION BY token_id
+        |        ORDER BY ts DESC, trade_id DESC) AS rn
+        |    FROM trades, mx WHERE ts <= mx.cutoff) t WHERE rn = 1)
+        |SELECT l.token_id, l.last_price, p.prev_price,
+        |  CAST(FLOOR((l.last_price / p.prev_price - 1) * 1e4) AS BIGINT)
+        |    AS change_bp
+        |FROM l JOIN p ON l.token_id = p.token_id
+        |WHERE p.prev_price > 0
+        |ORDER BY change_bp DESC, l.token_id
+        |LIMIT 50""".stripMargin,
 
     "q_bm25" ->
       """WITH t AS (

@@ -146,4 +146,32 @@ object Candles {
                   usd: Column): DataFrame =
     ticks.groupBy(token.as("token_id"), date_trunc(bucket, ts).as("hour"))
       .agg(sum(usd).cast("double").as("volume_usd"), count(lit(1)).as("trades"))
+
+  /** Top movers: last traded price vs the price as of (max ts −
+    * lookback days) per token, change in floored basis points — the
+    * "24h change" column of every discovery/trending surface
+    * (reference: handleDiscoverMarkets ranking windows, api.ts:1942).
+    * The global cutoff is a 1-row aggregate cross-joined in the same
+    * job (scalar-subquery shape — no driver-blocking pre-action);
+    * both price points are max_by partial aggregates, so the whole
+    * query is two map-side-combined aggregations over the fact table
+    * and a tiny join. */
+  def priceChange(trades: DataFrame, lookbackDays: Int, k: Int): DataFrame = {
+    val ord = struct(col("ts"), col("trade_id"))
+    val cutoff = trades.agg(
+      date_sub(max(col("ts")).cast("date"), lookbackDays).as("__cutoff"))
+    val last = trades.groupBy(col("token_id"))
+      .agg(max_by(col("price"), ord).as("last_price"))
+    val prev = trades.join(broadcast(cutoff))
+      .filter(col("ts") <= col("__cutoff"))
+      .groupBy(col("token_id"))
+      .agg(max_by(col("price"), ord).as("prev_price"))
+    last.join(prev, Seq("token_id"))
+      .filter(col("prev_price") > 0)
+      .select(col("token_id"), col("last_price"), col("prev_price"),
+        floor((col("last_price") / col("prev_price") - 1) * 1e4).cast("long")
+          .as("change_bp"))
+      .orderBy(col("change_bp").desc, col("token_id"))
+      .limit(k)
+  }
 }

@@ -118,4 +118,21 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
+
+  /** Per-group embedding centroids, one row per (group, dimension) —
+    * the building block of IVF training, cluster drift monitoring and
+    * class-prototype classification. posexplode + groupBy is the
+    * distributed shape: the shuffle carries (group, dim) partial sums
+    * (map-side combined), never whole vectors, so a 100 TB corpus
+    * reduces to |groups|·dim rows. Values are floored ×1e6 so results
+    * are engine-comparable despite FP summation order. */
+  def groupCentroids(embeddings: DataFrame, groupCol: String,
+                     vecCol: String): DataFrame =
+    embeddings
+      .select(col(groupCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("double")).as("s"))
+      .select(col("label"), col("dim"), col("n"),
+        floor(col("s") / col("n") * 1e6).cast("long").as("centroid_6"))
 }

@@ -132,6 +132,34 @@ object TextAnalysis {
       .orderBy(col("occurrences").desc, col("word"))
       .limit(topK)
 
+  /** Unigram language-model quality score (the CCNet/KenLM-style
+    * fluency filter, reduced to its order-0 core): the corpus itself
+    * is the model — per-document mean negative log-likelihood of its
+    * tokens under add-one-smoothed corpus unigram frequencies. Low =
+    * common/fluent text, high = rare or garbled. Emitted as a
+    * scale-and-floor integer (×1e4) so results are comparable across
+    * engines despite FP summation order.
+    *
+    * Scale shape: one groupBy(word) for the counts (map-side partial
+    * agg), one 2-value global aggregate, one hash join token⋈counts —
+    * counts broadcast while the vocab is small; at 100 TB the same
+    * join shuffles by word, still partial-agg'd. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(trim(col(textCol)), " +")).as("word"))
+      .filter(length(col("word")) > 0)
+    val counts = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).cast("double").as("n_total"),
+      count(lit(1)).cast("double").as("vocab"))
+    toks.join(broadcast(counts), Seq("word"))
+      .join(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        floor(sum(-log((col("cnt") + 1).cast("double") /
+            (col("n_total") + col("vocab"))))
+          / count(lit(1)) * 1e4).cast("long").as("nll_4"))
+  }
+
   /** Polynomial rolling hash of the text (document fingerprint),
     * folded mod 2^40 so it never overflows a long under ANSI
     * arithmetic. Built from codegen'd primitives — deterministic,

@@ -71,4 +71,21 @@ class OperatorsSpec extends SparkSpec {
     val n = Metadata.dedupIngest(dup, "event_id", "event_id").count()
     assert(n == ev.count())
   }
+
+  test("price change: hand-built series gives exact floored bp moves") {
+    import spark.implicits._
+    val t = Seq(
+      // token 1: 2.0 @ day 1 → 3.0 @ day 10 (+50% = 5000 bp)
+      (1L, java.sql.Date.valueOf("1996-01-01"), 1L, 2.0),
+      (1L, java.sql.Date.valueOf("1996-01-10"), 2L, 3.0),
+      // token 2: 4.0 @ day 1 → 3.0 @ day 10 (−25% = floor(−2500) bp)
+      (2L, java.sql.Date.valueOf("1996-01-01"), 3L, 4.0),
+      (2L, java.sql.Date.valueOf("1996-01-10"), 4L, 3.0),
+      // token 3: only recent trades → no prev price, excluded
+      (3L, java.sql.Date.valueOf("1996-01-09"), 5L, 1.0)
+    ).toDF("token_id", "ts", "trade_id", "price")
+    val r = Candles.priceChange(t, 7, 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r == Map(1L -> 5000L, 2L -> -2500L))
+  }
 }

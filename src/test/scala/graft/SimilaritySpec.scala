@@ -63,4 +63,16 @@ class SimilaritySpec extends SparkSpec {
     // exact rerank should recover nearly all true neighbors
     assert(recall > 0.9, s"recall=$recall")
   }
+
+  test("group centroids: per-(label, dim) mean, floored micro-units") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq(1.0f, 2.0f)), (1, Seq(3.0f, 6.0f)),   // label 1 mean (2, 4)
+      (2, Seq(-1.0f, 0.5f))                          // label 2 mean (-1, 0.5)
+    ).toDF("label", "embedding")
+    val r = Similarity.groupCentroids(df, "label", "embedding")
+      .collect().map(x => (x.getInt(0), x.getInt(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    assert(r((1, 0)) == (2L, 2000000L) && r((1, 1)) == (2L, 4000000L))
+    assert(r((2, 0)) == (1L, -1000000L) && r((2, 1)) == (1L, 500000L))
+  }
 }

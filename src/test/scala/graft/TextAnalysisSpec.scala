@@ -83,4 +83,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L).getLong(2) == 1)
     assert(r(3L).getLong(1) == 2 && r(3L).getLong(2) == 0 && r(3L).getBoolean(4))
   }
+
+  test("lm score: rare-token doc scores higher NLL than common-token doc") {
+    // corpus: "a" appears 6×, "zq" once → doc of a's is most likely
+    val df = Seq(
+      (1L, "a a a"), (2L, "a a a"), (3L, "zq")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.lmScore(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L)._1 == 3 && r(3L)._1 == 1)
+    assert(r(1L)._2 == r(2L)._2)          // identical docs, identical score
+    assert(r(3L)._2 > r(1L)._2)           // rare token → higher NLL
+    // hand value: p(a) = (6+1)/(7+2), nll = -ln(7/9) ≈ 0.251314
+    assert(r(1L)._2 == math.floor(-math.log(7.0 / 9.0) * 1e4).toLong)
+  }
 }
