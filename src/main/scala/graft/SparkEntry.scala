@@ -371,6 +371,28 @@ object SparkEntry {
     "q_word_freq" -> ((s, d) =>
       TextAnalysis.wordFrequency(Tables.documents(s, d), "text", 100)),
 
+    // Data-mix report: docs/tokens per (source, lang) with floored
+    // ppm token shares — the "data card" every mix recipe starts from.
+    "q_data_mix" -> ((s, d) =>
+      CorpusPipeline.dataMix(Tables.documents(s, d), "source", "lang", "text")
+        .orderBy(col("source"), col("lang"))),
+
+    // PII scrubbing signals: email/URL/digit-run counts + redacted
+    // length. Deterministic synthetic PII is salted into every
+    // 7th/11th/13th doc so the scrub is provably non-vacuous.
+    "q_pii_signals" -> ((s, d) => {
+      val salted = Tables.documents(s, d).withColumn("text2", concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0, concat(lit(" contact u"),
+          col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, concat(lit(" https://example.org/p/"),
+          col("doc_id").cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, concat(lit(" tel 555"),
+          lpad(col("doc_id").cast("string"), 7, "0"))).otherwise(lit(""))))
+      CorpusPipeline.piiSignals(salted, "doc_id", "text2")
+        .orderBy(col("doc_id"))
+    }),
+
     // Unigram-LM fluency score (CCNet-style quality filter): mean
     // token negative log-likelihood under the corpus's own smoothed
     // unigram model, floored ×1e4.
@@ -1815,6 +1837,43 @@ object SparkEntry {
         |GROUP BY word
         |ORDER BY occurrences DESC, word
         |LIMIT 100""".stripMargin,
+
+    "q_data_mix" ->
+      """WITH c AS (
+        |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS docs,
+        |    CAST(SUM(len(regexp_split_to_array(trim(text), ' +'))) AS BIGINT)
+        |      AS tokens
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM c)
+        |SELECT source, lang, docs, tokens,
+        |  CAST(FLOOR(CAST(tokens AS DOUBLE) * 1e6
+        |    / CAST(total_tokens AS DOUBLE)) AS BIGINT) AS token_ppm
+        |FROM c CROSS JOIN t ORDER BY source, lang""".stripMargin,
+
+    "q_pii_signals" ->
+      """WITH s AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' https://example.org/p/' || CAST(doc_id AS VARCHAR)
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN ' tel 555' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+        |      ELSE '' END AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text2,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS emails,
+        |  len(regexp_extract_all(text2, 'https?://[^ ]+')) AS urls,
+        |  len(regexp_extract_all(text2, '[0-9]{7,}')) AS digit_runs,
+        |  len(text2) AS n_chars,
+        |  len(regexp_replace(regexp_replace(regexp_replace(text2,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g')) AS n_chars_redacted
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_lm_score" ->
       """WITH t AS (

@@ -54,4 +54,45 @@ object CorpusPipeline {
         |'quality_pass', quality_pass, 'dedup_pass', dedup_pass)
         |AS (stage, docs)""".stripMargin)
   }
+
+  /** Data-mix report ("data card"): documents and whitespace tokens
+    * per (source, language), plus each cell's share of corpus tokens
+    * in floored parts-per-million. One groupBy with map-side partial
+    * counts; the 2-value global total is a broadcast scalar — the
+    * report every training-mix recipe starts from. */
+  def dataMix(docs: DataFrame, sourceCol: String, langCol: String,
+              textCol: String): DataFrame = {
+    val cells = docs
+      .groupBy(col(sourceCol).as("source"), col(langCol).as("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(size(split(trim(col(textCol)), " +")).cast("long")).as("tokens"))
+    val tot = cells.agg(sum(col("tokens")).as("total_tokens"))
+    cells.join(broadcast(tot))
+      .select(col("source"), col("lang"), col("docs"), col("tokens"),
+        floor(col("tokens").cast("double") * 1e6 /
+          col("total_tokens").cast("double")).cast("long").as("token_ppm"))
+  }
+
+  /** PII / sensitive-content signals per document: counts of emails,
+    * URLs and long digit runs, and the document length after redacting
+    * them — the scrubbing audit columns of a pretraining pipeline.
+    * Pure regexp column expressions; the patterns stick to constructs
+    * whose semantics agree across regex engines (no backreferences,
+    * no lookaround), so the same counts are reproducible off-Spark. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val DigitRunRe = "[0-9]{7,}"
+
+  def piiSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted = regexp_replace(
+      regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"), DigitRunRe, "<NUM>")
+    docs.select(col(idCol),
+      regexp_count(t, lit(EmailRe)).as("emails"),
+      regexp_count(t, lit(UrlRe)).as("urls"),
+      regexp_count(t, lit(DigitRunRe)).as("digit_runs"),
+      length(t).as("n_chars"),
+      length(redacted).as("n_chars_redacted"))
+  }
 }

@@ -86,7 +86,10 @@ object Stats {
     val tot = vol.groupBy(col("market")).agg(sum(col("v")).as("tot"))
     val w = Window.partitionBy(col("market"))
       .orderBy(col("v").desc, col("wallet"))
-    vol.join(tot, Seq("market"))
+    // tot is one row per market — broadcast instead of re-shuffling
+    // the (market, wallet) volumes by market for a shuffle join; the
+    // tot subtree still reuses vol's exchange (ReusedExchange)
+    vol.join(broadcast(tot), Seq("market"))
       .withColumn("share", col("v").cast("double") / col("tot").cast("double"))
       .withColumn("rank", row_number().over(w))
       .groupBy(col("market"))

@@ -97,4 +97,31 @@ class TextAnalysisSpec extends SparkSpec {
     // hand value: p(a) = (6+1)/(7+2), nll = -ln(7/9) ≈ 0.251314
     assert(r(1L)._2 == math.floor(-math.log(7.0 / 9.0) * 1e4).toLong)
   }
+
+  test("pii signals: counts and redacted length on a crafted doc") {
+    val df = Seq(
+      (1L, "mail me at bob.smith@corp.io or see https://x.org/a?b=1 id 12345678 ok"),
+      (2L, "clean text no signals 123")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.CorpusPipeline.piiSignals(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getInt(1) == 1 && r(1L).getInt(2) == 1 && r(1L).getInt(3) == 1)
+    // redaction shrinks: the three matches are longer than the tags
+    assert(r(1L).getInt(5) < r(1L).getInt(4))
+    assert(r(2L).getInt(1) == 0 && r(2L).getInt(2) == 0 && r(2L).getInt(3) == 0)
+    assert(r(2L).getInt(5) == r(2L).getInt(4))
+  }
+
+  test("data mix: ppm shares are floored and docs/tokens exact") {
+    val df = Seq(
+      (1L, "web", "en", "a b c"),      // 3 tokens
+      (2L, "web", "en", "d e"),        // 2 tokens
+      (3L, "book", "de", "f g h i j")  // 5 tokens
+    ).toDF("doc_id", "source", "lang", "text")
+    val r = graft.operators.CorpusPipeline.dataMix(df, "source", "lang", "text")
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(("web", "en")) == (2L, 5L, 500000L))
+    assert(r(("book", "de")) == (1L, 5L, 500000L))
+  }
 }
