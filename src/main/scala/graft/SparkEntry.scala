@@ -371,6 +371,17 @@ object SparkEntry {
     "q_word_freq" -> ((s, d) =>
       TextAnalysis.wordFrequency(Tables.documents(s, d), "text", 100)),
 
+    // ClickHouse topK(): SpaceSaving approximate heavy hitters —
+    // bounded memory per partition, shuffle independent of vocabulary
+    // size (the 100 TB path next to exact q_word_freq). Rows-only:
+    // counts are sketch upper bounds (count_est − err is the floor).
+    "q_word_topk_approx" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), " +")).as("word"))
+        .filter(length(col("word")) > 0)
+      HeavyHitters.topKApprox(s, words, "word", 50, 2000)
+    }),
+
     // Data-mix report: docs/tokens per (source, lang) with floored
     // ppm token shares — the "data card" every mix recipe starts from.
     "q_data_mix" -> ((s, d) =>

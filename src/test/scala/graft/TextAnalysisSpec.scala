@@ -112,6 +112,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L).getInt(5) == r(2L).getInt(4))
   }
 
+  test("spacesaving topk: bounds hold and true heavy hitters survive") {
+    import graft.model.Tables
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(trim($"text"), " +")).as("word"))
+      .filter(length($"word") > 0)
+    val exact = words.groupBy("word").count()
+      .orderBy($"count".desc, $"word").limit(20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.operators.HeavyHitters
+      .topKApprox(spark, words, "word", 50, 500)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byItem = approx.map(t => t._1 -> t).toMap
+    // every true top-20 item survives a capacity-500 sketch
+    assert(exact.keySet.subsetOf(byItem.keySet))
+    // count_est is an upper bound; count_est - err a lower bound
+    exact.foreach { case (w, trueC) =>
+      val (_, est, err) = byItem(w)
+      assert(est >= trueC && est - err <= trueC, s"$w est=$est err=$err true=$trueC")
+    }
+  }
+
   test("data mix: ppm shares are floored and docs/tokens exact") {
     val df = Seq(
       (1L, "web", "en", "a b c"),      // 3 tokens
