@@ -622,6 +622,41 @@ object SparkEntry {
         .orderBy(col("cluster_id"))
     }),
 
+    // Distributed connected components, hard-verified: the edge set is
+    // the exact seeded cosine pairs (same family as q_dedup_embedding,
+    // deterministic on both engines), clustered by GraphX CC on the
+    // Spark side and by a recursive reachability CTE in DuckDB —
+    // labels agree because both assign min-reachable-id per component.
+    "q_dedup_clusters_exact" -> ((s, d) => {
+      val base = Tables.embeddings(s, d).select(
+        col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val seeded = base.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0)).as("embedding"))
+      val all = base.unionAll(seeded)
+      val pairs = Dedup.embeddingPairs(all, "vec_id", "embedding",
+        threshold = 0.999)
+      Dedup.clusters(s, pairs, all, "vec_id")
+        .orderBy(col("id"))
+    }),
+
+    // Salted-join equivalence: the skew-safe join (big side salted by
+    // a per-row discriminator, small side replicated) must produce the
+    // exact inner-join multiset — verified by aggregating the joined
+    // rows per wallet against a plain SQL join.
+    "q_skew_join" -> ((s, d) => {
+      val w = wt(s, d)
+      val dim = w.groupBy(col("token_id"))
+        .agg(sum(col("usd")).as("tok_usd"), count(lit(1)).as("tok_trades"))
+      Skew.saltedJoin(w, dim, "token_id", col("trade_id"), 8)
+        .groupBy(col("wallet"))
+        .agg(count(lit(1)).as("trades"),
+          sum(col("tok_trades")).as("sum_tok_trades"),
+          sum(col("tok_usd")).cast("double").as("sum_tok_usd"))
+        .orderBy(col("wallet"))
+    }),
+
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("text_hash"))),
@@ -1607,6 +1642,50 @@ object SparkEntry {
         |  FROM nrm a JOIN nrm b ON a.id < b.id)
         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_clusters_exact" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |seeded AS (
+        |  SELECT vec_id + 10000 AS vec_id,
+        |    list_transform(emb, x -> x * 2.0) AS emb
+        |  FROM base WHERE vec_id < 25),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM seeded),
+        |nrm AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(emb, x -> x /
+        |      sqrt(list_sum(list_transform(emb, y -> y * y)))) AS unit
+        |  FROM allv
+        |  WHERE sqrt(list_sum(list_transform(emb, y -> y * y))) > 0),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM nrm a JOIN nrm b ON a.id < b.id
+        |  WHERE round(list_dot_product(a.unit, b.unit), 6) >= 0.999),
+        |ud AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, node) AS (
+        |  SELECT a, a FROM ud
+        |  UNION
+        |  SELECT r.src, ud.b FROM reach r JOIN ud ON r.node = ud.a),
+        |lbl AS (SELECT src AS id, MIN(node) AS cluster_id
+        |        FROM reach GROUP BY src)
+        |SELECT v.vec_id AS id, COALESCE(l.cluster_id, v.vec_id) AS cluster_id
+        |FROM allv v LEFT JOIN lbl l ON v.vec_id = l.id
+        |ORDER BY id""".stripMargin,
+
+    "q_skew_join" ->
+      s"""WITH $WT,
+        |dim AS (
+        |  SELECT token_id, SUM(usd) AS tok_usd, COUNT(*) AS tok_trades
+        |  FROM wt GROUP BY 1)
+        |SELECT wallet, COUNT(*) AS trades,
+        |  CAST(SUM(tok_trades) AS BIGINT) AS sum_tok_trades,
+        |  CAST(SUM(tok_usd) AS DOUBLE) AS sum_tok_usd
+        |FROM wt JOIN dim USING (token_id)
+        |GROUP BY wallet ORDER BY wallet""".stripMargin,
 
     "q_ann_topk" ->
       """WITH nrm AS (
