@@ -1919,6 +1919,17 @@ object SparkEntry {
         |WHERE rn <= CEIL(n * 0.1)
         |ORDER BY doc_id""".stripMargin,
 
+    // identical fold to TextAnalysis.fingerprint64: seed, ×31 mod
+    // 2^40, + codepoint (0 for empty split artifacts)
+    "q_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(1099511627689 AS BIGINT),
+        |    list_transform(string_split_regex(text, ''),
+        |      c -> CAST(CASE WHEN len(c) > 0 THEN ord(c) ELSE 0 END
+        |           AS BIGINT))),
+        |  (acc, x) -> (acc * 31) % 1099511627776 + x) AS fp64
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_word_freq" ->
       """SELECT word, COUNT(*) AS occurrences FROM (
         |  SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word
