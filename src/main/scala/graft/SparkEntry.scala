@@ -526,6 +526,39 @@ object SparkEntry {
 
     // 7-day moving average of daily token volume (RANGE frame keyed on
     // day number — candle smoothing for charts).
+    // VWAP per (token, day): exact decimal sums, one double division —
+    // the volume-weighted price column of every OHLCV analytics stack.
+    "q_vwap" -> ((s, d) =>
+      trades(s, d)
+        .groupBy(col("token_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("usd")).as("usd_sum"),
+          sum(col("qty").cast("decimal(18,4)")).as("qty_sum"),
+          count(lit(1)).as("trades"))
+        .select(col("token_id"), col("day"),
+          (col("usd_sum").cast("double") / col("qty_sum").cast("double"))
+            .as("vwap"),
+          col("usd_sum").cast("double").as("volume_usd"), col("trades"))
+        .orderBy(col("token_id"), col("day"))),
+
+    // ClickHouse groupArray(5)-style ordered collection: each wallet's
+    // 5 most recent tokens, emitted as a CSV string (deterministic
+    // order; no array columns in the compare surface). The per-wallet
+    // top-5 is a row_number window, the ordered concat a sorted-struct
+    // collect — both bounded by k per wallet.
+    "q_recent_tokens" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("wallet"))
+        .orderBy(col("ts").desc, col("trade_id").desc)
+      wt(s, d).withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("wallet"))
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",",
+            transform(sort_array(collect_list(struct(col("rn"), col("token_id")))),
+              x => x.getField("token_id").cast("string"))).as("recent_tokens"))
+        .orderBy(col("wallet"))
+    }),
+
     "q_volume_ma7" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val daily = trades(s, d)
@@ -1918,6 +1951,29 @@ object SparkEntry {
         |SELECT doc_id, lang FROM r
         |WHERE rn <= CEIL(n * 0.1)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_vwap" ->
+      s"""WITH $TRADES
+        |SELECT token_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  CAST(SUM(usd) AS DOUBLE) / CAST(SUM(CAST(qty AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS vwap,
+        |  CAST(SUM(usd) AS DOUBLE) AS volume_usd,
+        |  COUNT(*) AS trades
+        |FROM trades GROUP BY 1, 2
+        |ORDER BY token_id, day""".stripMargin,
+
+    "q_recent_tokens" ->
+      s"""WITH $WT,
+        |r AS (
+        |  SELECT wallet, token_id,
+        |    row_number() OVER (PARTITION BY wallet
+        |      ORDER BY ts DESC, trade_id DESC) AS rn
+        |  FROM wt)
+        |SELECT wallet, CAST(COUNT(*) AS BIGINT) AS n,
+        |  string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY rn)
+        |    AS recent_tokens
+        |FROM r WHERE rn <= 5
+        |GROUP BY wallet ORDER BY wallet""".stripMargin,
 
     // identical fold to TextAnalysis.fingerprint64: seed, ×31 mod
     // 2^40, + codepoint (0 for empty split artifacts)
