@@ -166,6 +166,15 @@ object SparkEntry {
       Stats.tradeSizeQuantiles(wt(s, d), markets(s, d))
         .orderBy(col("market"))),
 
+    // Sketch quantiles (CH quantileTDigest analogue): approx_percentile
+    // keeps a bounded summary per group instead of the full value set —
+    // the 100 TB path next to exact q_trade_quantiles. Rows-only;
+    // OperatorsSpec pins the sketch inside exact p40–p60 / p85–p95
+    // rank envelopes.
+    "q_quantiles_sketch" -> ((s, d) =>
+      Stats.tradeSizeQuantilesSketch(wt(s, d), markets(s, d))
+        .orderBy(col("market"))),
+
     // Market concentration: HHI + top-10 wallet volume share.
     "q_market_hhi" -> ((s, d) =>
       Stats.marketConcentration(wt(s, d), markets(s, d))

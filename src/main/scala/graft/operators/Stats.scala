@@ -115,4 +115,20 @@ object Stats {
         expr("percentile(CAST(qty AS DOUBLE), 0.5)").as("median_qty"),
         expr("percentile(CAST(qty AS DOUBLE), 0.9)").as("p90_qty"),
         expr("percentile(CAST(usd AS DOUBLE), 0.5)").as("median_usd"))
+
+  /** Sketch twin of [[tradeSizeQuantiles]] (ClickHouse quantileTDigest):
+    * `approx_percentile` carries a bounded Greenwald-Khanna summary per
+    * group — aggregate-buffer size depends on the accuracy parameter,
+    * not the group's row count, so a whale market costs the same as a
+    * quiet one. Rank error ≤ 1/accuracy. */
+  def tradeSizeQuantilesSketch(walletTrades: DataFrame, markets: DataFrame,
+                               accuracy: Int = 1000): DataFrame =
+    walletTrades
+      .join(broadcast(markets), Seq("token_id"))
+      .groupBy(col("market"))
+      .agg(count(lit(1)).as("trades"),
+        expr(s"approx_percentile(CAST(qty AS DOUBLE), 0.5, $accuracy)")
+          .as("median_qty_approx"),
+        expr(s"approx_percentile(CAST(usd AS DOUBLE), 0.9, $accuracy)")
+          .as("p90_usd_approx"))
 }

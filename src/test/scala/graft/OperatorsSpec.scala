@@ -72,6 +72,26 @@ class OperatorsSpec extends SparkSpec {
     assert(n == ev.count())
   }
 
+  test("sketch quantiles sit inside generous exact rank envelopes") {
+    val wtv = Leaderboard.walletTrades(Tables.trades(spark, sf))
+    val mkts = Tables.part(spark, sf).select(
+      col("p_partkey").cast("long").as("token_id"), col("p_brand").as("market"))
+    val env = wtv.join(broadcast(mkts), Seq("token_id"))
+      .groupBy(col("market"))
+      .agg(expr("percentile(CAST(qty AS DOUBLE), 0.40)").as("q40"),
+        expr("percentile(CAST(qty AS DOUBLE), 0.60)").as("q60"),
+        expr("percentile(CAST(usd AS DOUBLE), 0.85)").as("u85"),
+        expr("percentile(CAST(usd AS DOUBLE), 0.95)").as("u95"))
+    val bad = Stats.tradeSizeQuantilesSketch(wtv, mkts)
+      .join(env, Seq("market"))
+      .filter(col("median_qty_approx") < col("q40") ||
+        col("median_qty_approx") > col("q60") ||
+        col("p90_usd_approx") < col("u85") ||
+        col("p90_usd_approx") > col("u95"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("price change: hand-built series gives exact floored bp moves") {
     import spark.implicits._
     val t = Seq(
