@@ -55,4 +55,28 @@ object Multimodal {
     features.groupBy(col("checksum"))
       .agg(count(lit(1)).as("copies"), min(col("media_id")).as("canonical_id"))
       .filter(col("copies") > 1)
+
+  final case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Video frame sampling: treat `data` as consecutive fixed-size
+    * frames (the fake container format — a real one parses the codec's
+    * index instead) and emit every `stride`-th frame as its own row.
+    * Iterator-based fan-out: one media row becomes many frame rows
+    * lazily, so a long video never materializes all frames in one
+    * executor buffer; downstream per-frame ops (decode, resize,
+    * embed) then run on a row-per-frame Dataset that repartitions
+    * freely. */
+  def sampleFrames(spark: SparkSession, media: DataFrame, frameBytes: Int,
+                   stride: Int): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"), col("data"))
+      .as[MediaRow]
+      .flatMap { r =>
+        Iterator.range(0, r.data.length / frameBytes)
+          .filter(_ % stride == 0)
+          .map(i => FrameRow(r.media_id, i,
+            java.util.Arrays.copyOfRange(r.data, i * frameBytes,
+              (i + 1) * frameBytes)))
+      }
+  }
 }

@@ -59,4 +59,22 @@ class MultimodalSpec extends SparkSpec {
     // exact self-match excluded, ranks are 1..5
     assert(hits.forall(r => r.getLong(0) != r.getLong(2)))
   }
+
+  test("frame sampling: every Nth fixed-size frame, exact bytes, lazy fan-out") {
+    // "video" = 10 frames of 4 bytes each: frame i is [i, i, i, i]
+    val vid = Array.tabulate(40)(b => (b / 4).toByte)
+    val media = Seq((7L, "video", vid)).toDF("media_id", "kind", "data")
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 4, stride = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 3, 6, 9))
+    frames.foreach { f =>
+      assert(f.media_id == 7L)
+      assert(f.frame.toSeq == Seq.fill(4)(f.frame_idx.toByte))
+    }
+    // trailing partial frame is dropped: 42 bytes → still frames 0..9
+    val vid2 = vid ++ Array[Byte](9, 9)
+    val media2 = Seq((8L, "video", vid2)).toDF("media_id", "kind", "data")
+    val n = Multimodal.sampleFrames(spark, media2, 4, 3).count()
+    assert(n == 4)
+  }
 }
