@@ -497,6 +497,24 @@ object Ledger {
   /** Wallet-level realized PnL summary from the ledger rows
     * (reference: PnlResult realizedFromSells / realizedFromFees /
     * totalRealized). */
+  /** Selective backfill (reference: backfill-ledger.ts — re-run the
+    * ledger for a set of wallets whose history changed, leave everyone
+    * else's rows untouched). `dirty` is a 1-column (wallet) dim:
+    * existing rows for dirty wallets are dropped (left_anti), only the
+    * dirty wallets' fills are re-folded (left_semi before the
+    * repartition, so the fold shuffle moves just the dirty slice), and
+    * the two halves union. At 100 TB this is the difference between
+    * refolding a handful of reorged wallets and refolding the world —
+    * the result is row-identical to a full rebuild (BackfillSpec). */
+  def backfill(spark: SparkSession, existing: DataFrame,
+               walletTrades: DataFrame, dirty: DataFrame): DataFrame = {
+    val d = broadcast(dirty.select(col("wallet")).distinct())
+    val kept = existing.join(d, Seq("wallet"), "left_anti")
+    val refolded = build(spark,
+      walletTrades.join(d, Seq("wallet"), "left_semi")).toDF()
+    kept.unionByName(refolded)
+  }
+
   def realizedSummary(ledger: DataFrame): DataFrame =
     ledger.groupBy(col("wallet"))
       .agg(

@@ -267,4 +267,19 @@ class LedgerSpec extends SparkSpec {
       assert(math.abs(r - expected(w)) < 1e-6, s"wallet $w: $r vs ${expected(w)}")
     }
   }
+
+  test("backfill of dirty wallets is row-identical to a full rebuild") {
+    import graft.model.Tables
+    import graft.operators.Leaderboard
+    val wt = Leaderboard.walletTrades(Tables.trades(spark, sf))
+    val full = Ledger.build(spark, wt).toDF()
+    // pretend wallets 1..200 changed: start from a full build, drop +
+    // refold only those
+    val dirty = spark.range(1, 201).toDF("wallet")
+    val back = Ledger.backfill(spark, full, wt, dirty)
+    assert(back.count() == full.count())
+    // exact row-multiset equality both directions (same fold, same
+    // per-wallet input order → bit-identical doubles)
+    assert(back.exceptAll(full).isEmpty && full.exceptAll(back).isEmpty)
+  }
 }
