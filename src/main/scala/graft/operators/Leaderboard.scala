@@ -74,6 +74,42 @@ object Leaderboard {
     * the same guarantee for value domains too large to pair-group;
     * `approx_count_distinct` is the sketch alternative, shown in
     * q_leaderboard_approx). */
+  /** The rollup MV state itself (reference: wallet_leaderboard_stats_1h,
+    * 002:6-38 — countState/sumState/uniqExactState per (wallet, hour)):
+    * one partial row per (wallet, bucket, token) carrying count/volume/
+    * cashflow partials. The token key is the relational encoding of
+    * uniqExactState's member set. Built once at ingest (session-cache
+    * via graft.model.Views.cached); every leaderboard re-aggregates
+    * these partials instead of the raw trades. */
+  def rollupState(walletTrades: DataFrame, bucket: String): DataFrame =
+    walletTrades
+      .groupBy(col("wallet"), date_trunc(bucket, col("ts")).as("bucket"),
+        col("token_id"))
+      .agg(count(lit(1)).as("t"), sum(col("usd")).as("v"),
+        sum(when(col("side") === "sell", col("usd")).otherwise(-col("usd")))
+          .as("c"))
+
+  /** Leaderboard from the materialized [[rollupState]] partials — the
+    * countMerge/sumMerge/uniqExactMerge read path: per-wallet sums plus
+    * an exact distinct-market count from the (wallet, token) partial
+    * pairs (no Expand, no set shipping). */
+  def leaderboardFromState(state: DataFrame, k: Int,
+                           minTrades: Int = 5): DataFrame = {
+    val base = state.filter(!col("wallet").isin(ExcludedWallets: _*))
+    val sums = base.groupBy(col("wallet"))
+      .agg(sum(col("t")).as("trades"),
+        sum(col("v")).cast("double").as("volume_usd"),
+        sum(col("c")).cast("double").as("net_cashflow_usd"))
+    val markets = base.select(col("wallet"), col("token_id")).distinct()
+      .groupBy(col("wallet")).agg(count(lit(1)).as("markets"))
+    sums.join(markets, Seq("wallet"))
+      .select(col("wallet"), col("trades"), col("volume_usd"),
+        col("net_cashflow_usd"), col("markets"))
+      .filter(col("trades") >= minTrades)
+      .orderBy(col("net_cashflow_usd").desc, col("wallet"))
+      .limit(k)
+  }
+
   def leaderboardFromRollup(walletTrades: DataFrame, bucket: String, k: Int,
                             minTrades: Int = 5): DataFrame = {
     val base = walletTrades.filter(!col("wallet").isin(ExcludedWallets: _*))
