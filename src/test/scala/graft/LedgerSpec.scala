@@ -282,4 +282,44 @@ class LedgerSpec extends SparkSpec {
     // per-wallet input order → bit-identical doubles)
     assert(back.exceptAll(full).isEmpty && full.exceptAll(back).isEmpty)
   }
+
+  test("fold invariants hold for random fill sequences (scalacheck)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.{Test => SCTest}
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val fillGen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        token <- Gen.choose(1L, 3L)
+        buy <- Gen.oneOf(true, false)
+        qty <- Gen.choose(1, 20)
+        price <- Gen.choose(1, 500)
+      } yield (token, buy, qty.toDouble, qty.toDouble * price))
+    } yield rows
+    val prop = Prop.forAll(fillGen) { rows =>
+      val fills = rows.zipWithIndex.map { case ((tok, buy, qty, usd), i) =>
+        Ledger.Fill(1L, new Timestamp(base + i * 1000L), i.toLong, tok,
+          buy, qty, usd)
+      }
+      val out = Ledger.foldWallet(fills.iterator).toSeq
+      val byTok = out.groupBy(_.token_id)
+      byTok.forall { case (tok, rs) =>
+        val buys = rs.filter(_.event_type == "buy")
+        val sells = rs.filter(_.event_type == "sell")
+        val buyUsd = buys.map(-_.usd_delta).sum
+        val consumedBasis = sells.map(_.cost_basis).sum
+        val realized = sells.map(_.realized_pnl).sum
+        val proceeds = sells.map(_.usd_delta).sum
+        // (a) realized = proceeds − consumed basis
+        // (b) consumed basis never exceeds what was ever bought
+        // (c) one ledger row per fill
+        math.abs(realized - (proceeds - consumedBasis)) < 1e-6 &&
+          consumedBasis <= buyUsd + 1e-6 &&
+          rs.size == fills.count(_.tokenId == tok)
+      }
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(r.passed, r.status.toString)
+  }
 }
