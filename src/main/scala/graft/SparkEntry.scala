@@ -507,6 +507,50 @@ object SparkEntry {
         .orderBy(col("wallet"), col("ts"), col("seq"), col("token_id"))
         .limit(1000)),
 
+    // Split/merge engine hard-verification, same exact-arithmetic
+    // recipe as q_ledger_fifo_exact: unit lots, even integer usd (so a
+    // split's two minted legs carry exact usd/2 basis each), fold via
+    // the REAL generalized-event engine. Per token the add stream
+    // mixes buys and split legs, the consume stream mixes sells and
+    // merge legs — FIFO still consumes the first K adds (K = consumes
+    // − max prefix deficit), so wallet-level proceeds − consumed basis
+    // is a closed-form integer DuckDB can compute. Verifies minting
+    // basis, pair-burn realization and oversell/overmerge handling.
+    "q_ledger_events_exact" -> ((s, d) => {
+      val taker = wt(s, d).filter(col("role") === "taker")
+      val usdI = (col("usd") * 10000).cast("long")
+      val evenI = (usdI - pmod(usdI, lit(2L))).cast("double")
+      val base = taker.select(col("wallet"), col("ts"),
+        (col("trade_id") * 10).as("seq"), col("token_id"),
+        col("side").as("kind"), lit(1.0).as("qty"), evenI.as("usd"),
+        lit(0.0).as("fee"), lit(0L).as("token_id2"))
+      val splits = taker.filter(col("trade_id") % 13 === 0)
+        .select(col("wallet"), col("ts"),
+          (col("trade_id") * 10 + 5).as("seq"), col("token_id"),
+          lit("split").as("kind"), lit(1.0).as("qty"), evenI.as("usd"),
+          lit(0.0).as("fee"), (col("token_id") + 100000L).as("token_id2"))
+      val merges = taker.filter(col("trade_id") % 13 === 0)
+        .select(col("wallet"), col("ts"),
+          (col("trade_id") * 10 + 6).as("seq"), col("token_id"),
+          lit("merge").as("kind"), lit(1.0).as("qty"),
+          (evenI / 2).as("usd"),
+          lit(0.0).as("fee"), (col("token_id") + 100000L).as("token_id2"))
+      val events = base.unionByName(splits).unionByName(merges)
+      Ledger.buildEvents(s, events).toDF()
+        .groupBy(col("wallet"))
+        .agg(
+          sum(when(col("event_type") === "buy", 1L).otherwise(0L)).as("buys"),
+          sum(when(col("event_type") === "sell", 1L).otherwise(0L)).as("sells"),
+          sum(when(col("event_type") === "split", 1L).otherwise(0L)).as("splits"),
+          sum(when(col("event_type") === "merge", 1L).otherwise(0L)).as("merges"),
+          sum(when(col("event_type").isin("sell", "merge"), col("usd_delta"))
+            .otherwise(0.0)).cast("long").as("proceeds_i"),
+          sum(when(col("event_type").isin("sell", "merge"), col("cost_basis"))
+            .otherwise(0.0)).cast("long").as("consumed_basis_i"),
+          sum(col("realized_pnl")).cast("long").as("realized_i"))
+        .orderBy(col("wallet"))
+    }),
+
     // FIFO engine hard-verification: the REAL fold (Ledger.build) run
     // on unit-lot fills — qty = 1, usd scaled to an exact integer —
     // where FIFO matching has a closed-form SQL twin: unmatched sells
@@ -1465,6 +1509,86 @@ object SparkEntry {
         |  g.proceeds_i - COALESCE(m.matched_basis_i, 0) AS realized_i
         |FROM g LEFT JOIN m ON g.wallet = m.wallet AND g.token_id = m.token_id
         |ORDER BY g.wallet, g.token_id""".stripMargin,
+
+    // split/merge engine twin: adds = buys + split legs (basis usd or
+    // usd/2), consumes = sells + merge legs; per token first-K adds
+    // are consumed; wallet realized = proceeds − consumed basis
+    "q_ledger_events_exact" ->
+      s"""WITH $WT,
+        |tk AS (
+        |  SELECT wallet, ts, trade_id, token_id, side,
+        |    CAST(usd * 10000 AS BIGINT)
+        |      - (CAST(usd * 10000 AS BIGINT) % 2) AS even_i
+        |  FROM wt WHERE role = 'taker'),
+        |adds AS (
+        |  SELECT wallet, token_id, ts, trade_id * 10 AS seq,
+        |         even_i AS basis_i
+        |  FROM tk WHERE side = 'buy'
+        |  UNION ALL
+        |  SELECT wallet, token_id, ts, trade_id * 10 + 5, even_i // 2
+        |  FROM tk WHERE trade_id % 13 = 0
+        |  UNION ALL
+        |  SELECT wallet, token_id + 100000, ts, trade_id * 10 + 5,
+        |         even_i // 2
+        |  FROM tk WHERE trade_id % 13 = 0),
+        |cons AS (
+        |  SELECT wallet, token_id, ts, trade_id * 10 AS seq
+        |  FROM tk WHERE side = 'sell'
+        |  UNION ALL
+        |  SELECT wallet, token_id, ts, trade_id * 10 + 6
+        |  FROM tk WHERE trade_id % 13 = 0
+        |  UNION ALL
+        |  SELECT wallet, token_id + 100000, ts, trade_id * 10 + 6
+        |  FROM tk WHERE trade_id % 13 = 0),
+        |ev AS (
+        |  SELECT wallet, token_id, ts, seq, 1 AS is_add, basis_i FROM adds
+        |  UNION ALL
+        |  SELECT wallet, token_id, ts, seq, 0, 0 FROM cons),
+        |o AS (
+        |  SELECT wallet, token_id, is_add,
+        |    SUM(CASE WHEN is_add = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, seq
+        |            ROWS UNBOUNDED PRECEDING) AS cc,
+        |    SUM(is_add)
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, seq
+        |            ROWS UNBOUNDED PRECEDING) AS ca
+        |  FROM ev),
+        |g AS (
+        |  SELECT wallet, token_id,
+        |    CAST(MAX(GREATEST(cc - ca, 0)) AS BIGINT) AS u,
+        |    CAST(SUM(CASE WHEN is_add = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cons
+        |  FROM o GROUP BY 1, 2),
+        |ar AS (
+        |  SELECT wallet, token_id, basis_i,
+        |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
+        |      ORDER BY ts, seq) AS rn
+        |  FROM adds),
+        |cb AS (
+        |  SELECT ar.wallet, CAST(SUM(ar.basis_i) AS BIGINT)
+        |    AS consumed_basis_i
+        |  FROM ar JOIN g ON ar.wallet = g.wallet
+        |    AND ar.token_id = g.token_id
+        |  WHERE ar.rn <= g.n_cons - g.u
+        |  GROUP BY 1),
+        |pr AS (
+        |  SELECT wallet,
+        |    CAST(SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS buys,
+        |    CAST(SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS sells,
+        |    CAST(SUM(CASE WHEN trade_id % 13 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS splits,
+        |    CAST(SUM(CASE WHEN side = 'sell' THEN even_i ELSE 0 END)
+        |      + SUM(CASE WHEN trade_id % 13 = 0 THEN even_i // 2 ELSE 0 END)
+        |      AS BIGINT) AS proceeds_i
+        |  FROM tk GROUP BY 1)
+        |SELECT pr.wallet, pr.buys, pr.sells, pr.splits,
+        |  pr.splits AS merges, pr.proceeds_i,
+        |  COALESCE(cb.consumed_basis_i, 0) AS consumed_basis_i,
+        |  pr.proceeds_i - COALESCE(cb.consumed_basis_i, 0) AS realized_i
+        |FROM pr LEFT JOIN cb ON pr.wallet = cb.wallet
+        |ORDER BY pr.wallet""".stripMargin,
 
     "q_reconcile" ->
       s"""WITH $BALANCES,
