@@ -25,6 +25,12 @@ object GraftCatalog {
       .createOrReplaceTempView("candles_1m")
     Views.dailyFlows(spark, dir).createOrReplaceTempView("wallet_daily_flows")
     Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    // the materialized ledger and rollup-state views (reference:
+    // wallet_ledger table, wallet_leaderboard_stats MV)
+    Views.ledger(spark, dir).createOrReplaceTempView("wallet_ledger")
+    graft.operators.Leaderboard.walletTrades(Views.trades(spark, dir))
+      .transform(wt => graft.operators.Leaderboard.rollupState(wt, "day"))
+      .createOrReplaceTempView("leaderboard_rollup_1d")
     graft.functions.GraftFunctions.register(spark)
   }
 }
