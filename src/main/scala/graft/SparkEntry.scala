@@ -868,6 +868,22 @@ object SparkEntry {
     // Pure-SQL surface: the full query is ANSI SQL text over the
     // registered catalog views (graft.model.GraftCatalog) — the
     // reference's ClickHouse SQL surface, served by spark.sql.
+    // Pure-SQL access to the materialized FIFO ledger view: per-event
+    // profile with exact decimal cash deltas. The counts and the
+    // usd_delta sums are derivable relationally (one ledger row per
+    // fill; buys pay −usd, sells receive +usd), so DuckDB verifies the
+    // catalog-registered fold output without re-running the fold.
+    "q_sql_ledger_profile" -> ((s, d) => {
+      graft.model.GraftCatalog.register(s, d)
+      s.sql("""SELECT event_type, COUNT(*) AS n,
+              |  CAST(SUM(CAST(usd_delta AS DECIMAL(18,4))) AS DOUBLE)
+              |    AS cash_delta,
+              |  COUNT(DISTINCT wallet) AS wallets
+              |FROM wallet_ledger
+              |GROUP BY event_type
+              |ORDER BY event_type""".stripMargin)
+    }),
+
     "q_sql_market_volume" -> ((s, d) => {
       graft.model.GraftCatalog.register(s, d)
       s.sql("""SELECT m.market, COUNT(*) AS trades,
@@ -2264,6 +2280,15 @@ object SparkEntry {
         |SELECT s1.u AS wallet, (s3.t3 IS NOT NULL) AS matched
         |FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
         |ORDER BY wallet""".stripMargin,
+
+    "q_sql_ledger_profile" ->
+      s"""WITH $WT
+        |SELECT side AS event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN side = 'buy'
+        |    THEN -CAST(usd AS DECIMAL(18,4))
+        |    ELSE CAST(usd AS DECIMAL(18,4)) END) AS DOUBLE) AS cash_delta,
+        |  COUNT(DISTINCT wallet) AS wallets
+        |FROM wt GROUP BY side ORDER BY event_type""".stripMargin,
 
     "q_sql_market_volume" ->
       s"""WITH $WT
