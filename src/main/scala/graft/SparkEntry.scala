@@ -226,7 +226,11 @@ object SparkEntry {
         .orderBy(col("wallet"))),
 
     "q_pnl_rollup_1d" -> ((s, d) =>
-      Rollup.pnlRollup1d(wt(s, d), markets(s, d))
+      // the 1d rollup is a materialized table in the reference
+      // (wallet_condition_pnl_1d, rebuilt by build-rollup-1d.ts) —
+      // build once per session, serve reads from the MV
+      graft.model.Views.cached(s, d, "pnl_rollup_1d")(
+          Rollup.pnlRollup1d(wt(s, d), markets(s, d)))
         .orderBy(col("wallet"), col("market"), col("day"))),
 
     "q_reconcile" -> ((s, d) => {
