@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench parser reads only the tail of stdout and must find
+// Bench's headline JSON as the LAST line. Two things used to break that:
+// forked-run output was logged with "[info] "/"[error] " prefixes, and
+// sbt appended "[success] Total time: …" after the JSON. Pass the forked
+// process's stdout/stderr straight through and drop the success banner.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

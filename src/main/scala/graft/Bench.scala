@@ -72,9 +72,12 @@ object Bench {
       mapJson(selected.zip(pass2).map { case ((n, _), (t, ok)) => (n, t, ok) })},"failed":$failed,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full)
     catch { case e: Throwable => System.err.println(s"[bench] local dump: ${e.getMessage}") }
-    // the ONE parseable line, last: headline queries only, "value" = ALL
+    // the ONE parseable line, last: headline queries only, "value" = ALL.
+    // Stop Spark first (logging off) so no shutdown WARN can land after it.
     val headline = runs.filter { case (k, _, _) => !nonHeadline(k) }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(headline)},"failed":$failed,"sf":"$sfDir"}""")
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(headline)},"failed":$failed,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
