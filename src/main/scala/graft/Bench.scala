@@ -17,7 +17,8 @@ object Bench {
     "q_multimodal_features", "q_fingerprint", "q_active_wallets",
     "q_data_mix", "q_pii_signals", "q_price_change",
     "q_word_topk_approx", "q_embed_centroid", "q_lm_score",
-    "q_quantiles_sketch", "q_recent_tokens", "q_sql_ledger_profile")
+    "q_quantiles_sketch", "q_recent_tokens", "q_sql_ledger_profile",
+    "q_ledger_resolved_exact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

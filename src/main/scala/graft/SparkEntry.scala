@@ -585,6 +585,41 @@ object SparkEntry {
         .orderBy(col("wallet"), col("token_id"))
     }),
 
+    // Resolution-settlement hard verification, same unit-lot recipe as
+    // q_ledger_fifo_exact: the REAL fold (buildOpenRows) + the REAL
+    // settlement join (resolveOpen) on qty=1 fills with integer usd.
+    // FIFO leaves exactly the LAST n_buys − K buys open (K = sells −
+    // max prefix deficit), so each redemption's qty, basis, payout and
+    // realized are closed-form integers DuckDB can recompute. Payouts
+    // by token_id % 4 — 1: 1.0 (win, ×1e4 scale), 2: 0 (the
+    // reference's resolutionLoss — full basis realized as loss),
+    // 3: 0.5 (partial); % 4 == 0 stays unresolved and must be dropped.
+    // Verifies the "_open" state rows, the broadcast settlement join
+    // and the payout/loss arithmetic end to end.
+    "q_ledger_resolved_exact" -> ((s, d) => {
+      val f = wt(s, d).select(
+        col("wallet"), col("ts"), col("trade_id"), col("token_id"), col("side"),
+        lit(1.0).as("qty"),
+        (col("usd") * 10000).cast("long").cast("double").as("usd"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)").as("fee"))
+      val resolutions = Tables.part(s, d)
+        .select(col("p_partkey").cast("long").as("token_id"),
+          when(col("p_partkey") % 4 === 1, 10000.0)
+            .when(col("p_partkey") % 4 === 2, 0.0)
+            .when(col("p_partkey") % 4 === 3, 5000.0).as("payout"))
+        .filter(col("payout").isNotNull)
+      val open = graft.model.Views.cached(s, d, "ledger_open_unit")(
+        Ledger.buildOpenRows(s, f).toDF())
+      Ledger.resolveOpen(open, resolutions)
+        .filter(col("event_type") === "redeem")
+        .select(col("wallet"), col("token_id"),
+          (-col("qty")).cast("long").as("open_qty"),
+          col("usd_delta").cast("long").as("payout_i"),
+          col("cost_basis").cast("long").as("basis_i"),
+          col("realized_pnl").cast("long").as("realized_i"))
+        .orderBy(col("wallet"), col("token_id"))
+    }),
+
     // 7-day moving average of daily token volume (RANGE frame keyed on
     // day number — candle smoothing for charts).
     // VWAP per (token, day): exact decimal sums, one double division —
@@ -1529,6 +1564,52 @@ object SparkEntry {
         |  g.proceeds_i - COALESCE(m.matched_basis_i, 0) AS realized_i
         |FROM g LEFT JOIN m ON g.wallet = m.wallet AND g.token_id = m.token_id
         |ORDER BY g.wallet, g.token_id""".stripMargin,
+
+    // resolution-settlement twin: open lots = the LAST n_buys − K
+    // buys (K = n_sells − max prefix deficit); redemption payout =
+    // open_qty · payout(token_id % 4), realized = payout − open basis
+    "q_ledger_resolved_exact" ->
+      s"""WITH $WT,
+        |f AS (
+        |  SELECT wallet, token_id, ts, trade_id, side,
+        |         CAST(usd * 10000 AS BIGINT) AS usd_i
+        |  FROM wt),
+        |o AS (
+        |  SELECT wallet, token_id, side,
+        |    SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+        |            ROWS UNBOUNDED PRECEDING) AS cs,
+        |    SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+        |            ROWS UNBOUNDED PRECEDING) AS cb
+        |  FROM f),
+        |g AS (
+        |  SELECT wallet, token_id,
+        |    CAST(MAX(GREATEST(cs - cb, 0)) AS BIGINT) AS u,
+        |    CAST(SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END) AS BIGINT) AS n_sells
+        |  FROM o GROUP BY 1, 2),
+        |b AS (
+        |  SELECT wallet, token_id, usd_i,
+        |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
+        |      ORDER BY ts, trade_id) AS rn
+        |  FROM f WHERE side = 'buy'),
+        |ob AS (
+        |  SELECT b.wallet, b.token_id,
+        |    CAST(COUNT(*) AS BIGINT) AS open_qty,
+        |    CAST(SUM(b.usd_i) AS BIGINT) AS open_basis_i
+        |  FROM b JOIN g ON b.wallet = g.wallet AND b.token_id = g.token_id
+        |  WHERE b.rn > g.n_sells - g.u
+        |  GROUP BY 1, 2)
+        |SELECT wallet, token_id, open_qty,
+        |  open_qty * punit AS payout_i,
+        |  open_basis_i AS basis_i,
+        |  open_qty * punit - open_basis_i AS realized_i
+        |FROM (
+        |  SELECT ob.*,
+        |    CASE token_id % 4 WHEN 1 THEN 10000 WHEN 2 THEN 0
+        |         WHEN 3 THEN 5000 END AS punit
+        |  FROM ob WHERE token_id % 4 <> 0) r
+        |ORDER BY wallet, token_id""".stripMargin,
 
     // split/merge engine twin: adds = buys + split legs (basis usd or
     // usd/2), consumes = sells + merge legs; per token first-K adds
