@@ -620,6 +620,40 @@ object SparkEntry {
         .orderBy(col("wallet"), col("token_id"))
     }),
 
+    // Period-mode hard verification (calculate-pnl.ts modes 1-4), same
+    // unit-lot recipe: the REAL provenance fold (buildPeriod) on qty=1
+    // fills with integer usd, marked at an integer synthetic last
+    // price. On unit lots the j-th MATCHED sell consumes the j-th buy
+    // (FIFO pops in buy order), and a sell is unmatched exactly when
+    // its running deficit cs−cb sets a new positive maximum — so per-
+    // sell lot provenance (which buy, opened when) is closed-form SQL.
+    // m1 = in-period sells consuming in-period lots; m2 = all
+    // in-period sells; m3/m4 add unrealized on period-opened / all
+    // open lots. Everything integer → exact hash compare.
+    "q_pnl_period_exact" -> ((s, d) => {
+      val f = wt(s, d).select(
+        col("wallet"), col("ts"), col("trade_id"), col("token_id"), col("side"),
+        lit(1.0).as("qty"),
+        (col("usd") * 10000).cast("long").cast("double").as("usd"))
+      val lp = wt(s, d).select(col("token_id")).distinct()
+        .withColumn("last_price", (col("token_id") % 7 * 2500).cast("double"))
+      val period = graft.model.Views.cached(s, d, "ledger_period_unit")(
+        Ledger.buildPeriod(s, f, "1996-01-01", "1997-01-01").toDF())
+      period.join(broadcast(lp), Seq("token_id"), "left")
+        .groupBy(col("wallet"))
+        .agg(
+          sum(col("realized_period_only")).cast("long").as("m1_i"),
+          sum(col("realized_with_history")).cast("long").as("m2_i"),
+          sum(col("open_qty_period") * col("last_price")
+            - col("open_basis_period")).cast("long").as("up_i"),
+          sum(col("open_qty_all") * col("last_price")
+            - col("open_basis_all")).cast("long").as("ua_i"))
+        .select(col("wallet"), col("m1_i"), col("m2_i"),
+          (col("m1_i") + col("up_i")).as("m3_i"),
+          (col("m2_i") + col("ua_i")).as("m4_i"))
+        .orderBy(col("wallet"))
+    }),
+
     // 7-day moving average of daily token volume (RANGE frame keyed on
     // day number — candle smoothing for charts).
     // VWAP per (token, day): exact decimal sums, one double division —
@@ -1610,6 +1644,76 @@ object SparkEntry {
         |         WHEN 3 THEN 5000 END AS punit
         |  FROM ob WHERE token_id % 4 <> 0) r
         |ORDER BY wallet, token_id""".stripMargin,
+
+    // period-mode twin: a sell is unmatched iff its running deficit
+    // cs−cb sets a new positive max; matched sell #j consumes buy #j;
+    // open lots = buys ranked past the total matched count. Period is
+    // inclusive on both ends (reference isInPeriod); synthetic integer
+    // last price (token_id % 7 · 2500) marks open lots.
+    "q_pnl_period_exact" ->
+      s"""WITH $WT,
+        |f AS (
+        |  SELECT wallet, token_id, ts, trade_id, side,
+        |         CAST(usd * 10000 AS BIGINT) AS usd_i
+        |  FROM wt),
+        |o AS (
+        |  SELECT wallet, token_id, ts, trade_id, side, usd_i,
+        |    SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+        |            ROWS UNBOUNDED PRECEDING)
+        |    - SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+        |            ROWS UNBOUNDED PRECEDING) AS d
+        |  FROM f),
+        |o2 AS (
+        |  SELECT *,
+        |    COALESCE(MAX(d)
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS dmax_prev
+        |  FROM o),
+        |ms AS (
+        |  SELECT wallet, token_id, ts AS sell_ts, usd_i AS sell_i,
+        |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
+        |      ORDER BY ts, trade_id) AS rs
+        |  FROM o2 WHERE side = 'sell' AND d <= GREATEST(dmax_prev, 0)),
+        |b AS (
+        |  SELECT wallet, token_id, ts AS buy_ts, usd_i AS buy_i,
+        |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
+        |      ORDER BY ts, trade_id) AS rb
+        |  FROM f WHERE side = 'buy'),
+        |k AS (SELECT wallet, token_id, CAST(COUNT(*) AS BIGINT) AS k
+        |      FROM ms GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT ms.wallet, ms.token_id,
+        |    CASE WHEN ms.sell_ts BETWEEN DATE '1996-01-01' AND DATE '1997-01-01'
+        |          AND b.buy_ts BETWEEN DATE '1996-01-01' AND DATE '1997-01-01'
+        |         THEN ms.sell_i - b.buy_i ELSE 0 END AS m1c,
+        |    CASE WHEN ms.sell_ts BETWEEN DATE '1996-01-01' AND DATE '1997-01-01'
+        |         THEN ms.sell_i - b.buy_i ELSE 0 END AS m2c,
+        |    0 AS upc, 0 AS uac, 0 AS openc
+        |  FROM ms JOIN b ON ms.wallet = b.wallet
+        |    AND ms.token_id = b.token_id AND ms.rs = b.rb
+        |  UNION ALL
+        |  SELECT b.wallet, b.token_id, 0, 0,
+        |    CASE WHEN b.buy_ts BETWEEN DATE '1996-01-01' AND DATE '1997-01-01'
+        |         THEN b.token_id % 7 * 2500 - b.buy_i ELSE 0 END,
+        |    b.token_id % 7 * 2500 - b.buy_i, 1
+        |  FROM b LEFT JOIN k ON b.wallet = k.wallet AND b.token_id = k.token_id
+        |  WHERE b.rb > COALESCE(k.k, 0)),
+        |tok AS (
+        |  SELECT wallet, token_id,
+        |    CAST(SUM(m1c) AS BIGINT) AS r1, CAST(SUM(m2c) AS BIGINT) AS r2,
+        |    CAST(SUM(upc) AS BIGINT) AS up, CAST(SUM(uac) AS BIGINT) AS ua,
+        |    CAST(SUM(openc) AS BIGINT) AS openq
+        |  FROM contrib GROUP BY 1, 2
+        |  HAVING r1 <> 0 OR r2 <> 0 OR openq > 0)
+        |SELECT wallet,
+        |  CAST(SUM(r1) AS BIGINT) AS m1_i, CAST(SUM(r2) AS BIGINT) AS m2_i,
+        |  CAST(SUM(r1) + SUM(up) AS BIGINT) AS m3_i,
+        |  CAST(SUM(r2) + SUM(ua) AS BIGINT) AS m4_i
+        |FROM tok GROUP BY wallet
+        |ORDER BY wallet""".stripMargin,
 
     // split/merge engine twin: adds = buys + split legs (basis usd or
     // usd/2), consumes = sells + merge legs; per token first-K adds
