@@ -18,6 +18,9 @@ run / fork := true
 // process's stdout/stderr straight through and drop the success banner.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — silence
+// the unused-key lint (the effect is real: no [success] line prints)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

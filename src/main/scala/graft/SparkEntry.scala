@@ -462,19 +462,23 @@ object SparkEntry {
     // back; every 19th moves tokens between the two wallets.
     "q_ledger_events" -> ((s, d) => {
       val w = wt(s, d)
-      val base = w.select(col("wallet"), col("ts"),
+      val noLegs = Seq(lit(null).cast("array<long>").as("leg_tokens"),
+        lit(null).cast("array<double>").as("leg_qtys"))
+      val base = w.select(Seq(col("wallet"), col("ts"),
         (col("trade_id") * 10).as("seq"), col("token_id"),
         col("side").as("kind"), col("qty"),
         col("usd").cast("double").as("usd"),
-        col("fee").cast("double").as("fee"), lit(0L).as("token_id2"))
+        col("fee").cast("double").as("fee"),
+        lit(0L).as("token_id2")) ++ noLegs: _*)
       val taker = w.filter(col("role") === "taker")
       def synth(cond: Column, offset: Int, kind: String, qtyCol: Column,
-                usdCol: Column, walletCol: Column, tok2: Column) =
-        taker.filter(cond).select(walletCol.as("wallet"), col("ts"),
+                usdCol: Column, walletCol: Column, tok2: Column,
+                legs: Seq[Column] = noLegs) =
+        taker.filter(cond).select(Seq(walletCol.as("wallet"), col("ts"),
           (col("trade_id") * 10 + offset).as("seq"), col("token_id"),
           lit(kind).as("kind"), qtyCol.as("qty"),
           usdCol.cast("double").as("usd"), lit(0.0).as("fee"),
-          tok2.as("token_id2"))
+          tok2.as("token_id2")) ++ legs: _*)
       val splits = synth(col("trade_id") % 13 === 0, 5, "split",
         col("qty"), col("usd"), col("wallet"), col("token_id") + 100000L)
       val merges = synth(col("trade_id") % 13 === 0, 6, "merge",
@@ -490,9 +494,28 @@ object SparkEntry {
         lit(0.0), col("usd") / lit(100.0), col("wallet"), lit(0L))
       val feeDraws = synth(col("trade_id") % 31 === 0, 12, "fee_withdrawal",
         lit(0.0), col("usd") / lit(200.0), col("wallet"), lit(0L))
+      // multi-outcome adapter events: every 37th taker fill splits a
+      // 3-outcome condition with transfer-derived UNEQUAL amounts
+      // (qty, 2·qty, 3·qty — uniform unit cost usd / 6·qty) and later
+      // merges one qty of each leg back for usd/3
+      val legs3 = Seq(
+        array(col("token_id") + 300000L, col("token_id") + 300001L,
+          col("token_id") + 300002L).as("leg_tokens"),
+        array(col("qty").cast("double"), (col("qty") * 2).cast("double"),
+          (col("qty") * 3).cast("double")).as("leg_qtys"))
+      val splits3 = synth(col("trade_id") % 37 === 0, 13, "split",
+        lit(0.0), col("usd"), col("wallet"), lit(0L), legs3)
+      val legs3unit = Seq(
+        array(col("token_id") + 300000L, col("token_id") + 300001L,
+          col("token_id") + 300002L).as("leg_tokens"),
+        array(col("qty").cast("double"), col("qty").cast("double"),
+          col("qty").cast("double")).as("leg_qtys"))
+      val merges3 = synth(col("trade_id") % 37 === 0, 14, "merge",
+        lit(0.0), col("usd") / lit(3.0), col("wallet"), lit(0L), legs3unit)
       val events = base.unionByName(splits).unionByName(merges)
         .unionByName(outs).unionByName(ins).unionByName(converts)
         .unionByName(refunds).unionByName(feeDraws)
+        .unionByName(splits3).unionByName(merges3)
       // the generalized event ledger is a materialized table in the
       // reference (wallet_ledger) — fold once per session, re-run only
       // the aggregation per request
@@ -524,22 +547,50 @@ object SparkEntry {
       val taker = wt(s, d).filter(col("role") === "taker")
       val usdI = (col("usd") * 10000).cast("long")
       val evenI = (usdI - pmod(usdI, lit(2L))).cast("double")
-      val base = taker.select(col("wallet"), col("ts"),
+      val triI = (usdI - pmod(usdI, lit(3L)))
+      val noLegs = Seq(lit(null).cast("array<long>").as("leg_tokens"),
+        lit(null).cast("array<double>").as("leg_qtys"))
+      val base = taker.select(Seq(col("wallet"), col("ts"),
         (col("trade_id") * 10).as("seq"), col("token_id"),
         col("side").as("kind"), lit(1.0).as("qty"), evenI.as("usd"),
-        lit(0.0).as("fee"), lit(0L).as("token_id2"))
+        lit(0.0).as("fee"), lit(0L).as("token_id2")) ++ noLegs: _*)
       val splits = taker.filter(col("trade_id") % 13 === 0)
-        .select(col("wallet"), col("ts"),
+        .select(Seq(col("wallet"), col("ts"),
           (col("trade_id") * 10 + 5).as("seq"), col("token_id"),
           lit("split").as("kind"), lit(1.0).as("qty"), evenI.as("usd"),
-          lit(0.0).as("fee"), (col("token_id") + 100000L).as("token_id2"))
+          lit(0.0).as("fee"),
+          (col("token_id") + 100000L).as("token_id2")) ++ noLegs: _*)
       val merges = taker.filter(col("trade_id") % 13 === 0)
-        .select(col("wallet"), col("ts"),
+        .select(Seq(col("wallet"), col("ts"),
           (col("trade_id") * 10 + 6).as("seq"), col("token_id"),
           lit("merge").as("kind"), lit(1.0).as("qty"),
           (evenI / 2).as("usd"),
-          lit(0.0).as("fee"), (col("token_id") + 100000L).as("token_id2"))
+          lit(0.0).as("fee"),
+          (col("token_id") + 100000L).as("token_id2")) ++ noLegs: _*)
+      // multi-outcome family: every 17th taker fill splits a 3-leg
+      // condition (unit qty per leg, usd divisible by 3 → exact
+      // integer uniform unit cost) and merges one unit of each leg
+      // back for a third of the collateral — exercises the explicit
+      // leg-list path through the same first-K-adds closed form
+      val legTok = array(col("token_id") + 300000L,
+        col("token_id") + 300001L, col("token_id") + 300002L)
+      val unitQtys = array(lit(1.0), lit(1.0), lit(1.0))
+      val splits3 = taker.filter(col("trade_id") % 17 === 0)
+        .select(col("wallet"), col("ts"),
+          (col("trade_id") * 10 + 7).as("seq"), col("token_id"),
+          lit("split").as("kind"), lit(0.0).as("qty"),
+          triI.cast("double").as("usd"), lit(0.0).as("fee"),
+          lit(0L).as("token_id2"), legTok.as("leg_tokens"),
+          unitQtys.as("leg_qtys"))
+      val merges3 = taker.filter(col("trade_id") % 17 === 0)
+        .select(col("wallet"), col("ts"),
+          (col("trade_id") * 10 + 8).as("seq"), col("token_id"),
+          lit("merge").as("kind"), lit(0.0).as("qty"),
+          (triI / 3).cast("double").as("usd"), lit(0.0).as("fee"),
+          lit(0L).as("token_id2"), legTok.as("leg_tokens"),
+          unitQtys.as("leg_qtys"))
       val events = base.unionByName(splits).unionByName(merges)
+        .unionByName(splits3).unionByName(merges3)
       Ledger.buildEvents(s, events).toDF()
         .groupBy(col("wallet"))
         .agg(
@@ -1723,8 +1774,11 @@ object SparkEntry {
         |tk AS (
         |  SELECT wallet, ts, trade_id, token_id, side,
         |    CAST(usd * 10000 AS BIGINT)
-        |      - (CAST(usd * 10000 AS BIGINT) % 2) AS even_i
+        |      - (CAST(usd * 10000 AS BIGINT) % 2) AS even_i,
+        |    CAST(usd * 10000 AS BIGINT)
+        |      - (CAST(usd * 10000 AS BIGINT) % 3) AS tri_i
         |  FROM wt WHERE role = 'taker'),
+        |legs3(off) AS (VALUES (300000), (300001), (300002)),
         |adds AS (
         |  SELECT wallet, token_id, ts, trade_id * 10 AS seq,
         |         even_i AS basis_i
@@ -1735,7 +1789,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT wallet, token_id + 100000, ts, trade_id * 10 + 5,
         |         even_i // 2
-        |  FROM tk WHERE trade_id % 13 = 0),
+        |  FROM tk WHERE trade_id % 13 = 0
+        |  UNION ALL
+        |  SELECT wallet, token_id + off, ts, trade_id * 10 + 7, tri_i // 3
+        |  FROM tk CROSS JOIN legs3 WHERE trade_id % 17 = 0),
         |cons AS (
         |  SELECT wallet, token_id, ts, trade_id * 10 AS seq
         |  FROM tk WHERE side = 'sell'
@@ -1744,7 +1801,10 @@ object SparkEntry {
         |  FROM tk WHERE trade_id % 13 = 0
         |  UNION ALL
         |  SELECT wallet, token_id + 100000, ts, trade_id * 10 + 6
-        |  FROM tk WHERE trade_id % 13 = 0),
+        |  FROM tk WHERE trade_id % 13 = 0
+        |  UNION ALL
+        |  SELECT wallet, token_id + off, ts, trade_id * 10 + 8
+        |  FROM tk CROSS JOIN legs3 WHERE trade_id % 17 = 0),
         |ev AS (
         |  SELECT wallet, token_id, ts, seq, 1 AS is_add, basis_i FROM adds
         |  UNION ALL
@@ -1783,9 +1843,11 @@ object SparkEntry {
         |    CAST(SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END) AS BIGINT)
         |      AS sells,
         |    CAST(SUM(CASE WHEN trade_id % 13 = 0 THEN 1 ELSE 0 END)
+        |      + SUM(CASE WHEN trade_id % 17 = 0 THEN 1 ELSE 0 END)
         |      AS BIGINT) AS splits,
         |    CAST(SUM(CASE WHEN side = 'sell' THEN even_i ELSE 0 END)
         |      + SUM(CASE WHEN trade_id % 13 = 0 THEN even_i // 2 ELSE 0 END)
+        |      + SUM(CASE WHEN trade_id % 17 = 0 THEN tri_i // 3 ELSE 0 END)
         |      AS BIGINT) AS proceeds_i
         |  FROM tk GROUP BY 1)
         |SELECT pr.wallet, pr.buys, pr.sells, pr.splits,

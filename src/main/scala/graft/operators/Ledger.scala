@@ -41,7 +41,18 @@ object Ledger {
   final case class Fill(wallet: Long, ts: java.sql.Timestamp, seq: Long,
                         tokenId: Long, isBuy: Boolean, qty: Double, usd: Double,
                         fee: Double = 0.0, kind: String = "",
-                        tokenId2: Long = 0L)
+                        tokenId2: Long = 0L,
+                        legTokens: Seq[Long] = Nil, legQtys: Seq[Double] = Nil) {
+    /** Per-leg (tokenId, qty) list for split/merge: explicit legs when
+      * the event carries them (the reference derives these from the
+      * tx's ERC1155 transfers — any outcome count, unequal amounts,
+      * ledger-engine.ts:1463-1530); otherwise the 2-leg equal-qty
+      * fallback (tokenId, tokenId2), the shape
+      * computeFallbackTokenAmounts produces for a binary condition. */
+    def legs: Seq[(Long, Double)] =
+      if (legTokens.nonEmpty) legTokens.zip(legQtys)
+      else Seq(tokenId -> qty, tokenId2 -> qty)
+  }
 
   /** Output ledger row (reference wallet_ledger columns). */
   final case class LedgerRow(wallet: Long, ts: java.sql.Timestamp, seq: Long,
@@ -132,16 +143,27 @@ object Ledger {
               basis, f.usd - basis, f.fee)
           }
         case "split" =>
-          // usd collateral in, qty minted per leg at uniform unit cost
-          val minted = 2 * f.qty
+          // usd collateral in, per-leg qtys minted at UNIFORM unit
+          // cost usd / total minted (ledger-engine.ts adapter_split:
+          // unitCost = totalCost / totalMintQty regardless of how the
+          // transfers distribute quantity across outcomes)
+          val legs = f.legs
+          val minted = legs.iterator.map(_._2).sum
           val unit = if (minted > 0) f.usd / minted else 0.0
-          addLot(f.tokenId, f.qty, unit)
-          addLot(f.tokenId2, f.qty, unit)
+          legs.foreach { case (t, q) => if (q > 0) addLot(t, q, unit) }
           LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "split", minted, -f.usd,
             f.usd, 0.0, f.fee)
         case "merge" =>
-          val basis = consume(f.tokenId, f.qty) + consume(f.tokenId2, f.qty)
-          LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "merge", -2 * f.qty,
+          // burn per-leg qtys, each leg consumed FIFO from its own
+          // token's lots; realized = proceeds − total consumed basis
+          // (adapter_merge: per-consumption proceeds share unitProceeds
+          // = usd / totalBurnQty, which sums back to usd)
+          val legs = f.legs
+          val burned = legs.iterator.map(_._2).sum
+          val basis = legs.iterator.map { case (t, q) =>
+            if (q > 0) consume(t, q) else 0.0
+          }.sum
+          LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "merge", -burned,
             f.usd, basis, f.usd - basis, f.fee)
         case "transfer_out" =>
           val basis = consume(f.tokenId, f.qty)
@@ -286,13 +308,19 @@ object Ledger {
 
   /** Distributed ledger build over a generalized event stream:
     * columns (wallet, ts, seq, token_id, kind, qty, usd[, fee]
-    * [, token_id2]) with kind ∈ buy / sell / split / merge /
-    * transfer_in / transfer_out — the 12-event-type surface of
-    * ledger-engine.ts reduced to its position-mutating core. Same
-    * scale shape as [[build]]: one shuffle by wallet, per-wallet fold. */
+    * [, token_id2] [, leg_tokens, leg_qtys]) with kind ∈ buy / sell /
+    * split / merge / transfer_in / transfer_out — the 12-event-type
+    * surface of ledger-engine.ts reduced to its position-mutating
+    * core. `leg_tokens`/`leg_qtys` (parallel arrays) carry the
+    * transfer-derived per-outcome amounts of multi-outcome
+    * splits/merges; rows without them use the binary 2-leg fallback.
+    * Same scale shape as [[build]]: one shuffle by wallet,
+    * per-wallet fold. */
   def buildEvents(spark: SparkSession, events: DataFrame): Dataset[LedgerRow] = {
     import spark.implicits._
     val cols = events.columns.toSet
+    val emptyLongs = lit(Array.empty[Long])
+    val emptyDoubles = lit(Array.empty[Double])
     val fills: Dataset[Fill] = events.select(
         col("wallet").cast("long").as("wallet"),
         col("ts"),
@@ -305,7 +333,13 @@ object Ledger {
          else lit(0.0)).as("fee"),
         col("kind"),
         (if (cols("token_id2")) coalesce(col("token_id2").cast("long"), lit(0L))
-         else lit(0L)).as("tokenId2"))
+         else lit(0L)).as("tokenId2"),
+        (if (cols("leg_tokens"))
+           coalesce(col("leg_tokens").cast("array<long>"), emptyLongs)
+         else emptyLongs).as("legTokens"),
+        (if (cols("leg_qtys"))
+           coalesce(col("leg_qtys").cast("array<double>"), emptyDoubles)
+         else emptyDoubles).as("legQtys"))
       .as[Fill]
     foldFills(fills, foldWallet)
   }
@@ -323,7 +357,9 @@ object Ledger {
         col("usd").cast("double").as("usd"),
         col("fee").cast("double").as("fee"),
         lit("").as("kind"),
-        lit(0L).as("tokenId2"))
+        lit(0L).as("tokenId2"),
+        lit(Array.empty[Long]).as("legTokens"),
+        lit(Array.empty[Double]).as("legQtys"))
       .as[Fill]
     foldFills(fills, folder)
   }
@@ -447,7 +483,9 @@ object Ledger {
         (col("side") === "buy").as("isBuy"),
         col("qty").cast("double").as("qty"),
         col("usd").cast("double").as("usd"),
-        lit(0.0).as("fee"), lit("").as("kind"), lit(0L).as("tokenId2"))
+        lit(0.0).as("fee"), lit("").as("kind"), lit(0L).as("tokenId2"),
+        lit(Array.empty[Long]).as("legTokens"),
+        lit(Array.empty[Double]).as("legQtys"))
       .as[Fill]
     fills
       .repartition(col("wallet"))

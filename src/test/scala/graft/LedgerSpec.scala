@@ -86,6 +86,54 @@ class LedgerSpec extends SparkSpec {
     // the other leg still holds 6 @0.5
   }
 
+  test("multi-outcome split mints per-leg amounts at uniform cost; merge consumes per leg") {
+    // 3-outcome condition, transfer-derived UNEQUAL amounts
+    // (ledger-engine.ts adapter_split: unitCost = totalCost / totalMintQty)
+    val fills = Seq(
+      // pay 12 collateral, mint 1×t100 + 2×t200 + 3×t300 @ 12/6 = 2.00
+      Fill(1, ts(1), 1, 100, isBuy = false, qty = 0, usd = 12.0,
+        kind = "split", legTokens = Seq(100L, 200L, 300L),
+        legQtys = Seq(1.0, 2.0, 3.0)),
+      // burn 1 of each leg for 4.5 proceeds; basis 3×2.00 = 6 → −1.5
+      Fill(1, ts(2), 2, 100, isBuy = false, qty = 0, usd = 4.5,
+        kind = "merge", legTokens = Seq(100L, 200L, 300L),
+        legQtys = Seq(1.0, 1.0, 1.0)),
+      // sell the remaining 2 of token 300 @3.00: basis 4 → +2
+      Fill(1, ts(3), 3, 300, isBuy = false, qty = 2, usd = 6.0)
+    )
+    val rows = Ledger.foldWallet(fills.iterator).toSeq
+    val Seq(split, merge, sell) = rows
+    assert(split.event_type == "split" && split.qty == 6.0 &&
+      split.usd_delta == -12.0 && split.cost_basis == 12.0 &&
+      split.realized_pnl == 0.0)
+    assert(merge.event_type == "merge" && merge.qty == -3.0)
+    assert(math.abs(merge.cost_basis - 6.0) < 1e-9)
+    assert(math.abs(merge.realized_pnl - (-1.5)) < 1e-9)
+    assert(math.abs(sell.cost_basis - 4.0) < 1e-9)
+    assert(math.abs(sell.realized_pnl - 2.0) < 1e-9)
+    // leftovers: 1×t200 @2.00 — prove it via the open-state fold
+    val open = Ledger.foldWalletOpen(fills.iterator).toSeq
+      .filter(_.event_type == "_open")
+    assert(open.map(r => r.token_id -> r.qty).toMap == Map(200L -> 1.0))
+    assert(math.abs(open.head.cost_basis - 2.0) < 1e-9)
+  }
+
+  test("multi-leg merge past holdings: unmatched remainder burns with zero basis") {
+    val fills = Seq(
+      Fill(1, ts(1), 1, 100, isBuy = false, qty = 0, usd = 6.0,
+        kind = "split", legTokens = Seq(100L, 200L, 300L),
+        legQtys = Seq(1.0, 1.0, 1.0)),     // each leg 1 @2.00
+      // merge 2 of each: only 1 held per leg → basis 3×2.00 = 6,
+      // remainder consumes nothing (reference consumeTokens remainder)
+      Fill(1, ts(2), 2, 100, isBuy = false, qty = 0, usd = 9.0,
+        kind = "merge", legTokens = Seq(100L, 200L, 300L),
+        legQtys = Seq(2.0, 2.0, 2.0)))
+    val rows = Ledger.foldWallet(fills.iterator).toSeq
+    val merge = rows.last
+    assert(merge.qty == -6.0 && math.abs(merge.cost_basis - 6.0) < 1e-9)
+    assert(math.abs(merge.realized_pnl - 3.0) < 1e-9)
+  }
+
   test("transfer_out consumes basis without realizing; transfer_in uses own avg cost") {
     val fills = Seq(
       Fill(1, ts(1), 1, 100, isBuy = true, qty = 10, usd = 10.0),  // @1.00

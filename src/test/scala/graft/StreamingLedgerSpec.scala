@@ -19,7 +19,9 @@ class StreamingLedgerSpec extends SparkSpec {
         col("usd").cast("double").as("usd"),
         col("fee").cast("double").as("fee"),
         lit("").as("kind"),
-        lit(0L).as("tokenId2"))
+        lit(0L).as("tokenId2"),
+        lit(Array.empty[Long]).as("legTokens"),
+        lit(Array.empty[Double]).as("legQtys"))
       .as[Fill]
 
     // split by time so batch 2 strictly follows batch 1
