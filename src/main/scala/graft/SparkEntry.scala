@@ -463,7 +463,9 @@ object SparkEntry {
     "q_ledger_events" -> ((s, d) => {
       val w = wt(s, d)
       val noLegs = Seq(lit(null).cast("array<long>").as("leg_tokens"),
-        lit(null).cast("array<double>").as("leg_qtys"))
+        lit(null).cast("array<double>").as("leg_qtys"),
+        lit(null).cast("array<long>").as("leg_tokens2"),
+        lit(null).cast("array<double>").as("leg_qtys2"))
       val base = w.select(Seq(col("wallet"), col("ts"),
         (col("trade_id") * 10).as("seq"), col("token_id"),
         col("side").as("kind"), col("qty"),
@@ -498,24 +500,54 @@ object SparkEntry {
       // 3-outcome condition with transfer-derived UNEQUAL amounts
       // (qty, 2·qty, 3·qty — uniform unit cost usd / 6·qty) and later
       // merges one qty of each leg back for usd/3
+      val noLegs2 = noLegs.drop(2)
       val legs3 = Seq(
         array(col("token_id") + 300000L, col("token_id") + 300001L,
           col("token_id") + 300002L).as("leg_tokens"),
         array(col("qty").cast("double"), (col("qty") * 2).cast("double"),
-          (col("qty") * 3).cast("double")).as("leg_qtys"))
+          (col("qty") * 3).cast("double")).as("leg_qtys")) ++ noLegs2
       val splits3 = synth(col("trade_id") % 37 === 0, 13, "split",
         lit(0.0), col("usd"), col("wallet"), lit(0L), legs3)
       val legs3unit = Seq(
         array(col("token_id") + 300000L, col("token_id") + 300001L,
           col("token_id") + 300002L).as("leg_tokens"),
         array(col("qty").cast("double"), col("qty").cast("double"),
-          col("qty").cast("double")).as("leg_qtys"))
+          col("qty").cast("double")).as("leg_qtys")) ++ noLegs2
       val merges3 = synth(col("trade_id") % 37 === 0, 14, "merge",
         lit(0.0), col("usd") / lit(3.0), col("wallet"), lit(0L), legs3unit)
+      // NegRisk index-set conversion (reference fallback path,
+      // ledger-engine.ts:1690-1706): 3-question market, index set
+      // 1..6 from the trade id; burn the NO token of every question
+      // IN the set, mint the YES token of every question outside it,
+      // perQuestionQty = the fill's qty. Membership of question i is
+      // (iset div 2^i) mod 2 — floor-division bit test, Column-safe.
+      val qs = sequence(lit(0), lit(2))
+      val iset = pmod(col("trade_id"), lit(6)) + 1
+      val inSet = (i: Column) =>
+        pmod(floor(iset / pow(lit(2.0), i.cast("double"))).cast("long"),
+          lit(2L)) === 1
+      val legsNegRisk = Seq(
+        transform(filter(qs, inSet),
+          i => col("token_id") + 400000L + i.cast("long")).as("leg_tokens"),
+        transform(filter(qs, inSet),
+          _ => col("qty").cast("double")).as("leg_qtys"),
+        transform(filter(qs, i => !inSet(i)),
+          i => col("token_id") + 410000L + i.cast("long")).as("leg_tokens2"),
+        transform(filter(qs, i => !inSet(i)),
+          _ => col("qty").cast("double")).as("leg_qtys2"))
+      val negRisk = synth(col("trade_id") % 41 === 0, 2, "convert",
+        lit(0.0), lit(0.0), col("wallet"), lit(0L), legsNegRisk)
+      // the wallet first buys question 0's NO token so conversions
+      // whose index set contains bit 0 consume real basis; the rest
+      // exercise the zero-basis / last-price fallback
+      val noBuys = synth(col("trade_id") % 41 === 0, 1, "buy",
+        col("qty"), col("usd") / lit(3.0), col("wallet"), lit(0L))
+        .withColumn("token_id", col("token_id") + 400000L)
       val events = base.unionByName(splits).unionByName(merges)
         .unionByName(outs).unionByName(ins).unionByName(converts)
         .unionByName(refunds).unionByName(feeDraws)
         .unionByName(splits3).unionByName(merges3)
+        .unionByName(noBuys).unionByName(negRisk)
       // the generalized event ledger is a materialized table in the
       // reference (wallet_ledger) — fold once per session, re-run only
       // the aggregation per request

@@ -34,24 +34,31 @@ object Ledger {
     *    FIFO, zero usdc delta, zero realized — the basis just leaves
     *    the wallet (:1752).
     *  - `"transfer_in"`: `qty` arrives; the unit cost is the wallet's
-    *    own average open-lot cost for the token (0 if none) — the
-    *    reference's getAverageUnitCost fallback (:1786), which keeps
-    *    the fold per-wallet (no cross-wallet basis dependency).
+    *    own average open-lot cost for the token, else its last-seen
+    *    trade price (:1786-1790) — both wallet-local, which keeps the
+    *    fold per-wallet (no cross-wallet basis dependency).
+    *  - `"convert"`: NegRisk index-set conversion — burn `legs`,
+    *    mint `legs2` at reallocated basis (:1670-1750); without legs,
+    *    a 1:1 identity swap of tokenId → tokenId2.
     */
   final case class Fill(wallet: Long, ts: java.sql.Timestamp, seq: Long,
                         tokenId: Long, isBuy: Boolean, qty: Double, usd: Double,
                         fee: Double = 0.0, kind: String = "",
                         tokenId2: Long = 0L,
-                        legTokens: Seq[Long] = Nil, legQtys: Seq[Double] = Nil) {
-    /** Per-leg (tokenId, qty) list for split/merge: explicit legs when
-      * the event carries them (the reference derives these from the
-      * tx's ERC1155 transfers — any outcome count, unequal amounts,
-      * ledger-engine.ts:1463-1530); otherwise the 2-leg equal-qty
-      * fallback (tokenId, tokenId2), the shape
-      * computeFallbackTokenAmounts produces for a binary condition. */
+                        legTokens: Seq[Long] = Nil, legQtys: Seq[Double] = Nil,
+                        legTokens2: Seq[Long] = Nil, legQtys2: Seq[Double] = Nil) {
+    /** Per-leg (tokenId, qty) list for split/merge — and the BURN side
+      * of a conversion: explicit legs when the event carries them (the
+      * reference derives these from the tx's ERC1155 transfers — any
+      * outcome count, unequal amounts, ledger-engine.ts:1463-1530);
+      * otherwise the 2-leg equal-qty fallback (tokenId, tokenId2), the
+      * shape computeFallbackTokenAmounts produces for a binary
+      * condition. */
     def legs: Seq[(Long, Double)] =
       if (legTokens.nonEmpty) legTokens.zip(legQtys)
       else Seq(tokenId -> qty, tokenId2 -> qty)
+    /** The MINT side of a conversion (second leg list). */
+    def legs2: Seq[(Long, Double)] = legTokens2.zip(legQtys2)
   }
 
   /** Output ledger row (reference wallet_ledger columns). */
@@ -128,6 +135,11 @@ object Ledger {
         if (qty > 0) q.iterator.map(l => l.qty * l.unitCost).sum / qty else 0.0
       }.getOrElse(0.0)
 
+    // per-wallet last-seen unit price per token, set at each trade
+    // (ledger-engine.ts:1177/1203) — the mint-cost fallback for
+    // conversions (:1723) and transfer-ins (:1787)
+    val lastPrice = mutable.Map.empty[Long, Double]
+
     fills.map { f =>
       observe(f)
       f.kind match {
@@ -135,10 +147,12 @@ object Ledger {
           if (f.isBuy || f.kind == "buy") {
             val unit = if (f.qty > 0) f.usd / f.qty else 0.0
             addLot(f.tokenId, f.qty, unit)
+            if (f.qty > 0) lastPrice(f.tokenId) = unit
             LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "buy", f.qty, -f.usd,
               f.usd, 0.0, f.fee)
           } else {
             val basis = consume(f.tokenId, f.qty)
+            if (f.qty > 0) lastPrice(f.tokenId) = f.usd / f.qty
             LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "sell", -f.qty, f.usd,
               basis, f.usd - basis, f.fee)
           }
@@ -170,20 +184,53 @@ object Ledger {
           LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "transfer_out", -f.qty,
             0.0, basis, 0.0, f.fee)
         case "transfer_in" =>
-          val unit = avgUnitCost(f.tokenId)
+          // own average open-lot cost, else the wallet's last-seen
+          // price for the token (ledger-engine.ts:1786-1790)
+          val avg = avgUnitCost(f.tokenId)
+          val unit = if (avg > 0) avg else lastPrice.getOrElse(f.tokenId, 0.0)
           addLot(f.tokenId, f.qty, unit)
+          if (unit > 0) lastPrice(f.tokenId) = unit
           LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "transfer_in", f.qty,
             0.0, f.qty * unit, 0.0, f.fee)
         case "convert" =>
-          // adapter conversion (ledger-engine.ts:1463-1670): qty of
-          // tokenId becomes qty of tokenId2 at the SAME FIFO basis —
-          // position changes identity, cost basis carries, nothing
-          // realizes
-          val basis = consume(f.tokenId, f.qty)
-          val unit = if (f.qty > 0) basis / f.qty else 0.0
-          addLot(f.tokenId2, f.qty, unit)
-          LedgerRow(f.wallet, f.ts, f.seq, f.tokenId2, "convert", f.qty,
-            0.0, basis, 0.0, f.fee)
+          // adapter conversion (ledger-engine.ts:1670-1750, NegRisk
+          // index-set semantics): burn the legs in `legs` (NO tokens
+          // of the questions inside the index set — each consumed
+          // FIFO from its own token's lots), mint the legs in `legs2`
+          // (YES tokens elsewhere) at the PROPORTIONALLY REALLOCATED
+          // unit cost totalCostBasis / totalMintQty; a zero-basis
+          // mint falls back to the wallet's last-seen price per
+          // token (:1723). Nothing realizes, no usdc moves.
+          if (f.legTokens.nonEmpty || f.legTokens2.nonEmpty) {
+            val burnLegs = f.legs
+            val mintLegs = f.legs2
+            val basis = burnLegs.iterator.map { case (t, q) =>
+              if (q > 0) consume(t, q) else 0.0
+            }.sum
+            val burnQty = burnLegs.iterator.map(_._2).sum
+            val mintQty = mintLegs.iterator.map(_._2).sum
+            if (mintQty > 0) {
+              val unit = if (basis > 0) basis / mintQty else 0.0
+              mintLegs.foreach { case (t, q) =>
+                if (q > 0) {
+                  val applied =
+                    if (unit > 0) unit else lastPrice.getOrElse(t, 0.0)
+                  addLot(t, q, applied)
+                  if (applied > 0) lastPrice(t) = applied
+                }
+              }
+            }
+            LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "convert",
+              if (mintQty > 0) mintQty else burnQty, 0.0, basis, 0.0, f.fee)
+          } else {
+            // degenerate 1:1 identity swap (binary condition): qty of
+            // tokenId becomes qty of tokenId2 at the SAME FIFO basis
+            val basis = consume(f.tokenId, f.qty)
+            val unit = if (f.qty > 0) basis / f.qty else 0.0
+            addLot(f.tokenId2, f.qty, unit)
+            LedgerRow(f.wallet, f.ts, f.seq, f.tokenId2, "convert", f.qty,
+              0.0, basis, 0.0, f.fee)
+          }
         case "fee_refund" =>
           // fee returned to the wallet (:1811): cash in, fees_paid down
           LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "fee_refund", 0.0,
@@ -339,7 +386,13 @@ object Ledger {
          else emptyLongs).as("legTokens"),
         (if (cols("leg_qtys"))
            coalesce(col("leg_qtys").cast("array<double>"), emptyDoubles)
-         else emptyDoubles).as("legQtys"))
+         else emptyDoubles).as("legQtys"),
+        (if (cols("leg_tokens2"))
+           coalesce(col("leg_tokens2").cast("array<long>"), emptyLongs)
+         else emptyLongs).as("legTokens2"),
+        (if (cols("leg_qtys2"))
+           coalesce(col("leg_qtys2").cast("array<double>"), emptyDoubles)
+         else emptyDoubles).as("legQtys2"))
       .as[Fill]
     foldFills(fills, foldWallet)
   }
@@ -359,7 +412,9 @@ object Ledger {
         lit("").as("kind"),
         lit(0L).as("tokenId2"),
         lit(Array.empty[Long]).as("legTokens"),
-        lit(Array.empty[Double]).as("legQtys"))
+        lit(Array.empty[Double]).as("legQtys"),
+        lit(Array.empty[Long]).as("legTokens2"),
+        lit(Array.empty[Double]).as("legQtys2"))
       .as[Fill]
     foldFills(fills, folder)
   }
@@ -485,7 +540,9 @@ object Ledger {
         col("usd").cast("double").as("usd"),
         lit(0.0).as("fee"), lit("").as("kind"), lit(0L).as("tokenId2"),
         lit(Array.empty[Long]).as("legTokens"),
-        lit(Array.empty[Double]).as("legQtys"))
+        lit(Array.empty[Double]).as("legQtys"),
+        lit(Array.empty[Long]).as("legTokens2"),
+        lit(Array.empty[Double]).as("legQtys2"))
       .as[Fill]
     fills
       .repartition(col("wallet"))

@@ -134,6 +134,55 @@ class LedgerSpec extends SparkSpec {
     assert(math.abs(merge.realized_pnl - 3.0) < 1e-9)
   }
 
+  test("NegRisk conversion: burn NO legs, mint YES legs at reallocated basis") {
+    // reference fallback path (ledger-engine.ts:1690-1706), 3-question
+    // market, index set {0,1}: burn NO_0 and NO_1 (perQuestionQty = 2
+    // each), mint YES_2 (qty 2). Hand oracle:
+    //   basis = FIFO(NO_0, 2) + FIFO(NO_1, 2) = 2×0.40 + 2×0.60 = 2.00
+    //   mint unit cost = 2.00 / 2 = 1.00; nothing realizes
+    val fills = Seq(
+      Fill(1, ts(1), 1, 10, isBuy = true, qty = 2, usd = 0.8),   // NO_0 @0.40
+      Fill(1, ts(2), 2, 20, isBuy = true, qty = 2, usd = 1.2),   // NO_1 @0.60
+      Fill(1, ts(3), 3, 10, isBuy = false, qty = 0, usd = 0.0,
+        kind = "convert",
+        legTokens = Seq(10L, 20L), legQtys = Seq(2.0, 2.0),      // burn side
+        legTokens2 = Seq(30L), legQtys2 = Seq(2.0)),             // mint side
+      // sell the converted YES_2 @1.20: basis 2×1.00 → realized +0.4
+      Fill(1, ts(4), 4, 30, isBuy = false, qty = 2, usd = 2.4))
+    val rows = Ledger.foldWallet(fills.iterator).toSeq
+    val convert = rows(2)
+    assert(convert.event_type == "convert" && convert.qty == 2.0)
+    assert(convert.usd_delta == 0.0 && convert.realized_pnl == 0.0)
+    assert(math.abs(convert.cost_basis - 2.0) < 1e-9)
+    val sell = rows(3)
+    assert(math.abs(sell.cost_basis - 2.0) < 1e-9)
+    assert(math.abs(sell.realized_pnl - 0.4) < 1e-9)
+    // no NO lots remain
+    val open = Ledger.foldWalletOpen(fills.iterator).toSeq
+      .filter(_.event_type == "_open")
+    assert(open.isEmpty)
+  }
+
+  test("NegRisk conversion with zero burned basis falls back to last-seen price") {
+    val fills = Seq(
+      // trade YES_2 once so the wallet has a last price for it (sell
+      // unit price 0.70 — the wallet holds nothing afterwards)
+      Fill(1, ts(1), 1, 30, isBuy = true, qty = 1, usd = 0.5),
+      Fill(1, ts(2), 2, 30, isBuy = false, qty = 1, usd = 0.7),
+      // convert burning a token with NO open lots: basis 0, so the
+      // minted YES_2 is booked at lastPrice(30) = 0.70 (:1723)
+      Fill(1, ts(3), 3, 99, isBuy = false, qty = 0, usd = 0.0,
+        kind = "convert",
+        legTokens = Seq(99L), legQtys = Seq(2.0),
+        legTokens2 = Seq(30L), legQtys2 = Seq(2.0)),
+      // sell both @1.00: basis 2×0.70 = 1.40 → realized +0.6
+      Fill(1, ts(4), 4, 30, isBuy = false, qty = 2, usd = 2.0))
+    val rows = Ledger.foldWallet(fills.iterator).toSeq
+    assert(rows(2).cost_basis == 0.0)
+    assert(math.abs(rows(3).cost_basis - 1.4) < 1e-9)
+    assert(math.abs(rows(3).realized_pnl - 0.6) < 1e-9)
+  }
+
   test("transfer_out consumes basis without realizing; transfer_in uses own avg cost") {
     val fills = Seq(
       Fill(1, ts(1), 1, 100, isBuy = true, qty = 10, usd = 10.0),  // @1.00

@@ -21,7 +21,9 @@ class StreamingLedgerSpec extends SparkSpec {
         lit("").as("kind"),
         lit(0L).as("tokenId2"),
         lit(Array.empty[Long]).as("legTokens"),
-        lit(Array.empty[Double]).as("legQtys"))
+        lit(Array.empty[Double]).as("legQtys"),
+        lit(Array.empty[Long]).as("legTokens2"),
+        lit(Array.empty[Double]).as("legQtys2"))
       .as[Fill]
 
     // split by time so batch 2 strictly follows batch 1
