@@ -754,21 +754,20 @@ object SparkEntry {
         .orderBy(col("token_id"), col("day"))),
 
     // ClickHouse groupArray(5)-style ordered collection: each wallet's
-    // 5 most recent tokens, emitted as a CSV string (deterministic
-    // order; no array columns in the compare surface). The per-wallet
-    // top-5 is a row_number window, the ordered concat a sorted-struct
-    // collect — both bounded by k per wallet.
+    // 5 most recent tokens as a CSV string. A row_number window would
+    // sort every wallet's whole history to discard all but 5; the
+    // native RecentTopK aggregate keeps a 5-bounded buffer per task,
+    // so partial aggregation runs map-side and the wallet Exchange
+    // carries ≤5 entries per wallet per task.
     "q_recent_tokens" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("wallet"))
-        .orderBy(col("ts").desc, col("trade_id").desc)
-      wt(s, d).withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
+      graft.functions.GraftFunctions.register(s)
+      wt(s, d)
         .groupBy(col("wallet"))
-        .agg(count(lit(1)).as("n"),
-          concat_ws(",",
-            transform(sort_array(collect_list(struct(col("rn"), col("token_id")))),
-              x => x.getField("token_id").cast("string"))).as("recent_tokens"))
+        .agg(expr("graft_recent_topk(ts, CAST(trade_id AS BIGINT), " +
+          "CAST(token_id AS BIGINT), 5)").as("toks"))
+        .select(col("wallet"), size(col("toks")).cast("long").as("n"),
+          concat_ws(",", transform(col("toks"), x => x.cast("string")))
+            .as("recent_tokens"))
         .orderBy(col("wallet"))
     }),
 

@@ -26,7 +26,9 @@ object GraftFunctions {
       LshPostings(es(0), intArg(es(1)), intArg(es(2)))),
     "graft_vec_abs_max" -> ((es: Seq[Expression]) => VecAbsMax(es.head)),
     "graft_quantize_i8" -> ((es: Seq[Expression]) => QuantizeI8(es(0), es(1))),
-    "graft_dot_i8" -> ((es: Seq[Expression]) => DotI8(es(0), es(1))))
+    "graft_dot_i8" -> ((es: Seq[Expression]) => DotI8(es(0), es(1))),
+    "graft_recent_topk" -> ((es: Seq[Expression]) =>
+      RecentTopK(es(0), es(1), es(2), intArg(es(3)))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -1,0 +1,60 @@
+package graft
+
+import graft.model.Tables
+import graft.operators.Leaderboard
+import org.apache.spark.sql.functions._
+
+class RecentTopKSpec extends SparkSpec {
+
+  test("bounded recent-topk equals the row_number window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val wt = Leaderboard.walletTrades(Tables.trades(spark, sf))
+    val w = Window.partitionBy(col("wallet"))
+      .orderBy(col("ts").desc, col("trade_id").desc)
+    val windowed = wt.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("wallet"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(struct(col("rn"), col("token_id")))),
+          x => x.getField("token_id").cast("string"))).as("recent_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bounded = wt.groupBy(col("wallet"))
+      .agg(expr("graft_recent_topk(ts, CAST(trade_id AS BIGINT), " +
+        "CAST(token_id AS BIGINT), 5)").as("toks"))
+      .select(col("wallet"),
+        concat_ws(",", transform(col("toks"), x => x.cast("string")))
+          .as("recent_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(bounded == windowed)
+  }
+
+  test("aggregation is partial before the exchange (no per-key sort)") {
+    graft.functions.GraftFunctions.register(spark)
+    val wt = Leaderboard.walletTrades(Tables.trades(spark, sf))
+    val plan = wt.groupBy(col("wallet"))
+      .agg(expr("graft_recent_topk(ts, CAST(trade_id AS BIGINT), " +
+        "CAST(token_id AS BIGINT), 5)").as("toks"))
+      .queryExecution.executedPlan.toString
+    // two ObjectHashAggregate stages (partial, final), no Window/Sort
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("Window"), plan)
+    val firstAgg = plan.indexOf("ObjectHashAggregate")
+    val exchange = plan.indexOf("Exchange")
+    assert(exchange > firstAgg, plan) // map-side partial precedes the shuffle
+  }
+
+  test("merge keeps the k most recent across partial buffers") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // 20 events, shuffled across 8 partitions: top-3 must be 19,18,17
+    val df = (1 to 20).map(i =>
+        (1L, java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00"), i.toLong, 100L + i))
+      .toDF("wallet", "ts", "seq", "token").repartition(8)
+    val out = df.groupBy(col("wallet"))
+      .agg(expr("graft_recent_topk(ts, seq, token, 3)").as("toks"))
+      .select(concat_ws(",", transform(col("toks"), x => x.cast("string"))))
+      .collect().head.getString(0)
+    assert(out == "120,119,118", out)
+  }
+}
