@@ -75,22 +75,8 @@ object Views {
     * wallet-day MV the reference maintains at ingest
     * (wallet_pnl_snapshots feeder). Every portfolio/snapshot query
     * re-aggregates these partials instead of the raw trades. */
-  def dailyFlows(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    cached(spark, dir, "daily_flows") {
-      val dec0 = lit(0).cast("decimal(18,4)")
-      graft.operators.Leaderboard.walletTrades(trades(spark, dir))
-        .groupBy(col("wallet"), col("token_id"),
-          date_trunc("day", col("ts")).as("day"))
-        .agg(
-          sum(when(col("side") === "buy", col("usd")).otherwise(dec0))
-            .as("buy_usd_d"),
-          sum(when(col("side") === "buy", col("qty")).otherwise(lit(0))
-            .cast("decimal(18,4)")).as("buy_qty_d"),
-          sum(when(col("side") === "sell", col("usd")).otherwise(dec0))
-            .as("sell_usd_d"),
-          sum(when(col("side") === "sell", col("qty")).otherwise(lit(0))
-            .cast("decimal(18,4)")).as("sell_qty_d"))
-    }
-  }
+  def dailyFlows(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "daily_flows")(
+      graft.operators.Snapshots.dailyFlowPartials(
+        graft.operators.Leaderboard.walletTrades(trades(spark, dir))))
 }

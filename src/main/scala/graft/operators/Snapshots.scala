@@ -19,6 +19,35 @@ import org.apache.spark.sql.functions._
   */
 object Snapshots {
 
+  /** Per (wallet, token, day) buy/sell flow partials — the additive
+    * wallet-day MV shape (`graft.model.Views.dailyFlows`, the
+    * reference's wallet_pnl_snapshots feeder). ADDITIVE: partial rows
+    * for the same key from different batches sum — re-aggregate with
+    * [[mergeDailyFlows]] before consuming. */
+  def dailyFlowPartials(walletTrades: DataFrame): DataFrame = {
+    val dec0 = lit(0).cast("decimal(18,4)")
+    walletTrades
+      .groupBy(col("wallet"), col("token_id"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(
+        sum(when(col("side") === "buy", col("usd")).otherwise(dec0))
+          .as("buy_usd_d"),
+        sum(when(col("side") === "buy", col("qty")).otherwise(lit(0))
+          .cast("decimal(18,4)")).as("buy_qty_d"),
+        sum(when(col("side") === "sell", col("usd")).otherwise(dec0))
+          .as("sell_usd_d"),
+        sum(when(col("side") === "sell", col("qty")).otherwise(lit(0))
+          .cast("decimal(18,4)")).as("sell_qty_d"))
+  }
+
+  /** Re-aggregate appended flow partials to one row per key. */
+  def mergeDailyFlows(partials: DataFrame): DataFrame =
+    partials.groupBy(col("wallet"), col("token_id"), col("day"))
+      .agg(sum(col("buy_usd_d")).as("buy_usd_d"),
+        sum(col("buy_qty_d")).as("buy_qty_d"),
+        sum(col("sell_usd_d")).as("sell_usd_d"),
+        sum(col("sell_qty_d")).as("sell_qty_d"))
+
   /** Per wallet × day: running net cashflow, running inventory value
     * (holdings marked at the global last price), and their sum.
     *

@@ -54,28 +54,36 @@ object PartitionedStore {
     part.repartition(nOut)
       .sortWithinPartitions(orderCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    // swap: move the live dir ASIDE first (one rename), move tmp into
-    // place (one rename), only then delete the old copy. A crash
-    // between the renames leaves either the old or the new data fully
-    // intact under `old` / `src`; the live partition is never a
-    // recursive-delete hole, and a failed swap restores the original.
-    val srcDir = new java.io.File(src)
+    swapDir(src, tmp, s"$path/.old-$ym")
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete(): Unit
+  }
+
+  /** Crash-safe directory replacement: move the live dir ASIDE first
+    * (one rename), move tmp into place (one rename), only then delete
+    * the old copy. A crash between the renames leaves either the old
+    * or the new data fully intact under `aside` / `live`; the live
+    * directory is never a recursive-delete hole, and a failed swap
+    * restores the original. A missing live dir (first write) degrades
+    * to a plain rename. */
+  def swapDir(live: String, tmp: String, aside: String): Unit = {
+    val liveDir = new java.io.File(live)
     val tmpDir = new java.io.File(tmp)
-    val oldDir = new java.io.File(s"$path/.old-$ym")
-    rm(oldDir)
-    if (!srcDir.renameTo(oldDir))
-      throw new java.io.IOException(s"compaction: cannot move $src aside")
-    if (!tmpDir.renameTo(srcDir)) {
-      // restore the original partition before failing
-      oldDir.renameTo(srcDir)
+    val asideDir = new java.io.File(aside)
+    rm(asideDir)
+    val hadLive = liveDir.exists()
+    if (hadLive && !liveDir.renameTo(asideDir))
+      throw new java.io.IOException(s"swap: cannot move $live aside")
+    if (!tmpDir.renameTo(liveDir)) {
+      // restore the original before failing
+      if (hadLive) asideDir.renameTo(liveDir)
       rm(tmpDir)
-      throw new java.io.IOException(s"compaction swap failed for $src")
+      throw new java.io.IOException(s"swap failed for $live")
     }
-    rm(oldDir)
+    rm(asideDir)
   }
 
   /** File counts per partition — the compaction trigger metric. */
