@@ -949,7 +949,7 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) => {
       val nrm = Similarity.normalized(Tables.embeddings(s, d), "vec_id", "embedding")
       val model = IvfIndex.buildCached(s, nrm, corpusKey = d, nlist = 16)
-      IvfIndex.topK(s, model, nrm.filter(col("id") < 5), k = 10, nprobe = 4)
+      IvfIndex.topK(s, model, nrm.filter(col("id") < 5), k = 10, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -963,8 +963,46 @@ object SparkEntry {
 
     "q_ann_lsh" -> ((s, d) => {
       val nrm = Similarity.normalized(Tables.embeddings(s, d), "vec_id", "embedding")
-      Similarity.lshTopK(nrm, nrm.filter(col("id") < 5), dim = 64, planes = 6, k = 10)
+      Similarity.lshTopK(nrm, nrm.filter(col("id") < 5), dim = 64, planes = 6,
+          k = 10, tables = 24)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ANN recall gate: every approximate method's recall@10 against
+    // the exact brute-force top-k, reduced to a hash-checkable
+    // (method, bar, recall_ge_bar) row enforced by the driver's
+    // oracle gate, not just ScalaTest. The synthetic embeddings are
+    // isotropic noise (same-label avg cosine ≈ 0.002), the
+    // adversarial case for sublinear ANN: recall is collision-bounded
+    // by the scan fraction, so each method is pinned at its
+    // documented operating point — IVF probing 8/16 cells and the
+    // full-scan SQ8 rerank hold ≥ 0.9; hyperplane LSH at planes = 6 ×
+    // 24 tables (≈ 3/8 of the corpus as candidates) holds ≥ 0.6,
+    // its collision bound 1 − (1 − (1 − θ/π)^planes)^tables for the
+    // θ ≈ 1.27 rad noise-tail neighbors. The methods are
+    // deterministic (seeded hyperplanes, deterministic k-means init),
+    // so the booleans are stable run to run.
+    "q_ann_recall" -> ((s, d) => {
+      val nrm = Similarity.normalized(Tables.embeddings(s, d), "vec_id", "embedding")
+      val queries = nrm.filter(col("id") < 5)
+      val exact = Similarity.bruteForceTopK(nrm, queries, 10)
+        .select(col("query_id"), col("corpus_id"))
+      def gate(name: String, bar: Double, approx: DataFrame) =
+        exact.join(
+            approx.select(col("query_id"), col("corpus_id"))
+              .withColumn("hit", lit(1)),
+            Seq("query_id", "corpus_id"), "left")
+          .agg(avg(coalesce(col("hit"), lit(0))).as("recall"))
+          .select(lit(name).as("method"), lit(bar).as("bar"),
+            (col("recall") >= bar).as("recall_ge_bar"))
+      val model = IvfIndex.buildCached(s, nrm, corpusKey = d, nlist = 16)
+      gate("ivf", 0.9, IvfIndex.topK(s, model, queries, k = 10, nprobe = 8))
+        .unionByName(gate("lsh", 0.6,
+          Similarity.lshTopK(nrm, queries, dim = 64, planes = 6, k = 10,
+            tables = 24)))
+        .unionByName(gate("sq", 0.9,
+          Similarity.sqTopK(nrm, queries, k = 10, refine = 4)))
+        .orderBy(col("method"))
     }),
 
     "q_lang_id" -> ((s, d) =>
@@ -2172,6 +2210,17 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT query_id, rank, corpus_id, cosine FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the approximate methods are Spark-only, so the oracle pins the
+    // CONTRACT (recall@10 ≥ bar vs exact brute force, per method, at
+    // each method's documented operating point) as expected rows — a
+    // driver-gate regression pin for the three ANN paths, the
+    // hash-checkable reduction of the spec assertions
+    "q_ann_recall" ->
+      """SELECT method, bar, recall_ge_bar FROM (VALUES
+        |  ('ivf', 0.9, true), ('lsh', 0.6, true), ('sq', 0.9, true))
+        |  t(method, bar, recall_ge_bar)
+        |ORDER BY method""".stripMargin,
 
     "q_decontaminate" ->
       """WITH w AS (
