@@ -107,7 +107,9 @@ object Ledger {
     * sees every fill (for wallet/ts bookkeeping). */
   private def foldWalletInto(fills: Iterator[Fill],
       lots: mutable.Map[Long, mutable.Queue[Lot]],
-      observe: Fill => Unit): Iterator[LedgerRow] = {
+      observe: Fill => Unit,
+      lastPrice: mutable.Map[Long, Double] = mutable.Map.empty)
+      : Iterator[LedgerRow] = {
 
     def addLot(token: Long, qty: Double, unitCost: Double): Unit =
       lots.getOrElseUpdate(token, mutable.Queue.empty) += Lot(qty, unitCost)
@@ -135,10 +137,11 @@ object Ledger {
         if (qty > 0) q.iterator.map(l => l.qty * l.unitCost).sum / qty else 0.0
       }.getOrElse(0.0)
 
-    // per-wallet last-seen unit price per token, set at each trade
-    // (ledger-engine.ts:1177/1203) — the mint-cost fallback for
-    // conversions (:1723) and transfer-ins (:1787)
-    val lastPrice = mutable.Map.empty[Long, Double]
+    // `lastPrice`: the wallet's last-seen unit price per token, set
+    // at each trade (ledger-engine.ts:1177/1203) — the mint-cost
+    // fallback for conversions (:1723) and transfer-ins (:1787).
+    // Caller-supplied so the streaming fold can carry it across
+    // micro-batches alongside the open lots.
 
     fills.map { f =>
       observe(f)
@@ -248,22 +251,28 @@ object Ledger {
     }
   }
 
-  /** Resumable fold: start from carried-over open lots, return the
-    * emitted rows plus the surviving lot state — the seam the
-    * streaming ledger uses to persist FIFO state across micro-batches
-    * (token → [(qty, unitCost)], FIFO order preserved). */
+  /** Resumable fold: start from carried-over open lots (and the
+    * wallet's last-seen prices), return the emitted rows plus both
+    * surviving states — the seam the streaming ledger uses to persist
+    * FIFO state across micro-batches (token → [(qty, unitCost)], FIFO
+    * order preserved; token → last price). Without the carried
+    * lastPrice, a conversion or transfer-in whose cost fallback
+    * fires in a later micro-batch than the trade that set the price
+    * would diverge from the batch fold. */
   def foldWalletStateful(fills: Iterator[Fill],
-      initial: Map[Long, Seq[(Double, Double)]])
-      : (Seq[LedgerRow], Map[Long, Seq[(Double, Double)]]) = {
+      initial: Map[Long, Seq[(Double, Double)]],
+      initialLastPrice: Map[Long, Double] = Map.empty)
+      : (Seq[LedgerRow], Map[Long, Seq[(Double, Double)]], Map[Long, Double]) = {
     val lots = mutable.Map.empty[Long, mutable.Queue[Lot]]
     initial.foreach { case (token, ls) =>
       lots(token) = mutable.Queue(ls.map(p => Lot(p._1, p._2)): _*)
     }
-    val rows = foldWalletInto(fills, lots, _ => ()).toSeq
+    val lastPrice = mutable.Map.empty[Long, Double] ++ initialLastPrice
+    val rows = foldWalletInto(fills, lots, _ => (), lastPrice).toSeq
     val out = lots.iterator.collect { case (token, q) if q.nonEmpty =>
       token -> q.iterator.map(l => (l.qty, l.unitCost)).toSeq
     }.toMap
-    (rows, out)
+    (rows, out, lastPrice.toMap)
   }
 
   /** Distributed ledger build over the two-sided trade view. */

@@ -21,14 +21,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingLedger {
 
-  final case class LotsState(lots: Map[Long, Seq[(Double, Double)]])
+  final case class LotsState(lots: Map[Long, Seq[(Double, Double)]],
+                             lastPrice: Map[Long, Double] = Map.empty)
 
   def updateWallet(wallet: Long, fills: Iterator[Fill],
                    state: GroupState[LotsState]): Iterator[LedgerRow] = {
-    val initial = state.getOption.map(_.lots).getOrElse(Map.empty)
+    val prev = state.getOption
     val sorted = fills.toSeq.sortBy(f => (f.ts.getTime, f.seq))
-    val (rows, remaining) = Ledger.foldWalletStateful(sorted.iterator, initial)
-    state.update(LotsState(remaining))
+    val (rows, remaining, lp) = Ledger.foldWalletStateful(sorted.iterator,
+      prev.map(_.lots).getOrElse(Map.empty),
+      prev.map(_.lastPrice).getOrElse(Map.empty))
+    state.update(LotsState(remaining, lp))
     rows.iterator
   }
 

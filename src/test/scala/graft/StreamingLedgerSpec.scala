@@ -9,6 +9,30 @@ import org.apache.spark.sql.functions._
 class StreamingLedgerSpec extends SparkSpec {
   import spark.implicits._
 
+  test("lastPrice state carries across micro-batches for fallback costing") {
+    import java.sql.Timestamp
+    def ts(i: Int) = Timestamp.valueOf(f"2024-01-$i%02d 00:00:00")
+    // batch 1 sets lastPrice(30) = 0.70 via a full sell-out; batch 2's
+    // conversion mints token 30 with ZERO burned basis, so its cost
+    // falls back to that carried price — then sells to realize it
+    val b1 = Seq(
+      Fill(1, ts(1), 1, 30, isBuy = true, qty = 1, usd = 0.5),
+      Fill(1, ts(2), 2, 30, isBuy = false, qty = 1, usd = 0.7))
+    val b2 = Seq(
+      Fill(1, ts(3), 3, 99, isBuy = false, qty = 0, usd = 0.0,
+        kind = "convert", legTokens = Seq(99L), legQtys = Seq(2.0),
+        legTokens2 = Seq(30L), legQtys2 = Seq(2.0)),
+      Fill(1, ts(4), 4, 30, isBuy = false, qty = 2, usd = 2.0))
+    val (r1, lots1, lp1) =
+      Ledger.foldWalletStateful(b1.iterator, Map.empty, Map.empty)
+    val (r2, _, _) = Ledger.foldWalletStateful(b2.iterator, lots1, lp1)
+    val batch = Ledger.foldWallet((b1 ++ b2).iterator).toSeq
+    assert((r1 ++ r2).map(r => (r.event_type, r.cost_basis, r.realized_pnl)) ==
+      batch.map(r => (r.event_type, r.cost_basis, r.realized_pnl)))
+    // and the fallback actually fired: final sell basis = 2 × 0.70
+    assert(math.abs(r2.last.cost_basis - 1.4) < 1e-9)
+  }
+
   test("two-micro-batch streaming ledger equals one-shot batch ledger") {
     val wt = Leaderboard.walletTrades(Tables.trades(spark, sf))
     val fills = wt.select(col("wallet").cast("long").as("wallet"), col("ts"),
