@@ -543,11 +543,16 @@ object SparkEntry {
       val noBuys = synth(col("trade_id") % 41 === 0, 1, "buy",
         col("qty"), col("usd") / lit(3.0), col("wallet"), lit(0L))
         .withColumn("token_id", col("token_id") + 400000L)
+      // event-carried redemption: every 43rd taker fill redeems half
+      // its quantity for half its usd (single-leg form — the
+      // multi-leg path is spec-pinned in LedgerSpec)
+      val redeems = synth(col("trade_id") % 43 === 0, 3, "redeem",
+        col("qty") / 2, col("usd") / lit(2.0), col("wallet"), lit(0L))
       val events = base.unionByName(splits).unionByName(merges)
         .unionByName(outs).unionByName(ins).unionByName(converts)
         .unionByName(refunds).unionByName(feeDraws)
         .unionByName(splits3).unionByName(merges3)
-        .unionByName(noBuys).unionByName(negRisk)
+        .unionByName(noBuys).unionByName(negRisk).unionByName(redeems)
       // the generalized event ledger is a materialized table in the
       // reference (wallet_ledger) — fold once per session, re-run only
       // the aggregation per request

@@ -182,6 +182,22 @@ object Ledger {
           }.sum
           LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "merge", -burned,
             f.usd, basis, f.usd - basis, f.fee)
+        case "redeem" =>
+          // event-carried redemption (adapter_redemption /
+          // PayoutRedemption with transfer-derived amounts,
+          // ledger-engine.ts:1360-1460): burn the legs — each
+          // consumed FIFO from its own token's lots — receive the
+          // lump payout; realized = payout − total basis. Without
+          // legs: a single-token redemption of qty. (End-of-history
+          // resolution settlement is the separate resolveOpen path.)
+          val legs =
+            if (f.legTokens.nonEmpty) f.legs else Seq(f.tokenId -> f.qty)
+          val burned = legs.iterator.map(_._2).sum
+          val basis = legs.iterator.map { case (t, q) =>
+            if (q > 0) consume(t, q) else 0.0
+          }.sum
+          LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "redeem", -burned,
+            f.usd, basis, f.usd - basis, f.fee)
         case "transfer_out" =>
           val basis = consume(f.tokenId, f.qty)
           LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "transfer_out", -f.qty,

@@ -183,6 +183,29 @@ class LedgerSpec extends SparkSpec {
     assert(math.abs(rows(3).realized_pnl - 0.6) < 1e-9)
   }
 
+  test("multi-leg redemption burns transfer-derived amounts for a lump payout") {
+    // adapter_redemption (ledger-engine.ts:1360-1460): burn 2×YES_0
+    // (@0.40) and 1×YES_1 (@0.60), lump payout 2.0 →
+    // realized = 2.0 − (0.8 + 0.6) = +0.6
+    val fills = Seq(
+      Fill(1, ts(1), 1, 10, isBuy = true, qty = 2, usd = 0.8),
+      Fill(1, ts(2), 2, 20, isBuy = true, qty = 1, usd = 0.6),
+      Fill(1, ts(3), 3, 10, isBuy = false, qty = 0, usd = 2.0,
+        kind = "redeem", legTokens = Seq(10L, 20L), legQtys = Seq(2.0, 1.0)))
+    val rows = Ledger.foldWallet(fills.iterator).toSeq
+    val redeem = rows(2)
+    assert(redeem.event_type == "redeem" && redeem.qty == -3.0)
+    assert(math.abs(redeem.cost_basis - 1.4) < 1e-9)
+    assert(math.abs(redeem.usd_delta - 2.0) < 1e-9)
+    assert(math.abs(redeem.realized_pnl - 0.6) < 1e-9)
+    // single-leg form: redeem qty of tokenId without legs
+    val single = Ledger.foldWallet(Seq(
+      Fill(2, ts(1), 1, 10, isBuy = true, qty = 2, usd = 0.8),
+      Fill(2, ts(2), 2, 10, isBuy = false, qty = 2, usd = 2.0,
+        kind = "redeem")).iterator).toSeq.last
+    assert(single.qty == -2.0 && math.abs(single.realized_pnl - 1.2) < 1e-9)
+  }
+
   test("transfer_out consumes basis without realizing; transfer_in uses own avg cost") {
     val fills = Seq(
       Fill(1, ts(1), 1, 100, isBuy = true, qty = 10, usd = 10.0),  // @1.00
