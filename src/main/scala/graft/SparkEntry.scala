@@ -384,6 +384,35 @@ object SparkEntry {
           col("lang"), col("doc_id"), 0.1)
         .orderBy(col("doc_id"))),
 
+    // Corpus-mix executor: per-source deterministic sampling at
+    // per-source rates (the data-mix recipe applied) — rate derived
+    // from the source's numeric suffix, 0.1/0.3/0.5/0.7/0.9.
+    "q_mix_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val rates = docs.select(col("source")).distinct()
+        .withColumn("rate",
+          lit(0.1) + pmod(substring(col("source"), 4, 10).cast("int"), lit(5))
+            * 0.2)
+      Sampling.mixSample(docs, "source", col("doc_id"), rates)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sequence packing: concatenate docs per (lang, doc_id % 8) shard
+    // in doc order, cut into 512-token sequences; each doc lands at
+    // (pack_id, pack_offset) by prefix sum — the training-batch
+    // assembly step after cleaning/dedup/mixing.
+    "q_seq_pack" -> ((s, d) => {
+      val (ws, _) = TextAnalysis.tokenCounts(col("text"))
+      CorpusPipeline.packSequences(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("text"))
+            .withColumn("shard", pmod(col("doc_id"), lit(8))),
+          Seq(col("lang"), col("shard")), col("doc_id"), ws, 512)
+        .select(col("doc_id"), col("lang"), col("shard"), col("tokens"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-wide token frequency top-k (the Zipf table).
     "q_word_freq" -> ((s, d) =>
       TextAnalysis.wordFrequency(Tables.documents(s, d), "text", 100)),
@@ -2429,6 +2458,36 @@ object SparkEntry {
         |FROM wt
         |WHERE substr(md5(CAST(wallet AS VARCHAR)), 1, 4) < '1000'
         |GROUP BY wallet ORDER BY wallet""".stripMargin,
+
+    // per-source rate as a 4-hex-char md5-prefix threshold — the
+    // same 16-bit grid as q_sample_hash, replayed per stratum
+    "q_mix_sample" ->
+      """WITH r AS (
+        |  SELECT DISTINCT source,
+        |    0.1 + (CAST(substr(source, 4) AS INT) % 5) * 0.2 AS rate
+        |  FROM documents)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
+        |  lpad(lower(hex(CAST(FLOOR(r.rate * 65536) AS BIGINT))), 4, '0')
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, doc_id % 8 AS shard,
+        |    CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)
+        |      AS tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, shard, tokens,
+        |    COALESCE(SUM(tokens) OVER (PARTITION BY lang, shard
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM t)
+        |SELECT doc_id, lang, shard, tokens,
+        |  CAST(cb // 512 AS BIGINT) AS pack_id,
+        |  CAST(cb % 512 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       """WITH r AS (

@@ -95,4 +95,32 @@ object CorpusPipeline {
       length(t).as("n_chars"),
       length(redacted).as("n_chars_redacted"))
   }
+
+  /** Sequence packing for training-batch assembly: documents are
+    * concatenated in deterministic `orderCol` order within each
+    * packing group and cut into fixed-`capacity` token sequences —
+    * each doc lands at (pack_id, pack_offset) = (cum-tokens-before
+    * div/mod capacity), the standard no-padding streaming packer
+    * (docs may span a pack boundary). A prefix sum IS the packer, so
+    * the whole operator is one window — no sequential state.
+    *
+    * Scale shape: packing needs a total order per group by
+    * definition, so the group key must bound the window's partition —
+    * callers shard wide groups (the q_seq_pack query packs per
+    * (lang, doc_id % 8)); each (group) partition then sorts
+    * independently, and the shuffle carries (id, token-count) pairs,
+    * not text. */
+  def packSequences(docs: DataFrame, groupCols: Seq[Column],
+                    orderCol: Column, tokens: Column,
+                    capacity: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols: _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("tokens", tokens.cast("long"))
+      .withColumn("_cb", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("_cb") / capacity).cast("long"))
+      .withColumn("pack_offset", (col("_cb") % capacity).cast("long"))
+      .drop("_cb")
+  }
 }

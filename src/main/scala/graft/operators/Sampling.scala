@@ -54,4 +54,25 @@ object Sampling {
       .filter(col("_rn") <= ceil(col("_n") * frac))
       .drop("_rn", "_n")
   }
+
+  /** Corpus-mix executor: per-stratum deterministic sampling at
+    * PER-STRATUM rates ("keep 80% of wiki, 20% of web, 50% of
+    * code") — the operator that turns a data-mix recipe
+    * ([[CorpusPipeline.dataMixReport]] is the read side) into the
+    * actual training slice. `rates` is a small (stratum, rate) dim:
+    * broadcast-joined, so the keep decision stays a column predicate
+    * in the scan stage — no window, no shuffle, and the same
+    * monotone-nesting property as [[hashSample]] (raising a stratum's
+    * rate only ADDS rows to its slice). */
+  def mixSample(df: DataFrame, stratumCol: String, key: Column,
+                rates: DataFrame): DataFrame = {
+    // the stratum's rate as a 4-hex-char threshold (the same 16-bit
+    // grid as [[keep]] — engine-replayable string compare); rate ≥ 1
+    // keeps everything
+    val thr = lpad(lower(hex(floor(col("rate") * 65536).cast("long"))), 4, "0")
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(col("rate") >= 1.0 ||
+        substring(md5(key.cast("string")), 1, 4) < thr)
+      .drop("rate")
+  }
 }
