@@ -577,11 +577,17 @@ object SparkEntry {
       // multi-leg path is spec-pinned in LedgerSpec)
       val redeems = synth(col("trade_id") % 43 === 0, 3, "redeem",
         col("qty") / 2, col("usd") / lit(2.0), col("wallet"), lit(0L))
+      // mid-stream resolution: every 47th taker fill's token resolves
+      // as a losing outcome — the wallet's whole remaining position
+      // wipes at that point in the stream
+      val resolutions = synth(col("trade_id") % 47 === 0, 4, "resolution",
+        lit(0.0), lit(0.0), col("wallet"), lit(0L))
       val events = base.unionByName(splits).unionByName(merges)
         .unionByName(outs).unionByName(ins).unionByName(converts)
         .unionByName(refunds).unionByName(feeDraws)
         .unionByName(splits3).unionByName(merges3)
         .unionByName(noBuys).unionByName(negRisk).unionByName(redeems)
+        .unionByName(resolutions)
       // the generalized event ledger is a materialized table in the
       // reference (wallet_ledger) — fold once per session, re-run only
       // the aggregation per request

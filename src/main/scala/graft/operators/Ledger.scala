@@ -198,6 +198,26 @@ object Ledger {
           }.sum
           LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "redeem", -burned,
             f.usd, basis, f.usd - basis, f.fee)
+        case "resolution" =>
+          // mid-stream resolution of LOSING outcomes
+          // (ledger-engine.ts:1865-1908): each listed token's ENTIRE
+          // remaining position is wiped at the event's time — zero
+          // proceeds, realized = −basis — and later events on the
+          // token start from an empty book. This is the in-stream
+          // counterpart of the end-of-history resolveOpen settlement.
+          val tokens =
+            if (f.legTokens.nonEmpty) f.legTokens else Seq(f.tokenId)
+          var wiped = 0.0
+          var basis = 0.0
+          tokens.foreach { t =>
+            val held = lots.get(t).map(_.iterator.map(_.qty).sum).getOrElse(0.0)
+            if (held > 1e-7) {
+              wiped += held
+              basis += consume(t, held)
+            }
+          }
+          LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "resolution_loss",
+            -wiped, 0.0, basis, -basis, f.fee)
         case "transfer_out" =>
           val basis = consume(f.tokenId, f.qty)
           LedgerRow(f.wallet, f.ts, f.seq, f.tokenId, "transfer_out", -f.qty,

@@ -206,6 +206,32 @@ class LedgerSpec extends SparkSpec {
     assert(single.qty == -2.0 && math.abs(single.realized_pnl - 1.2) < 1e-9)
   }
 
+  test("mid-stream resolution wipes losing positions at event time") {
+    val fills = Seq(
+      Fill(1, ts(1), 1, 100, isBuy = true, qty = 10, usd = 4.0),  // @0.40
+      // losing outcome resolves: whole position wiped, −4.0 realized
+      Fill(1, ts(2), 2, 100, isBuy = false, qty = 0, usd = 0.0,
+        kind = "resolution"),
+      // a later sell of the same token finds an EMPTY book: oversold,
+      // zero basis, full proceeds realized
+      Fill(1, ts(3), 3, 100, isBuy = false, qty = 3, usd = 0.6))
+    val rows = Ledger.foldWallet(fills.iterator).toSeq
+    val loss = rows(1)
+    assert(loss.event_type == "resolution_loss" && loss.qty == -10.0)
+    assert(math.abs(loss.cost_basis - 4.0) < 1e-9)
+    assert(math.abs(loss.realized_pnl - (-4.0)) < 1e-9)
+    assert(loss.usd_delta == 0.0)
+    val sell = rows(2)
+    assert(sell.cost_basis == 0.0 && math.abs(sell.realized_pnl - 0.6) < 1e-9)
+    // multi-token form via legs; tokens never held contribute nothing
+    val multi = Ledger.foldWallet(Seq(
+      Fill(2, ts(1), 1, 10, isBuy = true, qty = 2, usd = 1.0),
+      Fill(2, ts(2), 2, 10, isBuy = false, qty = 0, usd = 0.0,
+        kind = "resolution", legTokens = Seq(10L, 20L),
+        legQtys = Seq(0.0, 0.0))).iterator).toSeq.last
+    assert(multi.qty == -2.0 && math.abs(multi.realized_pnl - (-1.0)) < 1e-9)
+  }
+
   test("transfer_out consumes basis without realizing; transfer_in uses own avg cost") {
     val fills = Seq(
       Fill(1, ts(1), 1, 100, isBuy = true, qty = 10, usd = 10.0),  // @1.00
