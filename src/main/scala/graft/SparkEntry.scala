@@ -777,6 +777,36 @@ object SparkEntry {
         .orderBy(col("wallet"))
     }),
 
+    // Per-day FIFO realized-PnL curve hard verification: the REAL
+    // fold's sell rows, bucketed by day and cumulated per wallet —
+    // hash-verified TIME ATTRIBUTION of realized PnL (the quantity
+    // wallet_pnl_snapshots tracks), not just end-of-history totals.
+    // Closed form on unit lots: matched sell #j realizes
+    // sell_i − (its consumed buy #j's usd); an unmatched sell
+    // realizes its full proceeds (zero basis), per the reference's
+    // consumeTokens remainder. Cum-by-day is a window both engines
+    // replay exactly on integers.
+    "q_ledger_curve_exact" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = wt(s, d).select(
+        col("wallet"), col("ts"), col("trade_id"), col("token_id"), col("side"),
+        lit(1.0).as("qty"),
+        (col("usd") * 10000).cast("long").cast("double").as("usd"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)").as("fee"))
+      val daily = Ledger.build(s, f).toDF()
+        .filter(col("event_type") === "sell")
+        .groupBy(col("wallet"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("realized_pnl")).cast("long").as("realized_d"),
+          count(lit(1)).as("sells"))
+      val w = Window.partitionBy(col("wallet")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily
+        .withColumn("cum_realized_i", sum(col("realized_d")).over(w))
+        .select(col("wallet"), col("day"), col("sells"),
+          col("realized_d"), col("cum_realized_i"))
+        .orderBy(col("wallet"), col("day"))
+    }),
+
     // 7-day moving average of daily token volume (RANGE frame keyed on
     // day number — candle smoothing for charts).
     // VWAP per (token, day): exact decimal sums, one double division —
@@ -1874,6 +1904,62 @@ object SparkEntry {
         |  CAST(SUM(r2) + SUM(ua) AS BIGINT) AS m4_i
         |FROM tok GROUP BY wallet
         |ORDER BY wallet""".stripMargin,
+
+    // per-day realized curve twin: matched sell #j realizes
+    // sell_i − buy#j_i at the sell's day; an unmatched sell realizes
+    // its full proceeds; cum-by-day window per wallet
+    "q_ledger_curve_exact" ->
+      s"""WITH $WT,
+        |f AS (
+        |  SELECT wallet, token_id, ts, trade_id, side,
+        |         CAST(usd * 10000 AS BIGINT) AS usd_i
+        |  FROM wt),
+        |o AS (
+        |  SELECT wallet, token_id, ts, trade_id, side, usd_i,
+        |    SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+        |            ROWS UNBOUNDED PRECEDING)
+        |    - SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+        |            ROWS UNBOUNDED PRECEDING) AS d
+        |  FROM f),
+        |o2 AS (
+        |  SELECT *,
+        |    COALESCE(MAX(d)
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS dmax_prev
+        |  FROM o),
+        |sells AS (
+        |  SELECT wallet, token_id, ts, trade_id, usd_i,
+        |    d > GREATEST(dmax_prev, 0) AS unmatched
+        |  FROM o2 WHERE side = 'sell'),
+        |ms AS (
+        |  SELECT wallet, token_id, ts, usd_i,
+        |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
+        |      ORDER BY ts, trade_id) AS rs
+        |  FROM sells WHERE NOT unmatched),
+        |b AS (
+        |  SELECT wallet, token_id, usd_i,
+        |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
+        |      ORDER BY ts, trade_id) AS rb
+        |  FROM f WHERE side = 'buy'),
+        |per_sell AS (
+        |  SELECT ms.wallet, ms.ts, ms.usd_i - b.usd_i AS r
+        |  FROM ms JOIN b ON ms.wallet = b.wallet
+        |    AND ms.token_id = b.token_id AND ms.rs = b.rb
+        |  UNION ALL
+        |  SELECT wallet, ts, usd_i FROM sells WHERE unmatched),
+        |daily AS (
+        |  SELECT wallet, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    CAST(SUM(r) AS BIGINT) AS realized_d,
+        |    CAST(COUNT(*) AS BIGINT) AS sells
+        |  FROM per_sell GROUP BY 1, 2)
+        |SELECT wallet, day, sells, realized_d,
+        |  CAST(SUM(realized_d) OVER (PARTITION BY wallet ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_realized_i
+        |FROM daily
+        |ORDER BY wallet, day""".stripMargin,
 
     // split/merge engine twin: adds = buys + split legs (basis usd or
     // usd/2), consumes = sells + merge legs; per token first-K adds

@@ -40,6 +40,11 @@ object Ledger {
     *  - `"convert"`: NegRisk index-set conversion — burn `legs`,
     *    mint `legs2` at reallocated basis (:1670-1750); without legs,
     *    a 1:1 identity swap of tokenId → tokenId2.
+    *  - `"redeem"`: event-carried redemption — burn `legs` (or `qty`
+    *    of `tokenId`) for the lump payout `usd` (:1360-1460).
+    *  - `"resolution"`: mid-stream losing-outcome wipe — the entire
+    *    remaining position of each listed token realizes −basis at
+    *    the event's time (:1865-1908).
     */
   final case class Fill(wallet: Long, ts: java.sql.Timestamp, seq: Long,
                         tokenId: Long, isBuy: Boolean, qty: Double, usd: Double,
