@@ -477,25 +477,28 @@ object Ledger {
       .sortWithinPartitions(col("wallet"), col("ts"), col("seq"))
       .mapPartitions { it =>
         // partitions hold many wallets, contiguously after the sort —
-        // flush state at each wallet boundary
+        // flush state at each wallet boundary. The per-wallet slice is
+        // a STREAMING sub-iterator (stops at the boundary), not a
+        // buffered copy: a whale wallet's history never materializes;
+        // per-wallet memory is its open-lot/lastPrice state only. The
+        // folds emit rows lazily as fills are pulled, and any fills a
+        // folder leaves unconsumed are drained before the next wallet
+        // starts.
         new Iterator[LedgerRow] {
+          private val buf = it.buffered
           private var cur: Iterator[LedgerRow] = Iterator.empty
-          private val grouped = new Iterator[Iterator[Fill]] {
-            private val buf = it.buffered
-            def hasNext: Boolean = buf.hasNext
-            def next(): Iterator[Fill] = {
+          private var slice: Iterator[Fill] = Iterator.empty
+          private def advance(): Unit =
+            while (!cur.hasNext && { while (slice.hasNext) slice.next(); buf.hasNext }) {
               val w = buf.head.wallet
-              val fills = mutable.ArrayBuffer.empty[Fill]
-              while (buf.hasNext && buf.head.wallet == w) fills += buf.next()
-              fills.iterator
+              slice = new Iterator[Fill] {
+                def hasNext: Boolean = buf.hasNext && buf.head.wallet == w
+                def next(): Fill = buf.next()
+              }
+              cur = folder(slice)
             }
-          }
-          def hasNext: Boolean = {
-            while (!cur.hasNext && grouped.hasNext)
-              cur = folder(grouped.next())
-            cur.hasNext
-          }
-          def next(): LedgerRow = { hasNext; cur.next() }
+          def hasNext: Boolean = { advance(); cur.hasNext }
+          def next(): LedgerRow = { advance(); cur.next() }
         }
       }
   }
@@ -598,19 +601,24 @@ object Ledger {
       .repartition(col("wallet"))
       .sortWithinPartitions(col("wallet"), col("ts"), col("seq"))
       .mapPartitions { it =>
+        // streaming per-wallet slice, same shape as foldFills: the
+        // provenance fold consumes each wallet's fills without ever
+        // materializing its history
         val buf = it.buffered
         new Iterator[PeriodPnl] {
           private var cur: Iterator[PeriodPnl] = Iterator.empty
-          def hasNext: Boolean = {
-            while (!cur.hasNext && buf.hasNext) {
+          private var slice: Iterator[Fill] = Iterator.empty
+          private def advance(): Unit =
+            while (!cur.hasNext && { while (slice.hasNext) slice.next(); buf.hasNext }) {
               val w = buf.head.wallet
-              val fs = mutable.ArrayBuffer.empty[Fill]
-              while (buf.hasNext && buf.head.wallet == w) fs += buf.next()
-              cur = foldWalletPeriod(fs.iterator, ps, pe)
+              slice = new Iterator[Fill] {
+                def hasNext: Boolean = buf.hasNext && buf.head.wallet == w
+                def next(): Fill = buf.next()
+              }
+              cur = foldWalletPeriod(slice, ps, pe)
             }
-            cur.hasNext
-          }
-          def next(): PeriodPnl = { hasNext; cur.next() }
+          def hasNext: Boolean = { advance(); cur.hasNext }
+          def next(): PeriodPnl = { advance(); cur.next() }
         }
       }
   }
