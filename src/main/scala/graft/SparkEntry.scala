@@ -234,11 +234,16 @@ object SparkEntry {
         .orderBy(col("wallet"), col("market"), col("day"))),
 
     "q_reconcile" -> ((s, d) => {
+      // both sides served from session MVs (the reference reconciles
+      // two materialized tables, not raw events): balances is the
+      // user_balances MV, the trade side re-aggregates the wallet-day
+      // flow MV — exact decimal partials, so values are identical to
+      // the raw-trade aggregation
       val fromTransfers = balances(s, d)
-      val fromTrades = wt(s, d)
+      val fromTrades = dailyFlows(s, d)
         .groupBy(col("wallet"), col("token_id"))
-        .agg(sum(when(col("side") === "buy", col("qty")).otherwise(-col("qty"))
-          .cast("decimal(18,4)")).cast("double").as("balance"))
+        .agg(sum(col("buy_qty_d") - col("sell_qty_d")).cast("double")
+          .as("balance"))
       Rollup.reconcile(fromTransfers, fromTrades).orderBy(col("wallet"))
     }),
 
