@@ -790,7 +790,11 @@ object SparkEntry {
     // sell_i − (its consumed buy #j's usd); an unmatched sell
     // realizes its full proceeds (zero basis), per the reference's
     // consumeTokens remainder. Cum-by-day is a window both engines
-    // replay exactly on integers.
+    // replay exactly on integers. The unit-lot fills are byte-identical
+    // to q_ledger_resolved_exact's, and buildOpenRows' trade rows ARE
+    // build's rows (foldWalletOpen appends only "_open" rows) — so the
+    // sell slice comes from the session-cached ledger_open_unit view
+    // instead of refolding the whole trade stream.
     "q_ledger_curve_exact" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val f = wt(s, d).select(
@@ -798,7 +802,8 @@ object SparkEntry {
         lit(1.0).as("qty"),
         (col("usd") * 10000).cast("long").cast("double").as("usd"),
         lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)").as("fee"))
-      val daily = Ledger.build(s, f).toDF()
+      val daily = graft.model.Views.cached(s, d, "ledger_open_unit")(
+          Ledger.buildOpenRows(s, f).toDF())
         .filter(col("event_type") === "sell")
         .groupBy(col("wallet"), date_trunc("day", col("ts")).as("day"))
         .agg(sum(col("realized_pnl")).cast("long").as("realized_d"),

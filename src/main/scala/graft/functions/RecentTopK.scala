@@ -37,6 +37,26 @@ case class RecentTopK(ts: Expression, seq: Expression, value: Expression,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_recent_topk"
 
+  // reject non-integral inputs at analysis: the buffer stores longs,
+  // so a double/decimal value would silently truncate at runtime
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    def integral(dt: DataType) = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def ordered(dt: DataType) = integral(dt) ||
+      dt.isInstanceOf[TimestampType] || dt.isInstanceOf[TimestampNTZType] ||
+      dt.isInstanceOf[DateType]
+    if (!ordered(ts.dataType))
+      TypeCheckFailure(s"$prettyName: ts must be integral/timestamp, got ${ts.dataType}")
+    else if (!ordered(seq.dataType))
+      TypeCheckFailure(s"$prettyName: seq must be integral/timestamp, got ${seq.dataType}")
+    else if (!integral(value.dataType))
+      TypeCheckFailure(s"$prettyName: value must be integral, got ${value.dataType}")
+    else TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): mutable.ArrayBuffer[RecentTopK.Entry] =
     mutable.ArrayBuffer.empty
 

@@ -68,8 +68,12 @@ object Sampling {
                 rates: DataFrame): DataFrame = {
     // the stratum's rate as a 4-hex-char threshold (the same 16-bit
     // grid as [[keep]] — engine-replayable string compare); rate ≥ 1
-    // keeps everything
-    val thr = lpad(lower(hex(floor(col("rate") * 65536).cast("long"))), 4, "0")
+    // keeps everything, and the clamp keeps an out-of-range rate from
+    // corrupting the hex compare (hex of a negative long is 16 chars,
+    // which lpad TRUNCATES to "ffff" — keep-everything, the opposite
+    // of the empty slice a rate ≤ 0 asks for)
+    val clamped = least(greatest(col("rate"), lit(0.0)), lit(1.0))
+    val thr = lpad(lower(hex(floor(clamped * 65536).cast("long"))), 4, "0")
     df.join(broadcast(rates), Seq(stratumCol))
       .filter(col("rate") >= 1.0 ||
         substring(md5(key.cast("string")), 1, 4) < thr)

@@ -173,20 +173,8 @@ object Snapshots {
     * at sf0.1). Integer summands make every step exact and
     * order-independent (oracle-hash safe, see portfolioHistory).
     */
-  def pnlSnapshots(walletTrades: DataFrame, lastPrice: DataFrame): DataFrame = {
-    val dec0 = lit(0).cast("decimal(18,4)")
-    val daily = walletTrades
-      .groupBy(col("wallet"), col("token_id"),
-        date_trunc("day", col("ts")).as("day"))
-      .agg(
-        sum(when(col("side") === "buy", col("usd")).otherwise(dec0)).as("buy_usd_d"),
-        sum(when(col("side") === "buy", col("qty")).otherwise(lit(0))
-          .cast("decimal(18,4)")).as("buy_qty_d"),
-        sum(when(col("side") === "sell", col("usd")).otherwise(dec0)).as("sell_usd_d"),
-        sum(when(col("side") === "sell", col("qty")).otherwise(lit(0))
-          .cast("decimal(18,4)")).as("sell_qty_d"))
-    pnlSnapshotsFromDaily(daily, lastPrice)
-  }
+  def pnlSnapshots(walletTrades: DataFrame, lastPrice: DataFrame): DataFrame =
+    pnlSnapshotsFromDaily(dailyFlowPartials(walletTrades), lastPrice)
 
   /** [[pnlSnapshots]] over the pre-maintained wallet-day flow MV
     * (`graft.model.Views.dailyFlows`) — skips the raw-trade groupBy. */

@@ -45,6 +45,7 @@ object PartitionedStore {
                    targetFileBytes: Long = 128L << 20): Unit = {
     val src = s"$path/ym=$ym"
     val tmp = s"$path/.compact-$ym"
+    restoreAside(src, s"$path/.old-$ym")
     val part = spark.read.parquet(src)
     val bytes = part.inputFiles.map(f =>
       new java.io.File(new java.net.URI(f)).length()).sum
@@ -69,6 +70,18 @@ object PartitionedStore {
     * directory is never a recursive-delete hole, and a failed swap
     * restores the original. A missing live dir (first write) degrades
     * to a plain rename. */
+  /** Recover from a crash that landed between [[swapDir]]'s two
+    * renames: the live dir is gone and the aside dir holds the only
+    * copy. Callers run this before reading a swap-maintained dir —
+    * a fresh swap would otherwise start by deleting the aside. */
+  def restoreAside(live: String, aside: String): Unit = {
+    val liveDir = new java.io.File(live)
+    val asideDir = new java.io.File(aside)
+    if (!liveDir.exists() && asideDir.exists()) {
+      asideDir.renameTo(liveDir): Unit
+    }
+  }
+
   def swapDir(live: String, tmp: String, aside: String): Unit = {
     val liveDir = new java.io.File(live)
     val tmpDir = new java.io.File(tmp)

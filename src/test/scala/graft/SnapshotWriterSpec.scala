@@ -27,15 +27,23 @@ class SnapshotWriterSpec extends SparkSpec {
     val b1 = wt.filter(col("wallet") % 10 =!= 0)
     val b2 = wt.filter(col("wallet") % 10 === 0)
 
-    SnapshotWriter.processBatch(spark, b1, flowsDir, snapsDir, lastPrice)
+    SnapshotWriter.processBatch(spark, b1, flowsDir, snapsDir, lastPrice, 0L)
     assert(rows(spark.read.parquet(snapsDir)) ==
       rows(Snapshots.pnlSnapshots(b1, lastPrice)),
       "after batch 1: incremental != batch over the prefix")
 
-    SnapshotWriter.processBatch(spark, b2, flowsDir, snapsDir, lastPrice)
+    SnapshotWriter.processBatch(spark, b2, flowsDir, snapsDir, lastPrice, 1L)
     assert(rows(spark.read.parquet(snapsDir)) ==
       rows(Snapshots.pnlSnapshots(wt, lastPrice)),
       "after batch 2: incremental != batch over full history")
+
+    // foreachBatch is at-least-once: a crash-retry re-delivers the same
+    // batch id. Replaying batch 2 must overwrite its own flow partition
+    // (not append a duplicate) and leave the table unchanged.
+    SnapshotWriter.processBatch(spark, b2, flowsDir, snapsDir, lastPrice, 1L)
+    assert(rows(spark.read.parquet(snapsDir)) ==
+      rows(Snapshots.pnlSnapshots(wt, lastPrice)),
+      "replayed batch must be idempotent")
 
     // only dirty wallets were recomputed in batch 2 — wallets that
     // traded exclusively before the cut must still be present
