@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.operators._
+import graft.sources.LogDecode
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -1200,6 +1201,38 @@ object SparkEntry {
               |FROM daily
               |WHERE wallet % 100 = 0
               |ORDER BY wallet, day""".stripMargin)
+    }),
+
+    // ABI event-log decode (the reference's ingest seam, main.ts:
+    // 254-300): OrderFilled logs — built as a deterministic hex
+    // fixture from the trade view, mixed with TransferSingle logs so
+    // the topic0 filter must prune — decoded back to normalized fill
+    // rows by pure column expressions (substring/conv, zero UDFs).
+    // The oracle computes the expected rows DIRECTLY from the raw
+    // tables, so the hash verifies the whole encode→decode round trip
+    // including side normalization and the integer price.
+    "q_log_decode" -> ((s, d) => {
+      val mixed = LogDecode.encodeOrderFilled(trades(s, d)).unionByName(
+        LogDecode.encodeTransferSingle(Tables.transfers(s, d)))
+      LogDecode.decodeOrderFilled(mixed)
+        .select(col("log_index"), col("order_hash"), col("maker"),
+          col("taker"), col("is_maker_buy"), col("token_hex"),
+          col("token_id"), col("usdc_i"), col("token_i"), col("fee_i"),
+          col("price_ppm"))
+        .orderBy(col("log_index"), col("maker"))
+    }),
+
+    // ABI dynamic-array decode: TransferBatch logs (one per order,
+    // uint256[] ids/values tails behind head offsets) decoded with
+    // transform(sequence(...)) and exploded to one movement row per
+    // element — the ERC1155 handler shape (main.ts:460-483).
+    "q_log_decode_batch" -> ((s, d) => {
+      val rows = LogDecode.explodeTransferBatch(LogDecode.decodeTransferBatch(
+        LogDecode.encodeTransferBatch(Tables.lineitem(s, d), Tables.orders(s, d))))
+      rows.select(col("log_index"), col("to").as("to_wallet"),
+          col("elem_idx").cast("long").as("elem_idx"),
+          col("token_hex"), col("token_id"), col("amount_i"))
+        .orderBy(col("log_index"), col("elem_idx"))
     })
   )
 
@@ -2828,6 +2861,44 @@ object SparkEntry {
         |    OVER (PARTITION BY wallet ORDER BY day) AS DOUBLE) AS cum_vol
         |FROM daily
         |WHERE wallet % 100 = 0
-        |ORDER BY wallet, day""".stripMargin
+        |ORDER BY wallet, day""".stripMargin,
+
+    // the decoded-fill expectation straight from the raw tables — the
+    // Spark side must recover exactly these values from hex words
+    "q_log_decode" ->
+      """WITH f AS (
+        |  SELECT l_orderkey*10 + l_linenumber AS log_index,
+        |         CAST(l_suppkey + 1000000 AS BIGINT) AS maker,
+        |         CAST(o_custkey AS BIGINT) AS taker,
+        |         l_returnflag = 'R' AS is_maker_buy,
+        |         CAST(l_partkey + 1000000000 AS BIGINT) AS token_id,
+        |         CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |              (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |              AS DECIMAL(18,4)) * 1000000 AS BIGINT) AS usdc_i,
+        |         CAST(l_quantity * 1000000 AS BIGINT) AS token_i,
+        |         CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |              (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |              AS DECIMAL(18,4)) * CAST(l_tax AS DECIMAL(18,4))
+        |              AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS fee_i
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT log_index,
+        |       lpad(printf('%x', log_index), 64, '0') AS order_hash,
+        |       maker, taker, is_maker_buy,
+        |       lpad(printf('%x', token_id), 64, '0') AS token_hex,
+        |       token_id, usdc_i, token_i, fee_i,
+        |       CAST(usdc_i * 1000000 // token_i AS BIGINT) AS price_ppm
+        |FROM f ORDER BY log_index, maker""".stripMargin,
+
+    "q_log_decode_batch" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS log_index,
+        |       CAST(o_custkey AS BIGINT) AS to_wallet,
+        |       CAST(row_number() OVER (PARTITION BY l_orderkey
+        |         ORDER BY l_linenumber, l_partkey,
+        |                  CAST(l_quantity*1000000 AS BIGINT)) AS BIGINT) AS elem_idx,
+        |       lpad(printf('%x', l_partkey + 1000000000), 64, '0') AS token_hex,
+        |       CAST(l_partkey + 1000000000 AS BIGINT) AS token_id,
+        |       CAST(l_quantity * 1000000 AS BIGINT) AS amount_i
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY log_index, elem_idx""".stripMargin
   )
 }

@@ -1,0 +1,86 @@
+package graft
+
+import graft.model.Tables
+import graft.sources.LogDecode
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class LogDecodeSpec extends SparkSpec {
+
+  // trade_id collides in the synthetic data (duplicate (orderkey,
+  // linenumber) pairs), so equality is multiset-based, not join-based
+  private def sameRows(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("OrderFilled round trip recovers every trade field") {
+    val trades = Tables.trades(spark, sf)
+    val decoded = LogDecode.decodeOrderFilled(
+        LogDecode.encodeOrderFilled(trades))
+      .select(col("log_index"), col("maker"), col("taker"),
+        col("is_maker_buy"), col("token_id"), col("usdc_i"),
+        col("token_i"), col("fee_i"))
+    val expected = trades.select(col("trade_id").as("log_index"),
+      col("maker"), col("taker"), col("is_maker_buy"),
+      (col("token_id") + LogDecode.TokenIdBase).as("token_id"),
+      (col("usd") * 1000000).cast("long").as("usdc_i"),
+      (col("qty") * 1000000).cast("long").as("token_i"),
+      (col("fee") * 1000000).cast("long").as("fee_i"))
+    assert(decoded.count() == trades.count(), "one decoded row per trade")
+    assert(sameRows(decoded, expected), "decoded fields must equal the source")
+  }
+
+  test("decoders drop logs of other event types (topic0 filter)") {
+    val trades = Tables.trades(spark, sf)
+    val mixed = LogDecode.encodeOrderFilled(trades).unionByName(
+      LogDecode.encodeTransferSingle(Tables.transfers(spark, sf)))
+    assert(LogDecode.decodeOrderFilled(mixed).count() == trades.count())
+    assert(LogDecode.decodeTransferSingle(mixed).count() == trades.count())
+  }
+
+  test("token_hex is the canonical 64-char word (256-bit-safe identity)") {
+    val one = LogDecode.decodeOrderFilled(
+        LogDecode.encodeOrderFilled(Tables.trades(spark, sf)))
+      .select(length(col("token_hex")).as("len"),
+        col("token_hex"), col("token_id")).limit(100)
+    assert(one.filter(col("len") =!= 64).isEmpty)
+    assert(one.filter(
+      expr("conv(substr(token_hex, 49, 16), 16, 10)").cast("long")
+        =!= col("token_id")).isEmpty)
+  }
+
+  test("TransferSingle round trip preserves movement and operator") {
+    val tr = Tables.transfers(spark, sf)
+    val decoded = LogDecode.decodeTransferSingle(
+        LogDecode.encodeTransferSingle(tr))
+      .select(col("log_index"), col("operator"), col("from"), col("to"),
+        col("token_id"), col("amount_i"))
+    val expected = tr.select(col("transfer_id").as("log_index"),
+      lit(LogDecode.ExchangeOperator).as("operator"),
+      col("from"), col("to"),
+      (col("token_id") + LogDecode.TokenIdBase).as("token_id"),
+      (col("value") * 1000000).cast("long").as("amount_i"))
+    assert(sameRows(decoded, expected))
+  }
+
+  test("TransferBatch dynamic arrays decode element-exact in line order") {
+    val li = Tables.lineitem(spark, sf)
+    val logs = LogDecode.encodeTransferBatch(li, Tables.orders(spark, sf))
+    val rows = LogDecode.explodeTransferBatch(
+      LogDecode.decodeTransferBatch(logs))
+    assert(rows.count() == li.count(), "one decoded element per lineitem")
+    // element i of order o is the i-th lineitem in the encode's total
+    // struct order (ln, token, amount) — mirror it exactly
+    val expect = li.select(col("l_orderkey").as("log_index"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"),
+          (col("l_quantity") * 1000000).cast("long")))
+        .cast("long").as("elem_idx"),
+      (col("l_partkey").cast("long") + LogDecode.TokenIdBase).as("token_id"),
+      (col("l_quantity") * 1000000).cast("long").as("amount_i"))
+    val got = rows.select(col("log_index"), col("elem_idx").cast("long"),
+      col("token_id"), col("amount_i"))
+    assert(sameRows(got, expect))
+    assert(rows.filter(col("from") =!= 0L).isEmpty, "mint logs: from = 0")
+  }
+}
