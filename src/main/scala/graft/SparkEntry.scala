@@ -1233,6 +1233,25 @@ object SparkEntry {
           col("elem_idx").cast("long").as("elem_idx"),
           col("token_hex"), col("token_id"), col("amount_i"))
         .orderBy(col("log_index"), col("elem_idx"))
+    }),
+
+    // Condition-token lifecycle decode (PositionSplit / PositionsMerge
+    // / PayoutRedemption, main.ts:305-380): three same-arity events
+    // with DIFFERENT indexed sets — conditionId rides topic3 for
+    // split/merge but data word 0 for redemption, collateral the
+    // reverse — plus a uint256[] sandwiched between static words. The
+    // decoded array is emitted as order-sensitive scalars (count, sum,
+    // first, last) so the hash compare stays engine-portable.
+    "q_log_decode_condition" -> ((s, d) => {
+      val decoded = LogDecode.decodeConditionEvents(LogDecode
+        .encodeConditionEvents(Tables.lineitem(s, d), Tables.orders(s, d)))
+      decoded.select(col("log_index"), col("kind"), col("wallet"),
+          col("condition_hex"), col("collateral"), col("amount_i"),
+          size(col("index_sets")).cast("long").as("n_sets"),
+          aggregate(col("index_sets"), lit(0L), (a, x) => a + x).as("sets_sum"),
+          element_at(col("index_sets"), 1).as("first_set"),
+          element_at(col("index_sets"), -1).as("last_set"))
+        .orderBy(col("log_index"))
     })
   )
 
@@ -2899,6 +2918,34 @@ object SparkEntry {
         |       CAST(l_partkey + 1000000000 AS BIGINT) AS token_id,
         |       CAST(l_quantity * 1000000 AS BIGINT) AS amount_i
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |ORDER BY log_index, elem_idx""".stripMargin
+        |ORDER BY log_index, elem_idx""".stripMargin,
+
+    "q_log_decode_condition" ->
+      """WITH e AS (
+        |  SELECT o_orderkey AS log_index,
+        |         CASE o_orderkey % 3 WHEN 0 THEN 'split'
+        |              WHEN 1 THEN 'merge' ELSE 'redeem' END AS kind,
+        |         CAST(o_custkey AS BIGINT) AS wallet,
+        |         lpad(printf('%x', o_orderkey), 64, '0') AS condition_hex,
+        |         CAST(888000 AS BIGINT) AS collateral,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS amount_i
+        |  FROM orders),
+        |s AS (
+        |  SELECT l_orderkey AS log_index, l_partkey + 1 AS iset,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_linenumber, l_partkey) AS rn,
+        |         COUNT(*) OVER (PARTITION BY l_orderkey) AS n
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT log_index,
+        |         CAST(MAX(n) AS BIGINT) AS n_sets,
+        |         CAST(SUM(iset) AS BIGINT) AS sets_sum,
+        |         CAST(MAX(CASE WHEN rn = 1 THEN iset END) AS BIGINT) AS first_set,
+        |         CAST(MAX(CASE WHEN rn = n THEN iset END) AS BIGINT) AS last_set
+        |  FROM s GROUP BY log_index)
+        |SELECT e.log_index, kind, wallet, condition_hex, collateral,
+        |       amount_i, n_sets, sets_sum, first_set, last_set
+        |FROM e JOIN agg USING (log_index)
+        |ORDER BY log_index""".stripMargin
   )
 }

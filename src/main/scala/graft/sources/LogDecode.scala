@@ -36,10 +36,14 @@ import org.apache.spark.sql.functions._
   */
 object LogDecode {
 
-  /** keccak topic0 of each event (abi/CTFExchange.ts:6, ERC1155.ts:5). */
+  /** keccak topic0 of each event (abi/CTFExchange.ts:6, ERC1155.ts:5,
+    * ConditionalTokens.ts:6-8). */
   val OrderFilledTopic = "0xd0a08e8c493f9c94f29311604c9de1b4e8c8d4c06bd0c789af57f2d65bfec0f6"
   val TransferSingleTopic = "0xc3d58168c5ae7397731d063d5bbf3d657854427343f4c083240f7aacaa2d0f62"
   val TransferBatchTopic = "0x4a39dc06d4c0dbc64b70af90fd698a233a518aa5d07e595d983b8c0526c8f7fb"
+  val PositionSplitTopic = "0x2e6bb91f8cbcda0c93623c54d0403a43514fabc40084ec96b6d5379a74786298"
+  val PositionsMergeTopic = "0x6f13ca62553fcc2bcd2372180a43949c1e4cebba603901ede2f4e14f36b282ca"
+  val PayoutRedemptionTopic = "0x2682012a4a4f1973119f1c9b90745d1bd91fa2bab387344f044cb3586864d18d"
 
   // ---------------------------------------------------------------
   // word-level primitives (all pure column expressions)
@@ -150,6 +154,59 @@ object LogDecode {
           valWords).as("data"))
   }
 
+  /** The collateral (USDC) contract as an address word. */
+  val CollateralToken = 888000L
+
+  /** Condition-token lifecycle logs, one per order:
+    * order_id % 3 picks PositionSplit / PositionsMerge /
+    * PayoutRedemption. These three events share the ABI shape that
+    * exercises the general codec: a dynamic `uint256[]` SANDWICHED
+    * between static words — the head holds (static, offset, static),
+    * the array tail follows. Split/merge carry the collateral address
+    * in data word 0 and index the conditionId (topic3); redemption
+    * indexes the collateral (topic2) and carries conditionId in data
+    * word 0 (ConditionalTokens.ts:6-8 — same signature arity,
+    * different indexed sets, which is exactly what trips naive
+    * positional decoders).
+    *
+    * amount/payout: o_totalprice in exact cents. Index sets: the
+    * order's lineitems as (partkey+1) values, line order. */
+  def encodeConditionEvents(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem.select(
+      col("l_orderkey").as("order_id"), col("l_linenumber").as("ln"),
+      (col("l_partkey").cast("long") + 1L).as("index_set"))
+    val elems = li.groupBy(col("order_id"))
+      .agg(array_sort(collect_list(struct(col("ln"), col("index_set"))))
+        .as("xs"))
+    val n = size(col("xs"))
+    val setWords = concat_ws("",
+      transform(col("xs"), x => toWord(x.getField("index_set"))))
+    val kind = pmod(col("order_id"), lit(3L))
+    elems
+      .join(orders.select(col("o_orderkey").as("order_id"),
+        col("o_custkey").cast("long").as("wallet"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents")), Seq("order_id"))
+      .select(
+        col("order_id").as("log_index"),
+        when(kind === 0, PositionSplitTopic)
+          .when(kind === 1, PositionsMergeTopic)
+          .otherwise(PayoutRedemptionTopic).as("topic0"),
+        toWord(col("wallet")).as("topic1"),        // stakeholder/redeemer
+        when(kind === 2, toWord(lit(CollateralToken)))
+          .otherwise(toWord(lit(0L))).as("topic2"), // redeem: collateral
+        when(kind === 2, toWord(lit(0L)))
+          .otherwise(toWord(col("order_id"))).as("topic3"), // conditionId
+        concat(
+          // data word 0: collateral (split/merge) vs conditionId (redeem)
+          when(kind === 2, toWord(col("order_id")))
+            .otherwise(toWord(lit(CollateralToken))),
+          toWord(lit(96L)),                        // array offset
+          toWord(col("cents")),                    // amount / payout
+          toWord(n.cast("long")),
+          setWords).as("data"))
+  }
+
   // ---------------------------------------------------------------
   // decoders
   // ---------------------------------------------------------------
@@ -196,31 +253,63 @@ object LogDecode {
         wordLong(word(col("data"), 0)).as("token_id"),
         wordLong(word(col("data"), 1)).as("amount_i"))
 
+  /** The dynamic-array tail whose byte offset sits in head word `i`:
+    * length-prefixed 32-byte words starting at that offset. Hex chars
+    * = 2 × bytes, so the length word's low 8 bytes sit at char
+    * ofs·2+49 and element j at char ofs·2 + 64·(j−1) + 65.
+    * sequence(1,0) is DESCENDING in Spark — empty arrays need the
+    * explicit guard. */
+  private def tailArray(headWord: Int): Column = {
+    val ofs = s"conv(substr(data, ${headWord * 64 + 49}, 16), 16, 10)"
+    expr(
+      s"""CASE WHEN int(conv(substr(data, ($ofs) * 2 + 49, 16), 16, 10)) < 1
+         |     THEN array()
+         |     ELSE transform(
+         |       sequence(1, int(conv(substr(data, ($ofs) * 2 + 49, 16), 16, 10))),
+         |       i -> substr(data, ($ofs) * 2 + 64 * (i - 1) + 65, 64))
+         |END""".stripMargin)
+  }
+
   /** Decode TransferBatch logs — dynamic `uint256[]` arrays. The head
     * words are byte offsets to each array's length-prefixed tail;
     * elements come out via transform(sequence(...)) over substr at a
     * computed position, so arbitrary-length batches stay one row per
     * log with two array columns (zip-exploded by the caller). */
-  def decodeTransferBatch(logs: DataFrame): DataFrame = {
-    // hex chars = 2 × bytes: the length word's low 8 bytes sit at char
-    // ofs·2+49, element i at char ofs·2 + 64·(i−1) + 65. sequence(1,0)
-    // is DESCENDING in Spark, so empty arrays need the explicit guard.
-    def arrayAt(ofsExpr: String): Column =
-      expr(
-        s"""CASE WHEN int(conv(substr(data, ($ofsExpr) * 2 + 49, 16), 16, 10)) < 1
-           |     THEN array()
-           |     ELSE transform(
-           |       sequence(1, int(conv(substr(data, ($ofsExpr) * 2 + 49, 16), 16, 10))),
-           |       i -> substr(data, ($ofsExpr) * 2 + 64 * (i - 1) + 65, 64))
-           |END""".stripMargin)
+  def decodeTransferBatch(logs: DataFrame): DataFrame =
     logs.filter(col("topic0") === TransferBatchTopic)
       .select(
         col("log_index"),
         wordLong(col("topic1")).as("operator"),
         wordLong(col("topic2")).as("from"),
         wordLong(col("topic3")).as("to"),
-        arrayAt("conv(substr(data, 49, 16), 16, 10)").as("id_words"),
-        arrayAt("conv(substr(data, 113, 16), 16, 10)").as("value_words"))
+        tailArray(0).as("id_words"),
+        tailArray(1).as("value_words"))
+
+  /** Decode the condition-token lifecycle family into the normalized
+    * split/merge/redemption rows of main.ts:305-380. One decoder for
+    * the three events because they share arity but not indexed sets:
+    * the kind column drives where conditionId and collateral come
+    * from (topic vs data word), and the dynamic index-set array
+    * decodes through its head offset regardless of kind. */
+  def decodeConditionEvents(logs: DataFrame): DataFrame = {
+    val kind = when(col("topic0") === PositionSplitTopic, "split")
+      .when(col("topic0") === PositionsMergeTopic, "merge")
+      .otherwise("redeem")
+    val isRedeem = col("topic0") === PayoutRedemptionTopic
+    val sets = tailArray(1) // the offset rides head word 1 in all three
+    logs
+      .filter(col("topic0").isin(PositionSplitTopic, PositionsMergeTopic,
+        PayoutRedemptionTopic))
+      .select(
+        col("log_index"),
+        kind.as("kind"),
+        wordLong(col("topic1")).as("wallet"),
+        when(isRedeem, word(col("data"), 0)).otherwise(col("topic3"))
+          .as("condition_hex"),
+        wordLong(when(isRedeem, col("topic2")).otherwise(word(col("data"), 0)))
+          .as("collateral"),
+        wordLong(word(col("data"), 2)).as("amount_i"),
+        transform(sets, w => wordLong(w)).as("index_sets"))
   }
 
   /** One row per (log, element): the exploded movement rows the

@@ -83,4 +83,29 @@ class LogDecodeSpec extends SparkSpec {
     assert(sameRows(got, expect))
     assert(rows.filter(col("from") =!= 0L).isEmpty, "mint logs: from = 0")
   }
+
+  test("condition events: kind-dependent indexed sets decode correctly") {
+    val orders = Tables.orders(spark, sf)
+    val decoded = LogDecode.decodeConditionEvents(
+      LogDecode.encodeConditionEvents(Tables.lineitem(spark, sf), orders))
+    // conditionId rides topic3 for split/merge but data word 0 for
+    // redemption; all three kinds must still recover the same value
+    val badCond = decoded.filter(col("condition_hex") =!=
+      lpad(lower(hex(col("log_index"))), 64, "0"))
+    assert(badCond.isEmpty, "condition id must decode for every kind")
+    assert(decoded.filter(col("collateral") =!= LogDecode.CollateralToken)
+      .isEmpty, "collateral must decode from topic2 or data word 0")
+    val kinds = decoded.groupBy(col("kind")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet == Set("split", "merge", "redeem"))
+    // the index-set array is the order's lineitems
+    val expN = Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey").as("log_index"))
+      .agg(count(lit(1)).as("exp_n"))
+    val badN = decoded.select(col("log_index"), size(col("index_sets"))
+        .cast("long").as("n"))
+      .join(expN, Seq("log_index"))
+      .filter(col("n") =!= col("exp_n"))
+    assert(badN.isEmpty, "index-set length must equal lineitem count")
+  }
 }
