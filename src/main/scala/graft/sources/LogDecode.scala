@@ -312,6 +312,28 @@ object LogDecode {
         transform(sets, w => wordLong(w)).as("index_sets"))
   }
 
+  /** Rebuild the canonical trade view from decoded OrderFilled rows —
+    * the adapter that lets every downstream operator (candles,
+    * ledger, leaderboards, balances) run off log ingest unchanged
+    * (LogDecodeSpec proves column-exact equality with
+    * [[graft.model.Tables.trades]]). The 6-decimal integer amounts
+    * divide back exactly: usd has ≤4 decimals and fee ≤6 by
+    * construction, so the decimal casts lose nothing. */
+  def decodedToTrades(decoded: DataFrame): DataFrame =
+    decoded.select(
+      col("log_index").as("trade_id"),
+      col("ts"),
+      col("maker"),
+      col("taker"),
+      (col("token_id") - TokenIdBase).as("token_id"),
+      (col("token_i").cast("double") / 1000000.0).as("qty"),
+      (col("usdc_i").cast("decimal(24,6)") / 1000000)
+        .cast("decimal(18,4)").as("usd"),
+      (col("fee_i").cast("decimal(24,6)") / 1000000)
+        .cast("decimal(18,6)").as("fee"),
+      (!col("is_maker_buy")).as("is_taker_buy"),
+      col("is_maker_buy"))
+
   /** One row per (log, element): the exploded movement rows the
     * ERC1155 handler feeds the balance/ledger builders
     * (main.ts:460-483 iterates ids/values pairwise). */

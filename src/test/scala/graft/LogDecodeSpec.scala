@@ -84,6 +84,40 @@ class LogDecodeSpec extends SparkSpec {
     assert(rows.filter(col("from") =!= 0L).isEmpty, "mint logs: from = 0")
   }
 
+  test("decoded logs rebuild the canonical trade view column-exact") {
+    // the end-to-end ingest claim: swap the trade source for log
+    // decode and every downstream operator sees identical input
+    // (price is recomputed downstream from usd/qty, not carried)
+    val trades = Tables.trades(spark, sf)
+    val rebuilt = LogDecode.decodedToTrades(LogDecode.decodeOrderFilled(
+      LogDecode.encodeOrderFilled(trades)))
+    val cols = Seq("trade_id", "ts", "maker", "taker", "token_id",
+      "qty", "usd", "fee", "is_taker_buy", "is_maker_buy").map(col)
+    assert(sameRows(rebuilt.select(cols: _*), trades.select(cols: _*)))
+  }
+
+  test("decode runs inside a structured stream (the processor topology)") {
+    // the reference's ingest IS a stream of logs (processor.run,
+    // main.ts:227) — decode must compose with readStream. Stateless
+    // column exprs do, but this pins the topology end to end:
+    // log stream -> decode -> trade rows -> grouped volume.
+    val trades = Tables.trades(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-logstream").toString
+    val logs = LogDecode.encodeOrderFilled(trades)
+    logs.coalesce(2).write.parquet(s"$dir/logs")
+    val decoded = LogDecode.decodedToTrades(LogDecode.decodeOrderFilled(
+      spark.readStream.schema(logs.schema).parquet(s"$dir/logs")))
+    val q = decoded.groupBy(col("token_id"))
+      .agg(sum(col("usd")).as("vol"), count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("log_vol")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT * FROM log_vol")
+    val want = trades.groupBy(col("token_id"))
+      .agg(sum(col("usd")).as("vol"), count(lit(1)).as("n"))
+    assert(sameRows(got, want), "streamed decode must match batch aggregate")
+  }
+
   test("condition events: kind-dependent indexed sets decode correctly") {
     val orders = Tables.orders(spark, sf)
     val decoded = LogDecode.decodeConditionEvents(
