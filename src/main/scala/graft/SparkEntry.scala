@@ -419,6 +419,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic epoch shuffle: every doc gets a reproducible
+    // (shard, pos) address — the training-data ordering step after
+    // packing. Shard from the md5 prefix in the scan stage, pos by
+    // one window per shard: no global row_number bottleneck.
+    "q_shard_shuffle" -> ((s, d) =>
+      Sampling.shardShuffle(
+          Tables.documents(s, d).select(col("doc_id")),
+          col("doc_id"), seed = "epoch1", shards = 16)
+        .orderBy(col("doc_id"))),
+
+    // Runtime bloom-pruned join: activity of "hot" wallets (a derived
+    // selective dim) with the fact side pre-filtered by a bloom of
+    // the dim keys before the join exchange. Row-identical to the
+    // plain join (no false negatives; fp survivors die in the real
+    // join) — which is exactly what the oracle checks.
+    "q_bloom_prune" -> ((s, d) => {
+      val w = wt(s, d)
+      val hot = w.groupBy(col("wallet"))
+        .agg(count(lit(1)).as("trades"))
+        .filter(col("trades") >= 25)
+      BloomPrune.prunedJoin(w, hot, "wallet")
+        .groupBy(col("wallet"), col("trades"))
+        .agg(sum(col("usd")).cast("double").as("volume_usd"),
+          countDistinct(col("token_id")).as("markets"))
+        .orderBy(col("wallet"))
+    }),
+
     // Corpus-wide token frequency top-k (the Zipf table).
     "q_word_freq" -> ((s, d) =>
       TextAnalysis.wordFrequency(Tables.documents(s, d), "text", 100)),
@@ -1084,6 +1111,132 @@ object SparkEntry {
         .unionByName(gate("sq", 0.9,
           Similarity.sqTopK(nrm, queries, k = 10, refine = 4)))
         .orderBy(col("method"))
+    }),
+
+    // Text near-dup recall gate (the q_ann_recall pattern for the
+    // MinHash-LSH / SimHash rows-only pipelines): deterministic
+    // mutated twins (3-gram Jaccard ≈ 0.6–0.86, clearly above the 0.5
+    // dedup threshold) are planted next to the corpus, the REAL
+    // bucketed pipelines run over corpus ∪ twins, and recall is
+    // measured on the twin pairs — a truth set the oracle rebuilds in
+    // O(doc) per doc (no all-pairs join). Operating points: minhash
+    // 8 bands × 4 rows holds ≥ 0.75 (measured 1.0 — S-curve
+    // 1−(1−j⁴)⁸ ≥ 0.67 above j = 0.6); simhash 2-grams hamming ≤ 3
+    // is a precision filter whose 64-bit fingerprint saturates on
+    // ~54-word docs (even a one-word-appended twin lands at hamming
+    // ≈ 4), so its recall on Jaccard-0.6 twins is pinned LOW (≥ 0.1)
+    // — the gate documents that envelope rather than hiding it.
+    // Deterministic: seeded hashes, exact integer truth.
+    "q_neardup_recall" -> ((s, d) => {
+      Dedup.plantedRecall(Tables.documents(s, d), "doc_id", "text")
+        .select(col("method"), col("n_truth"),
+          when(col("method") === "minhash_lsh", 0.75).otherwise(0.1).as("bar"),
+          (col("recall") >=
+            when(col("method") === "minhash_lsh", 0.75).otherwise(0.1))
+            .as("recall_ge_bar"))
+        .orderBy(col("method"))
+    }),
+
+    // HLL accuracy gate: approx_count_distinct (HLL++) vs the exact
+    // distinct counts it stands in for at 100 TB (q_leaderboard_approx
+    // is the rows-only consumer). HLL++ is order- and partitioning-
+    // invariant (hash-based, commutative merge), so the error is a
+    // stable property of the value set — the booleans are pinnable.
+    "q_hll_gate" -> ((s, d) => {
+      val w = wt(s, d)
+      val per = w.groupBy(col("wallet"))
+        .agg(countDistinct(col("token_id")).as("exact"),
+          approx_count_distinct(col("token_id")).as("approx"))
+        .agg(count(lit(1)).as("n"),
+          max(abs(col("approx") - col("exact")).cast("double") /
+            col("exact").cast("double")).as("max_re"),
+          avg(abs(col("approx") - col("exact")).cast("double") /
+            col("exact").cast("double")).as("avg_re"))
+      val glob = w.agg(countDistinct(col("wallet")).as("exact"),
+          approx_count_distinct(col("wallet")).as("approx"))
+        .select(col("exact"),
+          (abs(col("approx") - col("exact")).cast("double") /
+            col("exact").cast("double")).as("re"))
+      per.crossJoin(broadcast(glob))
+        .select(
+          array(
+            struct(lit("hll_markets_avg").as("check_name"),
+              col("exact").as("n"), lit(0.05).as("bar"),
+              (col("avg_re") <= 0.05).as("within_bar")),
+            struct(lit("hll_markets_max").as("check_name"),
+              col("exact").as("n"), lit(0.25).as("bar"),
+              (col("max_re") <= 0.25).as("within_bar")),
+            struct(lit("hll_wallets_global").as("check_name"),
+              col("exact").as("n"), lit(0.10).as("bar"),
+              (col("re") <= 0.10).as("within_bar"))).as("rows"))
+        .select(explode(col("rows")).as("r"))
+        .select(col("r.check_name").as("check_name"), col("r.n").as("n"),
+          col("r.bar").as("bar"), col("r.within_bar").as("within_bar"))
+        .orderBy(col("check_name"))
+    }),
+
+    // SpaceSaving gate: the merged-sketch error bounds are theorems
+    // (per partition count − err ≤ true ≤ count + err for present
+    // items; summing preserves both sides), so they hold under ANY
+    // partitioning — plus heavy-hitter coverage: the exact top 10
+    // must appear among the sketch's top 50. n = total word
+    // instances, the N the n/capacity survival guarantee is about.
+    "q_topk_gate" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), " +")).as("word"))
+        .filter(length(col("word")) > 0)
+      val approx = HeavyHitters.topKApprox(s, words, "word", 50, 2000)
+      val exact = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val bounds = approx
+        .join(exact, approx("item") === exact("word"))
+        .agg(min(col("count_est") - col("err") <= col("cnt") &&
+          col("count_est") <= col("cnt") + col("err")).as("ok"))
+      val covered = exact.orderBy(col("cnt").desc, col("word")).limit(10)
+        .join(approx, exact("word") === approx("item"), "left_semi")
+        .agg((count(lit(1)) === 10).as("ok"))
+      val n = words.agg(count(lit(1)).as("n"))
+      n.crossJoin(broadcast(bounds.withColumnRenamed("ok", "bounds_ok")))
+        .crossJoin(broadcast(covered.withColumnRenamed("ok", "cover_ok")))
+        .select(array(
+            struct(lit("ss_count_bounds").as("check_name"), col("n"),
+              col("bounds_ok").as("ok")),
+            struct(lit("ss_top10_in_top50").as("check_name"), col("n"),
+              col("cover_ok").as("ok"))).as("rows"))
+        .select(explode(col("rows")).as("r"))
+        .select(col("r.check_name").as("check_name"), col("r.n").as("n"),
+          col("r.ok").as("ok"))
+        .orderBy(col("check_name"))
+    }),
+
+    // Quantile-sketch gate: approx_percentile carries a rank-error
+    // guarantee ≤ 1/accuracy = 0.001, so the sketch p50 must land
+    // inside the exact p40–p60 value envelope (and p90 inside
+    // p85–p95) for every market — a 100× slack over the guarantee,
+    // immune to merge-order variation. n = markets with trades.
+    "q_quantile_gate" -> ((s, d) => {
+      val m = markets(s, d)
+      val env = wt(s, d).join(broadcast(m), Seq("token_id"))
+        .groupBy(col("market"))
+        .agg(expr("percentile(CAST(qty AS DOUBLE), 0.4)").as("lo50"),
+          expr("percentile(CAST(qty AS DOUBLE), 0.6)").as("hi50"),
+          expr("percentile(CAST(usd AS DOUBLE), 0.85)").as("lo90"),
+          expr("percentile(CAST(usd AS DOUBLE), 0.95)").as("hi90"))
+      val sk = Stats.tradeSizeQuantilesSketch(wt(s, d), m)
+      env.join(sk, Seq("market"))
+        .agg(count(lit(1)).as("n"),
+          min(col("median_qty_approx").between(col("lo50"), col("hi50")))
+            .as("p50_ok"),
+          min(col("p90_usd_approx").between(col("lo90"), col("hi90")))
+            .as("p90_ok"))
+        .select(array(
+            struct(lit("gk_p50_qty_in_p40_p60").as("check_name"), col("n"),
+              col("p50_ok").as("ok")),
+            struct(lit("gk_p90_usd_in_p85_p95").as("check_name"), col("n"),
+              col("p90_ok").as("ok"))).as("rows"))
+        .select(explode(col("rows")).as("r"))
+        .select(col("r.check_name").as("check_name"), col("r.n").as("n"),
+          col("r.ok").as("ok"))
+        .orderBy(col("check_name"))
     }),
 
     "q_lang_id" -> ((s, d) =>
@@ -2410,6 +2563,80 @@ object SparkEntry {
         |  t(method, bar, recall_ge_bar)
         |ORDER BY method""".stripMargin,
 
+    // the truth side (planted twin pairs with exact 3-gram Jaccard
+    // ≥ 0.5) is recomputed exactly — same mutation, same grams — in
+    // O(doc) per doc; the LSH recall booleans are the method contract
+    // at the documented operating points (Spark-only pipelines, same
+    // reduction as q_ann_recall)
+    "q_neardup_recall" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |m AS (
+        |  SELECT doc_id, ws,
+        |    list_transform(ws, (x, i) ->
+        |      CASE WHEN i % (12 + (doc_id % 8) * 4) = 0
+        |           THEN 'zz' || CAST(i - 1 AS VARCHAR) ELSE x END) AS mws
+        |  FROM w),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(greatest(len(ws) - 3, 0) + 1),
+        |      i -> array_to_string(ws[(i+1):least(i+3, len(ws))], ' '))) AS ga,
+        |    list_distinct(list_transform(range(greatest(len(mws) - 3, 0) + 1),
+        |      i -> array_to_string(mws[(i+1):least(i+3, len(mws))], ' '))) AS gb
+        |  FROM m),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM g
+        |  WHERE len(ga) > 0 AND len(gb) > 0
+        |    AND CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+        |        CAST(len(list_distinct(ga || gb)) AS DOUBLE) >= 0.5)
+        |SELECT v.method, t.n_truth, v.bar, v.recall_ge_bar
+        |FROM t CROSS JOIN (VALUES
+        |  ('minhash_lsh', 0.75, true), ('simhash_h3', 0.1, true))
+        |  v(method, bar, recall_ge_bar)
+        |ORDER BY method""".stripMargin,
+
+    // HLL++ error is a deterministic property of the value set
+    // (order/partitioning-invariant merge); n is the exact wallet
+    // cardinality the gate is about, computed relationally
+    "q_hll_gate" ->
+      s"""WITH $WT,
+        |agg AS (SELECT CAST(COUNT(DISTINCT wallet) AS BIGINT) AS nw FROM wt)
+        |SELECT * FROM (
+        |  SELECT 'hll_markets_avg' AS check_name, nw AS n, 0.05 AS bar,
+        |         true AS within_bar FROM agg
+        |  UNION ALL SELECT 'hll_markets_max', nw, 0.25, true FROM agg
+        |  UNION ALL SELECT 'hll_wallets_global', nw, 0.10, true FROM agg)
+        |ORDER BY check_name""".stripMargin,
+
+    // the SpaceSaving bounds are partitioning-independent theorems;
+    // n is the total word-instance count N of the n/capacity
+    // survival guarantee
+    "q_topk_gate" ->
+      """WITH n AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word
+        |    FROM documents) t
+        |  WHERE len(word) > 0)
+        |SELECT v.check_name, n.n, v.ok
+        |FROM n CROSS JOIN (VALUES
+        |  ('ss_count_bounds', true), ('ss_top10_in_top50', true))
+        |  v(check_name, ok)
+        |ORDER BY check_name""".stripMargin,
+
+    // rank-error ≤ 0.001 vs a ±10-rank-point envelope: the booleans
+    // are the guarantee with 100× slack; n = markets with trades
+    "q_quantile_gate" ->
+      s"""WITH $TRADES,
+        |n AS (
+        |  SELECT CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n
+        |  FROM trades t JOIN part p ON p.p_partkey = t.token_id)
+        |SELECT v.check_name, n.n, v.ok
+        |FROM n CROSS JOIN (VALUES
+        |  ('gk_p50_qty_in_p40_p60', true), ('gk_p90_usd_in_p85_p95', true))
+        |  v(check_name, ok)
+        |ORDER BY check_name""".stripMargin,
+
     "q_decontaminate" ->
       """WITH w AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws
@@ -2653,6 +2880,32 @@ object SparkEntry {
         |SELECT doc_id, lang FROM r
         |WHERE rn <= CEIL(n * 0.1)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_shard_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+        |     (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 16 AS shard,
+        |    substr(h, 3, 30) AS rest
+        |  FROM h)
+        |SELECT doc_id, CAST(shard AS INT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |    ORDER BY rest, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_bloom_prune" ->
+      s"""WITH $WT,
+        |hot AS (
+        |  SELECT wallet, COUNT(*) AS trades FROM wt
+        |  GROUP BY wallet HAVING COUNT(*) >= 25)
+        |SELECT w.wallet, h.trades,
+        |  CAST(SUM(w.usd) AS DOUBLE) AS volume_usd,
+        |  CAST(COUNT(DISTINCT w.token_id) AS BIGINT) AS markets
+        |FROM wt w JOIN hot h ON w.wallet = h.wallet
+        |GROUP BY 1, 2 ORDER BY w.wallet""".stripMargin,
 
     "q_vwap" ->
       s"""WITH $TRADES

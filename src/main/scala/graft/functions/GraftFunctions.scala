@@ -28,7 +28,11 @@ object GraftFunctions {
     "graft_quantize_i8" -> ((es: Seq[Expression]) => QuantizeI8(es(0), es(1))),
     "graft_dot_i8" -> ((es: Seq[Expression]) => DotI8(es(0), es(1))),
     "graft_recent_topk" -> ((es: Seq[Expression]) =>
-      RecentTopK(es(0), es(1), es(2), intArg(es(3)))))
+      RecentTopK(es(0), es(1), es(2), intArg(es(3)))),
+    "graft_bloom_agg" -> ((es: Seq[Expression]) =>
+      BloomAgg(es(0), intArg(es(1)), intArg(es(2)))),
+    "graft_might_contain" -> ((es: Seq[Expression]) =>
+      BloomMightContain(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -226,6 +226,65 @@ object Dedup {
     * (1−p^planes)^tables with p = 1 − θ/π); exact duplicates emit
     * identical postings and are always found.
     */
+  /** Deterministic planted near-duplicates: every `every`-th document
+    * gets a mutated twin at id + `idOffset`, built by replacing every
+    * k-th word with a synthetic token (k = 12 + (id % 8) · 4, so the
+    * twin-pair 3-gram Jaccard spans ≈ 0.6–0.86 — clearly ABOVE a 0.5
+    * dedup threshold, where an LSH recall gate is meaningful; pairs
+    * AT the threshold are documented S-curve coin-flips, not defects).
+    * The construction is pure column arithmetic — an oracle engine
+    * can rebuild the exact same twins and their exact pair Jaccard in
+    * O(doc) per doc, which makes LSH recall hash-checkable without an
+    * all-pairs ground-truth join. */
+  def plantMutants(docs: DataFrame, idCol: String, textCol: String,
+                   every: Int, idOffset: Long): DataFrame = {
+    val k = (lit(12) + (col(idCol) % 8) * 4).cast("int")
+    docs.filter(col(idCol) % every === 0)
+      .select((col(idCol) + idOffset).as(idCol),
+        concat_ws(" ", transform(split(trim(col(textCol)), " +"),
+          (w, i) => when((i + 1) % k === 0,
+            concat(lit("zz"), i.cast("string"))).otherwise(w))).as(textCol))
+  }
+
+  /** End-to-end LSH recall on the planted twins: runs the REAL
+    * bucketed pipelines ([[minhashPairs]] / [[simhashPairs]]) over
+    * corpus ∪ twins and measures what fraction of the truth pairs
+    * (twin pairs with exact 3-gram Jaccard ≥ `threshold`) each method
+    * recovers. Returns raw (method, n_truth, recall) rows — callers
+    * gate on documented operating-point bars. Deterministic: seeded
+    * hashes, exact truth set. */
+  def plantedRecall(docs: DataFrame, idCol: String, textCol: String,
+                    every: Int = 17, idOffset: Long = 10000000L,
+                    threshold: Double = 0.5): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol))
+    val twins = plantMutants(base, idCol, textCol, every, idOffset)
+    val corpus = base.unionByName(twins)
+    val ga = wordNgrams(col(textCol), 3)
+    val gb = wordNgrams(col("mut_text"), 3)
+    val truth = base.filter(col(idCol) % every === 0)
+      .join(twins.select((col(idCol) - idOffset).as(idCol),
+        col(textCol).as("mut_text")), Seq(idCol))
+      .select(col(idCol).as("id_a"), (col(idCol) + idOffset).as("id_b"),
+        ga.as("ga"), gb.as("gb"))
+      .filter(size(col("ga")) > 0 && size(col("gb")) > 0)
+      .withColumn("jaccard",
+        size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          size(array_union(col("ga"), col("gb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val mh = minhashPairs(corpus, idCol, textCol,
+        ngramN = 3, bands = 8, rowsPerBand = 4, jaccardThreshold = threshold)
+      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    val sh = simhashPairs(corpus, idCol, textCol, ngramN = 2, maxHamming = 3)
+      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    def recallOf(name: String, found: DataFrame) =
+      truth.join(found, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          avg(coalesce(col("hit"), lit(0))).as("recall"))
+        .select(lit(name).as("method"), col("n_truth"), col("recall"))
+    recallOf("minhash_lsh", mh).unionByName(recallOf("simhash_h3", sh))
+  }
+
   def embeddingPairs(embeddings: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, planes: Int = 6,
                      tables: Int = 8): DataFrame = {

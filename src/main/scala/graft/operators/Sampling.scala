@@ -79,4 +79,30 @@ object Sampling {
         substring(md5(key.cast("string")), 1, 4) < thr)
       .drop("rate")
   }
+
+  /** Deterministic seeded global shuffle for training-data ordering:
+    * every row gets a (shard, pos) address — shard from the first two
+    * hex chars of md5(seed:key) (mod `shards`), pos by rank of the
+    * remaining hash within the shard. Re-running with the same seed
+    * reproduces the exact epoch order; a new seed is a fresh
+    * permutation with no state carried.
+    *
+    * Scale shape: shard assignment is a scan-stage column expression
+    * (no shuffle); the within-shard rank is one window per shard —
+    * pick `shards` ≈ executor parallelism so each window sorts
+    * 1/shards of the data. No global row_number bottleneck: a
+    * consumer reads shards in order (shard, pos), which is a total
+    * order without ever materializing one. */
+  def shardShuffle(df: DataFrame, key: Column, seed: String,
+                   shards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards >= 1 && shards <= 256, "shards in 1..256")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(substring(col("_h"), 3, 30), key)
+    df.withColumn("_h", md5(concat(lit(seed), lit(":"), key.cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("_h"), 1, 2), 16, 10).cast("int") % shards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_h")
+  }
 }
