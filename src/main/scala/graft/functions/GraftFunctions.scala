@@ -32,7 +32,8 @@ object GraftFunctions {
     "graft_bloom_agg" -> ((es: Seq[Expression]) =>
       BloomAgg(es(0), intArg(es(1)), intArg(es(2)))),
     "graft_might_contain" -> ((es: Seq[Expression]) =>
-      BloomMightContain(es(0), es(1))))
+      BloomMightContain(es(0), es(1))),
+    "graft_zorder" -> ((es: Seq[Expression]) => ZOrder(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -23,14 +23,20 @@ object BloomPrune {
 
   /** Exact `fact ⋈ dim on key`, bloom-pruned before the exchange.
     * Sizing: ~10 numBits per expected dim key gives ~1% fp at
-    * numHashes = 7. */
+    * numHashes = 7.
+    *
+    * The sketch reaches the probe as a SCALAR SUBQUERY (`.scalar()`),
+    * not a broadcast-joined column: a cross join would attach the
+    * sketch bytes to EVERY fact row and materialize |fact| × sketch
+    * bytes of row copies before the filter could drop them (measured:
+    * a 128 KiB sketch × 1.2 M rows ≈ 150 GB of memcpy). The subquery
+    * executes once and the probe reads the one shared value. */
   def prunedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  numBits: Int = 1 << 20, numHashes: Int = 7): DataFrame = {
     val sketch = dim.agg(
-      BloomExprs.bloom_agg(xxhash64(col(key)), numBits, numHashes).as("bf"))
-    fact.crossJoin(broadcast(sketch))
-      .filter(BloomExprs.might_contain(col("bf"), xxhash64(col(key))))
-      .drop("bf")
+        BloomExprs.bloom_agg(xxhash64(col(key)), numBits, numHashes).as("bf"))
+      .scalar()
+    fact.filter(BloomExprs.might_contain(sketch, xxhash64(col(key))))
       .join(dim, Seq(key))
   }
 }

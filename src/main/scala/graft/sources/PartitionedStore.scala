@@ -99,6 +99,22 @@ object PartitionedStore {
     rm(asideDir)
   }
 
+  /** Z-order-clustered write: range-partition + sort by the morton
+    * interleave of two hot filter keys, so parquet min/max stats
+    * prune row groups for predicates on EITHER key (a single-key sort
+    * only skips on that key — see [[graft.functions.ZOrder]]). `files`
+    * controls layout granularity: skipping resolution is one file
+    * (≈ one row group) here, so more files = finer pruning. */
+  def writeZOrdered(df: DataFrame, path: String, keyA: String,
+                    keyB: String, files: Int): Unit = {
+    val z = graft.functions.ZOrder.z_order(col(keyA), col(keyB))
+    df.withColumn("_z", z)
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** File counts per partition — the compaction trigger metric. */
   def partitionFileStats(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
