@@ -44,7 +44,11 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // stderr progress line per query: a hung/pathological query is
+      // identifiable from the log tail without waiting for the JSON
+      System.err.println(f"[bench] $name $dt%.2fs")
+      (dt, ok)
     }
     // a failing query must not pass as a fast one: its slot reports the
     // -1 sentinel and its name lands in "failed"

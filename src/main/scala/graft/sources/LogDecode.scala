@@ -64,6 +64,20 @@ object LogDecode {
   def toWord(v: Column): Column =
     lpad(lower(hex(v.cast("long"))), 64, "0")
 
+  /** Spread an encode input across the full shuffle-partition count
+    * BEFORE the word-building projection. The encoders expand every
+    * row ~10× (five-plus 64-char words from a few longs), so their
+    * stage is expensive-compute-on-cheap-input — exactly the shape
+    * AQE's size-based coalescing gets wrong: it sees the small INPUT
+    * bytes, folds the stage to one partition, and the string build
+    * runs single-threaded (measured: a 400 s lone task at sf0.1). An
+    * explicit-count repartition is exempt from AQE coalescing, so the
+    * expansion keeps the full task parallelism. */
+  private def spread(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.repartition(n)
+  }
+
   // ---------------------------------------------------------------
   // encoders — deterministic raw-log fixtures from the trade view
   // (the test stand-in for a chain RPC feed; every field is exact)
@@ -84,7 +98,7 @@ object LogDecode {
     val tokenI = (col("qty") * 1000000).cast("long")
     val feeI = (col("fee") * 1000000).cast("long")
     val chainToken = col("token_id") + TokenIdBase
-    trades.select(
+    spread(trades).select(
       col("trade_id").as("log_index"),
       col("ts"),
       lit(OrderFilledTopic).as("topic0"),
@@ -106,7 +120,7 @@ object LogDecode {
   /** TransferSingle logs from the transfers view (one token movement
     * seller → buyer per trade; reference: polymarket.transfers). */
   def encodeTransferSingle(transfers: DataFrame): DataFrame =
-    transfers.select(
+    spread(transfers).select(
       col("transfer_id").as("log_index"),
       col("ts"),
       lit(TransferSingleTopic).as("topic0"),
@@ -136,9 +150,9 @@ object LogDecode {
       transform(col("xs"), x => toWord(x.getField("token_id"))))
     val valWords = concat_ws("",
       transform(col("xs"), x => toWord(x.getField("amount_i"))))
-    elems
+    spread(elems
       .join(orders.select(col("o_orderkey").as("order_id"),
-        col("o_custkey").cast("long").as("to_wallet")), Seq("order_id"))
+        col("o_custkey").cast("long").as("to_wallet")), Seq("order_id")))
       .select(
         col("order_id").as("log_index"),
         lit(TransferBatchTopic).as("topic0"),
@@ -182,11 +196,11 @@ object LogDecode {
     val setWords = concat_ws("",
       transform(col("xs"), x => toWord(x.getField("index_set"))))
     val kind = pmod(col("order_id"), lit(3L))
-    elems
+    spread(elems
       .join(orders.select(col("o_orderkey").as("order_id"),
         col("o_custkey").cast("long").as("wallet"),
         (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-          .as("cents")), Seq("order_id"))
+          .as("cents")), Seq("order_id")))
       .select(
         col("order_id").as("log_index"),
         when(kind === 0, PositionSplitTopic)

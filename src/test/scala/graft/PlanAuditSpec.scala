@@ -1,0 +1,30 @@
+package graft
+
+/** Whole-surface physical-plan audit, as a regression net: every
+  * SparkEntry query is planned at sf0.001 and must be free of
+  * CartesianProduct; BroadcastNestedLoopJoin may appear only in the
+  * allowlisted shapes — 1-row scalar cross joins (a broadcast
+  * aggregate row feeding a filter/projection) and broadcast-query-set
+  * ANN scans. A new query that accidentally grows a data×data loop
+  * join fails here, not at 100 TB. */
+class PlanAuditSpec extends SparkSpec {
+
+  // BNLJ-allowlisted: 1-row scalar cross joins and broadcast query
+  // sets (shapes audited by hand; see PLANS.md "plan audit")
+  private val bnljAllowed = Set(
+    "q_discover", "q_price_change", "q_reorg_rewrite", "q_data_mix",
+    "q_lm_score", "q_bm25", "q_ann_topk", "q_ann_sq", "q_ann_recall",
+    "q_hll_gate", "q_topk_gate")
+
+  test("no CartesianProduct anywhere; BNLJ only in allowlisted shapes") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+        offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+}
