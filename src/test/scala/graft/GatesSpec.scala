@@ -47,4 +47,19 @@ class GatesSpec extends SparkSpec {
     assert(out.length == 3 && out.forall(_.getBoolean(3)),
       out.mkString("; "))
   }
+
+  test("quality distillation: student recovers the heuristic verdict") {
+    import graft.operators.QualityModel
+    val docs = Tables.documents(spark, sf)
+    val data = QualityModel.labeled(docs, "doc_id", "text")
+    val prev = data.agg(avg(col("label"))).collect().head.getDouble(0)
+    assert(prev > 0.1 && prev < 0.9, s"teacher label prevalence $prev")
+    val a = QualityModel.auc(
+        QualityModel.trainScore(spark, docs, "doc_id", "text"))
+      .collect().head
+    assert(a.getLong(0) > 50, "held-out slice non-vacuous")
+    assert(a.getDouble(1) >= 0.75, s"auc ${a.getDouble(1)}")
+    assert(a.getDouble(1) < 0.999,
+      "a perfect score would mean the label leaked into the features")
+  }
 }
