@@ -849,6 +849,60 @@ object SparkEntry {
     // day number — candle smoothing for charts).
     // VWAP per (token, day): exact decimal sums, one double division —
     // the volume-weighted price column of every OHLCV analytics stack.
+    // Time-weighted average price: each trade's price holds until the
+    // next trade of the same token; weight = holding minutes (the
+    // last trade of a token carries zero weight — no close bound).
+    // All-integer arithmetic (price at 1e-4 USD, exact decimal→long;
+    // integer div for the final ratio) so the result hashes exactly
+    // on any engine — float Σ(px·w) would differ in sum order.
+    "q_twap" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("token_id")).orderBy(col("ts"), col("trade_id"))
+      trades(s, d)
+        .select(col("token_id"), col("ts"), col("trade_id"),
+          expr("CAST(CAST(usd AS DECIMAL(18,4)) * 10000 AS BIGINT)" +
+            " div CAST(qty AS BIGINT)").as("px_e4"))
+        .withColumn("hold_min",
+          ((unix_timestamp(lead(col("ts"), 1).over(w)) -
+            unix_timestamp(col("ts"))) / 60L).cast("long"))
+        .filter(col("hold_min").isNotNull && col("hold_min") > 0)
+        .groupBy(col("token_id"))
+        .agg(count(lit(1)).as("intervals"),
+          expr("sum(px_e4 * hold_min) div sum(hold_min)").as("twap_e4"),
+          sum(col("hold_min")).as("span_min"))
+        .orderBy(col("token_id"))
+    }),
+
+    // Wallet volume deciles: ntile(10) + percent_rank over all-time
+    // wallet volume — the "whale percentile" surface.
+    "q_wallet_deciles" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("volume_usd").desc, col("wallet"))
+      wt(s, d).groupBy(col("wallet"))
+        .agg(sum(col("usd")).cast("double").as("volume_usd"))
+        .select(col("wallet"), col("volume_usd"),
+          ntile(10).over(w).as("decile"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy(col("wallet"))
+    }),
+
+    // Pivot: per-day volume as one COLUMN per market segment (the
+    // wide report shape Spark expresses natively; the oracle builds
+    // the same columns with conditional aggregates).
+    "q_pivot_segments" -> ((s, d) => {
+      val seg = Tables.customer(s, d).select(
+        col("c_custkey").cast("long").as("taker"),
+        col("c_mktsegment").as("segment"))
+      trades(s, d)
+        .join(broadcast(seg), Seq("taker"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("segment", Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+          "HOUSEHOLD", "MACHINERY"))
+        .agg(sum(col("usd")).cast("double"))
+        .na.fill(0.0)
+        .orderBy(col("day"))
+    }),
+
     "q_vwap" -> ((s, d) =>
       trades(s, d)
         .groupBy(col("token_id"), date_trunc("day", col("ts")).as("day"))
@@ -2938,6 +2992,49 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT w.token_id) AS BIGINT) AS markets
         |FROM wt w JOIN hot h ON w.wallet = h.wallet
         |GROUP BY 1, 2 ORDER BY w.wallet""".stripMargin,
+
+    "q_twap" ->
+      s"""WITH $TRADES,
+        |p AS (
+        |  SELECT token_id,
+        |    CAST(CAST(usd AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |      // CAST(qty AS BIGINT) AS px_e4,
+        |    CAST((epoch(CAST(lead(ts) OVER (PARTITION BY token_id
+        |        ORDER BY ts, trade_id) AS TIMESTAMP))
+        |      - epoch(CAST(ts AS TIMESTAMP))) / 60 AS BIGINT) AS hold_min
+        |  FROM trades)
+        |SELECT token_id, CAST(COUNT(*) AS BIGINT) AS intervals,
+        |  CAST(SUM(px_e4 * hold_min) // SUM(hold_min) AS BIGINT) AS twap_e4,
+        |  CAST(SUM(hold_min) AS BIGINT) AS span_min
+        |FROM p WHERE hold_min IS NOT NULL AND hold_min > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_wallet_deciles" ->
+      s"""WITH $WT,
+        |v AS (SELECT wallet, CAST(SUM(usd) AS DOUBLE) AS volume_usd
+        |      FROM wt GROUP BY wallet)
+        |SELECT wallet, volume_usd,
+        |  CAST(ntile(10) OVER (ORDER BY volume_usd DESC, wallet) AS INT)
+        |    AS decile,
+        |  ROUND(percent_rank() OVER (ORDER BY volume_usd DESC, wallet), 6)
+        |    AS pct_rank
+        |FROM v ORDER BY wallet""".stripMargin,
+
+    "q_pivot_segments" ->
+      s"""WITH $TRADES
+        |SELECT CAST(date_trunc('day', t.ts) AS TIMESTAMP) AS day,
+        |  CAST(COALESCE(SUM(CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+        |    THEN t.usd END), 0) AS DOUBLE) AS "AUTOMOBILE",
+        |  CAST(COALESCE(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'
+        |    THEN t.usd END), 0) AS DOUBLE) AS "BUILDING",
+        |  CAST(COALESCE(SUM(CASE WHEN c.c_mktsegment = 'FURNITURE'
+        |    THEN t.usd END), 0) AS DOUBLE) AS "FURNITURE",
+        |  CAST(COALESCE(SUM(CASE WHEN c.c_mktsegment = 'HOUSEHOLD'
+        |    THEN t.usd END), 0) AS DOUBLE) AS "HOUSEHOLD",
+        |  CAST(COALESCE(SUM(CASE WHEN c.c_mktsegment = 'MACHINERY'
+        |    THEN t.usd END), 0) AS DOUBLE) AS "MACHINERY"
+        |FROM trades t JOIN customer c ON c.c_custkey = t.taker
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_vwap" ->
       s"""WITH $TRADES

@@ -14,7 +14,7 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "q_discover", "q_price_change", "q_reorg_rewrite", "q_data_mix",
     "q_lm_score", "q_bm25", "q_ann_topk", "q_ann_sq", "q_ann_recall",
-    "q_hll_gate", "q_topk_gate")
+    "q_hll_gate", "q_topk_gate", "q_quality_gate")
 
   test("no CartesianProduct anywhere; BNLJ only in allowlisted shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
