@@ -22,7 +22,8 @@ object Bench {
     "q_mix_sample", "q_seq_pack", "q_ledger_curve_exact",
     "q_log_decode", "q_log_decode_batch", "q_log_decode_condition",
     "q_neardup_recall", "q_hll_gate", "q_topk_gate", "q_quantile_gate",
-    "q_quality_gate", "q_wallet_deciles", "q_pivot_segments")
+    "q_quality_gate", "q_wallet_deciles", "q_pivot_segments",
+    "q_win_rate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -849,6 +849,33 @@ object SparkEntry {
     // day number — candle smoothing for charts).
     // VWAP per (token, day): exact decimal sums, one double division —
     // the volume-weighted price column of every OHLCV analytics stack.
+    // Win/loss record per wallet (user/stats winCount/lossCount/
+    // winRate + best/worst position, api spec endpoint 2; the
+    // leaderboard's documented simplification: a closed position —
+    // net qty 0 — is a win when its cash flow is positive). Decimal
+    // sums stay exact until the final cast.
+    "q_win_rate" -> ((s, d) => {
+      val signed = when(col("side") === "sell", col("usd"))
+        .otherwise(-col("usd"))
+      val pos = wt(s, d)
+        .groupBy(col("wallet"), col("token_id"))
+        .agg(sum(when(col("side") === "buy", col("qty"))
+            .otherwise(-col("qty"))).as("net_qty"),
+          sum(signed).as("realized"))
+        .filter(col("net_qty") === 0)
+      pos.groupBy(col("wallet"))
+        .agg(count(lit(1)).as("closed_positions"),
+          sum(when(col("realized") > 0, 1L).otherwise(0L)).as("wins"),
+          sum(when(col("realized") < 0, 1L).otherwise(0L)).as("losses"),
+          max(col("realized")).cast("double").as("best_position_usd"),
+          min(col("realized")).cast("double").as("worst_position_usd"))
+        .withColumn("win_rate",
+          when(col("wins") + col("losses") > 0,
+            round(col("wins").cast("double") /
+              (col("wins") + col("losses")).cast("double"), 6)))
+        .orderBy(col("wallet"))
+    }),
+
     // Time-weighted average price: each trade's price holds until the
     // next trade of the same token; weight = holding minutes (the
     // last trade of a token carries zero weight — no close bound).
@@ -2992,6 +3019,30 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT w.token_id) AS BIGINT) AS markets
         |FROM wt w JOIN hot h ON w.wallet = h.wallet
         |GROUP BY 1, 2 ORDER BY w.wallet""".stripMargin,
+
+    "q_win_rate" ->
+      s"""WITH $WT,
+        |pos AS (
+        |  SELECT wallet, token_id,
+        |    SUM(CASE WHEN side = 'buy' THEN qty ELSE -qty END) AS net_qty,
+        |    SUM(CASE WHEN side = 'sell' THEN usd ELSE -usd END) AS realized
+        |  FROM wt GROUP BY 1, 2)
+        |SELECT wallet, CAST(COUNT(*) AS BIGINT) AS closed_positions,
+        |  CAST(SUM(CASE WHEN realized > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS wins,
+        |  CAST(SUM(CASE WHEN realized < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS losses,
+        |  CAST(MAX(realized) AS DOUBLE) AS best_position_usd,
+        |  CAST(MIN(realized) AS DOUBLE) AS worst_position_usd,
+        |  CASE WHEN SUM(CASE WHEN realized > 0 THEN 1 ELSE 0 END)
+        |          + SUM(CASE WHEN realized < 0 THEN 1 ELSE 0 END) > 0
+        |    THEN ROUND(CAST(SUM(CASE WHEN realized > 0 THEN 1 ELSE 0 END)
+        |        AS DOUBLE) /
+        |      CAST(SUM(CASE WHEN realized > 0 THEN 1 ELSE 0 END)
+        |        + SUM(CASE WHEN realized < 0 THEN 1 ELSE 0 END) AS DOUBLE), 6)
+        |  END AS win_rate
+        |FROM pos WHERE net_qty = 0
+        |GROUP BY wallet ORDER BY wallet""".stripMargin,
 
     "q_twap" ->
       s"""WITH $TRADES,
