@@ -23,7 +23,7 @@ object Bench {
     "q_log_decode", "q_log_decode_batch", "q_log_decode_condition",
     "q_neardup_recall", "q_hll_gate", "q_topk_gate", "q_quantile_gate",
     "q_quality_gate", "q_wallet_deciles", "q_pivot_segments",
-    "q_win_rate")
+    "q_win_rate", "q_log_decode_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

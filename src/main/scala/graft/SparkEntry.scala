@@ -849,6 +849,23 @@ object SparkEntry {
     // day number — candle smoothing for charts).
     // VWAP per (token, day): exact decimal sums, one double division —
     // the volume-weighted price column of every OHLCV analytics stack.
+    // End-to-end ingest capstone: raw OrderFilled logs → ABI decode →
+    // canonical trade rows → hourly OHLCV, hash-checked against an
+    // oracle computed straight from the relational trades — the whole
+    // ingest seam (encode fixtures excepted) proven in the driver
+    // gate, not just in specs. Amount round trips are exact by
+    // construction (6-decimal integers), so prices divide back to the
+    // same IEEE doubles on both engines.
+    "q_log_decode_e2e" -> ((s, d) => {
+      val t = sources.LogDecode.decodedToTrades(
+        sources.LogDecode.decodeOrderFilled(
+          sources.LogDecode.encodeOrderFilled(trades(s, d))))
+      Candles.finalize(Candles.fromTicks(t, "hour", col("token_id"),
+          col("ts"), col("trade_id"),
+          (col("usd").cast("double") / col("qty")).as("price"), col("usd")))
+        .orderBy(col("token_id"), col("bucket"))
+    }),
+
     // Win/loss record per wallet (user/stats winCount/lossCount/
     // winRate + best/worst position, api spec endpoint 2; the
     // leaderboard's documented simplification: a closed position —
@@ -3019,6 +3036,30 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT w.token_id) AS BIGINT) AS markets
         |FROM wt w JOIN hot h ON w.wallet = h.wallet
         |GROUP BY 1, 2 ORDER BY w.wallet""".stripMargin,
+
+    "q_log_decode_e2e" ->
+      s"""WITH $TRADES,
+        |ticks AS (
+        |  SELECT token_id,
+        |    CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |      AS bucket,
+        |    CAST(usd AS DOUBLE) / CAST(qty AS DOUBLE) AS price,
+        |    usd, ts, trade_id
+        |  FROM trades),
+        |oc AS (
+        |  SELECT token_id, bucket, price, usd,
+        |    first_value(price) OVER (PARTITION BY token_id, bucket
+        |      ORDER BY ts, trade_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+        |    last_value(price) OVER (PARTITION BY token_id, bucket
+        |      ORDER BY ts, trade_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+        |  FROM ticks)
+        |SELECT token_id, bucket, MAX(o) AS open, MAX(price) AS high,
+        |  MIN(price) AS low, MAX(c) AS close, COUNT(*) AS trades,
+        |  CAST(SUM(usd) AS DOUBLE) AS volume
+        |FROM oc GROUP BY token_id, bucket
+        |ORDER BY token_id, bucket""".stripMargin,
 
     "q_win_rate" ->
       s"""WITH $WT,
