@@ -3208,6 +3208,19 @@ object SparkEntry {
         |    '[0-9]{7,}', '<NUM>', 'g')) AS n_chars_redacted
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    // the batched-decode plumbing preserves every row and byte:
+    // n_bytes = char length on the ASCII corpus, and the 64-bit
+    // content checksum is injective here, so countDistinct(checksum)
+    // = COUNT(DISTINCT text) — the decode stub itself is Spark-only,
+    // but its row/byte/identity accounting is fully relational
+    "q_multimodal_features" ->
+      """SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+        |    AS kind,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+        |  CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_media
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_lm_score" ->
       """WITH t AS (
         |  SELECT doc_id,
