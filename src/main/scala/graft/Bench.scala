@@ -31,6 +31,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle/spill blocks are ephemeral: put them on tmpfs when the
+      // host has one — local-disk bandwidth on this box is subject to
+      // hypervisor IO throttling (measured 15 MB/s windows; PLANS.md
+      // "host-noise"), and a throttled shuffle write serializes every
+      // Exchange behind one sys-bound writer thread. On a real
+      // cluster the equivalent is fast local SSDs per executor.
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").canWrite)
+          "/dev/shm/graft-spark-local" else System.getProperty("java.io.tmpdir"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
