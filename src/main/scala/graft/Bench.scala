@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Crash-proof by construction (the driver's wall-clock cap
+  * delivers SIGTERM mid-run — BENCH_r05 died that way with zero output):
+  *   - BENCH_LOCAL.json is rewritten after EVERY query, so the on-disk map
+  *     is never more than one query stale;
+  *   - a JVM shutdown hook prints the one-line headline JSON from whatever
+  *     measurements completed (SIGTERM runs hooks; only SIGKILL doesn't);
+  *   - the query loop aborts the moment the SparkContext is stopped instead
+  *     of burning minutes recording failures against a dead context;
+  *   - passes default to 1 (SPARK_GRAFT_PASSES=2 restores min-of-2) so the
+  *     wall clock stays well inside the driver's cap.
+  */
 object Bench {
   // Queries whose per-query timing is NOT in the printed one-line JSON
   // (they still run and count toward "value"). The driver captures only
-  // the last ~2000 chars of output; with 80+ queries the full map no
+  // the last ~2000 chars of output; with 100+ queries the full map no
   // longer fits, so the line carries the headline subset — every heavy
   // or plan-interesting query — and the complete map goes to
   // BENCH_LOCAL.json next to the build.
@@ -23,35 +35,126 @@ object Bench {
     "q_log_decode", "q_log_decode_batch", "q_log_decode_condition",
     "q_neardup_recall", "q_hll_gate", "q_topk_gate", "q_quantile_gate",
     "q_quality_gate", "q_wallet_deciles", "q_pivot_segments",
-    "q_win_rate", "q_log_decode_e2e")
+    "q_win_rate", "q_log_decode_e2e", "q_log_decode_negrisk",
+    "q_log_decode_events", "q_leaderboard_category", "q_leaderboard_pnl")
+
+  // ---- crash-proof state: everything the shutdown hook needs, no Spark ----
+  // passes(i)(name) = (seconds, ok); `order` preserves run order for output
+  @volatile private var passes: Vector[Map[String, (Double, Boolean)]] = Vector(Map.empty)
+  @volatile private var order: Vector[String] = Vector.empty
+  @volatile private var sfDirV: String = ""
+  // exactly-once guard shared by the normal path and the shutdown hook
+  // (on SIGTERM the main loop keeps running concurrently with the hook)
+  private val headlinePrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // Always print, even with zero completed measurements: an empty-map line
+  // is still parseable by the driver, where silence reads as a crash.
+  private def printHeadlineOnce(): Unit =
+    if (headlinePrinted.compareAndSet(false, true)) {
+      System.err.println("[bench] emitting headline JSON")
+      println(headlineJson); System.out.flush()
+    }
+
+  private def fmt(v: Double): String = f"$v%.3f"
+  private def mapJson(rs: Seq[(String, Double, Boolean)]): String =
+    rs.map { case (k, v, ok) => s"\"$k\":" + (if (ok) fmt(v) else "-1") }
+      .mkString("{", ",", "}")
+  /** Per-query min over completed passes; ok = every completed pass ok. */
+  private def merged: Seq[(String, Double, Boolean)] =
+    order.flatMap { n =>
+      val samples = passes.flatMap(_.get(n))
+      if (samples.isEmpty) None
+      else Some((n, samples.map(_._1).min, samples.forall(_._2)))
+    }
+  private def failedJson(rs: Seq[(String, Double, Boolean)]): String =
+    rs.collect { case (k, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
+  private def headlineJson: String = {
+    val rs = merged
+    val total = rs.collect { case (_, v, true) => v }.sum
+    val line = rs.filter { case (k, _, _) => !nonHeadline(k) }
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(line)},"failed":${failedJson(rs)},"sf":"$sfDirV"}"""
+  }
+  /** Full map + raw per-pass samples → BENCH_LOCAL.json. Called after every
+    * query: a tmp-file + atomic move so a kill mid-write can't truncate it. */
+  private def dumpLocal(): Unit = {
+    val rs = merged
+    val total = rs.collect { case (_, v, true) => v }.sum
+    val passJson = passes.zipWithIndex.map { case (p, i) =>
+      s""""pass${i + 1}":${mapJson(order.flatMap(n => p.get(n).map(s => (n, s._1, s._2))))}"""
+    }.mkString(",")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(rs)},$passJson,"failed":${failedJson(rs)},"sf":"$sfDirV"}"""
+    try {
+      val tmp = java.nio.file.Paths.get("BENCH_LOCAL.json.tmp")
+      java.nio.file.Files.writeString(tmp, full)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Throwable => System.err.println(s"[bench] local dump: ${e.getMessage}") }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+  /** Shuffle/spill blocks are ephemeral: put them on tmpfs when the host has
+    * one — local-disk bandwidth on this box is subject to hypervisor IO
+    * throttling (measured 15 MB/s windows; PLANS.md "host-noise"), and a
+    * throttled shuffle write serializes every Exchange behind one sys-bound
+    * writer thread. On a real cluster the equivalent is fast local SSDs per
+    * executor. BUT tmpfs pages count against the same RAM as the JVM heap,
+    * so the dir is (a) per-run (no collisions between concurrent
+    * Bench/Verify), (b) pre-cleaned of leftovers from killed runs, and
+    * (c) only used when /dev/shm has ≥64 GiB free; otherwise disk. */
+  private def pickLocalDir(): String = {
+    val fallback = System.getProperty("java.io.tmpdir")
+    val shm = new java.io.File("/dev/shm")
+    if (!shm.canWrite) return fallback
+    val stale = shm.listFiles()
+    if (stale != null)
+      stale.filter(_.getName.startsWith("graft-spark-local")).foreach(deleteRecursively)
+    if (shm.getUsableSpace >= (64L << 30))
+      s"/dev/shm/graft-spark-local-${ProcessHandle.current().pid()}"
+    else fallback
+  }
+  /** Mid-run memory guard for the tmpfs local dir: shuffle files from
+    * finished jobs are freed by the ContextCleaner only on GC, so nudge one
+    * when free space dips. Session-MV shuffles stay pinned (small at sf0.1);
+    * the unbounded term — per-query ephemeral shuffles — is collectable. */
+  private def boundTmpfs(onTmpfs: Boolean): Unit = if (onTmpfs) {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.getUsableSpace < (48L << 30)) {
+      System.err.println(f"[bench] /dev/shm free ${shm.getUsableSpace / (1L << 30)}%d GiB - GC nudge for ContextCleaner")
+      System.gc()
+      if (shm.getUsableSpace < (24L << 30))
+        System.err.println("[bench] WARNING /dev/shm still low after GC; shuffles may ENOSPC")
+    }
+  }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sfDirV = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt
+    // The hook is registered BEFORE Spark starts: on SIGTERM it runs
+    // concurrently with Spark's own stop-hook and touches no Spark state —
+    // it prints the headline line from completed measurements and flushes.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => printHeadlineOnce()))
+    val localDir = pickLocalDir()
+    val onTmpfs = localDir.startsWith("/dev/shm")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // shuffle/spill blocks are ephemeral: put them on tmpfs when the
-      // host has one — local-disk bandwidth on this box is subject to
-      // hypervisor IO throttling (measured 15 MB/s windows; PLANS.md
-      // "host-noise"), and a throttled shuffle write serializes every
-      // Exchange behind one sys-bound writer thread. On a real
-      // cluster the equivalent is fast local SSDs per executor.
-      .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").canWrite)
-          "/dev/shm/graft-spark-local" else System.getProperty("java.io.tmpdir"))
+      .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // noop sink: full computation, no write cost, no count() shortcuts.
-    // Two runs per query, min taken: run 1 pays codegen compilation and
-    // shared-view materialization (the reference's MVs are likewise
-    // built at ingest, not per query); run 2 is steady-state. min also
-    // filters transient JIT/GC stalls on the shared host.
-    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    // With SPARK_GRAFT_PASSES=2, min-of-2 filters codegen-compile and
+    // transient JIT/GC cost; the default is one pass so the wall clock
+    // stays far from the driver's kill cap (VERDICT r5 §1e).
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try { fn(spark, sfDirV).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
@@ -61,42 +164,45 @@ object Bench {
       System.err.println(f"[bench] $name $dt%.2fs")
       (dt, ok)
     }
-    // a failing query must not pass as a fast one: its slot reports the
-    // -1 sentinel and its name lands in "failed"
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (targeted re-bench)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // the two timed runs are SEPARATE full passes, not back-to-back:
-    // a transient host stall (shared box, 20-30 s GC/JIT/noisy
-    // neighbour) then lands on at most one of a query's two samples,
-    // so the min still reflects steady state
-    val pass1 = selected.map { case (name, fn) => once(name, fn) }
-    val pass2 = selected.map { case (name, fn) => once(name, fn) }
-    val runs = selected.zip(pass1.zip(pass2)).map {
-      case ((name, _), ((t1, ok1), (t2, ok2))) =>
-        (name, math.min(t1, t2), ok1 && ok2)
+    order = selected.map(_._1).toVector
+    // Passes are SEPARATE full sweeps, not back-to-back per query: a
+    // transient host stall lands on at most one of a query's samples.
+    var pi = 0
+    var contextDead = false
+    while (pi < nPasses && !contextDead) {
+      if (passes.length <= pi) passes = passes :+ Map.empty
+      val it = selected.iterator
+      while (it.hasNext && !contextDead) {
+        val (name, fn) = it.next()
+        if (spark.sparkContext.isStopped) {
+          // externally stopped (driver SIGTERM): record nothing bogus,
+          // leave the loop — the shutdown hook reports what completed.
+          System.err.println(s"[bench] SparkContext stopped externally before $name - aborting sweep")
+          contextDead = true
+        } else {
+          val sample = once(name, fn)
+          // a query failing BECAUSE the context died mid-flight must not
+          // be recorded as a measurement either
+          if (spark.sparkContext.isStopped) {
+            System.err.println(s"[bench] SparkContext stopped during $name - aborting sweep")
+            contextDead = true
+          } else {
+            passes = passes.updated(pi, passes(pi) + (name -> sample))
+            dumpLocal()
+            boundTmpfs(onTmpfs)
+          }
+        }
+      }
+      pi += 1
     }
-    def fmt(v: Double): String = f"$v%.3f"
-    def mapJson(rs: Seq[(String, Double, Boolean)]): String =
-      rs.map { case (k, v, ok) => s"\"$k\":" + (if (ok) fmt(v) else "-1") }
-        .mkString("{", ",", "}")
-    val failed = runs.collect { case (k, _, false) => s"\"$k\"" }
-      .mkString("[", ",", "]")
-    val total = runs.collect { case (_, v, true) => v }.sum
-    // complete per-query map (plus both raw passes) for post-hoc reading
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(runs)},"pass1":${
-      mapJson(selected.zip(pass1).map { case ((n, _), (t, ok)) => (n, t, ok) })},"pass2":${
-      mapJson(selected.zip(pass2).map { case ((n, _), (t, ok)) => (n, t, ok) })},"failed":$failed,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full)
-    catch { case e: Throwable => System.err.println(s"[bench] local dump: ${e.getMessage}") }
     // the ONE parseable line, last: headline queries only, "value" = ALL.
     // Stop Spark first (logging off) so no shutdown WARN can land after it.
-    val headline = runs.filter { case (k, _, _) => !nonHeadline(k) }
-    spark.sparkContext.setLogLevel("OFF")
-    spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(headline)},"failed":$failed,"sf":"$sfDir"}""")
-    System.out.flush()
+    if (!contextDead) { spark.sparkContext.setLogLevel("OFF"); spark.stop() }
+    printHeadlineOnce()
   }
 }

@@ -10,15 +10,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // shuffle/spill blocks are ephemeral: put them on tmpfs when the
-      // host has one — local-disk bandwidth on this box is subject to
-      // hypervisor IO throttling (measured 15 MB/s windows; PLANS.md
-      // "host-noise"), and a throttled shuffle write serializes every
-      // Exchange behind one sys-bound writer thread. On a real
-      // cluster the equivalent is fast local SSDs per executor.
-      .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").canWrite)
-          "/dev/shm/graft-spark-local" else System.getProperty("java.io.tmpdir"))
+      // plain disk tmpdir: the sf0.01 verify pass never hit the host's IO
+      // throttle (that motivated Bench's tmpfs local dir), and the
+      // correctness gate must carry zero tmpfs/RAM liability (VERDICT r5 §2)
+      .config("spark.local.dir", System.getProperty("java.io.tmpdir"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
