@@ -43,6 +43,7 @@ object Bench {
   @volatile private var passes: Vector[Map[String, (Double, Boolean)]] = Vector(Map.empty)
   @volatile private var order: Vector[String] = Vector.empty
   @volatile private var sfDirV: String = ""
+  @volatile private var nPassesV: Int = 1
   // exactly-once guard shared by the normal path and the shutdown hook
   // (on SIGTERM the main loop keeps running concurrently with the hook)
   private val headlinePrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -71,7 +72,11 @@ object Bench {
     val rs = merged
     val total = rs.collect { case (_, v, true) => v }.sum
     val line = rs.filter { case (k, _, _) => !nonHeadline(k) }
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(line)},"failed":${failedJson(rs)},"sf":"$sfDirV"}"""
+    // completed/selected/passes: a SIGTERM'd sweep sums only what finished,
+    // which would otherwise read as a (misleadingly fast) complete run —
+    // completed < selected*passes marks the line as truncated (ADVICE r6).
+    val done = passes.map(_.size).sum
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":$done,"selected":${order.size},"passes":$nPassesV,"queries":${mapJson(line)},"failed":${failedJson(rs)},"sf":"$sfDirV"}"""
   }
   /** Full map + raw per-pass samples → BENCH_LOCAL.json. Called after every
     * query: a tmp-file + atomic move so a kill mid-write can't truncate it. */
@@ -109,9 +114,16 @@ object Bench {
     val fallback = System.getProperty("java.io.tmpdir")
     val shm = new java.io.File("/dev/shm")
     if (!shm.canWrite) return fallback
+    // Only reap dirs whose OWNING pid is gone: a concurrently running
+    // Bench/Verify's live local dir must survive the pre-clean (ADVICE r6).
     val stale = shm.listFiles()
     if (stale != null)
-      stale.filter(_.getName.startsWith("graft-spark-local")).foreach(deleteRecursively)
+      stale.filter { f =>
+        f.getName.startsWith("graft-spark-local") && {
+          val pid = f.getName.stripPrefix("graft-spark-local-").toLongOption
+          pid.forall(p => scala.jdk.OptionConverters.RichOptional(ProcessHandle.of(p)).toScala.forall(!_.isAlive))
+        }
+      }.foreach(deleteRecursively)
     if (shm.getUsableSpace >= (64L << 30))
       s"/dev/shm/graft-spark-local-${ProcessHandle.current().pid()}"
     else fallback
@@ -133,7 +145,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     sfDirV = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt
+    // non-numeric or <1 must not crash or zero the sweep (ADVICE r6)
+    val nPasses = math.max(1,
+      sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(1))
+    nPassesV = nPasses
+    // every nonHeadline name should be a real query — catch set drift when
+    // a query is renamed/removed (ADVICE r6: four dead names shipped in r6).
+    // Loud warning, not a crash: the bench must still emit numbers.
+    val unknownNH = nonHeadline -- SparkEntry.queries.keySet
+    if (unknownNH.nonEmpty)
+      System.err.println("[bench] WARNING nonHeadline names not in " +
+        s"SparkEntry.queries (set drift): ${unknownNH.toSeq.sorted.mkString(", ")}")
     // The hook is registered BEFORE Spark starts: on SIGTERM it runs
     // concurrently with Spark's own stop-hook and touches no Spark state —
     // it prints the headline line from completed measurements and flushes.
