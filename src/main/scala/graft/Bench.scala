@@ -31,12 +31,13 @@ object Bench {
     "q_word_topk_approx", "q_embed_centroid", "q_lm_score",
     "q_quantiles_sketch", "q_recent_tokens", "q_sql_ledger_profile",
     "q_ledger_resolved_exact", "q_pnl_period_exact", "q_ann_recall",
+    "q_ledger_rows_exact",
     "q_mix_sample", "q_seq_pack", "q_ledger_curve_exact",
     "q_log_decode", "q_log_decode_batch", "q_log_decode_condition",
     "q_neardup_recall", "q_hll_gate", "q_topk_gate", "q_quantile_gate",
     "q_quality_gate", "q_wallet_deciles", "q_pivot_segments",
     "q_win_rate", "q_log_decode_e2e", "q_log_decode_negrisk",
-    "q_log_decode_events", "q_leaderboard_category", "q_leaderboard_pnl")
+    "q_log_decode_fees")
 
   // ---- crash-proof state: everything the shutdown hook needs, no Spark ----
   // passes(i)(name) = (seconds, ok); `order` preserves run order for output
@@ -68,15 +69,31 @@ object Bench {
     }
   private def failedJson(rs: Seq[(String, Double, Boolean)]): String =
     rs.collect { case (k, _, false) => s"\"$k\"" }.mkString("[", ",", "]")
+  /** Pass-1 (cold) samples in run order — the headline "queries" map:
+    * comparable with r7's passes=1 line AND with a fresh-cluster run. */
+  private def coldPass: Seq[(String, Double, Boolean)] =
+    order.flatMap(n =>
+      passes.headOption.flatMap(_.get(n)).map(s => (n, s._1, s._2)))
   private def headlineJson: String = {
     val rs = merged
-    val total = rs.collect { case (_, v, true) => v }.sum
-    val line = rs.filter { case (k, _, _) => !nonHeadline(k) }
-    // completed/selected/passes: a SIGTERM'd sweep sums only what finished,
-    // which would otherwise read as a (misleadingly fast) complete run —
-    // completed < selected*passes marks the line as truncated (ADVICE r6).
-    val done = passes.map(_.size).sum
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":$done,"selected":${order.size},"passes":$nPassesV,"queries":${mapJson(line)},"failed":${failedJson(rs)},"sf":"$sfDirV"}"""
+    val cold = coldPass
+    val total = cold.collect { case (_, v, true) => v }.sum
+    val line = cold.filter { case (k, _, _) => !nonHeadline(k) }
+    // "steady": min over ≥2 samples (the longitudinal signal r1-r5's
+    // min-of-2 carried — first-touch codegen and session-MV builds
+    // land only in the cold map). Headline queries only by design.
+    val steady = order.flatMap { n =>
+      val ss = passes.flatMap(_.get(n))
+      if (ss.length >= 2 && !nonHeadline(n))
+        Some((n, ss.map(_._1).min, ss.forall(_._2)))
+      else None
+    }
+    // completed/selected/passes: a SIGTERM'd sweep sums only what
+    // finished, which would otherwise read as a (misleadingly fast)
+    // complete run — completed < selected marks the COLD line as
+    // truncated (ADVICE r6); the steady sweep reports its own count.
+    val done = passes.headOption.map(_.size).getOrElse(0)
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":$done,"selected":${order.size},"passes":$nPassesV,"queries":${mapJson(line)},"steady":${mapJson(steady)},"steady_n":${steady.size},"failed":${failedJson(rs)},"sf":"$sfDirV"}"""
   }
   /** Full map + raw per-pass samples → BENCH_LOCAL.json. Called after every
     * query: a tmp-file + atomic move so a kill mid-write can't truncate it. */
@@ -87,7 +104,7 @@ object Bench {
       s""""pass${i + 1}":${mapJson(order.flatMap(n => p.get(n).map(s => (n, s._1, s._2))))}"""
     }.mkString(",")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapJson(rs)},$passJson,"failed":${failedJson(rs)},"sf":"$sfDirV"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":${passes.length},"queries":${mapJson(rs)},$passJson,"failed":${failedJson(rs)},"sf":"$sfDirV"}"""
     try {
       val tmp = java.nio.file.Paths.get("BENCH_LOCAL.json.tmp")
       java.nio.file.Files.writeString(tmp, full)
@@ -194,11 +211,11 @@ object Bench {
     order = selected.map(_._1).toVector
     // Passes are SEPARATE full sweeps, not back-to-back per query: a
     // transient host stall lands on at most one of a query's samples.
-    var pi = 0
     var contextDead = false
-    while (pi < nPasses && !contextDead) {
+    def runSweep(pi: Int,
+        qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Unit = {
       if (passes.length <= pi) passes = passes :+ Map.empty
-      val it = selected.iterator
+      val it = qs.iterator
       while (it.hasNext && !contextDead) {
         val (name, fn) = it.next()
         if (spark.sparkContext.isStopped) {
@@ -220,8 +237,22 @@ object Bench {
           }
         }
       }
-      pi += 1
     }
+    var pi = 0
+    while (pi < nPasses && !contextDead) { runSweep(pi, selected); pi += 1 }
+    // Steady-state pass (VERDICT r7 #6: r7's passes=1 headline mixed
+    // one-time codegen + MV materialization into every number, killing
+    // comparability with r1-r5's min-of-2): after the cold sweep,
+    // re-run the HEADLINE queries once more and report min-of-2 as
+    // "steady" NEXT TO the untouched cold numbers. Headline-only keeps
+    // the extra wall clock roughly half a sweep, far from the driver
+    // cap. Skipped when SPARK_GRAFT_PASSES already runs multiple full
+    // sweeps, or SPARK_GRAFT_STEADY=0.
+    val steadyOn = nPasses == 1 &&
+      !sys.env.get("SPARK_GRAFT_STEADY").exists(v =>
+        v == "0" || v.equalsIgnoreCase("false"))
+    if (!contextDead && steadyOn)
+      runSweep(1, selected.filter(t => !nonHeadline(t._1)))
     // the ONE parseable line, last: headline queries only, "value" = ALL.
     // Stop Spark first (logging off) so no shutdown WARN can land after it.
     if (!contextDead) { spark.sparkContext.setLogLevel("OFF"); spark.stop() }

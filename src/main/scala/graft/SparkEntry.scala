@@ -639,6 +639,40 @@ object SparkEntry {
         .orderBy(col("wallet"), col("ts"), col("seq"), col("token_id"))
         .limit(1000)),
 
+    // Detailed wallet-ledger ROWS hard verification (the r7 verdict's
+    // last no-gate rows-only query): the REAL fold (Ledger.build) on
+    // unit lots, emitting every per-event row — usd_delta, consumed
+    // basis, realized AND the fee passthrough — for wallet % 50.
+    // Exactness under the synthetic data's duplicate trade_ids needs
+    // two pins: (a) seq = trade_id·2 + sell-flag so a buy/sell tie
+    // orders identically in both engines; (b) usd/fee are synthesized
+    // integers from (trade_id, token_id) only, so fully-tied rows are
+    // IDENTICAL and their fold order cannot change the row multiset.
+    // Closed form: matched sell #j consumes buy #j (unit lots).
+    "q_ledger_rows_exact" -> ((s, d) => {
+      val seq2 = col("trade_id") * 2 +
+        when(col("side") === "sell", 1L).otherwise(0L)
+      val f = wt(s, d)
+        .filter(pmod(col("wallet"), lit(50L)) === 0)
+        .select(col("wallet"), col("ts"),
+          seq2.as("trade_id"),
+          col("token_id"), col("side"),
+          lit(1.0).as("qty"),
+          (pmod(col("trade_id"), lit(9973L)) +
+            pmod(col("token_id"), lit(997L)) + lit(7L))
+            .cast("double").as("usd"),
+          pmod(col("trade_id"), lit(97L)).cast("double").as("fee"))
+      Ledger.build(s, f).toDF()
+        .select(col("wallet"), col("ts"), col("seq"), col("token_id"),
+          col("event_type"),
+          col("qty").cast("long").as("qty_i"),
+          col("usd_delta").cast("long").as("usd_delta_i"),
+          col("cost_basis").cast("long").as("basis_i"),
+          col("realized_pnl").cast("long").as("realized_i"),
+          col("fee").cast("long").as("fee_i"))
+        .orderBy(col("wallet"), col("ts"), col("seq"), col("token_id"))
+    }),
+
     // Split/merge engine hard-verification, same exact-arithmetic
     // recipe as q_ledger_fifo_exact: unit lots, even integer usd (so a
     // split's two minted legs carry exact usd/2 basis each), fold via
@@ -918,15 +952,21 @@ object SparkEntry {
     }),
 
     // Wallet volume deciles: ntile(10) + percent_rank over all-time
-    // wallet volume — the "whale percentile" surface.
+    // wallet volume — the "whale percentile" surface. NOT a global
+    // `Window.orderBy` (single-partition sort — the one plan that
+    // failed the 100× test in VERDICT r7): Rank.globalRowNumber
+    // range-partitions the sort, ranks locally, and broadcasts
+    // per-partition offsets; ntile/percent_rank are then pure
+    // arithmetic on (rank, total).
     "q_wallet_deciles" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("volume_usd").desc, col("wallet"))
-      wt(s, d).groupBy(col("wallet"))
+      val vol = wt(s, d).groupBy(col("wallet"))
         .agg(sum(col("usd")).cast("double").as("volume_usd"))
+      Rank.globalRowNumber(vol,
+          Seq(col("volume_usd").desc, col("wallet")), "rank", "total")
         .select(col("wallet"), col("volume_usd"),
-          ntile(10).over(w).as("decile"),
-          round(percent_rank().over(w), 6).as("pct_rank"))
+          Rank.ntileFromRank(col("rank"), col("total"), 10).as("decile"),
+          round(Rank.percentRankFromRank(col("rank"), col("total")), 6)
+            .as("pct_rank"))
         .orderBy(col("wallet"))
     }),
 
@@ -1516,13 +1556,114 @@ object SparkEntry {
     "q_log_decode_condition" -> ((s, d) => {
       val decoded = LogDecode.decodeConditionEvents(LogDecode
         .encodeConditionEvents(Tables.lineitem(s, d), Tables.orders(s, d)))
-      decoded.select(col("log_index"), col("kind"), col("wallet"),
-          col("condition_hex"), col("collateral"), col("amount_i"),
-          size(col("index_sets")).cast("long").as("n_sets"),
-          aggregate(col("index_sets"), lit(0L), (a, x) => a + x).as("sets_sum"),
-          element_at(col("index_sets"), 1).as("first_set"),
-          element_at(col("index_sets"), -1).as("last_set"))
-        .orderBy(col("log_index"))
+      val family = decoded.select(col("log_index"), col("kind"), col("wallet"),
+        col("condition_hex"), col("collateral"), col("amount_i"),
+        size(col("index_sets")).cast("long").as("n_sets"),
+        aggregate(col("index_sets"), lit(0L), (a, x) => a + x).as("sets_sum"),
+        element_at(col("index_sets"), 1).as("first_set"),
+        element_at(col("index_sets"), -1).as("last_set"),
+        lit(null).cast("long").as("oracle"),
+        lit(null).cast("string").as("question_hex"),
+        lit(null).cast("long").as("slot_count"),
+        lit(null).cast("boolean").as("is_resolved"))
+      // lifecycle rows (ConditionPreparation/ConditionResolution,
+      // main.ts:380-435) union in on the same scalar shape: the
+      // payout-numerator array lands in the n_sets/sets_sum/first/last
+      // slots (sets_sum = payout_denominator, the main.ts:413 reduce)
+      val lifecycle = LogDecode.decodeConditionLifecycle(LogDecode
+        .encodeConditionLifecycle(Tables.orders(s, d), Tables.lineitem(s, d)))
+        .select(col("log_index"), col("kind"),
+          lit(null).cast("long").as("wallet"),
+          col("condition_hex"),
+          lit(null).cast("long").as("collateral"),
+          lit(null).cast("long").as("amount_i"),
+          col("n_payouts").as("n_sets"),
+          col("payout_denominator").as("sets_sum"),
+          col("first_payout").as("first_set"),
+          col("last_payout").as("last_set"),
+          col("oracle"), col("question_hex"), col("slot_count"),
+          col("is_resolved"))
+      family.unionByName(lifecycle).orderBy(col("log_index"), col("kind"))
+    }),
+
+    // NegRisk adapter event decode (main.ts:483-590, abi/
+    // NegRiskAdapter.ts): all six events — MarketPrepared,
+    // QuestionPrepared, PositionSplit, PositionsMerge,
+    // PayoutRedemption, PositionsConverted — through one kind-driven
+    // decoder. The fixture mixes decoy rows emitted from the WRONG
+    // contract address (the adapter's split/merge share names but not
+    // topics with the ConditionalTokens family), so the hash verifies
+    // the topic0 AND address discrimination the reference does per
+    // handler. question_count = index + 1 per main.ts:506.
+    "q_log_decode_negrisk" -> ((s, d) =>
+      LogDecode.decodeNegRiskEvents(LogDecode.encodeNegRiskEvents(
+          Tables.orders(s, d), Tables.lineitem(s, d)))
+        .orderBy(col("log_index"))),
+
+    // FeeModule event decode (main.ts:590-633, abi/FeeModule.ts):
+    // FeeRefunded (indexed uint256 feeCharged on topic3 — the topic
+    // layout UDFs get wrong) and FeeWithdrawn (nothing indexed, four
+    // data words), accepted from BOTH live module addresses with
+    // wrong-address decoys dropped. Kind names match the ledger's
+    // fee_refund / fee_withdrawal cash events so decoded rows feed
+    // Ledger.buildEvents directly (LogDecodeSpec pins the seam).
+    "q_log_decode_fees" -> ((s, d) =>
+      LogDecode.decodeFeeEvents(LogDecode.encodeFeeEvents(trades(s, d)))
+        .drop("ts")
+        .orderBy(col("log_index"))),
+
+    // Raw-logs→ledger capstone: OrderFilled logs (unit-lot fills) AND
+    // ConditionResolution logs (payout numerators per token) → ABI
+    // decode → FIFO fold → broadcast settlement join → redemption
+    // rows, hash-checked against the same closed form as
+    // q_ledger_resolved_exact. This closes the decode→resolution→
+    // ledger chain end-to-end in the driver gate: payouts here are
+    // NOT synthesized relationally — they come out of the decoded
+    // numerator arrays (payout = first/denominator, main.ts:413).
+    "q_ledger_from_logs" -> ((s, d) => {
+      val decoded = LogDecode.decodedToTrades(LogDecode.decodeOrderFilled(
+        LogDecode.encodeOrderFilled(trades(s, d).withColumn("qty", lit(1.0)))))
+      val f = Leaderboard.walletTrades(decoded).select(
+        col("wallet"), col("ts"), col("trade_id"), col("token_id"), col("side"),
+        lit(1.0).as("qty"),
+        (col("usd") * 10000).cast("long").cast("double").as("usd"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)").as("fee"))
+      // one ConditionResolution log per resolved token: conditionId =
+      // the token's on-chain id word; numerators [1,0]/[0,1]/[1,1] by
+      // token_id % 4 (1: win, 2: loss, 3: half); % 4 == 0 never
+      // resolves — no log, and the settlement join must drop it
+      val m4 = pmod(col("token_id"), lit(4L))
+      val resLogs = trades(s, d).select(col("token_id")).distinct()
+        .filter(m4 =!= 0)
+        .select(
+          col("token_id").as("log_index"),
+          lit(LogDecode.ConditionalTokensAddr).as("addr"),
+          lit(LogDecode.ConditionResolutionTopic).as("topic0"),
+          LogDecode.toWord(col("token_id") + LogDecode.TokenIdBase)
+            .as("topic1"),
+          LogDecode.toWord(lit(900001L)).as("topic2"),
+          LogDecode.toWord(col("token_id") + 7000000L).as("topic3"),
+          concat(LogDecode.toWord(lit(2L)), LogDecode.toWord(lit(64L)),
+            LogDecode.toWord(lit(2L)),
+            LogDecode.toWord(when(m4 === 2, 0L).otherwise(1L)),
+            LogDecode.toWord(when(m4 === 1, 0L).otherwise(1L))).as("data"))
+      val resolutions = LogDecode.decodeConditionLifecycle(resLogs)
+        .filter(col("kind") === "resolve")
+        .select(
+          (LogDecode.wordLong(col("condition_hex")) - LogDecode.TokenIdBase)
+            .as("token_id"),
+          (col("first_payout") * 10000.0 / col("payout_denominator"))
+            .as("payout"))
+      val open = graft.model.Views.cached(s, d, "ledger_open_from_logs")(
+        Ledger.buildOpenRows(s, f).toDF())
+      Ledger.resolveOpen(open, resolutions)
+        .filter(col("event_type") === "redeem")
+        .select(col("wallet"), col("token_id"),
+          (-col("qty")).cast("long").as("open_qty"),
+          col("usd_delta").cast("long").as("payout_i"),
+          col("cost_basis").cast("long").as("basis_i"),
+          col("realized_pnl").cast("long").as("realized_i"))
+        .orderBy(col("wallet"), col("token_id"))
     })
   )
 
@@ -1556,6 +1697,54 @@ object SparkEntry {
       |         'taker' AS role,
       |         CASE WHEN is_taker_buy THEN 'buy' ELSE 'sell' END AS side
       |  FROM trades)""".stripMargin
+
+  /** Resolution-settlement closed form on unit lots (shared by
+    * q_ledger_resolved_exact and the raw-logs capstone
+    * q_ledger_from_logs): open lots per (wallet, token) are the LAST
+    * n_buys − K buys (K = sells − max prefix deficit); payout per
+    * unit from token_id % 4. */
+  private val RESOLVED_EXACT_SQL =
+    s"""WITH $WT,
+      |f AS (
+      |  SELECT wallet, token_id, ts, trade_id, side,
+      |         CAST(usd * 10000 AS BIGINT) AS usd_i
+      |  FROM wt),
+      |o AS (
+      |  SELECT wallet, token_id, side,
+      |    SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+      |            ROWS UNBOUNDED PRECEDING) AS cs,
+      |    SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+      |            ROWS UNBOUNDED PRECEDING) AS cb
+      |  FROM f),
+      |g AS (
+      |  SELECT wallet, token_id,
+      |    CAST(MAX(GREATEST(cs - cb, 0)) AS BIGINT) AS u,
+      |    CAST(SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END) AS BIGINT) AS n_sells
+      |  FROM o GROUP BY 1, 2),
+      |b AS (
+      |  SELECT wallet, token_id, usd_i,
+      |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
+      |      ORDER BY ts, trade_id) AS rn
+      |  FROM f WHERE side = 'buy'),
+      |ob AS (
+      |  SELECT b.wallet, b.token_id,
+      |    CAST(COUNT(*) AS BIGINT) AS open_qty,
+      |    CAST(SUM(b.usd_i) AS BIGINT) AS open_basis_i
+      |  FROM b JOIN g ON b.wallet = g.wallet AND b.token_id = g.token_id
+      |  WHERE b.rn > g.n_sells - g.u
+      |  GROUP BY 1, 2)
+      |SELECT wallet, token_id, open_qty,
+      |  open_qty * punit AS payout_i,
+      |  open_basis_i AS basis_i,
+      |  open_qty * punit - open_basis_i AS realized_i
+      |FROM (
+      |  SELECT ob.*,
+      |    CASE token_id % 4 WHEN 1 THEN 10000 WHEN 2 THEN 0
+      |         WHEN 3 THEN 5000 END AS punit
+      |  FROM ob WHERE token_id % 4 <> 0) r
+      |ORDER BY wallet, token_id""".stripMargin
 
   private val BALANCES =
     s"""$TRADES,
@@ -2122,51 +2311,73 @@ object SparkEntry {
         |FROM g LEFT JOIN m ON g.wallet = m.wallet AND g.token_id = m.token_id
         |ORDER BY g.wallet, g.token_id""".stripMargin,
 
+    // per-row ledger twin: seq encodes the side (buy orders before
+    // sell on trade_id ties), usd/fee are integer functions of
+    // (trade_id, token_id) so tied rows are identical; matched sell
+    // #j consumes buy #j on unit lots
+    "q_ledger_rows_exact" ->
+      s"""WITH $WT,
+        |f AS (
+        |  SELECT wallet, token_id, ts,
+        |         trade_id * 2 + CASE WHEN side = 'sell' THEN 1 ELSE 0 END AS seq,
+        |         side,
+        |         CAST(trade_id % 9973 + token_id % 997 + 7 AS BIGINT) AS usd_i,
+        |         CAST(trade_id % 97 AS BIGINT) AS fee_i
+        |  FROM wt WHERE wallet % 50 = 0),
+        |o AS (
+        |  SELECT *,
+        |    SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, seq
+        |            ROWS UNBOUNDED PRECEDING)
+        |    - SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, seq
+        |            ROWS UNBOUNDED PRECEDING) AS d
+        |  FROM f),
+        |o2 AS (
+        |  SELECT *,
+        |    COALESCE(MAX(d)
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, seq
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS dmax_prev
+        |  FROM o),
+        |sells AS (
+        |  SELECT wallet, token_id, ts, seq, usd_i, fee_i,
+        |    d > GREATEST(dmax_prev, 0) AS unmatched
+        |  FROM o2 WHERE side = 'sell'),
+        |ms AS (
+        |  SELECT wallet, token_id, ts, seq, usd_i, fee_i,
+        |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
+        |      ORDER BY ts, seq) AS rs
+        |  FROM sells WHERE NOT unmatched),
+        |b AS (
+        |  SELECT wallet, token_id, ts, seq, usd_i, fee_i,
+        |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
+        |      ORDER BY ts, seq) AS rb
+        |  FROM f WHERE side = 'buy')
+        |SELECT wallet, ts, seq, token_id, 'buy' AS event_type,
+        |  CAST(1 AS BIGINT) AS qty_i, -usd_i AS usd_delta_i,
+        |  usd_i AS basis_i, CAST(0 AS BIGINT) AS realized_i, fee_i
+        |FROM f WHERE side = 'buy'
+        |UNION ALL
+        |SELECT ms.wallet, ms.ts, ms.seq, ms.token_id, 'sell' AS event_type,
+        |  CAST(-1 AS BIGINT), ms.usd_i, b.usd_i, ms.usd_i - b.usd_i, ms.fee_i
+        |FROM ms JOIN b ON ms.wallet = b.wallet
+        |  AND ms.token_id = b.token_id AND ms.rs = b.rb
+        |UNION ALL
+        |SELECT wallet, ts, seq, token_id, 'sell' AS event_type,
+        |  CAST(-1 AS BIGINT), usd_i, CAST(0 AS BIGINT), usd_i, fee_i
+        |FROM sells WHERE unmatched
+        |ORDER BY wallet, ts, seq, token_id""".stripMargin,
+
     // resolution-settlement twin: open lots = the LAST n_buys − K
     // buys (K = n_sells − max prefix deficit); redemption payout =
     // open_qty · payout(token_id % 4), realized = payout − open basis
-    "q_ledger_resolved_exact" ->
-      s"""WITH $WT,
-        |f AS (
-        |  SELECT wallet, token_id, ts, trade_id, side,
-        |         CAST(usd * 10000 AS BIGINT) AS usd_i
-        |  FROM wt),
-        |o AS (
-        |  SELECT wallet, token_id, side,
-        |    SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
-        |            ROWS UNBOUNDED PRECEDING) AS cs,
-        |    SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
-        |            ROWS UNBOUNDED PRECEDING) AS cb
-        |  FROM f),
-        |g AS (
-        |  SELECT wallet, token_id,
-        |    CAST(MAX(GREATEST(cs - cb, 0)) AS BIGINT) AS u,
-        |    CAST(SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END) AS BIGINT) AS n_sells
-        |  FROM o GROUP BY 1, 2),
-        |b AS (
-        |  SELECT wallet, token_id, usd_i,
-        |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
-        |      ORDER BY ts, trade_id) AS rn
-        |  FROM f WHERE side = 'buy'),
-        |ob AS (
-        |  SELECT b.wallet, b.token_id,
-        |    CAST(COUNT(*) AS BIGINT) AS open_qty,
-        |    CAST(SUM(b.usd_i) AS BIGINT) AS open_basis_i
-        |  FROM b JOIN g ON b.wallet = g.wallet AND b.token_id = g.token_id
-        |  WHERE b.rn > g.n_sells - g.u
-        |  GROUP BY 1, 2)
-        |SELECT wallet, token_id, open_qty,
-        |  open_qty * punit AS payout_i,
-        |  open_basis_i AS basis_i,
-        |  open_qty * punit - open_basis_i AS realized_i
-        |FROM (
-        |  SELECT ob.*,
-        |    CASE token_id % 4 WHEN 1 THEN 10000 WHEN 2 THEN 0
-        |         WHEN 3 THEN 5000 END AS punit
-        |  FROM ob WHERE token_id % 4 <> 0) r
-        |ORDER BY wallet, token_id""".stripMargin,
+    "q_ledger_resolved_exact" -> RESOLVED_EXACT_SQL,
+
+    // the raw-logs capstone settles to EXACTLY the same closed form:
+    // the decoded payout numerators reduce to payout(token_id % 4),
+    // and the unit-lot fills round-trip the ABI encode/decode exactly
+    "q_ledger_from_logs" -> RESOLVED_EXACT_SQL,
 
     // period-mode twin: a sell is unmatched iff its running deficit
     // cs−cb sets a new positive max; matched sell #j consumes buy #j;
@@ -3419,8 +3630,9 @@ object SparkEntry {
         |  FROM orders),
         |s AS (
         |  SELECT l_orderkey AS log_index, l_partkey + 1 AS iset,
+        |         CAST(l_quantity AS BIGINT) AS num_i,
         |         row_number() OVER (PARTITION BY l_orderkey
-        |           ORDER BY l_linenumber, l_partkey) AS rn,
+        |           ORDER BY l_linenumber, l_partkey, l_quantity) AS rn,
         |         COUNT(*) OVER (PARTITION BY l_orderkey) AS n
         |  FROM lineitem),
         |agg AS (
@@ -3428,11 +3640,96 @@ object SparkEntry {
         |         CAST(MAX(n) AS BIGINT) AS n_sets,
         |         CAST(SUM(iset) AS BIGINT) AS sets_sum,
         |         CAST(MAX(CASE WHEN rn = 1 THEN iset END) AS BIGINT) AS first_set,
-        |         CAST(MAX(CASE WHEN rn = n THEN iset END) AS BIGINT) AS last_set
+        |         CAST(MAX(CASE WHEN rn = n THEN iset END) AS BIGINT) AS last_set,
+        |         CAST(SUM(num_i) AS BIGINT) AS num_sum,
+        |         CAST(MAX(CASE WHEN rn = 1 THEN num_i END) AS BIGINT) AS first_num,
+        |         CAST(MAX(CASE WHEN rn = n THEN num_i END) AS BIGINT) AS last_num
         |  FROM s GROUP BY log_index)
         |SELECT e.log_index, kind, wallet, condition_hex, collateral,
-        |       amount_i, n_sets, sets_sum, first_set, last_set
+        |       amount_i, n_sets, sets_sum, first_set, last_set,
+        |       CAST(NULL AS BIGINT) AS oracle,
+        |       CAST(NULL AS VARCHAR) AS question_hex,
+        |       CAST(NULL AS BIGINT) AS slot_count,
+        |       CAST(NULL AS BOOLEAN) AS is_resolved
         |FROM e JOIN agg USING (log_index)
+        |UNION ALL
+        |SELECT o.o_orderkey AS log_index,
+        |       CASE WHEN o.o_orderkey % 2 = 0 THEN 'prep' ELSE 'resolve' END AS kind,
+        |       CAST(NULL AS BIGINT) AS wallet,
+        |       lpad(printf('%x', o.o_orderkey), 64, '0') AS condition_hex,
+        |       CAST(NULL AS BIGINT) AS collateral,
+        |       CAST(NULL AS BIGINT) AS amount_i,
+        |       CASE WHEN o.o_orderkey % 2 = 1 THEN agg.n_sets END AS n_sets,
+        |       CASE WHEN o.o_orderkey % 2 = 1 THEN agg.num_sum END AS sets_sum,
+        |       CASE WHEN o.o_orderkey % 2 = 1 THEN agg.first_num END AS first_set,
+        |       CASE WHEN o.o_orderkey % 2 = 1 THEN agg.last_num END AS last_set,
+        |       CAST(o.o_custkey + 900000 AS BIGINT) AS oracle,
+        |       lpad(printf('%x', o.o_orderkey + 7000000), 64, '0') AS question_hex,
+        |       agg.n_sets AS slot_count,
+        |       o.o_orderkey % 2 = 1 AS is_resolved
+        |FROM orders o JOIN agg ON o.o_orderkey = agg.log_index
+        |ORDER BY log_index, kind""".stripMargin,
+
+    "q_log_decode_negrisk" ->
+      """WITH e AS (
+        |  SELECT o_orderkey AS log_index, o_orderkey % 6 AS k,
+        |         CAST(o_custkey AS BIGINT) AS wallet_l,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |a AS (
+        |  SELECT l_orderkey AS log_index,
+        |         CAST(COUNT(*) AS BIGINT) AS n_amounts,
+        |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |           AS BIGINT)) AS BIGINT) AS amounts_sum
+        |  FROM lineitem GROUP BY 1)
+        |SELECT e.log_index,
+        |  CASE k WHEN 0 THEN 'market_prepared' WHEN 1 THEN 'question_prepared'
+        |       WHEN 2 THEN 'split' WHEN 3 THEN 'merge' WHEN 4 THEN 'redeem'
+        |       ELSE 'convert' END AS kind,
+        |  CASE WHEN k IN (0, 1, 5)
+        |       THEN lpad(printf('%x', e.log_index), 64, '0') END AS market_hex,
+        |  CASE WHEN k IN (2, 3, 4)
+        |       THEN lpad(printf('%x', e.log_index), 64, '0') END AS condition_hex,
+        |  CASE WHEN k = 1
+        |       THEN lpad(printf('%x', e.log_index + 7000000), 64, '0') END AS question_hex,
+        |  CASE WHEN k >= 2 THEN wallet_l END AS wallet,
+        |  CASE WHEN k = 0 THEN wallet_l + 900000 END AS oracle,
+        |  CASE WHEN k = 0 THEN CAST(e.log_index % 1000 AS BIGINT) END AS fee_bips,
+        |  CASE WHEN k = 1 THEN CAST(e.log_index % 8 + 1 AS BIGINT) END AS question_count,
+        |  CASE WHEN k = 5 THEN CAST(e.log_index % 63 + 1 AS BIGINT) END AS index_set,
+        |  CASE WHEN k IN (2, 3, 5) THEN cents END AS amount_i,
+        |  CASE WHEN k = 4 THEN cents END AS payout_i,
+        |  CASE WHEN k = 4 THEN a.n_amounts END AS n_amounts,
+        |  CASE WHEN k = 4 THEN a.amounts_sum END AS amounts_sum
+        |FROM e JOIN a USING (log_index)
+        |ORDER BY log_index""".stripMargin,
+
+    "q_log_decode_fees" ->
+      """WITH f AS (
+        |  SELECT l_orderkey*10 + l_linenumber AS log_index,
+        |         CAST(l_suppkey + 1000000 AS BIGINT) AS maker,
+        |         CAST(l_partkey + 1000000000 AS BIGINT) AS token_id,
+        |         CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |              (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |              AS DECIMAL(18,4)) * CAST(l_tax AS DECIMAL(18,4))
+        |              AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS fee_i
+        |  FROM lineitem)
+        |SELECT log_index,
+        |  CASE WHEN log_index % 2 = 0 THEN 'fee_refund'
+        |       ELSE 'fee_withdrawal' END AS kind,
+        |  '0x' || lpad(printf('%x',
+        |    CASE WHEN log_index % 4 < 2 THEN 552000 ELSE 552001 END),
+        |    40, '0') AS module,
+        |  CASE WHEN log_index % 2 = 0
+        |       THEN lpad(printf('%x', log_index), 64, '0') END AS order_hash,
+        |  maker AS to_wallet,
+        |  CASE WHEN log_index % 2 = 1 THEN CAST(888000 AS BIGINT) END AS token,
+        |  lpad(printf('%x', token_id), 64, '0') AS token_hex,
+        |  token_id,
+        |  CASE WHEN log_index % 2 = 0 THEN fee_i // 2 END AS refund_i,
+        |  CASE WHEN log_index % 2 = 0 THEN fee_i END AS fee_charged_i,
+        |  CASE WHEN log_index % 2 = 1 THEN fee_i END AS amount_i
+        |FROM f
         |ORDER BY log_index""".stripMargin
   )
 }

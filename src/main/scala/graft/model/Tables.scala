@@ -30,13 +30,19 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark has no native
-    * type for — read the raw nanos as long and truncate to microsecond
-    * timestamps (the oracle mirrors this with CAST(ts AS TIMESTAMP)). */
+  /** events.parquet has carried TIMESTAMP(NANOS) in some generator
+    * versions (no native Spark type — read raw nanos as long and
+    * truncate to microseconds) and plain TIMESTAMP(MICROS) in others.
+    * Branch on the loaded type so both generations read identically
+    * (the oracle mirrors with CAST(ts AS TIMESTAMP)). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

@@ -18,8 +18,11 @@ object Sessions {
     events
       .withColumn("__prev_ts", lag(col(tsCol), 1).over(byUser))
       .withColumn("__new_session",
+        // via an explicit TIMESTAMP hop: TIMESTAMP_NTZ (the r8 events
+        // generation) has no direct BIGINT cast; session tz is UTC
         when(col("__prev_ts").isNull ||
-          col(tsCol).cast("long") - col("__prev_ts").cast("long") >
+          col(tsCol).cast("timestamp").cast("long") -
+            col("__prev_ts").cast("timestamp").cast("long") >
             gapMinutes * 60L, 1L).otherwise(0L))
       .withColumn("session_id",
         sum(col("__new_session")).over(
@@ -35,7 +38,8 @@ object Sessions {
       .agg(count(lit(1)).as("events"),
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
-        (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long"))
+        (max(col(tsCol)).cast("timestamp").cast("long") -
+          min(col(tsCol)).cast("timestamp").cast("long"))
           .as("span_seconds"),
         sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("value_sum"))
 }

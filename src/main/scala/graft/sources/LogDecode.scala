@@ -45,6 +45,45 @@ object LogDecode {
   val PositionsMergeTopic = "0x6f13ca62553fcc2bcd2372180a43949c1e4cebba603901ede2f4e14f36b282ca"
   val PayoutRedemptionTopic = "0x2682012a4a4f1973119f1c9b90745d1bd91fa2bab387344f044cb3586864d18d"
 
+  /** NegRisk adapter event topics (abi/NegRiskAdapter.ts:6-14). Note
+    * the adapter's PositionSplit/PositionsMerge/PayoutRedemption are
+    * DIFFERENT events from the ConditionalTokens family above — same
+    * names, different signatures and topic0s — which is why the
+    * reference discriminates every handler on BOTH topic0 and the
+    * emitting address (main.ts:483-590). */
+  val NrMarketPreparedTopic = "0xf059ab16d1ca60e123eab60e3c02b68faf060347c701a5d14885a8e1def7b3a8"
+  val NrQuestionPreparedTopic = "0xaac410f87d423a922a7b226ac68f0c2eaf5bf6d15e644ac0758c7f96e2c253f7"
+  val NrPositionSplitTopic = "0xbbed930dbfb7907ae2d60ddf78345610214f26419a0128df39b6cc3d9e5df9b0"
+  val NrPositionsMergeTopic = "0xba33ac50d8894676597e6e35dc09cff59854708b642cd069d21eb9c7ca072a04"
+  val NrPayoutRedemptionTopic = "0x9140a6a270ef945260c03894b3c6b3b2695e9d5101feef0ff24fec960cfd3224"
+  val NrPositionsConvertedTopic = "0xb03d19dddbc72a87e735ff0ea3b57bef133ebe44e1894284916a84044deb367e"
+
+  /** FeeModule event topics (abi/FeeModule.ts:6-7). FeeRefunded has an
+    * INDEXED uint256 (`feeCharged` rides topic3, not data) and
+    * FeeWithdrawn indexes nothing (all four params in data) — the two
+    * layout extremes of the ABI. */
+  val FeeRefundedTopic = "0xb608d2bf25d8b4b744ba23ce2ea9802ea955e216c064a62f42152fbf98958d24"
+  val FeeWithdrawnTopic = "0x6ce49f8691a80db5eb4f60cd55b14640529346a7ddf9bf8f77a423fa6a10bfdb"
+
+  /** ConditionalTokens lifecycle topics (abi/ConditionalTokens.ts:9-10).
+    * ConditionResolution carries the payout-numerator dynamic array
+    * that drives the reference's resolution/redemption math
+    * (main.ts:380-435). */
+  val ConditionPreparationTopic = "0xab3760c3bd2bb38b5bcf54dc79802ed67338b4cf29f3054ded67ed24661e4177"
+  val ConditionResolutionTopic = "0xb44d84d3289691f71497564b85d4233648d9dbae8cbdbb4329f301c3a0185894"
+
+  /** Synthetic contract addresses (20-byte, lowercase hex like the
+    * reference's `log.address.toLowerCase()` comparisons): the
+    * fixtures emit real events from the right address plus decoy rows
+    * from the wrong one, so a decoder that filters on topic0 alone
+    * (the naive bug the dual-address reality trips, main.ts:489 vs
+    * :385) hash-mismatches. */
+  def toAddr(v: Long): String = "0x" + f"$v%040x"
+  val NegRiskAdapterAddr = toAddr(551000L)
+  val ConditionalTokensAddr = toAddr(553000L)
+  val FeeModuleAddr = toAddr(552000L)
+  val NegRiskFeeModuleAddr = toAddr(552001L)
+
   // ---------------------------------------------------------------
   // word-level primitives (all pure column expressions)
   // ---------------------------------------------------------------
@@ -347,6 +386,267 @@ object LogDecode {
         .cast("decimal(18,6)").as("fee"),
       (!col("is_maker_buy")).as("is_taker_buy"),
       col("is_maker_buy"))
+
+  // ---------------------------------------------------------------
+  // NegRisk adapter family (main.ts:483-590, abi/NegRiskAdapter.ts)
+  // ---------------------------------------------------------------
+
+  /** NegRisk adapter logs, one per order; `o_orderkey % 6` picks the
+    * event. Deterministic field map (mirrored by the DuckDB oracle):
+    *   - marketId / conditionId = word(o_orderkey)
+    *   - stakeholder / redeemer = o_custkey; oracle = o_custkey+900000
+    *   - questionId = word(o_orderkey + 7000000)
+    *   - feeBips = o_orderkey % 1000; question index = o_orderkey % 8
+    *   - indexSet = o_orderkey % 63 + 1 (indexed topic3 — uint256
+    *     topics carry the value itself, no tail)
+    *   - amount / payout = o_totalprice in exact cents
+    *   - PayoutRedemption amounts[] = the order's lineitems'
+    *     l_extendedprice cents in line order
+    *   - MarketPrepared / QuestionPrepared `bytes data` = empty
+    *     (head offset → zero-length tail)
+    * Every split/merge row is ALSO emitted from the ConditionalTokens
+    * address as a decoy the address filter must drop. */
+  def encodeNegRiskEvents(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(
+      col("l_orderkey").as("order_id"), col("l_linenumber").as("ln"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("amt_i"))
+    val elems = li.groupBy(col("order_id"))
+      .agg(array_sort(collect_list(struct(col("ln"), col("amt_i")))).as("xs"))
+    val n = size(col("xs"))
+    val amtWords = concat_ws("",
+      transform(col("xs"), x => toWord(x.getField("amt_i"))))
+    val kind = pmod(col("order_id"), lit(6L))
+    val joined = spread(elems.join(
+      orders.select(col("o_orderkey").as("order_id"),
+        col("o_custkey").cast("long").as("wallet"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents")), Seq("order_id")))
+    val emptyBytes = (static: Column) =>
+      concat(toWord(static), toWord(lit(64L)), toWord(lit(0L)))
+    val logs = joined.select(
+      col("order_id").as("log_index"),
+      lit(NegRiskAdapterAddr).as("addr"),
+      when(kind === 0, NrMarketPreparedTopic)
+        .when(kind === 1, NrQuestionPreparedTopic)
+        .when(kind === 2, NrPositionSplitTopic)
+        .when(kind === 3, NrPositionsMergeTopic)
+        .when(kind === 4, NrPayoutRedemptionTopic)
+        .otherwise(NrPositionsConvertedTopic).as("topic0"),
+      when(kind.isin(0L, 1L), toWord(col("order_id")))     // marketId
+        .otherwise(toWord(col("wallet"))).as("topic1"),    // stakeholder
+      when(kind === 0, toWord(col("wallet") + 900000L))    // oracle
+        .when(kind === 1, toWord(col("order_id") + 7000000L)) // questionId
+        .otherwise(toWord(col("order_id"))).as("topic2"),  // cond/marketId
+      when(kind === 5, toWord(pmod(col("order_id"), lit(63L)) + 1))
+        .otherwise(toWord(lit(0L))).as("topic3"),          // indexSet
+      when(kind === 0, emptyBytes(pmod(col("order_id"), lit(1000L))))
+        .when(kind === 1, emptyBytes(pmod(col("order_id"), lit(8L))))
+        .when(kind === 4, concat(
+          toWord(lit(64L)),                                // amounts offset
+          toWord(col("cents")),                            // payout
+          toWord(n.cast("long")), amtWords))
+        .otherwise(toWord(col("cents"))).as("data"))
+    // decoys: same topics, wrong emitting contract — must be dropped
+    val decoys = logs.filter(col("topic0").isin(
+        NrPositionSplitTopic, NrPositionsMergeTopic))
+      .withColumn("addr", lit(ConditionalTokensAddr))
+    logs.unionByName(decoys)
+  }
+
+  /** Decode the six NegRisk adapter events into the normalized rows
+    * of main.ts:483-590 — one decoder, kind-driven column sourcing,
+    * filtered on topic0 AND the adapter address. `question_count` is
+    * the reference's derived `Number(event.index) + 1` (main.ts:506).
+    * Hex ids stay canonical words; amounts parse from the low 8
+    * bytes. The PayoutRedemption amounts tail decodes through its
+    * head offset like every other dynamic array. */
+  def decodeNegRiskEvents(logs: DataFrame): DataFrame = {
+    val t0 = col("topic0")
+    val kind = when(t0 === NrMarketPreparedTopic, "market_prepared")
+      .when(t0 === NrQuestionPreparedTopic, "question_prepared")
+      .when(t0 === NrPositionSplitTopic, "split")
+      .when(t0 === NrPositionsMergeTopic, "merge")
+      .when(t0 === NrPayoutRedemptionTopic, "redeem")
+      .otherwise("convert")
+    val isMeta = t0.isin(NrMarketPreparedTopic, NrQuestionPreparedTopic)
+    val amounts = transform(tailArray(0), w => wordLong(w))
+    logs
+      .filter(col("addr") === NegRiskAdapterAddr && t0.isin(
+        NrMarketPreparedTopic, NrQuestionPreparedTopic,
+        NrPositionSplitTopic, NrPositionsMergeTopic,
+        NrPayoutRedemptionTopic, NrPositionsConvertedTopic))
+      .select(
+        col("log_index"),
+        kind.as("kind"),
+        when(isMeta, col("topic1"))
+          .when(t0 === NrPositionsConvertedTopic, col("topic2"))
+          .as("market_hex"),
+        when(t0.isin(NrPositionSplitTopic, NrPositionsMergeTopic,
+          NrPayoutRedemptionTopic), col("topic2")).as("condition_hex"),
+        when(t0 === NrQuestionPreparedTopic, col("topic2")).as("question_hex"),
+        when(!isMeta, wordLong(col("topic1"))).as("wallet"),
+        when(t0 === NrMarketPreparedTopic, wordLong(col("topic2"))).as("oracle"),
+        when(t0 === NrMarketPreparedTopic, wordLong(word(col("data"), 0)))
+          .as("fee_bips"),
+        when(t0 === NrQuestionPreparedTopic,
+          wordLong(word(col("data"), 0)) + 1L).as("question_count"),
+        when(t0 === NrPositionsConvertedTopic, wordLong(col("topic3")))
+          .as("index_set"),
+        when(t0.isin(NrPositionSplitTopic, NrPositionsMergeTopic,
+          NrPositionsConvertedTopic), wordLong(word(col("data"), 0)))
+          .as("amount_i"),
+        when(t0 === NrPayoutRedemptionTopic, wordLong(word(col("data"), 1)))
+          .as("payout_i"),
+        when(t0 === NrPayoutRedemptionTopic, size(amounts).cast("long"))
+          .as("n_amounts"),
+        when(t0 === NrPayoutRedemptionTopic,
+          aggregate(amounts, lit(0L), (a, x) => a + x)).as("amounts_sum"))
+  }
+
+  // ---------------------------------------------------------------
+  // FeeModule family (main.ts:590-633, abi/FeeModule.ts)
+  // ---------------------------------------------------------------
+
+  /** FeeModule logs from the trade view, one per trade;
+    * `trade_id % 2` picks FeeRefunded / FeeWithdrawn and
+    * `trade_id % 4 < 2` picks which of the two live module addresses
+    * emits (the reference accepts both, main.ts:594-596).
+    *   FeeRefunded : topics = orderHash(trade_id), to(maker),
+    *                 feeCharged(fee_i) — an INDEXED uint256;
+    *                 data = [tokenId, refund = fee_i div 2]
+    *   FeeWithdrawn: nothing indexed;
+    *                 data = [collateral, to(maker), tokenId, fee_i]
+    * Refund rows are also emitted from the ConditionalTokens address
+    * as address-filter decoys. */
+  def encodeFeeEvents(trades: DataFrame): DataFrame = {
+    val feeI = (col("fee") * 1000000).cast("long")
+    val chainToken = col("token_id") + TokenIdBase
+    val isRefund = pmod(col("trade_id"), lit(2L)) === 0
+    val module = when(pmod(col("trade_id"), lit(4L)) < 2, FeeModuleAddr)
+      .otherwise(NegRiskFeeModuleAddr)
+    val logs = spread(trades).select(
+      col("trade_id").as("log_index"),
+      col("ts"),
+      module.as("addr"),
+      when(isRefund, FeeRefundedTopic).otherwise(FeeWithdrawnTopic)
+        .as("topic0"),
+      when(isRefund, toWord(col("trade_id"))).otherwise(toWord(lit(0L)))
+        .as("topic1"),                                    // orderHash
+      when(isRefund, toWord(col("maker"))).otherwise(toWord(lit(0L)))
+        .as("topic2"),                                    // to
+      when(isRefund, toWord(feeI)).otherwise(toWord(lit(0L)))
+        .as("topic3"),                                    // feeCharged
+      when(isRefund,
+        concat(toWord(chainToken), toWord(floor(feeI / 2).cast("long"))))
+        .otherwise(concat(toWord(lit(CollateralToken)), toWord(col("maker")),
+          toWord(chainToken), toWord(feeI))).as("data"))
+    val decoys = logs.filter(col("topic0") === FeeRefundedTopic)
+      .withColumn("addr", lit(ConditionalTokensAddr))
+    logs.unionByName(decoys)
+  }
+
+  /** Decode FeeRefunded / FeeWithdrawn into the reference's
+    * fee_refunds / fee_withdrawals rows (main.ts:600-633): kind names
+    * match the ledger's cash-event kinds so decoded rows feed
+    * [[graft.operators.Ledger.buildEvents]] directly
+    * (LogDecodeSpec pins that seam). Accepts logs from EITHER module
+    * address and keeps `module` so downstream can split by venue. */
+  def decodeFeeEvents(logs: DataFrame): DataFrame = {
+    val isRefund = col("topic0") === FeeRefundedTopic
+    logs
+      .filter(col("addr").isin(FeeModuleAddr, NegRiskFeeModuleAddr) &&
+        col("topic0").isin(FeeRefundedTopic, FeeWithdrawnTopic))
+      .select(
+        col("log_index"), col("ts"),
+        when(isRefund, "fee_refund").otherwise("fee_withdrawal").as("kind"),
+        col("addr").as("module"),
+        when(isRefund, col("topic1")).as("order_hash"),
+        when(isRefund, wordLong(col("topic2")))
+          .otherwise(wordLong(word(col("data"), 1))).as("to_wallet"),
+        when(!isRefund, wordLong(word(col("data"), 0))).as("token"),
+        when(isRefund, word(col("data"), 0)).otherwise(word(col("data"), 2))
+          .as("token_hex"),
+        when(isRefund, wordLong(word(col("data"), 0)))
+          .otherwise(wordLong(word(col("data"), 2))).as("token_id"),
+        when(isRefund, wordLong(word(col("data"), 1))).as("refund_i"),
+        when(isRefund, wordLong(col("topic3"))).as("fee_charged_i"),
+        when(!isRefund, wordLong(word(col("data"), 3))).as("amount_i"))
+  }
+
+  // ---------------------------------------------------------------
+  // ConditionalTokens lifecycle (main.ts:380-435)
+  // ---------------------------------------------------------------
+
+  /** ConditionPreparation / ConditionResolution logs, one per order
+    * (`o_orderkey % 2`). Both index conditionId/oracle/questionId;
+    * resolution adds the payout-numerator dynamic array AFTER the
+    * static outcomeSlotCount word — numerators are the order's
+    * lineitem quantities (exact integers) in line order, slot count =
+    * the line count. Preparation rows are also emitted from the
+    * NegRisk adapter address as decoys. */
+  def encodeConditionLifecycle(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // (ln, pk) sort key: l_linenumber DUPLICATES within an order in
+    // the synthetic data, so the element order pins the same
+    // tiebreak as the oracle's ORDER BY (l_linenumber, l_partkey)
+    val li = lineitem.select(
+      col("l_orderkey").as("order_id"), col("l_linenumber").as("ln"),
+      col("l_partkey").as("pk"),
+      col("l_quantity").cast("long").as("num_i"))
+    val elems = li.groupBy(col("order_id"))
+      .agg(array_sort(collect_list(struct(col("ln"), col("pk"),
+        col("num_i")))).as("xs"))
+    val n = size(col("xs"))
+    val numWords = concat_ws("",
+      transform(col("xs"), x => toWord(x.getField("num_i"))))
+    val isPrep = pmod(col("order_id"), lit(2L)) === 0
+    val logs = spread(elems.join(
+      orders.select(col("o_orderkey").as("order_id"),
+        col("o_custkey").cast("long").as("wallet")), Seq("order_id")))
+      .select(
+        col("order_id").as("log_index"),
+        lit(ConditionalTokensAddr).as("addr"),
+        when(isPrep, ConditionPreparationTopic)
+          .otherwise(ConditionResolutionTopic).as("topic0"),
+        toWord(col("order_id")).as("topic1"),              // conditionId
+        toWord(col("wallet") + 900000L).as("topic2"),      // oracle
+        toWord(col("order_id") + 7000000L).as("topic3"),   // questionId
+        when(isPrep, toWord(n.cast("long")))
+          .otherwise(concat(
+            toWord(n.cast("long")),                        // slot count
+            toWord(lit(64L)),                              // numerators ofs
+            toWord(n.cast("long")), numWords)).as("data"))
+    val decoys = logs.filter(col("topic0") === ConditionPreparationTopic)
+      .withColumn("addr", lit(NegRiskAdapterAddr))
+    logs.unionByName(decoys)
+  }
+
+  /** Decode the condition lifecycle into the reference's `conditions`
+    * rows (main.ts:385-434): prep rows carry is_resolved=false with
+    * empty payouts; resolution rows compute payout_denominator as the
+    * numerator sum (main.ts:413 reduce) plus order-sensitive scalars
+    * of the numerator array. Address-filtered like every handler. */
+  def decodeConditionLifecycle(logs: DataFrame): DataFrame = {
+    val isPrep = col("topic0") === ConditionPreparationTopic
+    val nums = transform(tailArray(1), w => wordLong(w))
+    logs
+      .filter(col("addr") === ConditionalTokensAddr &&
+        col("topic0").isin(ConditionPreparationTopic,
+          ConditionResolutionTopic))
+      .select(
+        col("log_index"),
+        when(isPrep, "prep").otherwise("resolve").as("kind"),
+        col("topic1").as("condition_hex"),
+        wordLong(col("topic2")).as("oracle"),
+        col("topic3").as("question_hex"),
+        wordLong(word(col("data"), 0)).as("slot_count"),
+        (!isPrep).as("is_resolved"),
+        when(!isPrep, size(nums).cast("long")).as("n_payouts"),
+        when(!isPrep, aggregate(nums, lit(0L), (a, x) => a + x))
+          .as("payout_denominator"),
+        when(!isPrep, element_at(nums, 1)).as("first_payout"),
+        when(!isPrep, element_at(nums, -1)).as("last_payout"))
+  }
 
   /** One row per (log, element): the exploded movement rows the
     * ERC1155 handler feeds the balance/ledger builders

@@ -142,4 +142,102 @@ class LogDecodeSpec extends SparkSpec {
       .filter(col("n") =!= col("exp_n"))
     assert(badN.isEmpty, "index-set length must equal lineitem count")
   }
+
+  test("NegRisk adapter family decodes all six events, address-filtered") {
+    val orders = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    // the fixture inner-joins lineitems (redemption needs the amounts
+    // tail), so childless orders emit no log on either side
+    val nOrders = orders.join(li.select(col("l_orderkey").as("o_orderkey"))
+      .distinct(), Seq("o_orderkey")).count()
+    val logs = LogDecode.encodeNegRiskEvents(orders, li)
+    val decoded = LogDecode.decodeNegRiskEvents(logs)
+    // the fixture emits split/merge decoys from the ConditionalTokens
+    // address; a topic0-only decoder would see MORE than one row per
+    // order — the address filter must drop exactly the decoys
+    assert(logs.count() > nOrders, "fixture must contain decoys")
+    assert(decoded.count() == nOrders,
+      "wrong-address decoys must be dropped")
+    val kinds = decoded.groupBy(col("kind")).count().collect()
+      .map(_.getString(0)).toSet
+    assert(kinds == Set("market_prepared", "question_prepared", "split",
+      "merge", "redeem", "convert"))
+    // main.ts:506: question_count = Number(event.index) + 1
+    assert(decoded.filter(col("kind") === "question_prepared")
+      .filter(col("question_count") =!= pmod(col("log_index"), lit(8L)) + 1L)
+      .isEmpty, "question_count must be decoded index + 1")
+    // the redemption amounts tail is the order's lineitems
+    val expN = li.groupBy(col("l_orderkey").as("log_index"))
+      .agg(count(lit(1)).as("exp_n"))
+    assert(decoded.filter(col("kind") === "redeem")
+      .join(expN, Seq("log_index"))
+      .filter(col("n_amounts") =!= col("exp_n")).isEmpty,
+      "amounts length must equal lineitem count")
+    // indexed-uint256 topic: the index set decodes from topic3 itself
+    assert(decoded.filter(col("kind") === "convert")
+      .filter(col("index_set") =!= pmod(col("log_index"), lit(63L)) + 1L)
+      .isEmpty, "indexSet must decode from the indexed topic")
+  }
+
+  test("FeeModule decode feeds the ledger's fee cash events (the seam)") {
+    val trades = Tables.trades(spark, sf)
+    val decoded = LogDecode.decodeFeeEvents(LogDecode.encodeFeeEvents(trades))
+    assert(decoded.count() == trades.count(),
+      "both module addresses accepted, wrong-address decoys dropped")
+    val mods = decoded.select(col("module")).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(mods == Set(LogDecode.FeeModuleAddr, LogDecode.NegRiskFeeModuleAddr))
+    // kind names ARE the ledger's cash-event kinds: decoded rows feed
+    // Ledger.buildEvents unchanged (ledger-engine.ts:1811/:1838 —
+    // usdc_delta = +amount, fees_paid down)
+    val ev = decoded.select(
+      col("to_wallet").as("wallet"),
+      col("ts"),
+      col("log_index").as("seq"),
+      lit(0L).as("token_id"),
+      col("kind"),
+      lit(0.0).as("qty"),
+      (coalesce(col("refund_i"), col("amount_i")).cast("double") / 1e6)
+        .as("usd"),
+      lit(0.0).as("fee"),
+      lit(0L).as("token_id2"),
+      lit(null).cast("array<long>").as("leg_tokens"),
+      lit(null).cast("array<double>").as("leg_qtys"),
+      lit(null).cast("array<long>").as("leg_tokens2"),
+      lit(null).cast("array<double>").as("leg_qtys2"))
+    val led = graft.operators.Ledger.buildEvents(spark, ev).toDF()
+    assert(led.count() == decoded.count())
+    val sums = led.agg(
+      sum(col("usd_delta")).as("cash_in"),
+      sum(col("fee")).as("fee_channel")).collect()(0)
+    val expCash = decoded.agg(
+      (sum(coalesce(col("refund_i"), col("amount_i"))) / 1e6).as("s"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(sums.getDouble(0) - expCash) < 1e-6,
+      "fee events must book usdc_delta = +amount")
+    assert(math.abs(sums.getDouble(1) + expCash) < 1e-6,
+      "fee events must reduce fees_paid by the same amount")
+  }
+
+  test("condition lifecycle: denominator is the decoded numerator sum") {
+    val orders = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val decoded = LogDecode.decodeConditionLifecycle(
+      LogDecode.encodeConditionLifecycle(orders, li))
+    val nOrders = orders.join(li.select(col("l_orderkey").as("o_orderkey"))
+      .distinct(), Seq("o_orderkey")).count()
+    assert(decoded.count() == nOrders,
+      "wrong-address prep decoys must be dropped")
+    val prep = decoded.filter(col("kind") === "prep")
+    assert(prep.filter(col("is_resolved")).isEmpty)
+    assert(prep.filter(col("n_payouts").isNotNull).isEmpty,
+      "prep rows carry no payout array (main.ts:392 payout_numerators: [])")
+    // main.ts:413: payoutDenominator = reduce(numerators, +)
+    val expSum = li.groupBy(col("l_orderkey").as("log_index"))
+      .agg(sum(col("l_quantity").cast("long")).as("exp_den"))
+    assert(decoded.filter(col("kind") === "resolve")
+      .join(expSum, Seq("log_index"))
+      .filter(col("payout_denominator") =!= col("exp_den")).isEmpty,
+      "denominator must equal the numerator sum")
+  }
 }

@@ -14,7 +14,35 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "q_discover", "q_price_change", "q_reorg_rewrite", "q_data_mix",
     "q_lm_score", "q_bm25", "q_ann_topk", "q_ann_sq", "q_ann_recall",
-    "q_hll_gate", "q_topk_gate", "q_quality_gate")
+    "q_hll_gate", "q_topk_gate", "q_quality_gate",
+    // Rank.globalRowNumber's 1-row broadcast total (ntile arithmetic)
+    "q_wallet_deciles")
+
+  // Unpartitioned-window allowlist: every entry is an unpartitioned
+  // WindowExec over PROVABLY BOUNDED input, documented at the site
+  // (VERDICT r7 asked for this pin so new unbounded ones can't slip
+  // in — q_wallet_deciles was exactly that and is now Rank-based):
+  //   - q_lb_audit / q_leaderboard* — rank over an already-top-k'd
+  //     (LIMIT 100) list, Leaderboard.audit
+  //   - q_quality_gate — AUC rank over the held-out eval slice,
+  //     QualityModel.auc
+  private val unpartWindowAllowed = Set(
+    "q_lb_audit", "q_quality_gate")
+
+  test("no unpartitioned WindowExec outside the documented allowlist") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val unpart = fn(spark, sf).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (unpart.nonEmpty && !unpartWindowAllowed(name))
+        offenders += s"$name: ${unpart.size} unpartitioned window(s)"
+    }
+    assert(offenders.isEmpty,
+      "single-partition global sorts (fix or document+allowlist): " +
+        offenders.mkString("; "))
+  }
 
   test("no CartesianProduct anywhere; BNLJ only in allowlisted shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -8,14 +8,6 @@ import org.apache.spark.sql.types._
   * plans synchronously into memory sinks (SURVEY §2 #28). */
 class StreamingSpec extends SparkSpec {
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),  // nanos (legacy read)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   // readStream needs a directory source: stage the single parquet file
   private lazy val stageDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream")
@@ -24,11 +16,29 @@ class StreamingSpec extends SparkSpec {
     dir.toString
   }
 
+  // ts has been TIMESTAMP(NANOS) (legacy long read) in some testdata
+  // generations and TIMESTAMP(MICROS) in others — take the actual
+  // type from a batch read of the staged file, like Tables.events
+  private lazy val tsType: DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(stageDir).schema("ts").dataType
+  }
+
+  private def eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", tsType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   private def streamingEvents = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema)
-      .parquet(stageDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.readStream.schema(eventsSchema).parquet(stageDir)
+    if (tsType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // watermarks need TIMESTAMP (LTZ): NTZ → LTZ at the UTC session tz
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   test("windowed candle stream produces the batch candle totals") {
