@@ -219,6 +219,50 @@ class LogDecodeSpec extends SparkSpec {
       "fee events must reduce fees_paid by the same amount")
   }
 
+  test("decoded NegRisk conversions drive the ledger's convert path") {
+    val orders = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val conv = LogDecode.decodeNegRiskEvents(
+        LogDecode.encodeNegRiskEvents(orders, li))
+      .filter(col("kind") === "convert")
+    // the decoded indexed-uint256 index set selects the legs exactly
+    // as ledger-engine.ts:1690-1706: burn the NO token of question i
+    // when bit i is set, mint the YES token of the others (3-question
+    // market, unit qty per leg)
+    val bit = (i: Int) => shiftright(col("index_set"), i).bitwiseAND(lit(1L))
+    val qs = sequence(lit(0), lit(2))
+    val inSet = (i: org.apache.spark.sql.Column) =>
+      pmod(floor(col("index_set") / pow(lit(2.0), i.cast("double")))
+        .cast("long"), lit(2L)) === 1
+    val ts0 = orders.select(col("o_orderkey").as("log_index"),
+      col("o_orderdate").cast("timestamp").as("ts"))
+    val ev = conv.join(ts0, Seq("log_index")).select(
+      col("wallet"), col("ts"), col("log_index").as("seq"),
+      lit(0L).as("token_id"), lit("convert").as("kind"),
+      lit(0.0).as("qty"), lit(0.0).as("usd"), lit(0.0).as("fee"),
+      lit(0L).as("token_id2"),
+      transform(filter(qs, inSet), i => lit(400000L) + i.cast("long"))
+        .as("leg_tokens"),
+      transform(filter(qs, inSet), _ => lit(1.0)).as("leg_qtys"),
+      transform(filter(qs, i => !inSet(i)), i => lit(410000L) + i.cast("long"))
+        .as("leg_tokens2"),
+      transform(filter(qs, i => !inSet(i)), _ => lit(1.0)).as("leg_qtys2"))
+    val led = graft.operators.Ledger.buildEvents(spark, ev).toDF()
+    assert(led.count() == conv.count(), "one ledger row per conversion")
+    assert(led.filter(col("event_type") =!= "convert").isEmpty)
+    assert(led.filter(col("usd_delta") =!= 0.0).isEmpty,
+      "conversion moves no usdc (ledger-engine.ts:1670-1750)")
+    // emitted qty = mint count (3 − popcount of bits 0..2), or the
+    // burn count when every question is in the set (mint 0)
+    val pop = bit(0) + bit(1) + bit(2)
+    val expQty = when(lit(3L) - pop === 0L, pop.cast("double"))
+      .otherwise((lit(3L) - pop).cast("double"))
+    val chk = led.select(col("seq").as("log_index"), col("qty"))
+      .join(conv.select(col("log_index"), col("index_set")), Seq("log_index"))
+    assert(chk.filter(col("qty") =!= expQty).isEmpty,
+      "per-event qty must follow the decoded index set")
+  }
+
   test("condition lifecycle: denominator is the decoded numerator sum") {
     val orders = Tables.orders(spark, sf)
     val li = Tables.lineitem(spark, sf)
