@@ -80,7 +80,12 @@ object Bench {
       passes.headOption.flatMap(_.get(n)).map(s => (n, s._1, s._2)))
   private def headlineJson: String = {
     val rs = merged
-    val cold = coldPass
+    // A query that failed in ANY pass is a failure: it rides failed[]
+    // AND prints -1 in the cold map (same population for both — the
+    // r7 invariant; cold time alone would claim success next to a
+    // failed[] entry for the same name).
+    val anyFail = rs.collect { case (k, _, false) => k }.toSet
+    val cold = coldPass.map { case (k, v, ok) => (k, v, ok && !anyFail(k)) }
     val total = cold.collect { case (_, v, true) => v }.sum
     val line = cold.filter { case (k, _, _) => !nonHeadline(k) }
     // Steady = min over ≥2 samples (the longitudinal signal r1-r5's
@@ -90,15 +95,18 @@ object Bench {
     // the steady SCALARS (total, count, worst query); the full
     // per-query steady map rides BENCH_LOCAL.json, which is committed
     // next to the build.
+    // only fully-ok queries enter the steady population, so
+    // steady_n, steady_total and steady_worst all describe the same
+    // set (a failed query's time is time-to-exception, not a runtime)
     val steady = order.flatMap { n =>
       val ss = passes.flatMap(_.get(n))
-      if (ss.length >= 2 && !nonHeadline(n))
-        Some((n, ss.map(_._1).min, ss.forall(_._2)))
+      if (ss.length >= 2 && !nonHeadline(n) && ss.forall(_._2))
+        Some((n, ss.map(_._1).min))
       else None
     }
-    val steadyTotal = steady.collect { case (_, v, true) => v }.sum
+    val steadyTotal = steady.map(_._2).sum
     val steadyWorst = steady.sortBy(-_._2).headOption
-      .map { case (n, v, _) => s""","steady_worst":{"$n":${fmt(v)}}""" }
+      .map { case (n, v) => s""","steady_worst":{"$n":${fmt(v)}}""" }
       .getOrElse("")
     // completed/selected/passes: a SIGTERM'd sweep sums only what
     // finished, which would otherwise read as a (misleadingly fast)

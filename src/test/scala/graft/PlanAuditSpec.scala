@@ -22,23 +22,26 @@ class PlanAuditSpec extends SparkSpec {
   // WindowExec over PROVABLY BOUNDED input, documented at the site
   // (VERDICT r7 asked for this pin so new unbounded ones can't slip
   // in — q_wallet_deciles was exactly that and is now Rank-based):
-  //   - q_lb_audit / q_leaderboard* — rank over an already-top-k'd
-  //     (LIMIT 100) list, Leaderboard.audit
+  //   - q_lb_audit — rank over two already-top-k'd (LIMIT 100)
+  //     lists, Leaderboard.audit
   //   - q_quality_gate — AUC rank over the held-out eval slice,
   //     QualityModel.auc
   private val unpartWindowAllowed = Set(
     "q_lb_audit", "q_quality_gate")
 
+  // plan every query ONCE; both audits read from this
+  private lazy val plans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.sparkPlan
+    }
+
   test("no unpartitioned WindowExec outside the documented allowlist") {
     import org.apache.spark.sql.execution.window.WindowExec
-    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val unpart = fn(spark, sf).queryExecution.sparkPlan.collect {
-        case w: WindowExec if w.partitionSpec.isEmpty => w
-      }
-      if (unpart.nonEmpty && !unpartWindowAllowed(name))
-        offenders += s"$name: ${unpart.size} unpartitioned window(s)"
-    }
+    val offenders = for {
+      (name, plan) <- plans
+      unpart = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      if unpart.nonEmpty && !unpartWindowAllowed(name)
+    } yield s"$name: ${unpart.size} unpartitioned window(s)"
     assert(offenders.isEmpty,
       "single-partition global sorts (fix or document+allowlist): " +
         offenders.mkString("; "))
@@ -46,11 +49,11 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no CartesianProduct anywhere; BNLJ only in allowlisted shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val plan = fn(spark, sf).queryExecution.executedPlan.toString
-      if (plan.contains("CartesianProduct"))
+    for ((name, plan) <- plans) {
+      val s = plan.toString
+      if (s.contains("CartesianProduct"))
         offenders += s"$name: CartesianProduct"
-      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+      if (s.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
         offenders += s"$name: unexpected BroadcastNestedLoopJoin"
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
