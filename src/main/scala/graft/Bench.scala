@@ -37,7 +37,7 @@ object Bench {
     "q_neardup_recall", "q_hll_gate", "q_topk_gate", "q_quantile_gate",
     "q_quality_gate", "q_wallet_deciles", "q_pivot_segments",
     "q_win_rate", "q_log_decode_e2e", "q_log_decode_negrisk",
-    "q_log_decode_fees",
+    "q_log_decode_fees", "q_conditions_state",
     // light fixed-cost queries (steady < 1 s, no plan interest) kept
     // out of the line so it stays inside the driver's tail capture
     "q_activity", "q_token_trades", "q_token_metadata", "q_word_freq",

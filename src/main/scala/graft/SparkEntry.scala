@@ -1586,6 +1586,19 @@ object SparkEntry {
       family.unionByName(lifecycle).orderBy(col("log_index"), col("kind"))
     }),
 
+    // Conditions state table (main.ts:385-434 upsert): decoded
+    // lifecycle rows merged per condition — creation fields from the
+    // prep, resolution fields from the resolve when one exists (the
+    // fixture emits BOTH for odd orders, exercising the overwrite
+    // path the reference comments "Will be overwritten by earlier
+    // prep"). One partial-agg groupBy; at 100 TB this is the
+    // keep-latest state MV shape, maintained incrementally at ingest.
+    "q_conditions_state" -> ((s, d) =>
+      LogDecode.conditionsState(LogDecode.decodeConditionLifecycle(
+          LogDecode.encodeConditionLifecycle(
+            Tables.orders(s, d), Tables.lineitem(s, d))))
+        .orderBy(col("condition_hex"))),
+
     // NegRisk adapter event decode (main.ts:483-590, abi/
     // NegRiskAdapter.ts): all six events — MarketPrepared,
     // QuestionPrepared, PositionSplit, PositionsMerge,
@@ -3653,22 +3666,66 @@ object SparkEntry {
         |       CAST(NULL AS BOOLEAN) AS is_resolved
         |FROM e JOIN agg USING (log_index)
         |UNION ALL
-        |SELECT o.o_orderkey AS log_index,
-        |       CASE WHEN o.o_orderkey % 2 = 0 THEN 'prep' ELSE 'resolve' END AS kind,
+        |SELECT o.o_orderkey * 2 AS log_index, 'prep' AS kind,
         |       CAST(NULL AS BIGINT) AS wallet,
         |       lpad(printf('%x', o.o_orderkey), 64, '0') AS condition_hex,
         |       CAST(NULL AS BIGINT) AS collateral,
         |       CAST(NULL AS BIGINT) AS amount_i,
-        |       CASE WHEN o.o_orderkey % 2 = 1 THEN agg.n_sets END AS n_sets,
-        |       CASE WHEN o.o_orderkey % 2 = 1 THEN agg.num_sum END AS sets_sum,
-        |       CASE WHEN o.o_orderkey % 2 = 1 THEN agg.first_num END AS first_set,
-        |       CASE WHEN o.o_orderkey % 2 = 1 THEN agg.last_num END AS last_set,
+        |       CAST(NULL AS BIGINT) AS n_sets,
+        |       CAST(NULL AS BIGINT) AS sets_sum,
+        |       CAST(NULL AS BIGINT) AS first_set,
+        |       CAST(NULL AS BIGINT) AS last_set,
         |       CAST(o.o_custkey + 900000 AS BIGINT) AS oracle,
         |       lpad(printf('%x', o.o_orderkey + 7000000), 64, '0') AS question_hex,
         |       agg.n_sets AS slot_count,
-        |       o.o_orderkey % 2 = 1 AS is_resolved
+        |       FALSE AS is_resolved
         |FROM orders o JOIN agg ON o.o_orderkey = agg.log_index
+        |UNION ALL
+        |SELECT o.o_orderkey * 2 + 1 AS log_index, 'resolve' AS kind,
+        |       CAST(NULL AS BIGINT) AS wallet,
+        |       lpad(printf('%x', o.o_orderkey), 64, '0') AS condition_hex,
+        |       CAST(NULL AS BIGINT) AS collateral,
+        |       CAST(NULL AS BIGINT) AS amount_i,
+        |       agg.n_sets AS n_sets,
+        |       agg.num_sum AS sets_sum,
+        |       agg.first_num AS first_set,
+        |       agg.last_num AS last_set,
+        |       CAST(o.o_custkey + 900000 AS BIGINT) AS oracle,
+        |       lpad(printf('%x', o.o_orderkey + 7000000), 64, '0') AS question_hex,
+        |       agg.n_sets AS slot_count,
+        |       TRUE AS is_resolved
+        |FROM orders o JOIN agg ON o.o_orderkey = agg.log_index
+        |WHERE o.o_orderkey % 2 = 1
         |ORDER BY log_index, kind""".stripMargin,
+
+    "q_conditions_state" ->
+      """WITH s AS (
+        |  SELECT l_orderkey AS log_index,
+        |         CAST(l_quantity AS BIGINT) AS num_i,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_linenumber, l_partkey, l_quantity) AS rn,
+        |         COUNT(*) OVER (PARTITION BY l_orderkey) AS n
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT log_index,
+        |         CAST(MAX(n) AS BIGINT) AS n_sets,
+        |         CAST(SUM(num_i) AS BIGINT) AS num_sum,
+        |         CAST(MAX(CASE WHEN rn = 1 THEN num_i END) AS BIGINT) AS first_num,
+        |         CAST(MAX(CASE WHEN rn = n THEN num_i END) AS BIGINT) AS last_num
+        |  FROM s GROUP BY log_index)
+        |SELECT lpad(printf('%x', o.o_orderkey), 64, '0') AS condition_hex,
+        |  CAST(o.o_custkey + 900000 AS BIGINT) AS oracle,
+        |  lpad(printf('%x', o.o_orderkey + 7000000), 64, '0') AS question_hex,
+        |  agg.n_sets AS slot_count,
+        |  o.o_orderkey % 2 = 1 AS is_resolved,
+        |  CAST(o.o_orderkey * 2 AS BIGINT) AS created_log,
+        |  CASE WHEN o.o_orderkey % 2 = 1
+        |       THEN CAST(o.o_orderkey * 2 + 1 AS BIGINT) END AS resolved_log,
+        |  CASE WHEN o.o_orderkey % 2 = 1 THEN agg.num_sum END AS payout_denominator,
+        |  CASE WHEN o.o_orderkey % 2 = 1 THEN agg.first_num END AS first_payout,
+        |  CASE WHEN o.o_orderkey % 2 = 1 THEN agg.last_num END AS last_payout
+        |FROM orders o JOIN agg ON o.o_orderkey = agg.log_index
+        |ORDER BY condition_hex""".stripMargin,
 
     "q_log_decode_negrisk" ->
       """WITH e AS (

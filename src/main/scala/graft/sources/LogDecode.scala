@@ -578,8 +578,12 @@ object LogDecode {
   // ConditionalTokens lifecycle (main.ts:380-435)
   // ---------------------------------------------------------------
 
-  /** ConditionPreparation / ConditionResolution logs, one per order
-    * (`o_orderkey % 2`). Both index conditionId/oracle/questionId;
+  /** ConditionPreparation / ConditionResolution logs: EVERY order's
+    * condition emits a preparation (log_index = 2·order), ODD orders
+    * additionally resolve later (log_index = 2·order + 1) — so the
+    * conditions-table upsert path sees both a prep and a resolve for
+    * the same conditionId, like main.ts:385-434 ("Will be overwritten
+    * by earlier prep"). Both index conditionId/oracle/questionId;
     * resolution adds the payout-numerator dynamic array AFTER the
     * static outcomeSlotCount word — numerators are the order's
     * lineitem quantities (exact integers) in line order, slot count =
@@ -599,26 +603,52 @@ object LogDecode {
     val n = size(col("xs"))
     val numWords = concat_ws("",
       transform(col("xs"), x => toWord(x.getField("num_i"))))
-    val isPrep = pmod(col("order_id"), lit(2L)) === 0
-    val logs = spread(elems.join(
+    val base = spread(elems.join(
       orders.select(col("o_orderkey").as("order_id"),
         col("o_custkey").cast("long").as("wallet")), Seq("order_id")))
+    val preps = base.select(
+      (col("order_id") * 2).as("log_index"),
+      lit(ConditionalTokensAddr).as("addr"),
+      lit(ConditionPreparationTopic).as("topic0"),
+      toWord(col("order_id")).as("topic1"),                // conditionId
+      toWord(col("wallet") + 900000L).as("topic2"),        // oracle
+      toWord(col("order_id") + 7000000L).as("topic3"),     // questionId
+      toWord(n.cast("long")).as("data"))
+    val resolves = base.filter(pmod(col("order_id"), lit(2L)) === 1)
       .select(
-        col("order_id").as("log_index"),
+        (col("order_id") * 2 + 1).as("log_index"),
         lit(ConditionalTokensAddr).as("addr"),
-        when(isPrep, ConditionPreparationTopic)
-          .otherwise(ConditionResolutionTopic).as("topic0"),
-        toWord(col("order_id")).as("topic1"),              // conditionId
-        toWord(col("wallet") + 900000L).as("topic2"),      // oracle
-        toWord(col("order_id") + 7000000L).as("topic3"),   // questionId
-        when(isPrep, toWord(n.cast("long")))
-          .otherwise(concat(
-            toWord(n.cast("long")),                        // slot count
-            toWord(lit(64L)),                              // numerators ofs
-            toWord(n.cast("long")), numWords)).as("data"))
-    val decoys = logs.filter(col("topic0") === ConditionPreparationTopic)
-      .withColumn("addr", lit(NegRiskAdapterAddr))
-    logs.unionByName(decoys)
+        lit(ConditionResolutionTopic).as("topic0"),
+        toWord(col("order_id")).as("topic1"),
+        toWord(col("wallet") + 900000L).as("topic2"),
+        toWord(col("order_id") + 7000000L).as("topic3"),
+        concat(
+          toWord(n.cast("long")),                          // slot count
+          toWord(lit(64L)),                                // numerators ofs
+          toWord(n.cast("long")), numWords).as("data"))
+    val decoys = preps.withColumn("addr", lit(NegRiskAdapterAddr))
+    preps.unionByName(resolves).unionByName(decoys)
+  }
+
+  /** Merge decoded lifecycle rows into the reference's `conditions`
+    * state table (main.ts:385-434 upsert semantics): created_* comes
+    * from the preparation, is_resolved / payout numerators from the
+    * resolution when one exists — resolution rows "will be
+    * overwritten by earlier prep" for creation fields and override
+    * resolution fields. One partial-agg groupBy per condition. */
+  def conditionsState(decoded: DataFrame): DataFrame = {
+    val isRes = col("kind") === "resolve"
+    decoded.groupBy(col("condition_hex"))
+      .agg(
+        max(col("oracle")).as("oracle"),
+        max(col("question_hex")).as("question_hex"),
+        max(col("slot_count")).as("slot_count"),
+        (sum(when(isRes, 1L).otherwise(0L)) > 0).as("is_resolved"),
+        min(when(!isRes, col("log_index"))).as("created_log"),
+        max(when(isRes, col("log_index"))).as("resolved_log"),
+        max(when(isRes, col("payout_denominator"))).as("payout_denominator"),
+        max(when(isRes, col("first_payout"))).as("first_payout"),
+        max(when(isRes, col("last_payout"))).as("last_payout"))
   }
 
   /** Decode the condition lifecycle into the reference's `conditions`

@@ -268,20 +268,34 @@ class LogDecodeSpec extends SparkSpec {
     val li = Tables.lineitem(spark, sf)
     val decoded = LogDecode.decodeConditionLifecycle(
       LogDecode.encodeConditionLifecycle(orders, li))
-    val nOrders = orders.join(li.select(col("l_orderkey").as("o_orderkey"))
-      .distinct(), Seq("o_orderkey")).count()
-    assert(decoded.count() == nOrders,
-      "wrong-address prep decoys must be dropped")
+    val withLi = orders.join(li.select(col("l_orderkey").as("o_orderkey"))
+      .distinct(), Seq("o_orderkey"))
+    // a prep per condition + a resolve for odd orders, decoys dropped
+    val nOrders = withLi.count()
+    val nOdd = withLi.filter(pmod(col("o_orderkey"), lit(2L)) === 1).count()
+    assert(decoded.count() == nOrders + nOdd,
+      "prep per order + resolve per odd order, decoys dropped")
     val prep = decoded.filter(col("kind") === "prep")
+    assert(prep.count() == nOrders)
     assert(prep.filter(col("is_resolved")).isEmpty)
     assert(prep.filter(col("n_payouts").isNotNull).isEmpty,
       "prep rows carry no payout array (main.ts:392 payout_numerators: [])")
-    // main.ts:413: payoutDenominator = reduce(numerators, +)
-    val expSum = li.groupBy(col("l_orderkey").as("log_index"))
+    // main.ts:413: payoutDenominator = reduce(numerators, +);
+    // resolve log_index = 2·order + 1
+    val expSum = li.groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity").cast("long")).as("exp_den"))
+      .select((col("l_orderkey") * 2 + 1).as("log_index"), col("exp_den"))
     assert(decoded.filter(col("kind") === "resolve")
       .join(expSum, Seq("log_index"))
       .filter(col("payout_denominator") =!= col("exp_den")).isEmpty,
       "denominator must equal the numerator sum")
+    // the merged conditions state: resolve overrides resolution
+    // fields, prep supplies creation fields (main.ts upsert)
+    val st = LogDecode.conditionsState(decoded)
+    assert(st.count() == nOrders)
+    assert(st.filter(col("is_resolved") &&
+      col("payout_denominator").isNull).isEmpty)
+    assert(st.filter(!col("is_resolved") &&
+      col("resolved_log").isNotNull).isEmpty)
   }
 }
