@@ -29,16 +29,24 @@ class PlanAuditSpec extends SparkSpec {
   private val unpartWindowAllowed = Set(
     "q_lb_audit", "q_quality_gate")
 
-  // plan every query ONCE; both audits read from this
-  private lazy val plans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
+  // Plan every query ONCE, exposing both views the two audits need:
+  // the sparkPlan TREE (WindowExec partitionSpec introspection) and
+  // the executedPlan STRING — the string must come from executedPlan
+  // because PlanSubqueries only runs in executed-plan preparation, so
+  // a CartesianProduct/BNLJ INSIDE a scalar subquery (q_bloom_prune's
+  // sketch rides one) is invisible in sparkPlan. executedPlan derives
+  // from the already-computed sparkPlan, so this stays one planning
+  // pass per query.
+  private lazy val plans: Seq[(String, org.apache.spark.sql.execution.SparkPlan, String)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> fn(spark, sf).queryExecution.sparkPlan
+      val qe = fn(spark, sf).queryExecution
+      (name, qe.sparkPlan, qe.executedPlan.toString)
     }
 
   test("no unpartitioned WindowExec outside the documented allowlist") {
     import org.apache.spark.sql.execution.window.WindowExec
     val offenders = for {
-      (name, plan) <- plans
+      (name, plan, _) <- plans
       unpart = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
       if unpart.nonEmpty && !unpartWindowAllowed(name)
     } yield s"$name: ${unpart.size} unpartitioned window(s)"
@@ -49,8 +57,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no CartesianProduct anywhere; BNLJ only in allowlisted shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((name, plan) <- plans) {
-      val s = plan.toString
+    for ((name, _, s) <- plans) {
       if (s.contains("CartesianProduct"))
         offenders += s"$name: CartesianProduct"
       if (s.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
