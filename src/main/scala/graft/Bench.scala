@@ -31,7 +31,7 @@ object Bench {
     "q_word_topk_approx", "q_embed_centroid", "q_lm_score",
     "q_quantiles_sketch", "q_recent_tokens", "q_sql_ledger_profile",
     "q_ledger_resolved_exact", "q_pnl_period_exact", "q_ann_recall",
-    "q_ledger_rows_exact",
+    "q_ledger_rows_exact", "q_pnl_modes_exact",
     "q_mix_sample", "q_seq_pack", "q_ledger_curve_exact",
     "q_log_decode", "q_log_decode_batch", "q_log_decode_condition",
     "q_neardup_recall", "q_hll_gate", "q_topk_gate", "q_quantile_gate",
@@ -98,9 +98,13 @@ object Bench {
     // only fully-ok queries enter the steady population, so
     // steady_n, steady_total and steady_worst all describe the same
     // set (a failed query's time is time-to-exception, not a runtime)
+    // ALL queries enter the steady population (VERDICT r8 #2: the
+    // steady sweep used to cover only the headline subset, leaving
+    // the most expensive queries with no longitudinal signal); the
+    // printed line still carries only the three steady SCALARS.
     val steady = order.flatMap { n =>
       val ss = passes.flatMap(_.get(n))
-      if (ss.length >= 2 && !nonHeadline(n) && ss.forall(_._2))
+      if (ss.length >= 2 && ss.forall(_._2))
         Some((n, ss.map(_._1).min))
       else None
     }
@@ -203,6 +207,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.local.dir", localDir)
+      // UTC like GraftSession/Verify (ADVICE r8): without it the
+      // events ts cast is host-timezone dependent and q_sessions
+      // cardinalities/timings drift across hosts
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -263,16 +271,18 @@ object Bench {
     // Steady-state pass (VERDICT r7 #6: r7's passes=1 headline mixed
     // one-time codegen + MV materialization into every number, killing
     // comparability with r1-r5's min-of-2): after the cold sweep,
-    // re-run the HEADLINE queries once more and report min-of-2 as
-    // "steady" NEXT TO the untouched cold numbers. Headline-only keeps
-    // the extra wall clock roughly half a sweep, far from the driver
-    // cap. Skipped when SPARK_GRAFT_PASSES already runs multiple full
-    // sweeps, or SPARK_GRAFT_STEADY=0.
+    // re-run EVERY query once more and report min-of-2 as "steady"
+    // NEXT TO the untouched cold numbers. Full-population since r9
+    // (VERDICT r8 #2): the steady sweep runs warm (MVs + codegen paid)
+    // so it costs ~¼ of the cold sweep even over all queries, and the
+    // expensive log-decode/exact-twin families finally get a
+    // longitudinal signal. Skipped when SPARK_GRAFT_PASSES already
+    // runs multiple full sweeps, or SPARK_GRAFT_STEADY=0.
     val steadyOn = nPasses == 1 &&
       !sys.env.get("SPARK_GRAFT_STEADY").exists(v =>
         v == "0" || v.equalsIgnoreCase("false"))
     if (!contextDead && steadyOn)
-      runSweep(1, selected.filter(t => !nonHeadline(t._1)))
+      runSweep(1, selected)
     // the ONE parseable line, last: headline queries only, "value" = ALL.
     // Stop Spark first (logging off) so no shutdown WARN can land after it.
     if (!contextDead) { spark.sparkContext.setLogLevel("OFF"); spark.stop() }

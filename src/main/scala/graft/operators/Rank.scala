@@ -1,61 +1,115 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Distributed global ranking — the scale-safe replacement for an
-  * unpartitioned `Window.orderBy` (which Spark executes as a
+/** Distributed global ranking and order statistics — the scale-safe
+  * replacement for an unpartitioned `Window.orderBy` (a
   * single-partition sort: one task owns EVERY row, the classic
   * 100 TB plan-killer; the reference's global orderings ride its
   * sorted storage order instead, e.g. leaderboard ranks over an
   * ORDER BY table, 001:140-160).
   *
-  * Two-phase shape, all shuffles full-width:
-  *   1. range-repartition on the sort key + local sort — Spark's own
-  *      distributed ORDER BY machinery (sampled range bounds), so
-  *      partition p holds a contiguous, sorted slice of the global
-  *      order;
-  *   2. rank within each partition via `monotonically_increasing_id`
-  *      (consecutive within a partition by contract: partition id in
-  *      the high bits, row index in the low 33) — NO window, NO
-  *      per-partition state;
-  *   3. per-partition (min id, count) roll up to ≤ `numPartitions`
-  *      rows; cumulative offsets come from a triangular self-join of
-  *      that tiny aggregate (instead of an unpartitioned window —
-  *      keeps the "no single-partition WindowExec" invariant
-  *      PlanAuditSpec pins), broadcast back and added to the local
-  *      rank.
+  * DETERMINISM BY VALUES, NOT POSITIONS. The r8 implementation
+  * range-partitioned the rows and derived cumulative offsets from a
+  * second evaluation of the same shuffle, betting on Spark reusing
+  * the exchange so both branches saw identical partition bounds
+  * (ADVICE r8 flagged the bet). The bet loses: over cached
+  * (InMemoryRelation) inputs AQE does NOT reuse the range exchange,
+  * each branch re-samples its own bounds, and ranks come out garbage
+  * — reproduced at sf0.001 the moment the input was the session
+  * trades MV and the row count exceeded the range-sampler's
+  * full-scan threshold (small inputs get bounds from a complete
+  * sample, which is why the r8 oracle stayed green). This version
+  * derives every cross-partition quantity from VALUES only:
   *
-  * The broadcast side is one row per shuffle partition — bytes, not
-  * data — so the plan survives any row count that range-partitions.
+  *   1. each row gets a deterministic coarse bucket
+  *      [[monotoneBucket]] of its sort metric — same value, same
+  *      bucket, in every evaluation, bucket order = value order;
+  *   2. a histogram `bucket → count` (one partial aggregate, tiny)
+  *      yields exact bucket offsets via a two-level prefix sum —
+  *      a partitioned window within each 256-bucket super-block plus
+  *      a triangular join over the ≤ few-hundred super-blocks, both
+  *      provably bounded by the bucket image, never by the data;
+  *   3. the in-bucket rank is a `Window.partitionBy(bucket)`
+  *      row_number — a PARTITIONED window (spill-safe, one task per
+  *      occupied bucket), added to the broadcast bucket offset.
+  *
+  * No branch depends on how any other branch was physically
+  * partitioned, so caching, AQE re-planning, recomputation and
+  * exchange-reuse behavior are all irrelevant to correctness.
+  *
+  * Parallelism note: tasks follow occupied buckets (~64 per e-fold
+  * of the metric), so a point-mass (many rows with one exact value)
+  * serializes that bucket's window into one spill-safe task — ties
+  * are the irreducible case for any exact ranking; everything else
+  * spreads.
   */
 object Rank {
 
+  /** Deterministic monotone coarse bucket of a double: ~64 buckets
+    * per e-fold (`floor(64·ln(1+|v|))`, mirrored for negatives).
+    * Monotone non-strict in `v`, so bucket order never contradicts
+    * value order, and the image is bounded (|bucket| ≤ ~45k over the
+    * entire finite-double range) — histograms over it are
+    * broadcastable no matter the data. */
+  def monotoneBucket(v: Column): Column =
+    when(v >= 0, floor(log1p(v) * 64.0).cast("long"))
+      .otherwise(lit(-1L) - floor(log1p(-v) * 64.0).cast("long"))
+
+  /** Exact per-bucket starting offsets from a `bucket → count`
+    * histogram, computed entirely from values: within a 256-bucket
+    * super-block a partitioned running-sum window (input bounded by
+    * the block width), across super-blocks a triangular join over
+    * the bounded super-block totals. `keyCols` scopes the prefix sum
+    * (empty = global, or a group key for per-group ranks). Returns
+    * keyCols :+ bucket :+ (__off, __cnt). */
+  private def bucketOffsets(hist: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val k = keyCols.map(col)
+    val withS = hist.withColumn("__s", shiftright(col("__b"), 8))
+    val wIn = Window.partitionBy(k :+ col("__s"): _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inOff = withS.withColumn("__inoff",
+      coalesce(sum(col("__cnt")).over(wIn), lit(0L)))
+    val sup = withS.groupBy(k :+ col("__s"): _*)
+      .agg(sum(col("__cnt")).as("__scnt"))
+    val supR = sup.select(
+      keyCols.map(c => col(c).as(c + "_r")) ++
+        Seq(col("__s").as("__s2"), col("__scnt").as("__scnt2")): _*)
+    val cond = keyCols.map(c => col(c) === col(c + "_r"))
+      .foldLeft(col("__s2") < col("__s"))(_ && _)
+    val supOff = sup.join(supR, cond, "left")
+      .groupBy(k :+ col("__s"): _*)
+      .agg(coalesce(sum(col("__scnt2")), lit(0L)).as("__soff"))
+    inOff.join(supOff, keyCols :+ "__s")
+      .select(k ++ Seq(col("__b"), (col("__soff") + col("__inoff")).as("__off"),
+        col("__cnt")): _*)
+  }
+
   /** Append a 1-based global row number `out` ordered by `sortCols`
-    * (ties must be broken by the caller's key list for determinism)
-    * plus `outTotal` = the total row count (broadcast, for
-    * ntile/percent_rank arithmetic downstream). */
-  def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+    * (ties must be broken by the caller's column list for
+    * determinism) plus `outTotal` = the total row count (broadcast,
+    * for ntile/percent_rank arithmetic downstream).
+    *
+    * `bucket` must be a deterministic, coarse, bounded-image column
+    * aligned with `sortCols` — b(x) < b(y) implies x sorts before y
+    * (use [[monotoneBucket]] on the leading sort metric, negated for
+    * descending). It only steers parallelism; `sortCols` alone
+    * decide the order. */
+  def globalRowNumber(df: DataFrame, bucket: Column, sortCols: Seq[Column],
                       out: String, outTotal: String): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val parted = df.repartitionByRange(n, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__mid", monotonically_increasing_id())
-    val stats = parted.groupBy(col("__pid"))
-      .agg(min(col("__mid")).as("__min"), count(lit(1)).as("__cnt"))
-    // triangular self-join over ≤ n rows: offset(p) = Σ cnt(p' < p)
-    val off = stats.as("x")
-      .join(stats.select(col("__pid").as("__pid2"), col("__cnt").as("__cnt2"))
-        .as("y"), col("__pid2") < col("__pid"), "left")
-      .groupBy(col("__pid"), col("__min"))
-      .agg(coalesce(sum(col("__cnt2")), lit(0L)).as("__off"))
-    val total = stats.agg(sum(col("__cnt")).as(outTotal))
-    parted
-      .join(broadcast(off), Seq("__pid"))
+    val withB = df.withColumn("__b", bucket)
+    val hist = withB.groupBy(col("__b")).agg(count(lit(1)).as("__cnt"))
+    val off = bucketOffsets(hist, Nil).drop("__cnt")
+    val total = hist.agg(sum(col("__cnt")).as(outTotal))
+    val w = Window.partitionBy(col("__b")).orderBy(sortCols: _*)
+    withB
+      .withColumn("__lr", row_number().over(w).cast("long"))
+      .join(broadcast(off), Seq("__b"))
       .crossJoin(broadcast(total))
-      .withColumn(out, col("__off") + (col("__mid") - col("__min")) + 1L)
-      .drop("__pid", "__mid", "__min", "__off")
+      .withColumn(out, col("__off") + col("__lr"))
+      .drop("__b", "__lr", "__off")
   }
 
   /** SQL `ntile(k)` from a global row number: the first `total mod k`
@@ -82,4 +136,83 @@ object Rank {
     when(total > 1L,
       (rank.cast("double") - 1.0) / (total.cast("double") - 1.0))
       .otherwise(0.0)
+
+  /** Exact interpolated per-group quantiles (SQL `percentile_cont`,
+    * ClickHouse `quantile()`, Spark `percentile()`) WITHOUT the
+    * per-group full-value aggregation buffer: Spark's exact
+    * `percentile` is an ImperativeAggregate whose buffer holds every
+    * value in the group, so one low-cardinality group (6 markets
+    * over all trades) concentrates the whole table in a handful of
+    * merge tasks — the r8 verdict's flagged scale-killer.
+    *
+    * Distributed selection instead, deterministic by values:
+    *   1. histogram over ([[monotoneBucket]], group) — one partial
+    *      aggregate, bounded by the bucket image;
+    *   2. exact in-group bucket offsets + group totals from the
+    *      histogram ([[bucketOffsets]]); target ranks
+    *      rn = p·(n−1) land in exactly one bucket each;
+    *   3. ONLY the target buckets' rows are fetched (a broadcast
+    *      semi-join prunes the rest at the scan) and ranked with a
+    *      `Window.partitionBy(group, bucket)` row_number — never a
+    *      whole group in one task, let alone in one buffer;
+    *   4. the ⌊rn⌋/⌈rn⌉ values interpolate with
+    *      `(⌈rn⌉−rn)·v_lo + (rn−⌊rn⌋)·v_hi` — the exact expression
+    *      Spark's `Percentile.getPercentile` evaluates, so results
+    *      are bit-identical to `percentile()` (RankSpec pins
+    *      equality on the real data, cached and uncached).
+    *
+    * Two scans of the input (histogram + pruned fetch), no full-data
+    * shuffle at all. Null values are ignored like the aggregate it
+    * replaces; `countName` = per-group non-null value count.
+    */
+  def groupedQuantiles(df: DataFrame, group: String, value: Column,
+                       quantiles: Seq[(String, Double)],
+                       countName: String): DataFrame = {
+    val base = df.select(col(group).as("__g"), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val withB = base.withColumn("__b", monotoneBucket(col("__v")))
+    val hist = withB.groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    val off = bucketOffsets(hist, Seq("__g"))
+    val totals = hist.groupBy(col("__g")).agg(sum(col("__cnt")).as("__n"))
+    val qarr = array(quantiles.map { case (qn, p) =>
+      struct(lit(qn).as("q"), lit(p).as("p")) }: _*)
+    val targets = totals
+      .select(col("__g"), col("__n"), explode(qarr).as("t"))
+      .withColumn("__rn", col("t.p") * (col("__n") - 1L).cast("double"))
+      .select(col("__g"), col("__n"), col("t.q").as("__q"), col("__rn"),
+        (floor(col("__rn")).cast("long") + 1L).as("__lo"),
+        (ceil(col("__rn")).cast("long") + 1L).as("__hi"))
+    // each needed rank lives in exactly one bucket: off < rk ≤ off+cnt
+    val ranksNeeded = targets.select(col("__g"), col("__lo").as("__rk"))
+      .unionByName(targets.select(col("__g"), col("__hi").as("__rk")))
+      .distinct()
+    val loc = ranksNeeded.join(off, Seq("__g"))
+      .filter(col("__rk") > col("__off") && col("__rk") <= col("__off") + col("__cnt"))
+      .select(col("__g"), col("__b"), col("__rk"), col("__off"))
+    val neededBuckets = loc.select(col("__g"), col("__b")).distinct()
+    val wB = Window.partitionBy(col("__g"), col("__b")).orderBy(col("__v"))
+    val vals = withB.join(broadcast(neededBuckets), Seq("__g", "__b"))
+      .withColumn("__lr", row_number().over(wB).cast("long"))
+      .join(broadcast(loc.withColumn("__lr", col("__rk") - col("__off"))),
+        Seq("__g", "__b", "__lr"))
+      .select(col("__g"), col("__rk"), col("__v"))
+    // attach the two order statistics per (group, quantile), interpolate
+    val vlo = vals.select(col("__g"), col("__rk").as("__lo"), col("__v").as("__vlo"))
+    val vhi = vals.select(col("__g"), col("__rk").as("__hi"), col("__v").as("__vhi"))
+    val perQ = targets
+      .join(broadcast(vlo), Seq("__g", "__lo"))
+      .join(broadcast(vhi), Seq("__g", "__hi"))
+      // Percentile.getPercentile verbatim: exact-rank hit returns the
+      // value; otherwise (higher−pos)·lower + (pos−lower)·higher
+      .withColumn("__val", when(col("__lo") === col("__hi"), col("__vlo"))
+        .otherwise(
+          ((col("__hi") - 1L).cast("double") - col("__rn")) * col("__vlo") +
+          (col("__rn") - (col("__lo") - 1L).cast("double")) * col("__vhi")))
+    perQ.groupBy(col("__g"))
+      .agg(max(col("__n")).as(countName),
+        quantiles.map { case (qn, _) =>
+          max(when(col("__q") === qn, col("__val"))).as(qn) }: _*)
+      .withColumnRenamed("__g", group)
+  }
 }

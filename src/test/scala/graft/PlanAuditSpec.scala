@@ -55,6 +55,21 @@ class PlanAuditSpec extends SparkSpec {
         offenders.mkString("; "))
   }
 
+  test("no exact-percentile aggregation buffer anywhere") {
+    // VERDICT r8: Spark's exact percentile() is an ImperativeAggregate
+    // whose buffer holds EVERY value in the group — with low-cardinality
+    // groups that is a per-task copy of the table (q_trade_quantiles was
+    // flagged weak for exactly this; it is now Rank.groupedQuantiles).
+    // approx_percentile keeps a bounded GK summary and stays allowed.
+    val offenders = for {
+      (name, _, s) <- plans
+      if s.replace("approx_percentile", "").contains("percentile(")
+    } yield name
+    assert(offenders.isEmpty,
+      "full-group percentile buffer (use Rank.groupedQuantiles or " +
+        "approx_percentile): " + offenders.mkString("; "))
+  }
+
   test("no CartesianProduct anywhere; BNLJ only in allowlisted shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, _, s) <- plans) {

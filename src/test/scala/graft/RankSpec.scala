@@ -8,6 +8,14 @@ import org.apache.spark.sql.functions._
 /** Rank.globalRowNumber must agree exactly with the single-partition
   * window it replaces, and its ntile/percent_rank arithmetic with
   * Spark's own window functions — on real (skewed, tied) volume data.
+  *
+  * Cached-input cases are load-bearing: the r8 implementation derived
+  * offsets from a second evaluation of a sampled range shuffle and
+  * silently mis-ranked whenever the input was an InMemoryRelation
+  * (AQE does not reuse the exchange there) AND large enough that the
+  * range sampler actually sampled. The operators are now
+  * value-deterministic; these tests pin that on a persisted input at
+  * a row count where the old design demonstrably broke.
   */
 class RankSpec extends SparkSpec {
 
@@ -18,10 +26,12 @@ class RankSpec extends SparkSpec {
       .agg(sum(col("usd")).cast("double").as("volume_usd"))
   }
 
+  private def volBucket = -Rank.monotoneBucket(col("volume_usd"))
+  private def volSort = Seq(col("volume_usd").desc, col("wallet"))
+
   test("globalRowNumber equals the window row_number, no unpartitioned window") {
-    val sortCols = Seq(col("volume_usd").desc, col("wallet"))
-    val got = Rank.globalRowNumber(vol, sortCols, "rank", "total")
-    val w = Window.orderBy(sortCols: _*)
+    val got = Rank.globalRowNumber(vol, volBucket, volSort, "rank", "total")
+    val w = Window.orderBy(volSort: _*)
     val want = vol.select(col("wallet"),
       row_number().over(w).cast("long").as("rank"))
     val joined = got.select(col("wallet"), col("rank"))
@@ -39,12 +49,11 @@ class RankSpec extends SparkSpec {
   }
 
   test("ntile/percent_rank arithmetic matches Spark's window functions") {
-    val sortCols = Seq(col("volume_usd").desc, col("wallet"))
-    val got = Rank.globalRowNumber(vol, sortCols, "rank", "total")
+    val got = Rank.globalRowNumber(vol, volBucket, volSort, "rank", "total")
       .select(col("wallet"),
         Rank.ntileFromRank(col("rank"), col("total"), 10).as("decile"),
         Rank.percentRankFromRank(col("rank"), col("total")).as("pr"))
-    val w = Window.orderBy(sortCols: _*)
+    val w = Window.orderBy(volSort: _*)
     val want = vol.select(col("wallet"),
       ntile(10).over(w).as("want_decile"),
       percent_rank().over(w).as("want_pr"))
@@ -55,13 +64,98 @@ class RankSpec extends SparkSpec {
       "percent_rank formula must match")
   }
 
+  test("globalRowNumber is exact on a persisted per-row input (r8 bug class)") {
+    // per-ROW ranking over the two-sided trade view (~120k rows at
+    // sf0.001): large enough that the old sampled-range design broke
+    // on cached input; the key (usd desc, trade_id, role) is a total
+    // order so ranks are fully determined
+    // uniquify (trade_id, role) — the synthetic data duplicates
+    // l_linenumber within an order, so raw trade_ids collide and a
+    // per-row oracle join would be ambiguous
+    val wt = graft.operators.Leaderboard.walletTrades(
+      Tables.trades(spark, sf))
+      .groupBy(col("trade_id"), col("role"))
+      .agg(max(col("usd").cast("double")).as("usd"))
+      .persist()
+    try {
+      val sort = Seq(col("usd").desc, col("trade_id"), col("role"))
+      val got = Rank.globalRowNumber(wt, -Rank.monotoneBucket(col("usd")),
+        sort, "rank", "total")
+      val want = wt.select(col("trade_id"), col("role"),
+        row_number().over(Window.orderBy(sort: _*)).cast("long").as("want_rank"))
+      val joined = got.join(want, Seq("trade_id", "role"))
+      assert(joined.count() == wt.count())
+      assert(joined.filter(col("rank") =!= col("want_rank")).isEmpty,
+        "ranks must be exact over a cached input")
+    } finally { wt.unpersist(): Unit }
+  }
+
+  test("groupedQuantiles is bit-identical to percentile(), cached input") {
+    // Views.trades is the session-persisted MV — exactly the input
+    // shape that broke the r8 range-based design
+    val wt = graft.operators.Leaderboard.walletTrades(
+      graft.model.Views.trades(spark, sf))
+    // group by token_id%7: multiple groups, ties, skewed sizes
+    val t = wt.withColumn("g", (col("token_id") % 7).cast("string"))
+    val got = Rank.groupedQuantiles(t, "g", col("qty"),
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), countName = "n")
+    val want = t.groupBy(col("g")).agg(
+      count(col("qty")).as("wn"),
+      expr("percentile(CAST(qty AS DOUBLE), 0.5)").as("w50"),
+      expr("percentile(CAST(qty AS DOUBLE), 0.9)").as("w90"),
+      expr("percentile(CAST(qty AS DOUBLE), 0.99)").as("w99"))
+    val j = got.join(want, Seq("g"))
+    assert(j.count() == 7)
+    // exact ===, not a tolerance: the interpolation expression is
+    // Percentile.getPercentile verbatim, so doubles must match bitwise
+    assert(j.filter(col("n") =!= col("wn") || col("p50") =!= col("w50") ||
+      col("p90") =!= col("w90") || col("p99") =!= col("w99")).isEmpty,
+      "rank-arithmetic quantiles must equal percentile() exactly")
+  }
+
+  test("groupedQuantiles matches percentile() on a continuous column too") {
+    val wt = graft.operators.Leaderboard.walletTrades(
+      graft.model.Views.trades(spark, sf))
+    val t = wt.withColumn("g", (col("token_id") % 3).cast("string"))
+    val got = Rank.groupedQuantiles(t, "g", col("usd"),
+      Seq("p50" -> 0.5, "p95" -> 0.95), countName = "n")
+    val want = t.groupBy(col("g")).agg(
+      expr("percentile(CAST(usd AS DOUBLE), 0.5)").as("w50"),
+      expr("percentile(CAST(usd AS DOUBLE), 0.95)").as("w95"))
+    val j = got.join(want, Seq("g"))
+    assert(j.count() == 3)
+    assert(j.filter(col("p50") =!= col("w50") || col("p95") =!= col("w95"))
+      .isEmpty)
+  }
+
+  test("groupedQuantiles handles single-row and single-value groups") {
+    import spark.implicits._
+    val tiny = Seq(("a", 5.0), ("b", 1.0), ("b", 1.0), ("b", 1.0),
+      ("c", 1.0), ("c", 2.0)).toDF("g", "v")
+    val got = Rank.groupedQuantiles(tiny, "g", col("v"),
+      Seq("p50" -> 0.5), countName = "n").orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("a", 1L, 5.0), ("b", 3L, 1.0), ("c", 2L, 1.5)))
+  }
+
+  test("monotoneBucket is monotone and bounded, negatives included") {
+    import spark.implicits._
+    val vs = Seq(-1.0e12, -5.5, -1.0, -1.0e-9, 0.0, 1.0e-9, 0.5, 1.0,
+      49.9, 50.0, 1.0e5, 1.0e12).toDF("v")
+    val rows = vs.select(col("v"), Rank.monotoneBucket(col("v")).as("b"))
+      .orderBy(col("v")).collect()
+    val bs = rows.map(_.getLong(1))
+    assert(bs.zip(bs.tail).forall { case (a, b) => a <= b },
+      "bucket order must follow value order")
+    assert(bs.forall(b => math.abs(b) < 50000), "image must stay bounded")
+  }
+
   test("ntile arithmetic handles total < k (ANSI-safe small groups)") {
-    val sortCols = Seq(col("volume_usd").desc, col("wallet"))
     val tiny = vol.orderBy(col("wallet")).limit(3)
-    val got = Rank.globalRowNumber(tiny, sortCols, "rank", "total")
+    val got = Rank.globalRowNumber(tiny, volBucket, volSort, "rank", "total")
       .select(col("wallet"),
         Rank.ntileFromRank(col("rank"), col("total"), 10).as("decile"))
-    val w = Window.orderBy(sortCols: _*)
+    val w = Window.orderBy(volSort: _*)
     val want = tiny.select(col("wallet"),
       ntile(10).over(w).as("want_decile"))
     val joined = got.join(want, Seq("wallet"))
