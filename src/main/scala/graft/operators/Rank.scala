@@ -58,6 +58,16 @@ object Rank {
     when(v >= 0, floor(log1p(v) * 64.0).cast("long"))
       .otherwise(lit(-1L) - floor(log1p(-v) * 64.0).cast("long"))
 
+  /** Persist the tiny bucket histogram: every downstream branch
+    * (offsets, totals, targets, the broadcast each of them rides)
+    * would otherwise re-plan the full input scan+aggregate per
+    * reference — measured 6× re-evaluation per quantile call. The
+    * cache entry is PROVABLY BOUNDED (≤ bucket-image × groups rows,
+    * KBs) and CacheManager dedups by canonical plan, so repeated
+    * query construction reuses one entry instead of leaking. */
+  private def pinned(hist: DataFrame): DataFrame =
+    hist.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Exact per-bucket starting offsets from a `bucket → count`
     * histogram, computed entirely from values: within a 256-bucket
     * super-block a partitioned running-sum window (input bounded by
@@ -100,7 +110,7 @@ object Rank {
   def globalRowNumber(df: DataFrame, bucket: Column, sortCols: Seq[Column],
                       out: String, outTotal: String): DataFrame = {
     val withB = df.withColumn("__b", bucket)
-    val hist = withB.groupBy(col("__b")).agg(count(lit(1)).as("__cnt"))
+    val hist = pinned(withB.groupBy(col("__b")).agg(count(lit(1)).as("__cnt")))
     val off = bucketOffsets(hist, Nil).drop("__cnt")
     val total = hist.agg(sum(col("__cnt")).as(outTotal))
     val w = Window.partitionBy(col("__b")).orderBy(sortCols: _*)
@@ -171,8 +181,8 @@ object Rank {
     val base = df.select(col(group).as("__g"), value.cast("double").as("__v"))
       .filter(col("__v").isNotNull)
     val withB = base.withColumn("__b", monotoneBucket(col("__v")))
-    val hist = withB.groupBy(col("__g"), col("__b"))
-      .agg(count(lit(1)).as("__cnt"))
+    val hist = pinned(withB.groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__cnt")))
     val off = bucketOffsets(hist, Seq("__g"))
     val totals = hist.groupBy(col("__g")).agg(sum(col("__cnt")).as("__n"))
     val qarr = array(quantiles.map { case (qn, p) =>
@@ -190,25 +200,32 @@ object Rank {
     val loc = ranksNeeded.join(off, Seq("__g"))
       .filter(col("__rk") > col("__off") && col("__rk") <= col("__off") + col("__cnt"))
       .select(col("__g"), col("__b"), col("__rk"), col("__off"))
-    val neededBuckets = loc.select(col("__g"), col("__b")).distinct()
-    val wB = Window.partitionBy(col("__g"), col("__b")).orderBy(col("__v"))
-    val vals = withB.join(broadcast(neededBuckets), Seq("__g", "__b"))
-      .withColumn("__lr", row_number().over(wB).cast("long"))
-      .join(broadcast(loc.withColumn("__lr", col("__rk") - col("__off"))),
-        Seq("__g", "__b", "__lr"))
+    // one pruned fetch, referenced ONCE: the broadcast loc join both
+    // restricts the scan to target buckets and (after the in-bucket
+    // window) selects the exact rank rows; a row matching several
+    // targets in its bucket duplicates ≤ quantiles×2 times pre-filter
+    val vals = withB.join(broadcast(loc), Seq("__g", "__b"))
+      .withColumn("__lr", row_number().over(
+        Window.partitionBy(col("__g"), col("__b"), col("__rk")).orderBy(col("__v"))).cast("long"))
+      .filter(col("__lr") === col("__rk") - col("__off"))
       .select(col("__g"), col("__rk"), col("__v"))
     // attach the two order statistics per (group, quantile), interpolate
-    val vlo = vals.select(col("__g"), col("__rk").as("__lo"), col("__v").as("__vlo"))
-    val vhi = vals.select(col("__g"), col("__rk").as("__hi"), col("__v").as("__vhi"))
     val perQ = targets
-      .join(broadcast(vlo), Seq("__g", "__lo"))
-      .join(broadcast(vhi), Seq("__g", "__hi"))
+      .join(broadcast(vals),
+        targets("__g") === vals("__g") &&
+          (col("__rk") === col("__lo") || col("__rk") === col("__hi")))
+      .drop(vals("__g"))
+      .groupBy(col("__g"), col("__q"))
+      .agg(max(col("__n")).as("__n"), max(col("__rn")).as("__rn2"),
+        max(col("__lo")).as("__lo2"), max(col("__hi")).as("__hi2"),
+        max(when(col("__rk") === col("__lo"), col("__v"))).as("__vlo"),
+        max(when(col("__rk") === col("__hi"), col("__v"))).as("__vhi"))
       // Percentile.getPercentile verbatim: exact-rank hit returns the
       // value; otherwise (higher−pos)·lower + (pos−lower)·higher
-      .withColumn("__val", when(col("__lo") === col("__hi"), col("__vlo"))
+      .withColumn("__val", when(col("__lo2") === col("__hi2"), col("__vlo"))
         .otherwise(
-          ((col("__hi") - 1L).cast("double") - col("__rn")) * col("__vlo") +
-          (col("__rn") - (col("__lo") - 1L).cast("double")) * col("__vhi")))
+          ((col("__hi2") - 1L).cast("double") - col("__rn2")) * col("__vlo") +
+          (col("__rn2") - (col("__lo2") - 1L).cast("double")) * col("__vhi")))
     perQ.groupBy(col("__g"))
       .agg(max(col("__n")).as(countName),
         quantiles.map { case (qn, _) =>

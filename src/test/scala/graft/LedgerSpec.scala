@@ -384,6 +384,74 @@ class LedgerSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("whale wallet: 2M-fill history folds streaming, state = open lots") {
+    // SURVEY §5 claims the per-wallet fold is bounded by OPEN-LOT
+    // state, not history length (the fill slice is a streaming
+    // sub-iterator; rows emit lazily). Evidence: fold one wallet's
+    // 2M-fill history off a LAZY iterator — a buffered design would
+    // materialize 2M Fill + 2M LedgerRow objects and blow the test
+    // heap; the streaming fold holds ≤ 3 open lots (alternating
+    // buy/sell per token) and completes in seconds. The
+    // realized = cashflow + inventory-at-cost identity is checked on
+    // running sums so the output is never materialized either.
+    val n = 2000000
+    def fills: Iterator[Fill] = Iterator.range(0, n).map { i =>
+      val tok = (i % 3 + 1).toLong
+      val isBuy = (i / 3) % 2 == 0 // per token: buy then sell, repeat
+      Fill(9L, ts(i % 60), i.toLong, tok, isBuy, 1.0, 1.0 + (i % 7) * 0.25)
+    }
+    var rows = 0L; var opens = 0L
+    var realized = 0.0; var cash = 0.0; var buyBasis = 0.0; var sellBasis = 0.0
+    Ledger.foldWalletOpen(fills).foreach { r =>
+      if (r.event_type == "_open") opens += 1
+      else {
+        rows += 1; realized += r.realized_pnl; cash += r.usd_delta
+        if (r.event_type == "buy") buyBasis += r.cost_basis
+        if (r.event_type == "sell") sellBasis += r.cost_basis
+      }
+    }
+    assert(rows == n)
+    assert(opens <= 3, s"open-lot state must stay bounded, got $opens")
+    assert(math.abs(realized - (cash + (buyBasis - sellBasis))) < 1.0,
+      s"identity drift: $realized vs ${cash + (buyBasis - sellBasis)}")
+  }
+
+  test("distributed build under whale skew: one wallet holds half of all fills") {
+    // ledger-engine.ts processes wallets sequentially; Spark's win is
+    // parallelism ACROSS wallets, so the bound is the worst single
+    // wallet. 1 whale with 50% of fills + 2000 small wallets: the
+    // build completes (whale = one streaming task, small wallets fan
+    // out) and the whale's realized matches the sequential fold
+    // exactly.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val n = 40000
+    val whale = (0 until n).map { i =>
+      (9999999L, ts(i % 60), i.toLong, (i % 3 + 1).toLong,
+        (i / 3) % 2 == 0, 1.0, 1.0 + (i % 7) * 0.25)
+    }
+    val small = (0 until n).map { i =>
+      ((i % 2000).toLong, ts(i % 60), (n + i).toLong, (i % 5 + 1).toLong,
+        i % 2 == 0, 1.0, 1.0 + (i % 11) * 0.125)
+    }
+    val df = (whale ++ small)
+      .toDF("wallet", "ts", "trade_id", "token_id", "isbuy", "qty", "usd")
+      .select(col("wallet"), col("ts"), col("trade_id"), col("token_id"),
+        when(col("isbuy"), "buy").otherwise("sell").as("side"),
+        col("qty"), col("usd"), lit(0.0).as("fee"))
+    val ledger = Ledger.build(spark, df).toDF()
+    assert(ledger.count() == 2L * n)
+    val got = ledger
+      .filter(col("wallet") === 9999999L && col("event_type") === "sell")
+      .agg(sum(col("realized_pnl"))).head.getDouble(0)
+    val want = Ledger.foldWallet(
+        whale.sortBy(f => (f._2.getTime, f._3)).iterator.map { f =>
+          Fill(f._1, f._2, f._3, f._4, f._5, f._6, f._7)
+        })
+      .filter(_.event_type == "sell").map(_.realized_pnl).sum
+    assert(math.abs(got - want) < 1e-6, s"whale realized: $got vs $want")
+  }
+
   test("distributed build matches single-threaded fold per wallet") {
     import org.apache.spark.sql.functions._
     val wt = operators.Leaderboard.walletTrades(model.Tables.trades(spark, sf))
