@@ -173,7 +173,10 @@ object Rank {
     *
     * Two scans of the input (histogram + pruned fetch), no full-data
     * shuffle at all. Null values are ignored like the aggregate it
-    * replaces; `countName` = per-group non-null value count.
+    * replaces; `countName` = per-group non-null value count. A group
+    * whose values are ALL null has no order statistics and is absent
+    * from the output (the aggregate form would emit a null-quantile
+    * row — callers needing that shape should left-join group totals).
     */
   def groupedQuantiles(df: DataFrame, group: String, value: Column,
                        quantiles: Seq[(String, Double)],

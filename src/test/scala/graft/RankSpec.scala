@@ -138,6 +138,22 @@ class RankSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 1L, 5.0), ("b", 3L, 1.0), ("c", 2L, 1.5)))
   }
 
+  test("groupedQuantiles ignores nulls; all-null groups are dropped") {
+    import spark.implicits._
+    val df = Seq[(String, Option[Double])](
+      ("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", None), ("b", None)).toDF("g", "v")
+    val got = Rank.groupedQuantiles(df, "g", col("v"),
+      Seq("p50" -> 0.5), countName = "n").orderBy("g").collect()
+    // like percentile(): nulls don't count; a group with NO non-null
+    // values has no order statistics and is absent (the aggregate
+    // form would emit (b, 0, null) — callers needing that row should
+    // left-join group totals)
+    assert(got.length == 1)
+    assert((got(0).getString(0), got(0).getLong(1), got(0).getDouble(2))
+      == ("a", 2L, 2.0))
+  }
+
   test("monotoneBucket is monotone and bounded, negatives included") {
     import spark.implicits._
     val vs = Seq(-1.0e12, -5.5, -1.0, -1.0e-9, 0.0, 1.0e-9, 0.5, 1.0,
