@@ -33,6 +33,53 @@ object Views {
     }
   }
 
+  // Pinned derived plans (e.g. Rank's bucket histograms): small
+  // (KB-scale, provably bounded by the bucket image) DataFrames that
+  // several queries re-derive from the same lineage. Deduplicated by
+  // canonical-plan equality so repeated query construction returns ONE
+  // persisted frame, and owned here so [[reset]] can unpersist them —
+  // the bounded-lifetime argument is enforced by code, not comment.
+  private val pinnedByApp =
+    new ConcurrentHashMap[String, java.util.ArrayList[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]]()
+
+  /** Persist a small derived DataFrame with session lifetime. Same
+    * canonical plan → same returned frame (no duplicate cache entry,
+    * matching CacheManager's own dedup); distinct plans accumulate
+    * until [[reset]]. Callers must only pin provably small frames. */
+  def pinned(df: DataFrame): DataFrame = this.synchronized {
+    val app = df.sparkSession.sparkContext.applicationId
+    val list = pinnedByApp.computeIfAbsent(app,
+      _ => new java.util.ArrayList[
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]())
+    val plan = df.queryExecution.analyzed
+    var i = 0
+    while (i < list.size) {
+      if (list.get(i)._1.sameResult(plan)) return list.get(i)._2
+      i += 1
+    }
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    list.add((plan, p))
+    p
+  }
+
+  /** Unpersist and forget every session MV and pinned histogram this
+    * registry holds for `spark`'s application — the cleanup hook for
+    * long-lived sessions issuing ad hoc queries over varying inputs
+    * (each distinct lineage otherwise keeps its KB-scale entry for the
+    * app's lifetime). Safe to call mid-session: the next query simply
+    * rebuilds what it needs. */
+  def reset(spark: SparkSession): Unit = this.synchronized {
+    val app = spark.sparkContext.applicationId
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == app) { e.getValue.unpersist(); it.remove() }
+    }
+    val l = pinnedByApp.remove(app)
+    if (l != null) l.forEach(t => { t._2.unpersist(); () })
+  }
+
   def trades(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "trades")(Tables.trades(spark, dir))
 

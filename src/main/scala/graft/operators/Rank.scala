@@ -53,20 +53,39 @@ object Rank {
     * Monotone non-strict in `v`, so bucket order never contradicts
     * value order, and the image is bounded (|bucket| ≤ ~45k over the
     * entire finite-double range) — histograms over it are
-    * broadcastable no matter the data. */
-  def monotoneBucket(v: Column): Column =
-    when(v >= 0, floor(log1p(v) * 64.0).cast("long"))
+    * broadcastable no matter the data.
+    *
+    * Null/NaN/±Infinity land in sentinel buckets aligned with Spark's
+    * sort order (ascending: nulls FIRST, NaN greatest — so
+    * null < -∞ < finite < +∞ < NaN) and placed far outside the finite
+    * image. Without the null sentinel a null metric would produce a
+    * null bucket, silently dropped by the offsets equi-join; without
+    * the NaN sentinel the `v >= 0` branch would mis-bucket NaN against
+    * the sort. The sentinels are well inside ±Long.MaxValue/2 negation
+    * range, so the descending idiom `-monotoneBucket(m)` stays
+    * ANSI-safe and stays aligned with Spark's DESC defaults
+    * (NaN first, nulls last). */
+  def monotoneBucket(v: Column): Column = {
+    val d = v.cast("double")
+    when(v.isNull, lit(Long.MinValue / 2))
+      .when(isnan(d), lit(Long.MaxValue / 2))
+      .when(d === lit(Double.PositiveInfinity), lit(1L << 32))
+      .when(d === lit(Double.NegativeInfinity), lit(-(1L << 32)))
+      .when(v >= 0, floor(log1p(v) * 64.0).cast("long"))
       .otherwise(lit(-1L) - floor(log1p(-v) * 64.0).cast("long"))
+  }
 
   /** Persist the tiny bucket histogram: every downstream branch
     * (offsets, totals, targets, the broadcast each of them rides)
     * would otherwise re-plan the full input scan+aggregate per
     * reference — measured 6× re-evaluation per quantile call. The
     * cache entry is PROVABLY BOUNDED (≤ bucket-image × groups rows,
-    * KBs) and CacheManager dedups by canonical plan, so repeated
-    * query construction reuses one entry instead of leaking. */
+    * KBs). Routed through [[graft.model.Views.pinned]]: identical
+    * canonical plans share ONE persisted frame, and
+    * `Views.reset(spark)` unpersists them all — session-lifetime
+    * growth is bounded by code, not comment. */
   private def pinned(hist: DataFrame): DataFrame =
-    hist.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.model.Views.pinned(hist)
 
   /** Exact per-bucket starting offsets from a `bucket → count`
     * histogram, computed entirely from values: within a 256-bucket
@@ -111,8 +130,11 @@ object Rank {
                       out: String, outTotal: String): DataFrame = {
     val withB = df.withColumn("__b", bucket)
     val hist = pinned(withB.groupBy(col("__b")).agg(count(lit(1)).as("__cnt")))
-    val off = bucketOffsets(hist, Nil).drop("__cnt")
-    val total = hist.agg(sum(col("__cnt")).as(outTotal))
+    // offsets/total are ≤ occupied-buckets rows, derived from the tiny
+    // cached hist through several small shuffles — pin them too so the
+    // steady path pays one broadcast read, not the re-derivation jobs
+    val off = pinned(bucketOffsets(hist, Nil).drop("__cnt"))
+    val total = pinned(hist.agg(sum(col("__cnt")).as(outTotal)))
     val w = Window.partitionBy(col("__b")).orderBy(sortCols: _*)
     withB
       .withColumn("__lr", row_number().over(w).cast("long"))
@@ -180,29 +202,50 @@ object Rank {
     */
   def groupedQuantiles(df: DataFrame, group: String, value: Column,
                        quantiles: Seq[(String, Double)],
-                       countName: String): DataFrame = {
-    val base = df.select(col(group).as("__g"), value.cast("double").as("__v"))
+                       countName: String): DataFrame =
+    groupedQuantilesBucketed(bucketized(df, group, value), group,
+      quantiles, countName)
+
+  /** The bucketized quantile base `(group → __g, value → __v double,
+    * [[monotoneBucket]] → __b)`, nulls dropped — the input shape
+    * [[groupedQuantilesBucketed]] consumes. Exposed so callers issuing
+    * SEVERAL quantile calls over one input (e.g. exact surface + its
+    * accuracy gate) can materialize this narrow projection once as a
+    * session MV and share both the scan and — because the histograms
+    * then canonicalize identically — the pinned histogram across every
+    * call. */
+  def bucketized(df: DataFrame, group: String, value: Column): DataFrame =
+    df.select(col(group).as("__g"), value.cast("double").as("__v"))
       .filter(col("__v").isNotNull)
-    val withB = base.withColumn("__b", monotoneBucket(col("__v")))
+      .withColumn("__b", monotoneBucket(col("__v")))
+
+  /** [[groupedQuantiles]] over a pre-built [[bucketized]] base;
+    * `group` names the output group column. */
+  def groupedQuantilesBucketed(withB: DataFrame, group: String,
+                               quantiles: Seq[(String, Double)],
+                               countName: String): DataFrame = {
     val hist = pinned(withB.groupBy(col("__g"), col("__b"))
       .agg(count(lit(1)).as("__cnt")))
     val off = bucketOffsets(hist, Seq("__g"))
     val totals = hist.groupBy(col("__g")).agg(sum(col("__cnt")).as("__n"))
     val qarr = array(quantiles.map { case (qn, p) =>
       struct(lit(qn).as("q"), lit(p).as("p")) }: _*)
-    val targets = totals
+    // targets/loc are ≤ groups × quantiles × 2 rows but each re-derives
+    // through several small shuffle jobs per call — pin them (bounded,
+    // KB-scale) so a warm session pays one broadcast read instead
+    val targets = pinned(totals
       .select(col("__g"), col("__n"), explode(qarr).as("t"))
       .withColumn("__rn", col("t.p") * (col("__n") - 1L).cast("double"))
       .select(col("__g"), col("__n"), col("t.q").as("__q"), col("__rn"),
         (floor(col("__rn")).cast("long") + 1L).as("__lo"),
-        (ceil(col("__rn")).cast("long") + 1L).as("__hi"))
+        (ceil(col("__rn")).cast("long") + 1L).as("__hi")))
     // each needed rank lives in exactly one bucket: off < rk ≤ off+cnt
     val ranksNeeded = targets.select(col("__g"), col("__lo").as("__rk"))
       .unionByName(targets.select(col("__g"), col("__hi").as("__rk")))
       .distinct()
-    val loc = ranksNeeded.join(off, Seq("__g"))
+    val loc = pinned(ranksNeeded.join(off, Seq("__g"))
       .filter(col("__rk") > col("__off") && col("__rk") <= col("__off") + col("__cnt"))
-      .select(col("__g"), col("__b"), col("__rk"), col("__off"))
+      .select(col("__g"), col("__b"), col("__rk"), col("__off")))
     // one pruned fetch, referenced ONCE: the broadcast loc join both
     // restricts the scan to target buckets and (after the in-bucket
     // window) selects the exact rank rows; a row matching several

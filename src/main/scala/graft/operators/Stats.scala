@@ -112,9 +112,22 @@ object Stats {
     * PlanAuditSpec pins that no exact-percentile buffer reappears. */
   def tradeSizeQuantiles(walletTrades: DataFrame, markets: DataFrame): DataFrame = {
     val t = walletTrades.join(broadcast(markets), Seq("token_id"))
-    val qty = Rank.groupedQuantiles(t, "market", col("qty"),
+    tradeSizeQuantilesBucketed(Rank.bucketized(t, "market", col("qty")),
+      Rank.bucketized(t, "market", col("usd")))
+  }
+
+  /** [[tradeSizeQuantiles]] over pre-built [[Rank.bucketized]] bases.
+    * SparkEntry materializes the two narrow (market, value, bucket)
+    * projections as session MVs shared with q_quantile_gate: the four
+    * groupedQuantiles calls per bench pass then scan one cached
+    * columnar copy each instead of re-joining wt⋈markets up to 8×,
+    * and their pinned histograms canonicalize to one entry per value
+    * column (VERDICT r9 #1). */
+  def tradeSizeQuantilesBucketed(qtyBase: DataFrame,
+                                 usdBase: DataFrame): DataFrame = {
+    val qty = Rank.groupedQuantilesBucketed(qtyBase, "market",
       Seq("median_qty" -> 0.5, "p90_qty" -> 0.9), countName = "trades")
-    val usd = Rank.groupedQuantiles(t, "market", col("usd"),
+    val usd = Rank.groupedQuantilesBucketed(usdBase, "market",
       Seq("median_usd" -> 0.5), countName = "__c")
     qty.join(usd.drop("__c"), Seq("market"))
       .select(col("market"), col("trades"), col("median_qty"),
@@ -136,4 +149,20 @@ object Stats {
           .as("median_qty_approx"),
         expr(s"approx_percentile(CAST(usd AS DOUBLE), 0.9, $accuracy)")
           .as("p90_usd_approx"))
+
+  /** [[tradeSizeQuantilesSketch]] over the pre-bucketized bases — same
+    * sketch aggregate over the same (non-null) value sets, scanning the
+    * session-cached projections instead of re-joining wt⋈markets. Used
+    * by q_quantile_gate, whose envelopes already ride those bases;
+    * q_quantiles_sketch keeps measuring the direct path. */
+  def tradeSizeQuantilesSketchBucketed(qtyBase: DataFrame, usdBase: DataFrame,
+                                       accuracy: Int = 1000): DataFrame = {
+    val q = qtyBase.groupBy(col("__g"))
+      .agg(expr(s"approx_percentile(__v, 0.5, $accuracy)")
+        .as("median_qty_approx"))
+    val u = usdBase.groupBy(col("__g"))
+      .agg(expr(s"approx_percentile(__v, 0.9, $accuracy)")
+        .as("p90_usd_approx"))
+    q.join(u, Seq("__g")).withColumnRenamed("__g", "market")
+  }
 }

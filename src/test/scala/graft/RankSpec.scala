@@ -154,6 +154,50 @@ class RankSpec extends SparkSpec {
       == ("a", 2L, 2.0))
   }
 
+  test("globalRowNumber ranks null and NaN metrics like the window (sentinel buckets)") {
+    import spark.implicits._
+    // ascending: nulls first, NaN greatest — the sentinel buckets must
+    // agree or the offsets equi-join drops/misranks these rows
+    val df = Seq(("a", Some(1.0)), ("b", None), ("c", Some(Double.NaN)),
+      ("d", Some(-3.0)), ("e", Some(2.0)),
+      ("f", Some(Double.PositiveInfinity)),
+      ("g", Some(Double.NegativeInfinity))).toDF("k", "m")
+    val sort = Seq(col("m").asc, col("k"))
+    val got = Rank.globalRowNumber(df, Rank.monotoneBucket(col("m")),
+      sort, "rank", "total")
+    val want = df.select(col("k"),
+      row_number().over(Window.orderBy(sort: _*)).cast("long").as("want_rank"))
+    val j = got.join(want, Seq("k"))
+    assert(j.count() == 7, "no row may be dropped by a null bucket key")
+    assert(j.filter(col("rank") =!= col("want_rank")).isEmpty,
+      "sentinel buckets must align with Spark's null/NaN sort order")
+    // descending idiom: negated buckets stay ANSI-safe and aligned
+    val dsort = Seq(col("m").desc, col("k"))
+    val got2 = Rank.globalRowNumber(df, -Rank.monotoneBucket(col("m")),
+      dsort, "rank", "total")
+    val want2 = df.select(col("k"),
+      row_number().over(Window.orderBy(dsort: _*)).cast("long").as("want_rank"))
+    val j2 = got2.join(want2, Seq("k"))
+    assert(j2.count() == 7)
+    assert(j2.filter(col("rank") =!= col("want_rank")).isEmpty,
+      "negated sentinels must align with DESC defaults (NaN first, nulls last)")
+  }
+
+  test("Views.pinned dedups by canonical plan; reset unpersists") {
+    import org.apache.spark.storage.StorageLevel
+    val h1 = graft.model.Views.pinned(
+      vol.groupBy(Rank.monotoneBucket(col("volume_usd")).as("b"))
+        .agg(count(lit(1)).as("c")))
+    val h2 = graft.model.Views.pinned(
+      vol.groupBy(Rank.monotoneBucket(col("volume_usd")).as("b"))
+        .agg(count(lit(1)).as("c")))
+    assert(h1 eq h2, "same canonical plan must return the same pinned frame")
+    assert(h1.storageLevel != StorageLevel.NONE)
+    graft.model.Views.reset(spark)
+    assert(h1.storageLevel == StorageLevel.NONE,
+      "reset must unpersist pinned histograms")
+  }
+
   test("monotoneBucket is monotone and bounded, negatives included") {
     import spark.implicits._
     val vs = Seq(-1.0e12, -5.5, -1.0, -1.0e-9, 0.0, 1.0e-9, 0.5, 1.0,
