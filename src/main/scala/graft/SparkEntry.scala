@@ -1812,10 +1812,10 @@ object SparkEntry {
       |o AS (
       |  SELECT wallet, token_id, side,
       |    SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END)
-      |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+      |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id, side, usd_i
       |            ROWS UNBOUNDED PRECEDING) AS cs,
       |    SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END)
-      |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+      |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id, side, usd_i
       |            ROWS UNBOUNDED PRECEDING) AS cb
       |  FROM f),
       |g AS (
@@ -1826,7 +1826,7 @@ object SparkEntry {
       |b AS (
       |  SELECT wallet, token_id, usd_i,
       |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
-      |      ORDER BY ts, trade_id) AS rn
+      |      ORDER BY ts, trade_id, side, usd_i) AS rn
       |  FROM f WHERE side = 'buy'),
       |ob AS (
       |  SELECT b.wallet, b.token_id,
@@ -2379,10 +2379,10 @@ object SparkEntry {
         |o AS (
         |  SELECT wallet, token_id, side, usd_i,
         |    SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id, side, usd_i
         |            ROWS UNBOUNDED PRECEDING) AS cs,
         |    SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id, side, usd_i
         |            ROWS UNBOUNDED PRECEDING) AS cb
         |  FROM f),
         |g AS (
@@ -2395,7 +2395,7 @@ object SparkEntry {
         |b AS (
         |  SELECT wallet, token_id, usd_i,
         |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
-        |      ORDER BY ts, trade_id) AS rn
+        |      ORDER BY ts, trade_id, side, usd_i) AS rn
         |  FROM f WHERE side = 'buy'),
         |m AS (
         |  SELECT b.wallet, b.token_id,
@@ -2493,28 +2493,28 @@ object SparkEntry {
         |o AS (
         |  SELECT wallet, token_id, ts, trade_id, side, usd_i,
         |    SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id, side, usd_i
         |            ROWS UNBOUNDED PRECEDING)
         |    - SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id, side, usd_i
         |            ROWS UNBOUNDED PRECEDING) AS d
         |  FROM f),
         |o2 AS (
         |  SELECT *,
         |    COALESCE(MAX(d)
-        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id, side, usd_i
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |      AS dmax_prev
         |  FROM o),
         |ms AS (
         |  SELECT wallet, token_id, ts AS sell_ts, usd_i AS sell_i,
         |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
-        |      ORDER BY ts, trade_id) AS rs
+        |      ORDER BY ts, trade_id, side, usd_i) AS rs
         |  FROM o2 WHERE side = 'sell' AND d <= GREATEST(dmax_prev, 0)),
         |b AS (
         |  SELECT wallet, token_id, ts AS buy_ts, usd_i AS buy_i,
         |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
-        |      ORDER BY ts, trade_id) AS rb
+        |      ORDER BY ts, trade_id, side, usd_i) AS rb
         |  FROM f WHERE side = 'buy'),
         |k AS (SELECT wallet, token_id, CAST(COUNT(*) AS BIGINT) AS k
         |      FROM ms GROUP BY 1, 2),
@@ -2561,10 +2561,10 @@ object SparkEntry {
         |o AS (
         |  SELECT wallet, token_id, side, usd_i,
         |    SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id, side, usd_i
         |            ROWS UNBOUNDED PRECEDING) AS cs,
         |    SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id, side, usd_i
         |            ROWS UNBOUNDED PRECEDING) AS cb
         |  FROM f),
         |g AS (
@@ -2576,7 +2576,7 @@ object SparkEntry {
         |b AS (
         |  SELECT wallet, token_id, usd_i,
         |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
-        |      ORDER BY ts, trade_id) AS rn
+        |      ORDER BY ts, trade_id, side, usd_i) AS rn
         |  FROM f WHERE side = 'buy'),
         |m AS (
         |  SELECT b.wallet, b.token_id,
@@ -2618,16 +2618,16 @@ object SparkEntry {
         |o AS (
         |  SELECT wallet, token_id, ts, trade_id, side, usd_i,
         |    SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id, side, usd_i
         |            ROWS UNBOUNDED PRECEDING)
         |    - SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id, side, usd_i
         |            ROWS UNBOUNDED PRECEDING) AS d
         |  FROM f),
         |o2 AS (
         |  SELECT *,
         |    COALESCE(MAX(d)
-        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id, side, usd_i
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |      AS dmax_prev
         |  FROM o),
@@ -2638,12 +2638,12 @@ object SparkEntry {
         |ms AS (
         |  SELECT wallet, token_id, ts, usd_i,
         |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
-        |      ORDER BY ts, trade_id) AS rs
+        |      ORDER BY ts, trade_id, usd_i) AS rs
         |  FROM sells WHERE NOT unmatched),
         |b AS (
         |  SELECT wallet, token_id, usd_i,
         |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
-        |      ORDER BY ts, trade_id) AS rb
+        |      ORDER BY ts, trade_id, side, usd_i) AS rb
         |  FROM f WHERE side = 'buy'),
         |per_sell AS (
         |  SELECT ms.wallet, ms.ts, ms.usd_i - b.usd_i AS r
@@ -2708,10 +2708,10 @@ object SparkEntry {
         |o AS (
         |  SELECT wallet, token_id, is_add,
         |    SUM(CASE WHEN is_add = 0 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, seq
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, seq, basis_i
         |            ROWS UNBOUNDED PRECEDING) AS cc,
         |    SUM(is_add)
-        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, seq
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, seq, basis_i
         |            ROWS UNBOUNDED PRECEDING) AS ca
         |  FROM ev),
         |g AS (
@@ -2723,7 +2723,7 @@ object SparkEntry {
         |ar AS (
         |  SELECT wallet, token_id, basis_i,
         |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
-        |      ORDER BY ts, seq) AS rn
+        |      ORDER BY ts, seq, basis_i) AS rn
         |  FROM adds),
         |cb AS (
         |  SELECT ar.wallet, CAST(SUM(ar.basis_i) AS BIGINT)

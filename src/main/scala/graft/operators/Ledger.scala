@@ -474,7 +474,13 @@ object Ledger {
     import fills.sparkSession.implicits._
     fills
       .repartition(col("wallet"))
-      .sortWithinPartitions(col("wallet"), col("ts"), col("seq"))
+      // (ts, seq) ties exist in real data (trade_id duplicates within
+      // an order): break them by values — buys first (mirroring the
+      // oracle twins' ORDER BY ..., side), then usd — so the fold
+      // order is a function of the DATA, not of shuffle arrival order,
+      // and the DuckDB twins replay the identical total order
+      .sortWithinPartitions(col("wallet"), col("ts"), col("seq"),
+        col("isBuy").desc, col("usd"))
       .mapPartitions { it =>
         // partitions hold many wallets, contiguously after the sort —
         // flush state at each wallet boundary. The per-wallet slice is
@@ -599,7 +605,10 @@ object Ledger {
       .as[Fill]
     fills
       .repartition(col("wallet"))
-      .sortWithinPartitions(col("wallet"), col("ts"), col("seq"))
+      // same value-determined tie order as foldFills (buys first,
+      // then usd) so the period twin's SQL windows replay it exactly
+      .sortWithinPartitions(col("wallet"), col("ts"), col("seq"),
+        col("isBuy").desc, col("usd"))
       .mapPartitions { it =>
         // streaming per-wallet slice, same shape as foldFills: the
         // provenance fold consumes each wallet's fills without ever

@@ -24,6 +24,29 @@ class LedgerSpec extends SparkSpec {
     assert(math.abs(sell.realized_pnl - 25.0) < 1e-9)
   }
 
+  test("tied (ts, trade_id) fills fold in value-determined order: buys first, then usd") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // real data duplicates trade_id within an order, so (ts, trade_id)
+    // alone under-determines the fold; the sort must break ties by
+    // values (side, then usd) — the same refinement the oracle twins'
+    // SQL windows use — or results depend on shuffle arrival order
+    val rows = Seq(
+      // adversarial input order: sell first, larger buy before smaller
+      (1L, ts(1), 7L, 100L, "sell", 1.0, 30.0, 0.0),
+      (1L, ts(1), 7L, 100L, "buy", 1.0, 20.0, 0.0),
+      (1L, ts(1), 7L, 100L, "buy", 1.0, 10.0, 0.0))
+      .toDF("wallet", "ts", "trade_id", "token_id", "side", "qty", "usd", "fee")
+    val out = Ledger.build(spark, rows).toDF()
+      .filter(col("event_type") === "sell")
+      .select(col("cost_basis"), col("realized_pnl")).collect()
+    assert(out.length == 1)
+    // buys fold first (side tie-break), usd-10 buy before usd-20
+    // (usd tie-break) → the sell consumes the 10-basis lot: +20
+    assert(math.abs(out(0).getDouble(0) - 10.0) < 1e-9)
+    assert(math.abs(out(0).getDouble(1) - 20.0) < 1e-9)
+  }
+
   test("oversell beyond lots has zero basis for the uncovered part") {
     val fills = Seq(
       Fill(1, ts(1), 1, 100, isBuy = true, qty = 5, usd = 5.0),
