@@ -35,12 +35,31 @@ class BloomShuffleSpec extends SparkSpec {
     val w = Leaderboard.walletTrades(Views.trades(spark, sf))
     val hot = w.groupBy(col("wallet")).agg(count(lit(1)).as("trades"))
       .filter(col("trades") >= 10)
+    // auto-sized path: the bounded approx-count action picks the bits
     val pruned = BloomPrune.prunedJoin(w, hot, "wallet")
     val plain = w.join(hot, Seq("wallet"))
     assert(sameRows(pruned.select(plain.columns.map(col): _*), plain))
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("graft_might_contain"),
       "probe must survive into the physical plan")
+    // caller-hint path: identical rows with an explicit cardinality
+    val hinted = BloomPrune.prunedJoin(w, hot, "wallet",
+      expectedKeys = 100000L)
+    assert(sameRows(hinted.select(plain.columns.map(col): _*), plain))
+  }
+
+  test("sketch sizing tracks the dim cardinality at ~10 bits/key") {
+    // word-aligned, clamped, proportional in between
+    assert(BloomPrune.sizeBits(0) == (1 << 13))
+    assert(BloomPrune.sizeBits(100) == (1 << 13),
+      "small dims clamp to the 1 KiB floor")
+    assert(BloomPrune.sizeBits(100000) == 1000000,
+      "10 bits/key, already word-aligned here")
+    assert(BloomPrune.sizeBits(100001) == 1000064,
+      "10 bits/key rounded up to a 64-bit word")
+    assert(BloomPrune.sizeBits(Long.MaxValue / 4) == (1 << 27),
+      "huge dims clamp to the 16 MiB broadcast ceiling")
+    assert(BloomPrune.sizeBits(123457) % 64 == 0)
   }
 
   test("shardShuffle: a permutation — every key exactly once, stable") {
