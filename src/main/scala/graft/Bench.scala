@@ -49,6 +49,10 @@ object Bench {
   @volatile private var order: Vector[String] = Vector.empty
   @volatile private var sfDirV: String = ""
   @volatile private var nPassesV: Int = 1
+  private def modeV: String =
+    if (sys.env.get("SPARK_GRAFT_BUCKETED")
+      .orElse(sys.props.get("spark.graft.bucketed")).contains("1")) "bucketed"
+    else "flat"
   // exactly-once guard shared by the normal path and the shutdown hook
   // (on SIGTERM the main loop keeps running concurrently with the hook)
   private val headlinePrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -117,7 +121,11 @@ object Bench {
     // complete run — completed < selected marks the COLD line as
     // truncated (ADVICE r6); the steady sweep reports its own count.
     val done = passes.headOption.map(_.size).getOrElse(0)
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":$done,"selected":${order.size},"passes":$nPassesV,"queries":${mapJson(line)},"steady_total":${fmt(steadyTotal)},"steady_n":${steady.size}$steadyWorst,"failed":${failedJson(rs)},"sf":"$sfDirV"}"""
+    // steady_scope marks the steady population (ADVICE r9: it widened
+    // from headline-only to ALL queries in r9, same field names — the
+    // marker keeps cross-round tooling from silently comparing mixed
+    // populations); mode marks the storage layout under test.
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":$done,"selected":${order.size},"passes":$nPassesV,"queries":${mapJson(line)},"steady_total":${fmt(steadyTotal)},"steady_n":${steady.size},"steady_scope":"all"$steadyWorst,"failed":${failedJson(rs)},"mode":"$modeV","sf":"$sfDirV"}"""
   }
   /** Full map + raw per-pass samples → BENCH_LOCAL.json. Called after every
     * query: a tmp-file + atomic move so a kill mid-write can't truncate it. */
@@ -128,11 +136,15 @@ object Bench {
       s""""pass${i + 1}":${mapJson(order.flatMap(n => p.get(n).map(s => (n, s._1, s._2))))}"""
     }.mkString(",")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":${passes.length},"queries":${mapJson(rs)},$passJson,"failed":${failedJson(rs)},"sf":"$sfDirV"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":${passes.length},"queries":${mapJson(rs)},$passJson,"failed":${failedJson(rs)},"steady_scope":"all","mode":"$modeV","sf":"$sfDirV"}"""
     try {
-      val tmp = java.nio.file.Paths.get("BENCH_LOCAL.json.tmp")
+      // bucketed-mode sweeps land in their own artifact so the
+      // zero-exchange layout gets a longitudinal signal (VERDICT r9
+      // #3) without clobbering the flat-layout baseline
+      val out = if (modeV == "bucketed") "BENCH_BUCKETED.json" else "BENCH_LOCAL.json"
+      val tmp = java.nio.file.Paths.get(out + ".tmp")
       java.nio.file.Files.writeString(tmp, full)
-      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(out),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } catch { case e: Throwable => System.err.println(s"[bench] local dump: ${e.getMessage}") }

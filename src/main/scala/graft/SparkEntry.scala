@@ -1013,8 +1013,13 @@ object SparkEntry {
     // integer div for the final ratio) so the result hashes exactly
     // on any engine — float Σ(px·w) would differ in sum order.
     "q_twap" -> ((s, d) => {
+      // px_e4 as the final window tie-breaker: a (ts, trade_id) tie
+      // would otherwise decide arbitrarily which price carries the
+      // hold to the next distinct timestamp (the oracle's lead()
+      // refines identically)
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("token_id")).orderBy(col("ts"), col("trade_id"))
+        .partitionBy(col("token_id"))
+        .orderBy(col("ts"), col("trade_id"), col("px_e4"))
       trades(s, d)
         .select(col("token_id"), col("ts"), col("trade_id"),
           expr("CAST(CAST(usd AS DECIMAL(18,4)) * 10000 AS BIGINT)" +
@@ -1866,7 +1871,7 @@ object SparkEntry {
       |  SELECT token_id, price AS last_price, ts AS last_ts FROM (
       |    SELECT token_id, price, ts,
       |           row_number() OVER (PARTITION BY token_id
-      |             ORDER BY ts DESC, trade_id DESC) AS rn
+      |             ORDER BY ts DESC, trade_id DESC, price DESC) AS rn
       |    FROM trades) t WHERE rn = 1)""".stripMargin
 
   private val EV =
@@ -3417,10 +3422,10 @@ object SparkEntry {
         |oc AS (
         |  SELECT token_id, bucket, price, usd,
         |    first_value(price) OVER (PARTITION BY token_id, bucket
-        |      ORDER BY ts, trade_id
+        |      ORDER BY ts, trade_id, price
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
         |    last_value(price) OVER (PARTITION BY token_id, bucket
-        |      ORDER BY ts, trade_id
+        |      ORDER BY ts, trade_id, price
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
         |  FROM ticks)
         |SELECT token_id, bucket, MAX(o) AS open, MAX(price) AS high,
@@ -3460,7 +3465,9 @@ object SparkEntry {
         |    CAST(CAST(usd AS DECIMAL(18,4)) * 10000 AS BIGINT)
         |      // CAST(qty AS BIGINT) AS px_e4,
         |    CAST((epoch(CAST(lead(ts) OVER (PARTITION BY token_id
-        |        ORDER BY ts, trade_id) AS TIMESTAMP))
+        |        ORDER BY ts, trade_id,
+        |          CAST(CAST(usd AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |            // CAST(qty AS BIGINT)) AS TIMESTAMP))
         |      - epoch(CAST(ts AS TIMESTAMP))) / 60 AS BIGINT) AS hold_min
         |  FROM trades)
         |SELECT token_id, CAST(COUNT(*) AS BIGINT) AS intervals,
@@ -3624,13 +3631,13 @@ object SparkEntry {
         |  SELECT token_id, price AS last_price FROM (
         |    SELECT token_id, price,
         |      row_number() OVER (PARTITION BY token_id
-        |        ORDER BY ts DESC, trade_id DESC) AS rn
+        |        ORDER BY ts DESC, trade_id DESC, price DESC) AS rn
         |    FROM trades) t WHERE rn = 1),
         |p AS (
         |  SELECT token_id, price AS prev_price FROM (
         |    SELECT token_id, price,
         |      row_number() OVER (PARTITION BY token_id
-        |        ORDER BY ts DESC, trade_id DESC) AS rn
+        |        ORDER BY ts DESC, trade_id DESC, price DESC) AS rn
         |    FROM trades, mx WHERE ts <= mx.cutoff) t WHERE rn = 1)
         |SELECT l.token_id, l.last_price, p.prev_price,
         |  CAST(FLOOR((l.last_price / p.prev_price - 1) * 1e4) AS BIGINT)

@@ -28,7 +28,13 @@ object Candles {
     */
   def fromTicks(ticks: DataFrame, bucket: String, token: Column, ts: Column,
                 seq: Column, price: Column, usd: Column): DataFrame = {
-    val ord = struct(ts.as("ts"), seq.as("seq"))
+    // price as the FINAL ordering component: (ts, seq) need not be
+    // unique (trade_id duplicates exist in the synthetic data), and a
+    // tie with differing price would otherwise make the open/close
+    // pick partition-order-dependent. With price last, a tie opens at
+    // its min price and closes at its max — deterministic, and the
+    // oracle SQL replays the same refinement.
+    val ord = struct(ts.as("ts"), seq.as("seq"), price.as("p"))
     ticks
       .groupBy(token.as("token_id"), date_trunc(bucket, ts).as("bucket"))
       .agg(
@@ -135,7 +141,9 @@ object Candles {
     * 001:552-568 — argMax over (block_number, log_index)). */
   def lastPrice(ticks: DataFrame, token: Column, ts: Column, seq: Column,
                 price: Column): DataFrame = {
-    val ord = struct(ts.as("ts"), seq.as("seq"))
+    // same tie refinement as [[fromTicks]]: a (ts, seq) tie resolves
+    // to its max price on both engines
+    val ord = struct(ts.as("ts"), seq.as("seq"), price.as("p"))
     ticks.groupBy(token.as("token_id"))
       .agg(max_by(price, ord).as("last_price"), max(ts).as("last_ts"))
   }
@@ -157,7 +165,8 @@ object Candles {
     * query is two map-side-combined aggregations over the fact table
     * and a tiny join. */
   def priceChange(trades: DataFrame, lookbackDays: Int, k: Int): DataFrame = {
-    val ord = struct(col("ts"), col("trade_id"))
+    // (ts, trade_id, price): same tie refinement as [[fromTicks]]
+    val ord = struct(col("ts"), col("trade_id"), col("price"))
     val cutoff = trades.agg(
       date_sub(max(col("ts")).cast("date"), lookbackDays).as("__cutoff"))
     val last = trades.groupBy(col("token_id"))
