@@ -63,6 +63,41 @@ object Views {
     p
   }
 
+  // Memoized tiny plan statistics (e.g. BloomPrune's dim-cardinality
+  // probe): scalar values that cost one bounded Spark action to
+  // compute and that repeated query CONSTRUCTION would otherwise
+  // recompute per call. Keyed by canonical-plan equality like
+  // [[pinned]]; cleared by [[reset]].
+  private val planStats =
+    new ConcurrentHashMap[String, java.util.ArrayList[
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long)]]()
+
+  /** Count of memo misses (each miss = one executed action) —
+    * test-visible so specs can pin "two constructions, one action". */
+  private[graft] val planStatMisses = new java.util.concurrent.atomic.AtomicLong
+
+  /** Memoize a scalar statistic of `df`'s result: the first call per
+    * canonical plan runs `compute` (one bounded action); later calls
+    * over a same-result plan return the cached value without touching
+    * the cluster. */
+  def memoizedStat(df: DataFrame)(compute: DataFrame => Long): Long =
+    this.synchronized {
+      val app = df.sparkSession.sparkContext.applicationId
+      val list = planStats.computeIfAbsent(app,
+        _ => new java.util.ArrayList[
+          (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Long)]())
+      val plan = df.queryExecution.analyzed
+      var i = 0
+      while (i < list.size) {
+        if (list.get(i)._1.sameResult(plan)) return list.get(i)._2
+        i += 1
+      }
+      planStatMisses.incrementAndGet()
+      val v = compute(df)
+      list.add((plan, v))
+      v
+    }
+
   /** Unpersist and forget every session MV and pinned histogram this
     * registry holds for `spark`'s application — the cleanup hook for
     * long-lived sessions issuing ad hoc queries over varying inputs
@@ -78,6 +113,8 @@ object Views {
     }
     val l = pinnedByApp.remove(app)
     if (l != null) l.forEach(t => { t._2.unpersist(); () })
+    planStats.remove(app)
+    ()
   }
 
   def trades(spark: SparkSession, dir: String): DataFrame =

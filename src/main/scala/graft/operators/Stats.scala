@@ -158,11 +158,25 @@ object Stats {
   def tradeSizeQuantilesSketchBucketed(qtyBase: DataFrame, usdBase: DataFrame,
                                        accuracy: Int = 1000): DataFrame = {
     val q = qtyBase.groupBy(col("__g"))
-      .agg(expr(s"approx_percentile(__v, 0.5, $accuracy)")
+      .agg(count(lit(1)).as("__cq"),
+        expr(s"approx_percentile(__v, 0.5, $accuracy)")
         .as("median_qty_approx"))
     val u = usdBase.groupBy(col("__g"))
-      .agg(expr(s"approx_percentile(__v, 0.9, $accuracy)")
+      .agg(count(lit(1)).as("__cu"),
+        expr(s"approx_percentile(__v, 0.9, $accuracy)")
         .as("p90_usd_approx"))
-    q.join(u, Seq("__g")).withColumnRenamed("__g", "market")
+    // FULL OUTER on __g: a group whose qty values are all null (absent
+    // from the null-filtered qty base) but whose usd values exist must
+    // still appear — with a null approx quantile, exactly like the
+    // direct tradeSizeQuantilesSketch — so a gate joining against the
+    // envelope side keeps an identical market population. `trades` is
+    // the larger non-null value count (= the group row count whenever
+    // values are non-null, as in the trade data), keeping the direct
+    // variant's count column in the surface.
+    q.join(u, Seq("__g"), "full_outer")
+      .select(col("__g").as("market"),
+        greatest(coalesce(col("__cq"), lit(0L)), coalesce(col("__cu"), lit(0L)))
+          .as("trades"),
+        col("median_qty_approx"), col("p90_usd_approx"))
   }
 }

@@ -29,10 +29,13 @@ object StreamingIngest {
     ticks.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 minute").as("w"), col("token_id"))
       .agg(
-        min_by(col("price"), struct(col("ts"), col("event_id"))).as("open"),
+        // price as the final ordering component, mirroring the batch
+        // Candles.fromTicks ord: (ts, event_id) ties open at min price
+        // and close at max price, deterministically
+        min_by(col("price"), struct(col("ts"), col("event_id"), col("price"))).as("open"),
         max(col("price")).as("high"),
         min(col("price")).as("low"),
-        max_by(col("price"), struct(col("ts"), col("event_id"))).as("close"),
+        max_by(col("price"), struct(col("ts"), col("event_id"), col("price"))).as("close"),
         sum(col("usd")).as("volume_dec"),
         count(lit(1)).as("trades"))
       .select(col("w.start").as("bucket"), col("token_id"), col("open"),

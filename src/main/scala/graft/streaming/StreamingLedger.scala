@@ -14,8 +14,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * each batch — no recomputation of history, state bounded by open
   * lots per wallet.
   *
-  * Ordering: fills are sorted (ts, seq) within each micro-batch;
-  * cross-batch ordering is the source's responsibility (late fills
+  * Ordering: fills are sorted (ts, seq, isBuy desc, usd) within each
+  * micro-batch — the same value tie-breakers as the batch
+  * [[graft.operators.Ledger]] foldFills, so tied (ts, seq) fills
+  * (trade_id is non-unique in real data) replay the identical
+  * data-determined total order instead of shuffle-arrival order.
+  * Cross-batch ordering is the source's responsibility (late fills
   * would need watermark + buffering, as in the reference's
   * hot-block window).
   */
@@ -27,7 +31,7 @@ object StreamingLedger {
   def updateWallet(wallet: Long, fills: Iterator[Fill],
                    state: GroupState[LotsState]): Iterator[LedgerRow] = {
     val prev = state.getOption
-    val sorted = fills.toSeq.sortBy(f => (f.ts.getTime, f.seq))
+    val sorted = fills.toSeq.sortBy(f => (f.ts.getTime, f.seq, !f.isBuy, f.usd))
     val (rows, remaining, lp) = Ledger.foldWalletStateful(sorted.iterator,
       prev.map(_.lots).getOrElse(Map.empty),
       prev.map(_.lastPrice).getOrElse(Map.empty))

@@ -43,9 +43,26 @@ class BloomShuffleSpec extends SparkSpec {
     assert(plan.contains("graft_might_contain"),
       "probe must survive into the physical plan")
     // caller-hint path: identical rows with an explicit cardinality
-    val hinted = BloomPrune.prunedJoin(w, hot, "wallet",
+    val hinted = BloomPrune.prunedJoinSized(w, hot, "wallet",
       expectedKeys = 100000L)
     assert(sameRows(hinted.select(plain.columns.map(col): _*), plain))
+  }
+
+  test("auto-sizing memoizes: two constructions over one dim, one action") {
+    val w = Leaderboard.walletTrades(Views.trades(spark, sf))
+    // a dim plan not built anywhere else in the suite, so the memo
+    // entry is provably created by THIS test's first construction
+    val hot = w.groupBy(col("wallet")).agg(count(lit(1)).as("trades"))
+      .filter(col("trades") >= 17)
+    val before = Views.planStatMisses.get()
+    BloomPrune.prunedJoin(w, hot, "wallet")
+    BloomPrune.prunedJoin(w, hot, "wallet")
+    val misses = Views.planStatMisses.get() - before
+    assert(misses <= 1,
+      s"expected at most one sizing action for two constructions, got $misses")
+    // and the memo returns the same hint both times
+    assert(BloomPrune.dimKeyCount(hot, "wallet") ==
+      BloomPrune.dimKeyCount(hot, "wallet"))
   }
 
   test("sketch sizing tracks the dim cardinality at ~10 bits/key") {

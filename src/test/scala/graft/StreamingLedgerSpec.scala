@@ -33,6 +33,31 @@ class StreamingLedgerSpec extends SparkSpec {
     assert(math.abs(r2.last.cost_basis - 1.4) < 1e-9)
   }
 
+  test("tied (ts, seq) fills fold in the batch engine's value order, " +
+       "not micro-batch arrival order") {
+    import java.sql.Timestamp
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    // four fills ALL tied on (ts, seq): two buys at different prices,
+    // two sells — the value tie-break (isBuy desc, usd asc) is the
+    // only thing that determines FIFO lot order and hence realized pnl
+    val tied = Seq(
+      Fill(1, t, 7, 30, isBuy = false, qty = 1, usd = 0.9),
+      Fill(1, t, 7, 30, isBuy = true, qty = 1, usd = 0.2),
+      Fill(1, t, 7, 30, isBuy = false, qty = 1, usd = 0.3),
+      Fill(1, t, 7, 30, isBuy = true, qty = 1, usd = 0.6))
+    val batchOrder = tied.sortBy(f => (f.ts.getTime, f.seq, !f.isBuy, f.usd))
+    val expected = Ledger.foldWallet(batchOrder.iterator).toSeq
+    // arrival order scrambled — updateWallet must re-sort by values
+    val state = org.apache.spark.sql.streaming.TestGroupState
+      .create[StreamingLedger.LotsState](
+        org.apache.spark.api.java.Optional.empty[StreamingLedger.LotsState](),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+        0L, org.apache.spark.api.java.Optional.empty[Long](), false)
+    val got = StreamingLedger.updateWallet(1L, tied.iterator, state).toSeq
+    assert(got.map(r => (r.event_type, r.cost_basis, r.realized_pnl)) ==
+      expected.map(r => (r.event_type, r.cost_basis, r.realized_pnl)))
+  }
+
   test("two-micro-batch streaming ledger equals one-shot batch ledger") {
     val wt = Leaderboard.walletTrades(Tables.trades(spark, sf))
     val fills = wt.select(col("wallet").cast("long").as("wallet"), col("ts"),

@@ -60,6 +60,33 @@ class StreamingSpec extends SparkSpec {
     assert(g.getLong(1) == b.getLong(1))
   }
 
+  test("candle open/close on (ts, event_id) ties is value-determined " +
+       "like the batch MV, not arrival-order-dependent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:30")
+    // all four ticks tied on (ts, event_id); prices differ — open must
+    // be the min price, close the max, per the shared ordering struct
+    val tied = Seq((1L, t, 10L, 0.7, 0.7), (1L, t, 10L, 0.2, 0.2),
+      (1L, t, 10L, 0.9, 0.9), (1L, t, 10L, 0.4, 0.4))
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, Double, Double)]
+    in.addData(tied: _*)
+    val ticks = in.toDF().toDF("event_id", "ts", "token_id", "price", "usd")
+      .withColumn("usd", col("usd").cast("decimal(18,4)"))
+    StreamingIngest.runToMemory(spark,
+      StreamingIngest.candleStream(ticks, "10 minutes"), "tied_candles",
+      outputMode = "complete")
+    val r = spark.table("tied_candles").head()
+    assert(r.getAs[Double]("open") == 0.2 && r.getAs[Double]("close") == 0.9)
+    // the batch twin picks the same endpoints on the same tie
+    val b = graft.operators.Candles.fromTicks(
+      spark.createDataset(tied).toDF("event_id", "ts", "token_id", "price", "usd"),
+      "minute", col("token_id"), col("ts"), col("event_id"), col("price"),
+      col("usd")).head()
+    assert(b.getAs[Double]("open") == 0.2 && b.getAs[Double]("close") == 0.9)
+  }
+
   test("update-mode leaderboard stream converges to the batch leaderboard buckets") {
     val fills = streamingEvents.select(col("ts"),
       col("user_id").as("wallet"),
