@@ -53,6 +53,10 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_BUCKETED")
       .orElse(sys.props.get("spark.graft.bucketed")).contains("1")) "bucketed"
     else "flat"
+  // mv_warmup phase (VERDICT r10 #1): (label, seconds, ok) per session
+  // MV materialized BEFORE the cold sweep, so each query's cold time is
+  // its own work and the shared-MV build cost is its own labeled line
+  @volatile private var mvWarmup: Vector[(String, Double, Boolean)] = Vector.empty
   // exactly-once guard shared by the normal path and the shutdown hook
   // (on SIGTERM the main loop keeps running concurrently with the hook)
   private val headlinePrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -121,11 +125,12 @@ object Bench {
     // complete run — completed < selected marks the COLD line as
     // truncated (ADVICE r6); the steady sweep reports its own count.
     val done = passes.headOption.map(_.size).getOrElse(0)
+    val mvTotal = mvWarmup.collect { case (_, v, true) => v }.sum
     // steady_scope marks the steady population (ADVICE r9: it widened
     // from headline-only to ALL queries in r9, same field names — the
     // marker keeps cross-round tooling from silently comparing mixed
     // populations); mode marks the storage layout under test.
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":$done,"selected":${order.size},"passes":$nPassesV,"queries":${mapJson(line)},"steady_total":${fmt(steadyTotal)},"steady_n":${steady.size},"steady_scope":"all"$steadyWorst,"failed":${failedJson(rs)},"mode":"$modeV","sf":"$sfDirV"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":$done,"selected":${order.size},"passes":$nPassesV,"mv_warmup":${fmt(mvTotal)},"mv_warmup_n":${mvWarmup.size},"queries":${mapJson(line)},"steady_total":${fmt(steadyTotal)},"steady_n":${steady.size},"steady_scope":"all"$steadyWorst,"failed":${failedJson(rs)},"mode":"$modeV","sf":"$sfDirV"}"""
   }
   /** Full map + raw per-pass samples → BENCH_LOCAL.json. Called after every
     * query: a tmp-file + atomic move so a kill mid-write can't truncate it. */
@@ -136,7 +141,7 @@ object Bench {
       s""""pass${i + 1}":${mapJson(order.flatMap(n => p.get(n).map(s => (n, s._1, s._2))))}"""
     }.mkString(",")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":${passes.length},"queries":${mapJson(rs)},$passJson,"failed":${failedJson(rs)},"steady_scope":"all","mode":"$modeV","sf":"$sfDirV"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":${passes.length},"mv_warmup":${mapJson(mvWarmup)},"queries":${mapJson(rs)},$passJson,"failed":${failedJson(rs)},"steady_scope":"all","mode":"$modeV","sf":"$sfDirV"}"""
     try {
       // bucketed-mode sweeps land in their own artifact so the
       // zero-exchange layout gets a longitudinal signal (VERDICT r9
@@ -278,6 +283,40 @@ object Bench {
         }
       }
     }
+    // ---- mv_warmup phase (VERDICT r10 #1) -----------------------------
+    // Materialize the shared session MVs BEFORE the cold sweep and
+    // report each build as its own labeled line: cold per-query numbers
+    // then mean "this query's own work", not "whichever query happened
+    // to first-touch the ledger fold". Dependency-ordered (base tables,
+    // then log fixtures, then derived folds) so each label's time is
+    // its own build, not a transitively-triggered one. SPARK_GRAFT_WARMUP=0
+    // restores the r10-and-earlier attribution for comparison runs.
+    val warmupOn = !sys.env.get("SPARK_GRAFT_WARMUP").exists(v =>
+      v == "0" || v.equalsIgnoreCase("false"))
+    var warmedNames: Set[String] = Set.empty
+    if (warmupOn && !contextDead && only.isEmpty) {
+      def prio(n: String) = n match {
+        case "trades" | "event_stream" => 0
+        case x if x.startsWith("logs_") => 1
+        case _ => 2
+      }
+      val mvs = SparkEntry.sessionViews.toSeq.sortBy { case (n, _) => (prio(n), n) }
+      for ((name, fn) <- mvs if !contextDead) {
+        if (spark.sparkContext.isStopped) contextDead = true
+        else {
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDirV).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] warmup $name failed: ${e.getMessage}"); false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] warmup $name $dt%.2fs")
+          mvWarmup = mvWarmup :+ ((name, dt, ok))
+          dumpLocal()
+        }
+      }
+      warmedNames = graft.model.Views.cachedNames(spark)
+    }
     var pi = 0
     while (pi < nPasses && !contextDead) { runSweep(pi, selected); pi += 1 }
     // Steady-state pass (VERDICT r7 #6: r7's passes=1 headline mixed
@@ -295,6 +334,25 @@ object Bench {
         v == "0" || v.equalsIgnoreCase("false"))
     if (!contextDead && steadyOn)
       runSweep(1, selected)
+    // warmup-coverage probe: an MV name first registered during the
+    // sweeps is one the warmup list missed — its build cost landed on
+    // some query's cold time. Loud so SparkEntry.sessionViews drift is
+    // caught the round it happens.
+    if (warmupOn && warmedNames.nonEmpty && !contextDead) {
+      val missed = graft.model.Views.cachedNames(spark) -- warmedNames
+      if (missed.nonEmpty)
+        System.err.println("[bench] WARNING MVs built during sweeps, not " +
+          s"covered by mv_warmup: ${missed.toSeq.sorted.mkString(", ")}")
+    }
+    // Teardown: release every session MV / pinned histogram through the
+    // registry's own lifecycle hook (VERDICT r10 #3 — reset existed but
+    // nothing called it in production code). Separate bucketed-mode
+    // launches get a fresh JVM, so teardown is the between-sweeps reset.
+    if (!contextDead) {
+      val n = graft.model.Views.cachedNames(spark).size
+      graft.model.Views.reset(spark)
+      System.err.println(s"[bench] Views.reset: released $n session MVs + pinned frames")
+    }
     // the ONE parseable line, last: headline queries only, "value" = ALL.
     // Stop Spark first (logging off) so no shutdown WARN can land after it.
     if (!contextDead) { spark.sparkContext.setLogLevel("OFF"); spark.stop() }

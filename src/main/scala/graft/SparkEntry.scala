@@ -55,6 +55,52 @@ object SparkEntry {
   private def fixture(s: SparkSession, d: String, name: String)
                      (build: => DataFrame): DataFrame =
     graft.model.Views.cached(s, d, name)(build)
+  // Unit-lot fill frame shared by the exact-twin family: qty=1,
+  // integer-scaled usd, zero fee — FIFO provenance becomes closed-form
+  // SQL on these (see each twin's comment).
+  private def unitFills(s: SparkSession, d: String): DataFrame =
+    wt(s, d).select(
+      col("wallet"), col("ts"), col("trade_id"), col("token_id"), col("side"),
+      lit(1.0).as("qty"),
+      (col("usd") * 10000).cast("long").cast("double").as("usd"),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)").as("fee"))
+
+  // One named builder per session MV (Views.cached name), shared by the
+  // queries AND Bench's mv_warmup phase — a warmup-built MV is
+  // plan-identical to what the queries would build lazily, so first-
+  // touch materialization cost can be paid (and reported) before the
+  // cold sweep instead of landing on whichever query runs first
+  // (VERDICT r10 #1).
+  private def ledgerOpenUnit(s: SparkSession, d: String): DataFrame =
+    graft.model.Views.cached(s, d, "ledger_open_unit")(
+      Ledger.buildOpenRows(s, unitFills(s, d)).toDF())
+  private def ledgerPeriodUnit(s: SparkSession, d: String): DataFrame =
+    graft.model.Views.cached(s, d, "ledger_period_unit")(
+      Ledger.buildPeriod(s, unitFills(s, d).drop("fee"),
+        "1996-01-01", "1997-01-01").toDF())
+  private def lbRollupDay(s: SparkSession, d: String): DataFrame =
+    graft.model.Views.cached(s, d, "lb_rollup_day")(
+      Leaderboard.rollupState(wt(s, d), "day"))
+  private def pnlRollup1dMv(s: SparkSession, d: String): DataFrame =
+    graft.model.Views.cached(s, d, "pnl_rollup_1d")(
+      Rollup.pnlRollup1d(wt(s, d), markets(s, d)))
+  private def ledgerPeriod9697(s: SparkSession, d: String): DataFrame =
+    graft.model.Views.cached(s, d, "ledger_period_1996_1997")(
+      Ledger.buildPeriod(s, wt(s, d), "1996-01-01", "1997-01-01").toDF())
+  private def qualityScored(s: SparkSession, d: String): DataFrame =
+    graft.model.Views.cached(s, d, "quality_scored")(
+      QualityModel.trainScore(s, Tables.documents(s, d), "doc_id", "text"))
+  private def ledgerOpenFromLogs(s: SparkSession, d: String): DataFrame =
+    graft.model.Views.cached(s, d, "ledger_open_from_logs")(
+      Ledger.buildOpenRows(s,
+        Leaderboard.walletTrades(LogDecode.decodedToTrades(
+            LogDecode.decodeOrderFilled(logsOrderFilledUnit(s, d)))).select(
+          col("wallet"), col("ts"), col("trade_id"), col("token_id"),
+          col("side"), lit(1.0).as("qty"),
+          (col("usd") * 10000).cast("long").cast("double").as("usd"),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)").as("fee")))
+        .toDF())
+
   private def logsOrderFilled(s: SparkSession, d: String) =
     fixture(s, d, "logs_order_filled")(LogDecode.encodeOrderFilled(trades(s, d)))
   private def logsTransferSingle(s: SparkSession, d: String) =
@@ -77,6 +123,42 @@ object SparkEntry {
   private def logsOrderFilledUnit(s: SparkSession, d: String) =
     fixture(s, d, "logs_order_filled_unit")(
       LogDecode.encodeOrderFilled(trades(s, d).withColumn("qty", lit(1.0))))
+
+  /** Shared session MVs: warmup label → a frame whose evaluation
+    * materializes that MV, for Bench's labeled `mv_warmup` phase
+    * (VERDICT r10 #1). Each builder is the SAME private def the
+    * queries call (same Views.cached name, same plan), so warmup
+    * builds exactly what the queries would build lazily and each
+    * query's cold time becomes its own work. The two fold MVs whose
+    * construction lives inside a query body (`ledger_events_synth`,
+    * via q_ledger_events) warm up by running that query — its own
+    * non-MV work is a tiny group-by over the folded rows. */
+  def sessionViews: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "trades" -> ((s, d) => trades(s, d)),
+    "event_stream" -> ((s, d) => graft.model.Views.eventStream(s, d)),
+    "balances" -> ((s, d) => balances(s, d)),
+    "last_price" -> ((s, d) => lastPrice(s, d)),
+    "daily_flows" -> ((s, d) => dailyFlows(s, d)),
+    "ledger" -> ((s, d) => graft.model.Views.ledger(s, d)),
+    "ledger_open" -> ((s, d) => graft.model.Views.ledgerOpen(s, d)),
+    "quant_base_qty" -> ((s, d) => quantBase(s, d, "qty")),
+    "quant_base_usd" -> ((s, d) => quantBase(s, d, "usd")),
+    "lb_rollup_day" -> ((s, d) => lbRollupDay(s, d)),
+    "pnl_rollup_1d" -> ((s, d) => pnlRollup1dMv(s, d)),
+    "ledger_period_1996_1997" -> ((s, d) => ledgerPeriod9697(s, d)),
+    "ledger_open_unit" -> ((s, d) => ledgerOpenUnit(s, d)),
+    "ledger_period_unit" -> ((s, d) => ledgerPeriodUnit(s, d)),
+    "ledger_open_from_logs" -> ((s, d) => ledgerOpenFromLogs(s, d)),
+    "quality_scored" -> ((s, d) => qualityScored(s, d)),
+    "ledger_events_synth" -> ((s, d) => queries("q_ledger_events")(s, d)),
+    "logs_order_filled" -> ((s, d) => logsOrderFilled(s, d)),
+    "logs_transfer_single" -> ((s, d) => logsTransferSingle(s, d)),
+    "logs_transfer_batch" -> ((s, d) => logsTransferBatch(s, d)),
+    "logs_condition_events" -> ((s, d) => logsConditionEvents(s, d)),
+    "logs_condition_lifecycle" -> ((s, d) => logsConditionLifecycle(s, d)),
+    "logs_negrisk" -> ((s, d) => logsNegRisk(s, d)),
+    "logs_fees" -> ((s, d) => logsFees(s, d)),
+    "logs_order_filled_unit" -> ((s, d) => logsOrderFilledUnit(s, d)))
 
   // ---- queries --------------------------------------------------------
 
@@ -170,9 +252,7 @@ object SparkEntry {
     "q_leaderboard_rollup" -> ((s, d) =>
       // the rollup MV is materialized once (reference: the 1h stats MV
       // is ingest-maintained); the query pays only the merge path
-      Leaderboard.leaderboardFromState(
-        graft.model.Views.cached(s, d, "lb_rollup_day")(
-          Leaderboard.rollupState(wt(s, d), "day")), 100)),
+      Leaderboard.leaderboardFromState(lbRollupDay(s, d), 100)),
 
     "q_portfolio_resample" -> ((s, d) =>
       Snapshots.downsample(
@@ -275,8 +355,7 @@ object SparkEntry {
       // the 1d rollup is a materialized table in the reference
       // (wallet_condition_pnl_1d, rebuilt by build-rollup-1d.ts) —
       // build once per session, serve reads from the MV
-      graft.model.Views.cached(s, d, "pnl_rollup_1d")(
-          Rollup.pnlRollup1d(wt(s, d), markets(s, d)))
+      pnlRollup1dMv(s, d)
         .orderBy(col("wallet"), col("market"), col("day"))),
 
     "q_reconcile" -> ((s, d) => {
@@ -356,10 +435,7 @@ object SparkEntry {
     // FIFO fold with per-lot open-time provenance, rows-only
     // (LedgerSpec carries the hand-computed oracle).
     "q_pnl_period" -> ((s, d) =>
-      Ledger.periodModes(
-          graft.model.Views.cached(s, d, "ledger_period_1996_1997")(
-            Ledger.buildPeriod(s, wt(s, d), "1996-01-01", "1997-01-01").toDF()),
-          lastPrice(s, d))
+      Ledger.periodModes(ledgerPeriod9697(s, d), lastPrice(s, d))
         .orderBy(col("wallet"))),
 
     "q_pnl_snapshots" -> ((s, d) =>
@@ -832,19 +908,13 @@ object SparkEntry {
     // Verifies the "_open" state rows, the broadcast settlement join
     // and the payout/loss arithmetic end to end.
     "q_ledger_resolved_exact" -> ((s, d) => {
-      val f = wt(s, d).select(
-        col("wallet"), col("ts"), col("trade_id"), col("token_id"), col("side"),
-        lit(1.0).as("qty"),
-        (col("usd") * 10000).cast("long").cast("double").as("usd"),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)").as("fee"))
       val resolutions = Tables.part(s, d)
         .select(col("p_partkey").cast("long").as("token_id"),
           when(col("p_partkey") % 4 === 1, 10000.0)
             .when(col("p_partkey") % 4 === 2, 0.0)
             .when(col("p_partkey") % 4 === 3, 5000.0).as("payout"))
         .filter(col("payout").isNotNull)
-      val open = graft.model.Views.cached(s, d, "ledger_open_unit")(
-        Ledger.buildOpenRows(s, f).toDF())
+      val open = ledgerOpenUnit(s, d)
       Ledger.resolveOpen(open, resolutions)
         .filter(col("event_type") === "redeem")
         .select(col("wallet"), col("token_id"),
@@ -866,14 +936,9 @@ object SparkEntry {
     // in-period sells; m3/m4 add unrealized on period-opened / all
     // open lots. Everything integer → exact hash compare.
     "q_pnl_period_exact" -> ((s, d) => {
-      val f = wt(s, d).select(
-        col("wallet"), col("ts"), col("trade_id"), col("token_id"), col("side"),
-        lit(1.0).as("qty"),
-        (col("usd") * 10000).cast("long").cast("double").as("usd"))
       val lp = wt(s, d).select(col("token_id")).distinct()
         .withColumn("last_price", (col("token_id") % 7 * 2500).cast("double"))
-      val period = graft.model.Views.cached(s, d, "ledger_period_unit")(
-        Ledger.buildPeriod(s, f, "1996-01-01", "1997-01-01").toDF())
+      val period = ledgerPeriodUnit(s, d)
       period.join(broadcast(lp), Seq("token_id"), "left")
         .groupBy(col("wallet"))
         .agg(
@@ -900,14 +965,7 @@ object SparkEntry {
     // (open lots = the last n_buys − K buys, K = sells − max prefix
     // deficit).
     "q_pnl_modes_exact" -> ((s, d) => {
-      val f = wt(s, d).select(
-        col("wallet"), col("ts"), col("trade_id"), col("token_id"), col("side"),
-        lit(1.0).as("qty"),
-        (col("usd") * 10000).cast("long").cast("double").as("usd"),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)").as("fee"))
-      val open = graft.model.Views.cached(s, d, "ledger_open_unit")(
-        Ledger.buildOpenRows(s, f).toDF())
-      open
+      ledgerOpenUnit(s, d)
         .groupBy(col("wallet"))
         .agg(
           sum(when(col("event_type") === "sell", col("realized_pnl"))
@@ -939,13 +997,7 @@ object SparkEntry {
     // instead of refolding the whole trade stream.
     "q_ledger_curve_exact" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val f = wt(s, d).select(
-        col("wallet"), col("ts"), col("trade_id"), col("token_id"), col("side"),
-        lit(1.0).as("qty"),
-        (col("usd") * 10000).cast("long").cast("double").as("usd"),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)").as("fee"))
-      val daily = graft.model.Views.cached(s, d, "ledger_open_unit")(
-          Ledger.buildOpenRows(s, f).toDF())
+      val daily = ledgerOpenUnit(s, d)
         .filter(col("event_type") === "sell")
         .groupBy(col("wallet"), date_trunc("day", col("ts")).as("day"))
         .agg(sum(col("realized_pnl")).cast("long").as("realized_d"),
@@ -1482,9 +1534,7 @@ object SparkEntry {
       // build-once/apply-everywhere seam, like IvfIndex's k-means):
       // the scored held-out slice is a session MV, so the steady
       // bench measures scoring+AUC, not repeated L-BFGS fits
-      val a = QualityModel.auc(
-        graft.model.Views.cached(s, d, "quality_scored")(
-          QualityModel.trainScore(s, docs, "doc_id", "text")))
+      val a = QualityModel.auc(qualityScored(s, d))
       docs.filter(col("doc_id") % 5 =!= 0)
         .agg(count(lit(1)).as("n_train"))
         .crossJoin(broadcast(a))
@@ -1726,13 +1776,6 @@ object SparkEntry {
     // NOT synthesized relationally — they come out of the decoded
     // numerator arrays (payout = first/denominator, main.ts:413).
     "q_ledger_from_logs" -> ((s, d) => {
-      val decoded = LogDecode.decodedToTrades(
-        LogDecode.decodeOrderFilled(logsOrderFilledUnit(s, d)))
-      val f = Leaderboard.walletTrades(decoded).select(
-        col("wallet"), col("ts"), col("trade_id"), col("token_id"), col("side"),
-        lit(1.0).as("qty"),
-        (col("usd") * 10000).cast("long").cast("double").as("usd"),
-        lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)").as("fee"))
       // one ConditionResolution log per resolved token: conditionId =
       // the token's on-chain id word; numerators [1,0]/[0,1]/[1,1] by
       // token_id % 4 (1: win, 2: loss, 3: half); % 4 == 0 never
@@ -1759,8 +1802,7 @@ object SparkEntry {
             .as("token_id"),
           (col("first_payout") * 10000.0 / col("payout_denominator"))
             .as("payout"))
-      val open = graft.model.Views.cached(s, d, "ledger_open_from_logs")(
-        Ledger.buildOpenRows(s, f).toDF())
+      val open = ledgerOpenFromLogs(s, d)
       Ledger.resolveOpen(open, resolutions)
         .filter(col("event_type") === "redeem")
         .select(col("wallet"), col("token_id"),

@@ -33,6 +33,16 @@ object Views {
     }
   }
 
+  /** Names of session MVs registered so far for `spark`'s app —
+    * Bench's warmup-coverage probe: any name that first appears
+    * DURING the cold sweep is an MV its warmup list missed. */
+  def cachedNames(spark: SparkSession): Set[String] = {
+    val app = spark.sparkContext.applicationId
+    val out = Set.newBuilder[String]
+    cache.forEach((k, _) => if (k._1 == app) { out += k._3; () })
+    out.result()
+  }
+
   // Pinned derived plans (e.g. Rank's bucket histograms): small
   // (KB-scale, provably bounded by the bucket image) DataFrames that
   // several queries re-derive from the same lineage. Deduplicated by
