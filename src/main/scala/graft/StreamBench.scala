@@ -27,12 +27,17 @@ object StreamBench {
   private def fmt(v: Double): String = f"$v%.1f"
 
   /** Run one streaming query to exhaustion; report rows/s + batch
-    * latency percentiles from the progress log. */
-  private def run(name: String, stream: DataFrame, mode: String): String = {
+    * latency percentiles from the progress log, plus state-store
+    * rows/memory for the stateful paths. The checkpoint lives under
+    * the per-run tmp root (`ckptRoot`) so the end-of-run rmTree
+    * removes it — a fixed java.io.tmpdir path leaked state per run
+    * and could even resume a stale checkpoint on PID reuse
+    * (ADVICE r10). */
+  private def run(name: String, stream: DataFrame, mode: String,
+                  ckptRoot: String, tag: String): String = {
     val t0 = System.nanoTime()
     val q = stream.writeStream.format("noop").outputMode(mode)
-      .option("checkpointLocation",
-        s"${System.getProperty("java.io.tmpdir")}/graft-sb-ckpt-$name-${ProcessHandle.current().pid()}")
+      .option("checkpointLocation", s"$ckptRoot/$name-$tag")
       .start()
     q.processAllAvailable()
     val wall = (System.nanoTime() - t0) / 1e9
@@ -45,9 +50,19 @@ object StreamBench {
       .sorted
     val p50 = if (durs.nonEmpty) durs(durs.size / 2) else -1L
     val mx = if (durs.nonEmpty) durs.last else -1L
-    val line = s"""{"path":"$name","rows":$rows,"wall_sec":${fmt(wall)},""" +
-      s""""rows_per_sec":${fmt(rows / wall)},"batches":$batches,""" +
-      s""""p50_batch_ms":$p50,"max_batch_ms":$mx}"""
+    // state-store footprint at end of replay: total kept rows and
+    // store memory, summed over stateful operators of the LAST
+    // progress entry that has any (the converged state size — what a
+    // long-running deployment would hold)
+    val st = prog.reverse.map(_.stateOperators.toSeq).find(_.nonEmpty)
+      .getOrElse(Seq.empty)
+    val stateJson =
+      if (st.isEmpty) ""
+      else s""","state_rows":${st.map(_.numRowsTotal).sum},""" +
+        s""""state_mem_bytes":${st.map(_.memoryUsedBytes).sum}"""
+    val line = s"""{"path":"$name","files_per_trigger":$tag,"rows":$rows,""" +
+      s""""wall_sec":${fmt(wall)},"rows_per_sec":${fmt(rows / wall)},""" +
+      s""""batches":$batches,"p50_batch_ms":$p50,"max_batch_ms":$mx$stateJson}"""
     println(line)
     line
   }
@@ -56,7 +71,11 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val files = 32              // replay granularity
-    val perTrigger = 2          // files per micro-batch → 16 batches
+    // Two operating points (VERDICT r10 #6): 2 files/trigger → 16
+    // batches and 8 files/trigger → 4 batches. If per-batch fixed cost
+    // dominates (the r10 claim), wall time ≈ a + b·batches — the slope
+    // between the points separates fixed cost from per-row cost.
+    val perTriggers = Seq(2, 8)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -84,7 +103,7 @@ object StreamBench {
         col("fee").cast("double").as("fee"))
     fills.repartition(files).write.mode("overwrite").parquet(s"$tmp/fills")
 
-    def replay(path: String): DataFrame =
+    def replay(path: String, perTrigger: Int): DataFrame =
       spark.readStream
         .schema(spark.read.parquet(path).schema)
         .option("maxFilesPerTrigger", perTrigger)
@@ -96,36 +115,39 @@ object StreamBench {
     // state stays watermark-bounded. Each library entry point is
     // measured on its own (chaining two would redefine the watermark;
     // the composed pipeline is the sum of the stages).
-    val dedup = StreamingIngest.dedupedStream(replay(s"$tmp/ticks"),
-      "ts", "event_id", "30 days")
-    val l0 = run("ingest_idempotent_dedup", dedup, "append")
-
-    val ingest = StreamingIngest.candleStream(replay(s"$tmp/ticks"),
-      "30 days")
-    val l1 = run("candles_1m_incremental_mv", ingest, "append")
-
-    // streaming leaderboard MV (update mode)
-    val lb = StreamingIngest.leaderboardStream(replay(s"$tmp/fills"),
-      "30 days")
-    val l2 = run("leaderboard_daily_mv", lb, "update")
-
-    // 3) incremental FIFO ledger: open lots carried across batches
     import spark.implicits._
-    val fillDs = replay(s"$tmp/fills").select(
-        col("wallet").cast("long").as("wallet"), col("ts"),
-        col("trade_id").cast("long").as("seq"),
-        col("token_id").cast("long").as("tokenId"),
-        (col("side") === "buy").as("isBuy"), col("qty"), col("usd"),
-        col("fee"), lit("").as("kind"), lit(0L).as("tokenId2"),
-        lit(Array.empty[Long]).as("legTokens"),
-        lit(Array.empty[Double]).as("legQtys"),
-        lit(Array.empty[Long]).as("legTokens2"),
-        lit(Array.empty[Double]).as("legQtys2"))
-      .as[graft.operators.Ledger.Fill]
-    val ledger = StreamingLedger.track(spark, fillDs).toDF()
-    val l3 = run("ledger_incremental_fifo", ledger, "append")
+    val lines = for (pt <- perTriggers) yield {
+      val tag = pt.toString
+      val dedup = StreamingIngest.dedupedStream(replay(s"$tmp/ticks", pt),
+        "ts", "event_id", "30 days")
+      val l0 = run("ingest_idempotent_dedup", dedup, "append", s"$tmp/ckpt", tag)
 
-    System.err.println(s"[streambench] $l0\n[streambench] $l1\n[streambench] $l2\n[streambench] $l3")
+      val ingest = StreamingIngest.candleStream(replay(s"$tmp/ticks", pt),
+        "30 days")
+      val l1 = run("candles_1m_incremental_mv", ingest, "append", s"$tmp/ckpt", tag)
+
+      // streaming leaderboard MV (update mode)
+      val lb = StreamingIngest.leaderboardStream(replay(s"$tmp/fills", pt),
+        "30 days")
+      val l2 = run("leaderboard_daily_mv", lb, "update", s"$tmp/ckpt", tag)
+
+      // incremental FIFO ledger: open lots carried across batches
+      val fillDs = replay(s"$tmp/fills", pt).select(
+          col("wallet").cast("long").as("wallet"), col("ts"),
+          col("trade_id").cast("long").as("seq"),
+          col("token_id").cast("long").as("tokenId"),
+          (col("side") === "buy").as("isBuy"), col("qty"), col("usd"),
+          col("fee"), lit("").as("kind"), lit(0L).as("tokenId2"),
+          lit(Array.empty[Long]).as("legTokens"),
+          lit(Array.empty[Double]).as("legQtys"),
+          lit(Array.empty[Long]).as("legTokens2"),
+          lit(Array.empty[Double]).as("legQtys2"))
+        .as[graft.operators.Ledger.Fill]
+      val ledger = StreamingLedger.track(spark, fillDs).toDF()
+      val l3 = run("ledger_incremental_fifo", ledger, "append", s"$tmp/ckpt", tag)
+      Seq(l0, l1, l2, l3)
+    }
+    lines.flatten.foreach(l => System.err.println(s"[streambench] $l"))
     spark.stop()
     def rmTree(f: java.io.File): Unit = {
       val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree)
