@@ -34,10 +34,11 @@ object StreamBench {
     * and could even resume a stale checkpoint on PID reuse
     * (ADVICE r10). */
   private def run(name: String, stream: DataFrame, mode: String,
-                  ckptRoot: String, tag: String): String = {
+                  ckptRoot: String, tag: String,
+                  store: String = "hdfs"): String = {
     val t0 = System.nanoTime()
     val q = stream.writeStream.format("noop").outputMode(mode)
-      .option("checkpointLocation", s"$ckptRoot/$name-$tag")
+      .option("checkpointLocation", s"$ckptRoot/$name-$tag-$store")
       .start()
     q.processAllAvailable()
     val wall = (System.nanoTime() - t0) / 1e9
@@ -60,7 +61,7 @@ object StreamBench {
       if (st.isEmpty) ""
       else s""","state_rows":${st.map(_.numRowsTotal).sum},""" +
         s""""state_mem_bytes":${st.map(_.memoryUsedBytes).sum}"""
-    val line = s"""{"path":"$name","files_per_trigger":$tag,"rows":$rows,""" +
+    val line = s"""{"path":"$name","files_per_trigger":$tag,"store":"$store","rows":$rows,""" +
       s""""wall_sec":${fmt(wall)},"rows_per_sec":${fmt(rows / wall)},""" +
       s""""batches":$batches,"p50_batch_ms":$p50,"max_batch_ms":$mx$stateJson}"""
     println(line)
@@ -116,20 +117,33 @@ object StreamBench {
     // measured on its own (chaining two would redefine the watermark;
     // the composed pipeline is the sum of the stages).
     import spark.implicits._
-    val lines = for (pt <- perTriggers) yield {
+    // Operating points: the two per-trigger settings on the default
+    // in-memory (HDFS-backed) state store, plus the larger batch size
+    // on RocksDB — the production store for state that outgrows the
+    // heap (the FIFO fold's open-lot maps measured ~84 MB on-heap at
+    // sf0.1; RocksDB keeps working when that is 84 GB). Same replay,
+    // same queries — only the provider changes, so the delta IS the
+    // store's commit/lookup cost.
+    val points = perTriggers.map(pt => (pt, "hdfs")) :+ (perTriggers.max, "rocksdb")
+    val lines = for ((pt, store) <- points) yield {
       val tag = pt.toString
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        if (store == "rocksdb")
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else
+          "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
       val dedup = StreamingIngest.dedupedStream(replay(s"$tmp/ticks", pt),
         "ts", "event_id", "30 days")
-      val l0 = run("ingest_idempotent_dedup", dedup, "append", s"$tmp/ckpt", tag)
+      val l0 = run("ingest_idempotent_dedup", dedup, "append", s"$tmp/ckpt", tag, store)
 
       val ingest = StreamingIngest.candleStream(replay(s"$tmp/ticks", pt),
         "30 days")
-      val l1 = run("candles_1m_incremental_mv", ingest, "append", s"$tmp/ckpt", tag)
+      val l1 = run("candles_1m_incremental_mv", ingest, "append", s"$tmp/ckpt", tag, store)
 
       // streaming leaderboard MV (update mode)
       val lb = StreamingIngest.leaderboardStream(replay(s"$tmp/fills", pt),
         "30 days")
-      val l2 = run("leaderboard_daily_mv", lb, "update", s"$tmp/ckpt", tag)
+      val l2 = run("leaderboard_daily_mv", lb, "update", s"$tmp/ckpt", tag, store)
 
       // incremental FIFO ledger: open lots carried across batches
       val fillDs = replay(s"$tmp/fills", pt).select(
@@ -144,7 +158,7 @@ object StreamBench {
           lit(Array.empty[Double]).as("legQtys2"))
         .as[graft.operators.Ledger.Fill]
       val ledger = StreamingLedger.track(spark, fillDs).toDF()
-      val l3 = run("ledger_incremental_fifo", ledger, "append", s"$tmp/ckpt", tag)
+      val l3 = run("ledger_incremental_fifo", ledger, "append", s"$tmp/ckpt", tag, store)
       Seq(l0, l1, l2, l3)
     }
     lines.flatten.foreach(l => System.err.println(s"[streambench] $l"))
