@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * ONE scale factor; testdata tops out at sf0.1, so the "holds at
   * 100 TB" argument rested on plan-shape audits plus an sf0.01→sf0.1
   * extrapolation (VERDICT r10 "What's missing" #2). This main makes the
-  * next decade of that curve a measurement instead: it builds ×1/×2/×4/×8
+  * next decade of that curve a measurement instead: it builds ×1…×16
   * replicas of the sf0.1 tables and times a representative query per
   * operator family at each multiple, then fits the log-log slope.
   *
@@ -155,7 +155,7 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,2,4,8")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,2,4,8,16")
       .split(",").flatMap(_.trim.toIntOption).filter(_ >= 1).distinct.sorted.toSeq
     // entities (default): ×k wallets/markets/docs, per-key density fixed.
     // density: fixed entities, ×k rows per key (whale axis — longer
