@@ -1571,6 +1571,14 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprint64(col("text")).as("fp64"))
         .orderBy(col("doc_id"))),
 
+    // Sliding-window character chunking (retrieval / context-window
+    // prep): 128-char windows at stride 96 (32-char overlap), one
+    // scan-stage explode — no shuffle.
+    "q_doc_chunks" -> ((s, d) =>
+      TextAnalysis.chunk(Tables.documents(s, d), "doc_id", "text",
+          size = 128, stride = 96)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Eval-set decontamination (GPT-3 appendix C, 13-gram overlap):
     // every 10th doc poses as the benchmark; the rest is the corpus.
     "q_decontaminate" -> ((s, d) => {
@@ -2974,6 +2982,19 @@ object SparkEntry {
         |  len(regexp_split_to_array(trim(text), ' +')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // chunk i covers [i*96, i*96+128); starts 0..ceil(max(len-128,0)/96)
+    "q_doc_chunks" ->
+      """SELECT doc_id, i AS chunk_idx,
+        |  substring(text, CAST(i * 96 + 1 AS INT), 128) AS chunk_text,
+        |  CAST(length(substring(text, CAST(i * 96 + 1 AS INT), 128)) AS BIGINT)
+        |    AS chunk_len
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(range(CAST(ceil(greatest(length(text) - 128, 0) / 96.0)
+        |      AS BIGINT) + 1)) AS i
+        |  FROM documents)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH w AS (

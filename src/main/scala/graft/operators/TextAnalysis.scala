@@ -170,4 +170,31 @@ object TextAnalysis {
       lit(1099511627689L),
       (acc, ch) => pmod(acc * lit(31L), lit(1L << 40)) +
         when(length(ch) > 0, ascii(ch).cast("long")).otherwise(0L))
+
+  /** Sliding-window character chunking (retrieval / context-window
+    * prep): chunk i covers characters [i·stride, i·stride + size).
+    * Start indices run 0..ceil(max(len − size, 0) / stride), so every
+    * character lands in at least one chunk, consecutive chunks overlap
+    * by exactly size − stride characters, and a document that already
+    * fits in one window emits exactly one chunk (no degenerate tail
+    * windows shorter than the overlap).
+    *
+    * Scale shape: a pure scan-stage sequence + explode — no shuffle,
+    * no state, whole-stage codegen end-to-end; output parallelism is
+    * the input split parallelism, which is the right 100 TB shape for
+    * a corpus-wide rechunk. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val lastIdx = ceil(greatest(length(col(textCol)) - size, lit(0))
+      .cast("double") / stride).cast("long")
+    docs
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0L), lastIdx)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        col(textCol).substr((col("chunk_idx") * stride + 1).cast("int"),
+          lit(size)).as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
+  }
 }
