@@ -1323,6 +1323,28 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup (cluster-then-within-cluster cosine, arXiv:2303.09540):
+    // same seeded-twin recipe as q_dedup_embedding — ×2-scaled copies
+    // normalize to bit-identical unit vectors, so k-means assigns both
+    // twins to the same cell by construction, and the exact all-pairs
+    // oracle of q_dedup_embedding establishes they are the ONLY pairs
+    // at cosine ≥ 0.999. The dedup verdict (one group per twin pair,
+    // min id kept, the +10000 copy dropped) is therefore a relational
+    // fact the oracle states directly — the Spark side has to get cell
+    // assignment, within-cell pairing, transitive closure, and the
+    // keep rule all right to hash-match it.
+    "q_semdedup" -> ((s, d) => {
+      val base = Tables.embeddings(s, d).select(
+        col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val seeded = base.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0)).as("embedding"))
+      Dedup.semDedup(s, base.unionAll(seeded), "vec_id", "embedding",
+          corpusKey = s"$d#semdedup", nlist = 16, threshold = 0.999)
+        .orderBy(col("id"))
+    }),
+
     "q_ann_topk" -> ((s, d) => {
       val nrm = Similarity.normalized(Tables.embeddings(s, d), "vec_id", "embedding")
       Similarity.bruteForceTopK(nrm, nrm.filter(col("id") < 5), 10)
@@ -3043,6 +3065,20 @@ object SparkEntry {
         |  FROM nrm a JOIN nrm b ON a.id < b.id)
         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the exact all-pairs scan of q_dedup_embedding proves the 25
+    // seeded twins are the only cosine-0.999 pairs, so the duplicate
+    // groups are a closed-form relational fact: group per twin, min id
+    // kept, scaled copy dropped
+    "q_semdedup" ->
+      """SELECT CAST(vec_id AS BIGINT) AS id,
+        |  CAST(vec_id AS BIGINT) AS group_id, true AS keep
+        |FROM embeddings WHERE vec_id < 25
+        |UNION ALL
+        |SELECT CAST(vec_id + 10000 AS BIGINT) AS id,
+        |  CAST(vec_id AS BIGINT) AS group_id, false AS keep
+        |FROM embeddings WHERE vec_id < 25
+        |ORDER BY id""".stripMargin,
 
     "q_dedup_clusters_exact" ->
       """WITH RECURSIVE base AS (

@@ -304,4 +304,44 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the embedding corpus into `nlist`
+    * cells (the [[IvfIndex]] model, built once per session and shared
+    * with ANN probing), form candidate pairs ONLY within a cell — the
+    * published trick that replaces the O(n²) all-pairs cosine with
+    * nlist · O((n/nlist)²), the same blocking idea as LSH but aligned
+    * to semantic structure — then close duplicate groups transitively
+    * with the distributed CC of [[clusters]] and keep the minimum id
+    * per group (deterministic on any engine).
+    *
+    * Complements [[embeddingPairs]] (hyperplane-LSH blocking): LSH
+    * recall is collision-bounded; cell blocking finds every pair whose
+    * members share a nearest centroid — exact duplicates always do,
+    * identical vectors being assigned identically.
+    *
+    * Returns (id, group_id, keep) for every member of a duplicate
+    * group; rows not in any group are implicitly kept. Scale shape:
+    * one ML transform for assignment (centroids broadcast), one
+    * shuffle on cell, pairs bounded by cell size (pick nlist ∝ √n),
+    * then Pregel CC on the — tiny — duplicate-pair graph. */
+  def semDedup(spark: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
+               idCol: String, vecCol: String, corpusKey: String, nlist: Int,
+               threshold: Double): DataFrame = {
+    val nrm = Similarity.normalized(embeddings, idCol, vecCol)
+    val assigned = IvfIndex.buildCached(spark, nrm, corpusKey, nlist).assigned
+    val l = assigned.select(col("cell"), col("id").as("id_a"),
+      col("unit").as("u_a"))
+    val r = assigned.select(col("cell"), col("id").as("id_b"),
+      col("unit").as("u_b"))
+    val pairs = l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(Similarity.dot(col("u_a"), col("u_b")), 6) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val members = pairs.select(col("id_a").as(idCol))
+      .unionAll(pairs.select(col("id_b").as(idCol))).distinct()
+    clusters(spark, pairs, members, idCol)
+      .select(col("id"), col("cluster_id").as("group_id"),
+        (col("id") === col("cluster_id")).as("keep"))
+  }
 }

@@ -97,4 +97,29 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 1L)))
   }
+
+  test("semdedup: chains close transitively, far vectors stay out") {
+    // cluster A: three vectors on a chain at angles 0° / 5° / 10° in
+    // the (x,y) plane — threshold 0.99 sits between cos5° (0.9962)
+    // and cos10° (0.9848), so only the adjacent pairs qualify and CC
+    // must close the chain into ONE group keeping the min id.
+    // cluster B: two orthogonal-direction vectors far from A and from
+    // each other — no pair, so no output rows for them.
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0f, 0f)
+    }
+    val vecs = Seq(
+      (10L, at(0)), (11L, at(5)), (12L, at(10)),
+      (20L, Array(0f, 0f, 1f, 0f)), (21L, Array(0f, 0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semDedup(spark, vecs, "vec_id", "embedding",
+        corpusKey = "semdedup-spec", nlist = 2, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got.keySet == Set(10L, 11L, 12L), s"members: ${got.keySet}")
+    assert(got(10L) == ((10L, true)))
+    assert(got(11L) == ((10L, false)))
+    assert(got(12L) == ((10L, false)))
+  }
 }
