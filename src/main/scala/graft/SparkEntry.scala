@@ -238,6 +238,18 @@ object SparkEntry {
         .orderBy(col("token_id"), col("bucket"))
     }),
 
+    // Linear-interpolation gap fill (the "chart line" variant of
+    // q_candles_fill's hold-forward): missing hourly closes are
+    // interpolated between the nearest real closes, time-weighted.
+    "q_candles_interp" -> ((s, d) => {
+      val ev = graft.model.Views.eventStream(s, d)
+      val c1h = Candles.finalize(Candles.reaggregate(
+        Candles.fromTicks(ev, "minute", col("token_id"), col("ts"),
+          col("event_id"), col("price"), col("usd")), "hour"))
+      Candles.gapFillInterp(c1h, 3600)
+        .orderBy(col("token_id"), col("bucket"))
+    }),
+
     "q_last_price" -> ((s, d) =>
       lastPrice(s, d).orderBy(col("token_id"))),
 
@@ -2087,6 +2099,54 @@ object SparkEntry {
         |  coalesce(volume, 0.0) AS volume,
         |  CAST(coalesce(trades, 0) AS BIGINT) AS trades,
         |  open IS NULL AS filled
+        |FROM j ORDER BY token_id, bucket""".stripMargin,
+
+    // identical CTE chain to q_candles_fill up to the grid join; the
+    // fill rule swaps hold-forward for time-weighted interpolation —
+    // same IEEE expression structure on both engines so the doubles
+    // compare exactly
+    "q_candles_interp" ->
+      s"""WITH $EV,
+        |ticks AS (
+        |  SELECT token_id, date_trunc('hour', ts) AS bucket, price, usd, ts, event_id
+        |  FROM ev),
+        |oc AS (
+        |  SELECT token_id, bucket, price, usd,
+        |    first_value(price) OVER (PARTITION BY token_id, bucket ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+        |    last_value(price) OVER (PARTITION BY token_id, bucket ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+        |  FROM ticks),
+        |c1h AS (
+        |  SELECT token_id, bucket, MAX(c) AS close
+        |  FROM oc GROUP BY token_id, bucket),
+        |bounds AS (
+        |  SELECT token_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM c1h GROUP BY 1),
+        |grid AS (
+        |  SELECT token_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.token_id, g.bucket, c.close,
+        |    last_value(c.close IGNORE NULLS) OVER (PARTITION BY g.token_id
+        |      ORDER BY g.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS prev_close,
+        |    first_value(c.close IGNORE NULLS) OVER (PARTITION BY g.token_id
+        |      ORDER BY g.bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS next_close,
+        |    last_value(CASE WHEN c.close IS NOT NULL THEN g.bucket END IGNORE NULLS)
+        |      OVER (PARTITION BY g.token_id ORDER BY g.bucket
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+        |    first_value(CASE WHEN c.close IS NOT NULL THEN g.bucket END IGNORE NULLS)
+        |      OVER (PARTITION BY g.token_id ORDER BY g.bucket
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+        |  FROM grid g LEFT JOIN c1h c USING (token_id, bucket))
+        |SELECT token_id, bucket, close,
+        |  CASE WHEN close IS NOT NULL THEN close
+        |       ELSE prev_close + (next_close - prev_close) *
+        |         (CAST(date_diff('second', prev_b, bucket) AS DOUBLE) /
+        |          CAST(date_diff('second', prev_b, next_b) AS DOUBLE)) END
+        |    AS close_interp,
+        |  close IS NULL AS filled
         |FROM j ORDER BY token_id, bucket""".stripMargin,
 
     "q_last_price" ->

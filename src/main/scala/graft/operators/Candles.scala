@@ -137,6 +137,42 @@ object Candles {
         col("open").isNull.as("filled"))
   }
 
+  /** Gap-filled series with LINEAR interpolation of the close instead
+    * of [[gapFill]]'s hold-forward: a missing bucket gets
+    * prev + (next − prev) · (t − t_prev)/(t_next − t_prev) between its
+    * nearest real closes. The grid spans min..max real bucket per
+    * token, so every gap has both neighbours by construction. Same
+    * scale shape as [[gapFill]]: per-token grid explode + one
+    * partitioned window pass in each direction — no unpartitioned
+    * window, no self-join. */
+  def gapFillInterp(candles: DataFrame, stepSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = candles.groupBy(col("token_id"))
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col("token_id"), explode(sequence(col("b0"), col("b1"),
+        expr(s"INTERVAL $stepSeconds SECONDS"))).as("bucket"))
+    val wAsc = Window.partitionBy(col("token_id")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wDesc = Window.partitionBy(col("token_id")).orderBy(col("bucket"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val realBucket = when(col("close").isNotNull, col("bucket"))
+    grid.join(candles.select(col("token_id"), col("bucket"), col("close")),
+        Seq("token_id", "bucket"), "left")
+      .withColumn("prev_close", last(col("close"), ignoreNulls = true).over(wAsc))
+      .withColumn("next_close", first(col("close"), ignoreNulls = true).over(wDesc))
+      .withColumn("prev_b", last(realBucket, ignoreNulls = true).over(wAsc))
+      .withColumn("next_b", first(realBucket, ignoreNulls = true).over(wDesc))
+      .select(col("token_id"), col("bucket"), col("close"),
+        when(col("close").isNotNull, col("close"))
+          .otherwise(col("prev_close") +
+            (col("next_close") - col("prev_close")) *
+            ((unix_timestamp(col("bucket")) - unix_timestamp(col("prev_b")))
+              .cast("double") /
+             (unix_timestamp(col("next_b")) - unix_timestamp(col("prev_b")))
+              .cast("double"))).as("close_interp"),
+        col("close").isNull.as("filled"))
+  }
+
   /** Last traded price per token (reference: token_last_price MV,
     * 001:552-568 — argMax over (block_number, log_index)). */
   def lastPrice(ticks: DataFrame, token: Column, ts: Column, seq: Column,

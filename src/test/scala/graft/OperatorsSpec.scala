@@ -108,4 +108,26 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
     assert(r == Map(1L -> 5000L, 2L -> -2500L))
   }
+
+  test("interp gap fill: hand-built gaps interpolate time-weighted") {
+    import spark.implicits._
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"1996-01-01 $h%02d:00:00")
+    // token 1: closes at hours 0 and 3 → hours 1,2 at 1/3 and 2/3;
+    // token 2: no gaps
+    val c = Seq(
+      (1L, ts(0), 10.0), (1L, ts(3), 16.0),
+      (2L, ts(5), 2.0), (2L, ts(6), 4.0)
+    ).toDF("token_id", "bucket", "close")
+    val got = Candles.gapFillInterp(c, 3600)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(13),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    assert(got == Set(
+      (1L, "1996-01-01 00", 10.0, false),
+      (1L, "1996-01-01 01", 12.0, true),
+      (1L, "1996-01-01 02", 14.0, true),
+      (1L, "1996-01-01 03", 16.0, false),
+      (2L, "1996-01-01 05", 2.0, false),
+      (2L, "1996-01-01 06", 4.0, false)))
+  }
 }
