@@ -322,6 +322,14 @@ object SparkEntry {
       Stats.marketConcentration(wt(s, d), markets(s, d))
         .orderBy(col("market"))),
 
+    // Equi-width trade-size histogram per market (CH histogram()
+    // report shape, fixed 10 bins over [min, max] usd per market).
+    "q_trade_histogram" -> ((s, d) =>
+      Stats.histogram(
+          wt(s, d).join(broadcast(markets(s, d)), Seq("token_id")),
+          "market", col("usd"), bins = 10)
+        .orderBy(col("market"), col("bin"))),
+
     "q_top_holders" -> ((s, d) =>
       Balances.topHoldersPerToken(balances(s, d), 3)
         .orderBy(col("token_id"), col("holder_rank"))),
@@ -3393,6 +3401,27 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN rank <= 10 THEN v ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
         |    CAST(MAX(tot) AS DOUBLE) AS top10_share
         |FROM r GROUP BY market ORDER BY market""".stripMargin,
+
+    // same bin rule as Stats.histogram: w = (mx-mn)/10, bin capped at
+    // 9, degenerate group (mx = mn) entirely in bin 0; identical IEEE
+    // expression structure so edges and counts compare exactly
+    "q_trade_histogram" ->
+      s"""WITH $WT,
+        |t AS (
+        |  SELECT p.p_brand AS market, CAST(usd AS DOUBLE) AS x
+        |  FROM wt JOIN part p ON wt.token_id = p.p_partkey),
+        |b AS (SELECT market, MIN(x) AS mn, MAX(x) AS mx FROM t GROUP BY 1),
+        |binned AS (
+        |  SELECT t.market, mn, mx,
+        |    CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+        |         ELSE least(CAST(floor((x - mn) / ((mx - mn) / 10)) AS BIGINT),
+        |                    CAST(9 AS BIGINT)) END AS bin
+        |  FROM t JOIN b USING (market))
+        |SELECT market, bin, COUNT(*) AS n,
+        |  mn + bin * ((mx - mn) / 10) AS bin_lo,
+        |  mn + (bin + 1) * ((mx - mn) / 10) AS bin_hi
+        |FROM binned GROUP BY market, bin, mn, mx
+        |ORDER BY market, bin""".stripMargin,
 
     "q_trade_quantiles" ->
       s"""WITH $WT

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-user and per-market analytics.
@@ -178,5 +178,33 @@ object Stats {
         greatest(coalesce(col("__cq"), lit(0L)), coalesce(col("__cu"), lit(0L)))
           .as("trades"),
         col("median_qty_approx"), col("p90_usd_approx"))
+  }
+
+  /** Equi-width histogram of a value per group (the ClickHouse
+    * `histogram()` report surface, with fixed bin count): bins span
+    * [min, max] per group, bin = min(floor((x − mn)/w), bins − 1) with
+    * w = (mx − mn)/bins, and a constant-valued group lands entirely in
+    * bin 0 (its width is 0, lo = hi = mn). Bounds are a tiny per-group
+    * aggregate broadcast back onto the scan — two partial-agg passes,
+    * no window sort, no skew sensitivity; bin edges are pure IEEE
+    * arithmetic reproducible on any engine. */
+  def histogram(df: DataFrame, groupCol: String, value: Column,
+                bins: Int): DataFrame = {
+    val x = value.cast("double")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(min(x).as("mn"), max(x).as("mx"))
+    df.select(col(groupCol), x.as("x"))
+      .join(broadcast(bounds), Seq(groupCol))
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(floor((col("x") - col("mn")) /
+            ((col("mx") - col("mn")) / bins)), lit((bins - 1).toLong))))
+      .groupBy(col(groupCol), col("bin"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(groupCol), col("bin"), col("n"),
+        (col("mn") + col("bin") * ((col("mx") - col("mn")) / bins))
+          .as("bin_lo"),
+        (col("mn") + (col("bin") + 1) * ((col("mx") - col("mn")) / bins))
+          .as("bin_hi"))
   }
 }

@@ -109,6 +109,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r == Map(1L -> 5000L, 2L -> -2500L))
   }
 
+  test("histogram: bin rule, max-edge cap, degenerate group") {
+    import spark.implicits._
+    val df = Seq(
+      // group a: range [0, 10], 10 bins of width 1
+      ("a", 0.0), ("a", 0.5), ("a", 1.0), ("a", 9.99), ("a", 10.0),
+      // group b: constant → all rows in bin 0, lo = hi = 7
+      ("b", 7.0), ("b", 7.0)
+    ).toDF("g", "x")
+    val got = Stats.histogram(df, "g", col("x"), bins = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(("a", 0L)) == ((2L, 0.0, 1.0)))   // 0.0, 0.5
+    assert(got(("a", 1L))._1 == 1L)              // 1.0 opens bin 1
+    assert(got(("a", 9L)) == ((2L, 9.0, 10.0)))  // 9.99 + max edge capped
+    assert(got(("b", 0L)) == ((2L, 7.0, 7.0)))   // degenerate width 0
+    assert(got.keys.map(_._2).forall(b => b >= 0 && b <= 9))
+  }
+
   test("interp gap fill: hand-built gaps interpolate time-weighted") {
     import spark.implicits._
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"1996-01-01 $h%02d:00:00")
