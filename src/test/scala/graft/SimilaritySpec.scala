@@ -75,4 +75,28 @@ class SimilaritySpec extends SparkSpec {
     assert(r((1, 0)) == (2L, 2000000L) && r((1, 1)) == (2L, 4000000L))
     assert(r((2, 0)) == (1L, -1000000L) && r((2, 1)) == (1L, 500000L))
   }
+
+  test("pca: a one-line corpus compresses losslessly to k=1") {
+    import spark.implicits._
+    import graft.operators.EmbeddingCompress
+    // every vector on span{e1} → PC1 = ±e1, variance explained 1,
+    // reconstruction exact; |proj| must equal |v| sign-agnostically
+    val corpus = Seq(1.0, 2.0, 3.0, -1.0, -2.5)
+      .zipWithIndex
+      .map { case (c, i) => (i.toLong, Array(c, 0.0, 0.0, 0.0)) }
+      .toDF("id", "unit")
+    val m = EmbeddingCompress.fit(spark, corpus, k = 1)
+    assert(math.abs(m.explained.sum - 1.0) < 1e-9, s"explained=${m.explained.toSeq}")
+    val proj = EmbeddingCompress.project(corpus, m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    Seq(1.0, 2.0, 3.0, -1.0, -2.5).zipWithIndex.foreach { case (c, i) =>
+      assert(proj(i.toLong).length == 1)
+      assert(math.abs(math.abs(proj(i.toLong).head) - math.abs(c)) < 1e-9)
+    }
+    val gate = EmbeddingCompress.gate(corpus, m, varBar = 0.9, errBar = 0.01)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3)))
+      .toMap
+    assert(gate("pca_var_explained") == ((5L, true)))
+    assert(gate("pca_recon_rel_err") == ((5L, true)))
+  }
 }
