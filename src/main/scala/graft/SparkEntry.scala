@@ -591,6 +591,13 @@ object SparkEntry {
     "q_word_freq" -> ((s, d) =>
       TextAnalysis.wordFrequency(Tables.documents(s, d), "text", 100)),
 
+    // Vocabulary build (tokenizer-training / feature-vocab pass):
+    // df + occurrences + floored IDF per token at min-df 5.
+    "q_vocab" -> ((s, d) =>
+      TextAnalysis.vocabulary(Tables.documents(s, d), "doc_id", "text",
+          minDf = 5)
+        .orderBy(col("word"))),
+
     // ClickHouse topK(): SpaceSaving approximate heavy hitters —
     // bounded memory per partition, shuffle independent of vocabulary
     // size (the 100 TB path next to exact q_word_freq). Rows-only:
@@ -3765,6 +3772,27 @@ object SparkEntry {
         |GROUP BY word
         |ORDER BY occurrences DESC, word
         |LIMIT 100""".stripMargin,
+
+    // idf floored at 1e4 (the lmScore convention) so ln() parity
+    // cannot flip the hash
+    "q_vocab" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS word
+        |  FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |pw AS (
+        |  SELECT doc_id, word, COUNT(*) AS c FROM w
+        |  WHERE len(word) > 0 GROUP BY 1, 2),
+        |v AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+        |    CAST(SUM(c) AS BIGINT) AS cnt
+        |  FROM pw GROUP BY 1)
+        |SELECT word, df, cnt,
+        |  CAST(FLOOR(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e4)
+        |    AS BIGINT) AS idf_4
+        |FROM v CROSS JOIN n
+        |WHERE df >= 5
+        |ORDER BY word""".stripMargin,
 
     "q_data_mix" ->
       """WITH c AS (

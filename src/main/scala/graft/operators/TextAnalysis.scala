@@ -132,6 +132,34 @@ object TextAnalysis {
       .orderBy(col("occurrences").desc, col("word"))
       .limit(topK)
 
+  /** Vocabulary build: document frequency, total occurrences, and a
+    * scale-and-floor IDF per token above a min-df threshold — the
+    * tokenizer-training / feature-vocab construction pass of a corpus
+    * pipeline (and the exact DF/IDF table [[Search.bm25]] broadcasts).
+    * Same tokenization as [[wordFrequency]].
+    *
+    * Scale shape: explode → (doc, word) partial-agg groupBy → word
+    * groupBy — both aggregates map-side combined, shuffle keyed on the
+    * word hash; the min-df filter prunes the hapax tail before any
+    * downstream join. IDF floored at 1e4 like [[lmScore]] so the
+    * value is engine-comparable. */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+                 minDf: Long): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val perDoc = docs
+      .select(col(idCol), explode(words(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("cnt"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("word"), col("df"), col("cnt"),
+        floor(log(col("n_docs").cast("double") / col("df").cast("double"))
+          * 1e4).cast("long").as("idf_4"))
+  }
+
   /** Unigram language-model quality score (the CCNet/KenLM-style
     * fluency filter, reduced to its order-0 core): the corpus itself
     * is the model — per-document mean negative log-likelihood of its

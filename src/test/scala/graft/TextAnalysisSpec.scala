@@ -146,6 +146,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(("book", "de")) == (1L, 5L, 500000L))
   }
 
+  test("vocabulary: df counts documents, cnt counts occurrences, idf floored") {
+    val df = Seq(
+      (1L, "a a b"),
+      (2L, "a c"),
+      (3L, "b b b"),
+      (4L, "a")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabulary(df, "doc_id", "text", minDf = 2)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    // a: df 3 (docs 1,2,4), cnt 4; b: df 2 (docs 1,3), cnt 4; c: df 1 → cut
+    assert(r.keySet == Set("a", "b"))
+    assert(r("a") == ((3L, 4L, math.floor(math.log(4.0 / 3.0) * 1e4).toLong)))
+    assert(r("b") == ((2L, 4L, math.floor(math.log(4.0 / 2.0) * 1e4).toLong)))
+  }
+
   test("chunking: coverage, overlap, count formula across lengths") {
     val size = 8
     val stride = 5
