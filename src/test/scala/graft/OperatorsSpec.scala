@@ -109,6 +109,59 @@ class OperatorsSpec extends SparkSpec {
     assert(r == Map(1L -> 5000L, 2L -> -2500L))
   }
 
+  test("property: histogram bins partition every group exactly") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.{Test => SCTest}
+    val rnd = new scala.util.Random(42)
+    // 50 random groups in ONE frame (one Spark job), sizes 1..40,
+    // values drawn from mixed ranges including negatives and constants
+    val rows = (1 to 50).flatMap { g =>
+      val n = 1 + rnd.nextInt(40)
+      val base = rnd.nextDouble() * 200 - 100
+      val span = if (g % 7 == 0) 0.0 else rnd.nextDouble() * 50
+      (1 to n).map(_ => (s"g$g", base + rnd.nextDouble() * span))
+    }
+    val df = rows.toDF("g", "x")
+    val bins = 10
+    val got = Stats.histogram(df, "g", col("x"), bins)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val byGroup = rows.groupBy(_._1)
+    // reference: same bin rule in plain scala
+    got.groupBy(_._1).foreach { case (g, bs) =>
+      val xs = byGroup(g).map(_._2)
+      val (mn, mx) = (xs.min, xs.max)
+      assert(bs.map(_._3).sum == xs.size.toLong, s"$g: counts must partition")
+      bs.foreach { case (_, bin, n, lo, hi) =>
+        assert(bin >= 0 && bin < bins)
+        val expected = xs.count { x =>
+          val b = if (mx == mn) 0L
+            else math.min(math.floor((x - mn) / ((mx - mn) / bins)).toLong,
+              (bins - 1).toLong)
+          b == bin
+        }
+        assert(n == expected, s"$g bin $bin: $n vs $expected")
+        assert(lo == mn + bin * ((mx - mn) / bins))
+        assert(hi == mn + (bin + 1) * ((mx - mn) / bins))
+      }
+    }
+    // scalacheck side: the pure bin rule never leaves [0, bins-1] and
+    // is monotone in x for any finite bounds
+    val prop = Prop.forAll(Gen.choose(-1e6, 1e6), Gen.choose(-1e6, 1e6),
+      Gen.choose(-1e6, 1e6)) { (a: Double, b: Double, x0: Double) =>
+      val (mn, mx) = (math.min(a, b), math.max(a, b))
+      val x = math.max(mn, math.min(mx, x0))
+      val bin = if (mx == mn) 0L
+        else math.min(math.floor((x - mn) / ((mx - mn) / bins)).toLong,
+          (bins - 1).toLong)
+      bin >= 0L && bin <= (bins - 1).toLong
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("histogram: bin rule, max-edge cap, degenerate group") {
     import spark.implicits._
     val df = Seq(

@@ -162,6 +162,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r("b") == ((2L, 4L, math.floor(math.log(4.0 / 2.0) * 1e4).toLong)))
   }
 
+  test("property: chunking covers exactly under random size/stride") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val combos = Seq((1, 1), (2, 1), (5, 5), (7, 3), (16, 16), (16, 11),
+      (31, 7), (64, 48))
+    combos.foreach { case (size, stride) =>
+      val docs = (0 until 24).map { i =>
+        val n = rnd.nextInt(4 * size + 2)
+        (i.toLong, Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = TextAnalysis.chunk(df, "doc_id", "text", size, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val chunks = got(id).sortBy(_._2)
+        val expectN =
+          math.ceil(math.max(text.length - size, 0) / stride.toDouble).toLong + 1
+        assert(chunks.length == expectN,
+          s"size=$size stride=$stride len=${text.length}")
+        chunks.foreach { case (_, i, t) =>
+          assert(t == text.slice((i * stride).toInt, (i * stride).toInt + size))
+        }
+        val covered = chunks.flatMap { case (_, i, t) =>
+          (i * stride).toInt until ((i * stride).toInt + t.length)
+        }.toSet
+        assert(covered == text.indices.toSet,
+          s"size=$size stride=$stride len=${text.length} coverage")
+      }
+    }
+  }
+
   test("chunking: coverage, overlap, count formula across lengths") {
     val size = 8
     val stride = 5
