@@ -1266,6 +1266,25 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // Training-data ingest capstone (the corpus-side twin of
+    // q_log_decode_e2e's decode→candles seam): clean (lang + quality +
+    // exact-dedup canonical) → sliding-window chunk (128/96) → pack
+    // chunks into 512-char contexts per shard, all in one plan. The
+    // driver gate hash-checks the whole chain — filter thresholds,
+    // canonical-copy choice, chunk windows, prefix-sum pack addresses.
+    "q_corpus_e2e" -> ((s, d) => {
+      val cleaned = CorpusPipeline.clean(Tables.documents(s, d), "doc_id",
+        "text", "lang", "en", CorpusPipeline.Thresholds())
+      val chunks = TextAnalysis.chunk(cleaned, "doc_id", "text",
+          size = 128, stride = 96)
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+      CorpusPipeline.packSequences(chunks, Seq(col("shard")),
+          struct(col("doc_id"), col("chunk_idx")), col("chunk_len"), 512)
+        .select(col("doc_id"), col("chunk_idx"), col("shard"), col("tokens"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "q_dedup_clusters" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
@@ -3057,6 +3076,42 @@ object SparkEntry {
         |SELECT f.doc_id AS doc_id, f.source AS source, f.n_chars AS n_chars
         |FROM filtered f JOIN canon USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // the q_corpus_clean filter + canon chain, then the q_doc_chunks
+    // windows, then the q_seq_pack prefix-sum — composed end to end
+    "q_corpus_e2e" ->
+      """WITH filtered AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE lang = 'en'
+        |    AND length(text) >= 50
+        |    AND CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) /
+        |        greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.3
+        |    AND CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
+        |        x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE) /
+        |        greatest(CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE), 1.0) >= 0.02),
+        |canon AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
+        |cleaned AS (
+        |  SELECT f.doc_id, f.text FROM filtered f JOIN canon USING (doc_id)),
+        |chunks AS (
+        |  SELECT doc_id, i AS chunk_idx, doc_id % 8 AS shard,
+        |    CAST(length(substring(text, CAST(i * 96 + 1 AS INT), 128)) AS BIGINT)
+        |      AS tokens
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest(range(CAST(ceil(greatest(length(text) - 128, 0) / 96.0)
+        |        AS BIGINT) + 1)) AS i
+        |    FROM cleaned)),
+        |c AS (
+        |  SELECT doc_id, chunk_idx, shard, tokens,
+        |    COALESCE(SUM(tokens) OVER (PARTITION BY shard
+        |      ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM chunks)
+        |SELECT doc_id, chunk_idx, shard, tokens,
+        |  CAST(cb // 512 AS BIGINT) AS pack_id,
+        |  CAST(cb % 512 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_lang_id" ->
       """WITH scored AS (
