@@ -153,15 +153,23 @@ object Candles {
         expr(s"INTERVAL $stepSeconds SECONDS"))).as("bucket"))
     val wAsc = Window.partitionBy(col("token_id")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wDesc = Window.partitionBy(col("token_id")).orderBy(col("bucket"))
-      .rowsBetween(0, Window.unboundedFollowing)
+    // "next" values ride a DESCENDING running-last frame, not a
+    // (CURRENT, UNBOUNDED FOLLOWING) frame: Spark's
+    // UnboundedFollowingWindowFunctionFrame re-scans the partition
+    // remainder per row — O(n²) per token over a years-long hourly
+    // grid (measured 17 s cold vs 1.5 s for gapFill at sf0.1). The
+    // reversed running accumulator is the O(n) shape; it costs one
+    // extra sort of the same exchange, nothing more.
+    val wDescRev = Window.partitionBy(col("token_id"))
+      .orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val realBucket = when(col("close").isNotNull, col("bucket"))
     grid.join(candles.select(col("token_id"), col("bucket"), col("close")),
         Seq("token_id", "bucket"), "left")
       .withColumn("prev_close", last(col("close"), ignoreNulls = true).over(wAsc))
-      .withColumn("next_close", first(col("close"), ignoreNulls = true).over(wDesc))
+      .withColumn("next_close", last(col("close"), ignoreNulls = true).over(wDescRev))
       .withColumn("prev_b", last(realBucket, ignoreNulls = true).over(wAsc))
-      .withColumn("next_b", first(realBucket, ignoreNulls = true).over(wDesc))
+      .withColumn("next_b", last(realBucket, ignoreNulls = true).over(wDescRev))
       .select(col("token_id"), col("bucket"), col("close"),
         when(col("close").isNotNull, col("close"))
           .otherwise(col("prev_close") +
