@@ -609,6 +609,27 @@ object SparkEntry {
       HeavyHitters.topKApprox(s, words, "word", 50, 2000)
     }),
 
+    // Count-Min point-frequency estimates beside the SpaceSaving
+    // top-k: one 4×2048 sketch row (64 KiB, native CountMinAgg,
+    // element-wise-add merge) built over every word instance, probed
+    // for the exact top-50 words. Rows-only (estimates are sketch
+    // upper bounds); q_cm_gate pins the bounds on the full vocab.
+    "q_word_counts_cm" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), " +")).as("word"))
+        .filter(length(col("word")) > 0)
+      val sk = words.agg(graft.functions.CountMinExprs
+        .cm_agg(xxhash64(col("word")), 4, 2048).as("sk"))
+      words.groupBy(col("word"))
+        .agg(count(lit(1)).as("occurrences"))
+        .orderBy(col("occurrences").desc, col("word")).limit(50)
+        .crossJoin(broadcast(sk))
+        .select(col("word"), col("occurrences"),
+          graft.functions.CountMinExprs.cm_estimate(col("sk"),
+            xxhash64(col("word"))).as("occurrences_est"))
+        .orderBy(col("occurrences").desc, col("word"))
+    }),
+
     // Data-mix report: docs/tokens per (source, lang) with floored
     // ppm token shares — the "data card" every mix recipe starts from.
     "q_data_mix" -> ((s, d) =>
@@ -1563,6 +1584,39 @@ object SparkEntry {
             struct(lit("ss_top10_in_top50").as("check_name"), col("n"),
               col("cover_ok").as("ok"))).as("rows"))
         .select(explode(col("rows")).as("r"))
+        .select(col("r.check_name").as("check_name"), col("r.n").as("n"),
+          col("r.ok").as("ok"))
+        .orderBy(col("check_name"))
+    }),
+
+    // Count-Min gate: never-undercount is a THEOREM of the structure
+    // (row counters only ever add), checked over the ENTIRE vocab, not
+    // a sample; overshoot per query is ≤ ⌈e·N/width⌉ w.p. 1−e^{−depth},
+    // and the merged sketch is partitioning-invariant (element-wise
+    // add), so both booleans are data properties. The max-overshoot
+    // bar is the theoretical e·N/width with the union-slack of the
+    // full-vocab max measured well inside it. n = distinct words.
+    "q_cm_gate" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), " +")).as("word"))
+        .filter(length(col("word")) > 0)
+      val sk = words.agg(graft.functions.CountMinExprs
+        .cm_agg(xxhash64(col("word")), 4, 2048).as("sk"))
+      val diffs = words.groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(sk))
+        .select(col("word"), col("cnt"),
+          (graft.functions.CountMinExprs.cm_estimate(col("sk"),
+            xxhash64(col("word"))) - col("cnt")).as("over"))
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("total"),
+          min(col("over")).as("min_over"), max(col("over")).as("max_over"))
+      diffs.select(explode(array(
+          struct(lit("cm_never_undercounts").as("check_name"), col("n"),
+            (col("min_over") >= 0L).as("ok")),
+          struct(lit("cm_overshoot_bound").as("check_name"), col("n"),
+            (col("max_over").cast("double") <=
+              lit(math.E) * col("total").cast("double") / 2048.0).as("ok"))))
+          .as("r"))
         .select(col("r.check_name").as("check_name"), col("r.n").as("n"),
           col("r.ok").as("ok"))
         .orderBy(col("check_name"))
@@ -3373,6 +3427,20 @@ object SparkEntry {
         |SELECT v.check_name, n.n, v.ok
         |FROM n CROSS JOIN (VALUES
         |  ('ss_count_bounds', true), ('ss_top10_in_top50', true))
+        |  v(check_name, ok)
+        |ORDER BY check_name""".stripMargin,
+
+    // n = distinct words (the full population the never-undercount
+    // theorem is checked over); booleans are the CM contract
+    "q_cm_gate" ->
+      """WITH n AS (
+        |  SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word
+        |    FROM documents) t
+        |  WHERE len(word) > 0)
+        |SELECT v.check_name, n.n, v.ok
+        |FROM n CROSS JOIN (VALUES
+        |  ('cm_never_undercounts', true), ('cm_overshoot_bound', true))
         |  v(check_name, ok)
         |ORDER BY check_name""".stripMargin,
 

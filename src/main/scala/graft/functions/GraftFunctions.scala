@@ -33,6 +33,10 @@ object GraftFunctions {
       BloomAgg(es(0), intArg(es(1)), intArg(es(2)))),
     "graft_might_contain" -> ((es: Seq[Expression]) =>
       BloomMightContain(es(0), es(1))),
+    "graft_cm_agg" -> ((es: Seq[Expression]) =>
+      CountMinAgg(es(0), intArg(es(1)), intArg(es(2)))),
+    "graft_cm_estimate" -> ((es: Seq[Expression]) =>
+      CountMinEstimate(es(0), es(1))),
     "graft_zorder" -> ((es: Seq[Expression]) => ZOrder(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>

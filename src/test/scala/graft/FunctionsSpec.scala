@@ -29,4 +29,44 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql.getInt(3) == 8)
     assert(viaSql.getInt(4) == 3)
   }
+
+  test("count-min: never undercounts, exact when collision-free, merge-invariant") {
+    import graft.functions.CountMinExprs
+    // known multiset: a×5, b×3, c×1 — width 64 ≫ 3 keys, so estimates
+    // are exact unless KM positions collide in every row (prob ~0)
+    val items = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val truth = Map("a" -> 5L, "b" -> 3L, "c" -> 1L)
+    for (parts <- Seq(1, 7)) {
+      val df = spark.sparkContext.parallelize(items, parts).toDF("w")
+      val sk = df.agg(CountMinExprs.cm_agg(xxhash64($"w"), 4, 64).as("sk"))
+      val est = Seq("a", "b", "c").toDF("w")
+        .crossJoin(sk)
+        .select($"w", CountMinExprs.cm_estimate($"sk", xxhash64($"w")).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      truth.foreach { case (w, t) =>
+        assert(est(w) >= t, s"parts=$parts $w: ${est(w)} < $t")
+        assert(est(w) == t, s"parts=$parts $w: collision at width 64 is ~impossible")
+      }
+    }
+    // absent key estimates 0 on this tiny sketch (no collisions)
+    val sk1 = items.toDF("w")
+      .agg(CountMinExprs.cm_agg(xxhash64($"w"), 4, 64).as("sk"))
+    val absent = Seq("zzz").toDF("w").crossJoin(sk1)
+      .select(CountMinExprs.cm_estimate($"sk", xxhash64($"w"))).head().getLong(0)
+    assert(absent == 0L)
+    // adversarially narrow sketch: width 2, 60 distinct keys → heavy
+    // collisions by construction; never-undercount must STILL hold for
+    // every key, and no estimate can exceed N
+    val many = (1 to 60).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i"))
+    val skN = many.toDF("w")
+      .agg(CountMinExprs.cm_agg(xxhash64($"w"), 3, 2).as("sk"))
+    val trueN = many.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val estN = many.distinct.toDF("w").crossJoin(skN)
+      .select($"w", CountMinExprs.cm_estimate($"sk", xxhash64($"w")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    trueN.foreach { case (k, t) =>
+      assert(estN(k) >= t, s"$k undercounted: ${estN(k)} < $t")
+      assert(estN(k) <= many.size.toLong, s"$k exceeds N")
+    }
+  }
 }

@@ -16,7 +16,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_lm_score", "q_bm25", "q_ann_topk", "q_ann_sq", "q_ann_recall",
     "q_hll_gate", "q_topk_gate", "q_quality_gate",
     // Rank.globalRowNumber's 1-row broadcast total (ntile arithmetic)
-    "q_wallet_deciles")
+    "q_wallet_deciles",
+    // TextAnalysis.vocabulary's 1-row broadcast n_docs scalar (idf)
+    "q_vocab",
+    // 1-row broadcast count-min sketch probed in projection
+    "q_word_counts_cm", "q_cm_gate")
 
   // Unpartitioned-window allowlist: every entry is an unpartitioned
   // WindowExec over PROVABLY BOUNDED input, documented at the site
