@@ -92,7 +92,15 @@ object ScaleBench {
     "q_dedup_minhash",    // LSH banded explode + bucket self-join
     "q_ann_topk",         // broadcast-query brute-force scan + topK
     "q_bloom_prune",      // runtime bloom build + semi-prune join
-    "q_skew_join")        // salted join equivalence
+    "q_skew_join",        // salted join equivalence
+    "q_doc_chunks",       // scan-stage explode, zero shuffles
+    "q_vocab",            // explode + two-level partial agg
+    "q_semdedup",         // k-means fit + within-cell pairs at FIXED
+                          // nlist=16: the n²/nlist term grows ∝k² by
+                          // construction — expect e→2; the mitigation
+                          // is nlist ∝ n (SemDeDup's own guidance),
+                          // documented not hidden
+    "q_corpus_e2e")       // clean → chunk → pack composition
 
   private def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRecursively)

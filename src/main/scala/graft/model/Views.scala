@@ -124,6 +124,11 @@ object Views {
     val l = pinnedByApp.remove(app)
     if (l != null) l.forEach(t => { t._2.unpersist(); () })
     planStats.remove(app)
+    // session model/index caches follow the same lifetime: the IVF
+    // assignment holds a persisted frame per corpus, the PCA model
+    // driver arrays — both rebuildable on next touch
+    graft.operators.IvfIndex.reset(spark)
+    graft.operators.EmbeddingCompress.reset(spark)
     ()
   }
 

@@ -50,6 +50,14 @@ object EmbeddingCompress {
       (spark.sparkContext.applicationId, corpusKey, k),
       _ => fit(spark, corpus, k))
 
+  /** Forget this app's cached models (driver arrays only) —
+    * called from [[graft.model.Views.reset]]. */
+  def reset(spark: SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1 == app) it.remove()
+  }
+
   /** (id, proj): k codegen dot products against broadcast literal
     * component columns. */
   def project(corpus: DataFrame, model: Model): DataFrame =

@@ -43,6 +43,18 @@ object IvfIndex {
       (spark.sparkContext.applicationId, corpusKey, nlist),
       _ => build(spark, corpus, nlist, seed))
 
+  /** Unpersist and forget this app's cached models —
+    * [[graft.model.Views.reset]] calls this so index lifetime follows
+    * the session-MV lifetime. */
+  def reset(spark: SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == app) { e.getValue.assigned.unpersist(); it.remove() }
+    }
+  }
+
   /** Top-k per query probing the nprobe nearest cells. */
   def topK(spark: SparkSession, model: Model, queries: DataFrame, k: Int,
            nprobe: Int): DataFrame = {
