@@ -97,9 +97,13 @@ object ScaleBench {
     "q_vocab",            // explode + two-level partial agg
     "q_semdedup",         // k-means fit + within-cell pairs at FIXED
                           // nlist=16: the n²/nlist term grows ∝k² by
-                          // construction — expect e→2; the mitigation
-                          // is nlist ∝ n (SemDeDup's own guidance),
-                          // documented not hidden
+                          // construction, so e→2 asymptotically; the
+                          // mitigation is nlist ∝ n (SemDeDup's own
+                          // guidance). MEASURED ×1…×16 (≤32k vectors):
+                          // e=0.79 — fit cost + fixed overhead still
+                          // dominate the quadratic term at this size;
+                          // the curve documents where the cliff ISN'T
+                          // yet, not that it's absent
     "q_corpus_e2e")       // clean → chunk → pack composition
 
   private def deleteRecursively(f: java.io.File): Unit = {

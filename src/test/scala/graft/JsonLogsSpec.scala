@@ -1,0 +1,55 @@
+package graft
+
+import graft.model.Tables
+import graft.sources.{JsonLogs, LogDecode}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class JsonLogsSpec extends SparkSpec {
+
+  private def sameRows(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("json ingest: quarantine split, 0x strip, decode parity") {
+    // render real OrderFilled logs as eth_getLogs-style JSON lines
+    // (0x-prefixed topics array + data), plus one corrupt line and
+    // one valid-JSON-wrong-shape line
+    val trades = Tables.trades(spark, sf).limit(20).cache()
+    val encoded = LogDecode.encodeOrderFilled(trades).cache()
+    val lines = encoded.select(to_json(struct(
+        lit("0x" + "ab" * 20).as("address"),
+        array(concat(lit("0x"), col("topic0")),
+          concat(lit("0x"), col("topic1")),
+          concat(lit("0x"), col("topic2")),
+          concat(lit("0x"), col("topic3"))).as("topics"),
+        concat(lit("0x"), col("data")).as("data"),
+        lit(7L).as("block_number"),
+        col("log_index"), col("ts"))).as("line"))
+      .collect().map(_.getString(0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonlogs")
+    val corrupt = """{"address": "0xdead", "topics": ["""
+    val shapeless = """{"address": "0xbeef", "data": "0x00", "block_number": 9}"""
+    java.nio.file.Files.write(dir.resolve("page.jsonl"),
+      (lines :+ corrupt :+ shapeless).mkString("\n").getBytes)
+
+    val raw = JsonLogs.read(spark, dir.toString)
+    val q = JsonLogs.quarantine(raw).collect()
+    assert(q.length == 1 && q.head.getString(0) == corrupt,
+      "exactly the corrupt line, raw, in quarantine")
+    assert(JsonLogs.shapeRejects(raw).count() == 1)
+    val good = JsonLogs.good(raw)
+    assert(good.count() == lines.length.toLong)
+
+    // decode parity: JSON -> good -> decode == direct encode -> decode
+    val viaJson = LogDecode.decodeOrderFilled(good)
+      .select(col("log_index"), col("maker"), col("taker"),
+        col("is_maker_buy"), col("token_id"), col("usdc_i"),
+        col("token_i"), col("fee_i"), col("ts"))
+    val direct = LogDecode.decodeOrderFilled(encoded)
+      .select(col("log_index"), col("maker"), col("taker"),
+        col("is_maker_buy"), col("token_id"), col("usdc_i"),
+        col("token_i"), col("fee_i"), col("ts"))
+    assert(sameRows(viaJson, direct),
+      "decode must not see a difference between the parquet fixture and JSON ingest")
+  }
+}
