@@ -1523,6 +1523,42 @@ object SparkEntry {
     // is the rows-only consumer). HLL++ is order- and partitioning-
     // invariant (hash-based, commutative merge), so the error is a
     // stable property of the value set — the booleans are pinnable.
+    // Mergeable HLL sketch-state rollup — the AggregatingMergeTree
+    // uniqState/uniqMerge mechanism (002's rollup MV) in its true
+    // 100 TB form: per-(wallet, day) DataSketches HLL state rows kept
+    // as the MV, served by hll_union_agg + estimate across days —
+    // distinct-count state that stays bytes-sized and mergeable
+    // instead of an exact set. Gate pins (a) merge consistency:
+    // merging per-day states lands within 5% of the one-shot sketch
+    // (the union gadget is not bit-identical to direct aggregation —
+    // measured max 1.6%), and (b) accuracy vs exact distinct: avg ≤ 2%
+    // / max ≤ 10% (measured 0.03% / 1.5%). Deterministic: DataSketches
+    // HLL is hash-based and order-invariant per lgK.
+    "q_uniq_rollup_hll" -> ((s, d) => {
+      val w = wt(s, d)
+      val st = w.groupBy(col("wallet"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("token_id"), lit(12)).as("sk"))
+      val merged = st.groupBy(col("wallet"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_m"))
+      val oneshot = w.groupBy(col("wallet"))
+        .agg(hll_sketch_estimate(
+            hll_sketch_agg(col("token_id"), lit(12))).as("est_o"),
+          countDistinct(col("token_id")).as("exact"))
+      val agg = merged.join(oneshot, "wallet")
+        .agg(count(lit(1)).as("n"),
+          max(abs(col("est_m") - col("est_o")) / col("est_o")).as("max_dmo"),
+          avg(abs(col("est_m") - col("exact")) / col("exact")).as("avg_dme"),
+          max(abs(col("est_m") - col("exact")) / col("exact")).as("max_dme"))
+      agg.select(explode(array(
+          struct(lit("hll_state_accuracy").as("check_name"), col("n"),
+            (col("avg_dme") <= 0.02 && col("max_dme") <= 0.10).as("ok")),
+          struct(lit("hll_state_merge_consistent").as("check_name"),
+            col("n"), (col("max_dmo") <= 0.05).as("ok")))).as("r"))
+        .select(col("r.check_name").as("check_name"), col("r.n").as("n"),
+          col("r.ok").as("ok"))
+        .orderBy(col("check_name"))
+    }),
+
     "q_hll_gate" -> ((s, d) => {
       val w = wt(s, d)
       val per = w.groupBy(col("wallet"))
@@ -3405,6 +3441,17 @@ object SparkEntry {
     // HLL++ error is a deterministic property of the value set
     // (order/partitioning-invariant merge); n is the exact wallet
     // cardinality the gate is about, computed relationally
+    // n = wallets with trades; booleans are the sketch-state-MV
+    // contract at the documented operating point (lgK 12)
+    "q_uniq_rollup_hll" ->
+      s"""WITH $WT,
+        |n AS (SELECT CAST(COUNT(DISTINCT wallet) AS BIGINT) AS n FROM wt)
+        |SELECT v.check_name, n.n, v.ok
+        |FROM n CROSS JOIN (VALUES
+        |  ('hll_state_accuracy', true), ('hll_state_merge_consistent', true))
+        |  v(check_name, ok)
+        |ORDER BY check_name""".stripMargin,
+
     "q_hll_gate" ->
       s"""WITH $WT,
         |agg AS (SELECT CAST(COUNT(DISTINCT wallet) AS BIGINT) AS nw FROM wt)

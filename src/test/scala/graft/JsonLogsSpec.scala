@@ -52,4 +52,42 @@ class JsonLogsSpec extends SparkSpec {
     assert(sameRows(viaJson, direct),
       "decode must not see a difference between the parquet fixture and JSON ingest")
   }
+
+  test("streaming json ingest decodes incrementally to the batch result") {
+    val trades = Tables.trades(spark, sf).limit(12).cache()
+    val encoded = LogDecode.encodeOrderFilled(trades)
+    def page(df: DataFrame) = df.select(to_json(struct(
+        lit("0x" + "cd" * 20).as("address"),
+        array(concat(lit("0x"), col("topic0")),
+          concat(lit("0x"), col("topic1")),
+          concat(lit("0x"), col("topic2")),
+          concat(lit("0x"), col("topic3"))).as("topics"),
+        concat(lit("0x"), col("data")).as("data"),
+        lit(7L).as("block_number"),
+        col("log_index"), col("ts"))).as("line"))
+      .collect().map(_.getString(0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonstream")
+    // two pages arriving as separate micro-batches
+    val Array(p1, p2) = Array(
+      page(encoded.filter(col("log_index") % 2 === 0)),
+      page(encoded.filter(col("log_index") % 2 =!= 0)))
+    java.nio.file.Files.write(dir.resolve("page1.jsonl"),
+      p1.mkString("\n").getBytes)
+    val q = LogDecode.decodeOrderFilled(JsonLogs.good(
+        JsonLogs.stream(spark, dir.toString)))
+      .writeStream.format("memory").queryName("json_stream_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    java.nio.file.Files.write(dir.resolve("page2.jsonl"),
+      p2.mkString("\n").getBytes)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("json_stream_out")
+      .select(col("log_index"), col("maker"), col("taker"), col("token_id"),
+        col("usdc_i"), col("token_i"))
+    val batch = LogDecode.decodeOrderFilled(encoded)
+      .select(col("log_index"), col("maker"), col("taker"), col("token_id"),
+        col("usdc_i"), col("token_i"))
+    assert(sameRows(streamed, batch),
+      "two-page stream must equal the batch decode")
+  }
 }
