@@ -334,6 +334,20 @@ object SparkEntry {
       Balances.topHoldersPerToken(balances(s, d), 3)
         .orderBy(col("token_id"), col("holder_rank"))),
 
+    // ClickHouse uniqUpTo(30): exact trader count per token while
+    // ≤ 30, saturating at 31 — chosen to straddle the per-token
+    // trader distribution (14…49 at sf0.01) so BOTH branches are
+    // driver-exercised — bounded per-group state (the native
+    // UniqUpToAgg drops values once saturated). The oracle's
+    // least(count distinct, 26) makes this a HARD verification of the
+    // saturating aggregate, not a rows-only sketch.
+    "q_traders_capped" -> ((s, d) =>
+      wt(s, d).groupBy(col("token_id"))
+        .agg(graft.functions.UniqUpTo.uniq_up_to(col("wallet").cast("long"), 30)
+            .as("traders_capped"),
+          count(lit(1)).as("trades"))
+        .orderBy(col("token_id"))),
+
     "q_portfolio_history" -> ((s, d) =>
       Snapshots.portfolioHistoryFromDaily(dailyFlows(s, d), lastPrice(s, d))
         .orderBy(col("wallet"), col("day"))),
@@ -2451,6 +2465,16 @@ object SparkEntry {
         |  FROM balances WHERE balance > 0) t
         |WHERE holder_rank <= 3
         |ORDER BY token_id, holder_rank""".stripMargin,
+
+    // exact distinct while <= 30, saturated to 31 above — the oracle
+    // computes the ground truth, so the saturating aggregate is
+    // hash-verified on both branches
+    "q_traders_capped" ->
+      s"""WITH $WT
+        |SELECT token_id,
+        |  LEAST(CAST(COUNT(DISTINCT wallet) AS BIGINT), 31) AS traders_capped,
+        |  COUNT(*) AS trades
+        |FROM wt GROUP BY token_id ORDER BY token_id""".stripMargin,
 
     "q_portfolio_history" ->
       s"""WITH $WT,

@@ -37,6 +37,8 @@ object GraftFunctions {
       CountMinAgg(es(0), intArg(es(1)), intArg(es(2)))),
     "graft_cm_estimate" -> ((es: Seq[Expression]) =>
       CountMinEstimate(es(0), es(1))),
+    "graft_uniq_up_to" -> ((es: Seq[Expression]) =>
+      UniqUpToAgg(es(0), intArg(es(1)))),
     "graft_zorder" -> ((es: Seq[Expression]) => ZOrder(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>

@@ -69,4 +69,24 @@ class FunctionsSpec extends SparkSpec {
       assert(estN(k) <= many.size.toLong, s"$k exceeds N")
     }
   }
+
+  test("uniqUpTo: exact below N, saturates at N+1, sticky across merges") {
+    import graft.functions.UniqUpTo.uniq_up_to
+    // group a: 30 distinct ids (> N=10 → 11); group b: 4 distinct (< N → 4);
+    // duplicates must not count twice
+    val rows = (1L to 30L).flatMap(i => Seq(("a", i), ("a", i))) ++
+      Seq(("b", 1L), ("b", 2L), ("b", 3L), ("b", 4L), ("b", 4L))
+    for (parts <- Seq(1, 7)) {
+      val df = spark.sparkContext.parallelize(rows, parts).toDF("g", "id")
+      val got = df.groupBy($"g").agg(uniq_up_to($"id", 10).as("u"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("a" -> 11L, "b" -> 4L), s"parts=$parts got=$got")
+    }
+    // sql registration parity
+    rows.toDF("g", "id").createOrReplaceTempView("fx_uuto")
+    val viaSql = spark.sql(
+      "SELECT g, graft_uniq_up_to(id, 10) FROM fx_uuto GROUP BY g ORDER BY g")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == Map("a" -> 11L, "b" -> 4L))
+  }
 }
