@@ -74,6 +74,24 @@ class PlanAuditSpec extends SparkSpec {
         "approx_percentile): " + offenders.mkString("; "))
   }
 
+  test("no O(n²) unbounded-following window frame anywhere") {
+    // r11: Spark's UnboundedFollowingWindowFunctionFrame re-scans the
+    // partition remainder PER ROW — a (CURRENT ROW, UNBOUNDED
+    // FOLLOWING) frame over a long grid cost q_candles_interp 17 s
+    // before it was rewritten as a running last over a descending
+    // sort. Full-partition frames (unboundedpreceding →
+    // unboundedfollowing) evaluate once per partition and stay fine;
+    // only the per-row suffix frame is banned.
+    val offenders = for {
+      (name, plan, _) <- plans
+      s = plan.toString.toLowerCase
+      if s.contains("currentrow$(), unboundedfollowing$()")
+    } yield name
+    assert(offenders.isEmpty,
+      "per-row suffix window frame (rewrite as a reversed running " +
+        "frame): " + offenders.mkString("; "))
+  }
+
   test("no CartesianProduct anywhere; BNLJ only in allowlisted shapes") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, _, s) <- plans) {
