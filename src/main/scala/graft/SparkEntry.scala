@@ -502,6 +502,14 @@ object SparkEntry {
         .withColumnRenamed("user", "wallet")
         .orderBy(col("wallet"))),
 
+    // strict_order funnel: interleaved events of OTHER funnel steps
+    // break the chain (non-funnel types never do).
+    "q_funnel_strict" -> ((s, d) =>
+      Funnel.windowFunnelStrict(Tables.eventStream(s, d), "wallet", "ts",
+          "event_type", Seq("view", "click", "purchase"), 24)
+        .withColumnRenamed("user", "wallet")
+        .orderBy(col("wallet"))),
+
     // Funnel conversion summary (users per reached level).
     "q_funnel_summary" -> ((s, d) =>
       Funnel.funnelSummary(
@@ -3704,6 +3712,45 @@ object SparkEntry {
         |  CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
         |    ELSE 1 END AS level
         |FROM s1 LEFT JOIN s2 USING (u) LEFT JOIN s3 USING (u)
+        |ORDER BY wallet""".stripMargin,
+
+    // same greedy chain, then each gap validated against interleaved
+    // funnel-typed events of another step
+    "q_funnel_strict" ->
+      s"""WITH $EV,
+        |s1 AS (
+        |  SELECT wallet AS u, MIN(ts) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.wallet AS u, MIN(e.ts) AS t2
+        |  FROM ev e JOIN s1 ON e.wallet = s1.u
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.wallet AS u, MIN(e.ts) AS t3
+        |  FROM ev e JOIN s1 ON e.wallet = s1.u JOIN s2 ON e.wallet = s2.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+        |  GROUP BY 1),
+        |chain AS (
+        |  SELECT s1.u, t1, t2, t3
+        |  FROM s1 LEFT JOIN s2 USING (u) LEFT JOIN s3 USING (u)),
+        |x AS (
+        |  SELECT c.u,
+        |    SUM(CASE WHEN e.ts > c.t1 AND e.ts < c.t2
+        |             AND e.event_type <> 'click' THEN 1 ELSE 0 END) AS x2,
+        |    SUM(CASE WHEN e.ts > c.t2 AND e.ts < c.t3
+        |             AND e.event_type <> 'purchase' THEN 1 ELSE 0 END) AS x3
+        |  FROM ev e JOIN chain c ON e.wallet = c.u
+        |  WHERE e.event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY 1)
+        |SELECT c.u AS wallet, c.t1,
+        |  CASE WHEN t2 IS NOT NULL AND coalesce(x2, 0) = 0 THEN
+        |         CASE WHEN t3 IS NOT NULL AND coalesce(x3, 0) = 0 THEN 3
+        |              ELSE 2 END
+        |       ELSE 1 END AS level_strict
+        |FROM chain c LEFT JOIN x USING (u)
         |ORDER BY wallet""".stripMargin,
 
     "q_funnel_summary" ->

@@ -47,6 +47,42 @@ object Funnel {
   def funnelSummary(funnel: DataFrame): DataFrame =
     funnel.groupBy(col("level")).agg(count(lit(1)).as("users"))
 
+  /** `strict_order` variant of [[windowFunnel]] (the CH windowFunnel
+    * mode): the chain advances to step i+1 only if NO funnel-step
+    * event of another type occurs strictly between the step-i and
+    * step-i+1 matches. Deterministic earliest-chain + gap-validation
+    * reduction: an interloper before the EARLIEST step-i+1 match also
+    * precedes every later match, so validating the greedy chain is
+    * already the fixpoint — no rescan. Non-funnel event types never
+    * break the chain. Returns (user, t1, level_strict).
+    *
+    * Scale shape: [[windowFunnel]]'s per-step aggregates plus ONE
+    * more aggregate join keyed by user over the funnel-typed events. */
+  def windowFunnelStrict(events: DataFrame, userCol: String, tsCol: String,
+                         typeCol: String, steps: Seq[String],
+                         windowHours: Int): DataFrame = {
+    require(steps.size >= 2)
+    val base = windowFunnel(events, userCol, tsCol, typeCol, steps,
+      windowHours)
+    val ev = events.filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("user"), col(tsCol).as("_ts"),
+        col(typeCol).as("_tp"))
+    val gapExprs = steps.indices.tail.map { i =>
+      sum(when(col("_ts") > col(s"t$i") && col("_ts") < col(s"t${i + 1}") &&
+          col("_tp") =!= steps(i), 1L).otherwise(0L)).as(s"x${i + 1}")
+    }
+    val gaps = ev.join(base, Seq("user"))
+      .groupBy(col("user"))
+      .agg(gapExprs.head, gapExprs.tail: _*)
+    val lvl = steps.indices.tail.foldLeft(lit(1)) { (acc, i) =>
+      val m = i + 1
+      when(acc === lit(i) && col(s"t$m").isNotNull &&
+        coalesce(col(s"x$m"), lit(0L)) === 0L, lit(m)).otherwise(acc)
+    }
+    base.join(gaps, Seq("user"), "left")
+      .select(col("user"), col("t1"), lvl.as("level_strict"))
+  }
+
   /** The ClickHouse `sequenceMatch('(?1).*(?2)…')` surface: per user,
     * did the step events occur in order (any spacing)? Equivalent to a
     * window funnel with an unbounded horizon: the greedy earliest

@@ -69,4 +69,38 @@ class SamplingSearchSpec extends SparkSpec {
       .as[(Long, Boolean)].collect().toMap
     assert(out == Map(1L -> true, 2L -> false, 3L -> false))
   }
+
+  test("strict-order funnel: other-step interlopers break the chain") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // A: clean chain → strict 3
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 11:00:00"), "click"),
+      (1L, t("2024-01-01 12:00:00"), "purchase"),
+      // B: a second view between view and click → strict 1 (plain 3)
+      (2L, t("2024-01-01 10:00:00"), "view"),
+      (2L, t("2024-01-01 10:30:00"), "view"),
+      (2L, t("2024-01-01 11:00:00"), "click"),
+      (2L, t("2024-01-01 12:00:00"), "purchase"),
+      // C: a view between click and purchase → strict 2 (plain 3)
+      (3L, t("2024-01-01 10:00:00"), "view"),
+      (3L, t("2024-01-01 11:00:00"), "click"),
+      (3L, t("2024-01-01 11:30:00"), "view"),
+      (3L, t("2024-01-01 12:00:00"), "purchase"),
+      // D: only a NON-funnel event interleaves → strict 3
+      (4L, t("2024-01-01 10:00:00"), "view"),
+      (4L, t("2024-01-01 10:30:00"), "list"),
+      (4L, t("2024-01-01 11:00:00"), "click"),
+      (4L, t("2024-01-01 12:00:00"), "purchase")
+    ).toDF("wallet", "ts", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    val strict = Funnel.windowFunnelStrict(ev, "wallet", "ts", "event_type",
+        steps, 24)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(strict == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 3))
+    val plain = Funnel.windowFunnel(ev, "wallet", "ts", "event_type",
+        steps, 24)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(plain == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3))
+  }
 }
