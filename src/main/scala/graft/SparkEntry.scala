@@ -322,6 +322,20 @@ object SparkEntry {
       Stats.marketConcentration(wt(s, d), markets(s, d))
         .orderBy(col("market"))),
 
+    // CH quantileExactWeighted: qty-weighted median micro-price per
+    // market — integer value (floor(price·1e4)), decimal weights,
+    // integer q ratio, so the threshold pick is exact on any engine.
+    "q_weighted_median" -> ((s, d) =>
+      Stats.weightedQuantile(
+          graft.model.Views.trades(s, d)
+            .join(broadcast(markets(s, d)), Seq("token_id"))
+            .select(col("market"),
+              floor(col("price") * 10000).cast("long").as("px_e4"),
+              col("qty")),
+          "market", col("px_e4"), col("qty"), qNum = 1, qDen = 2)
+        .withColumnRenamed("wq", "wmedian_px_e4")
+        .orderBy(col("market"))),
+
     // Equi-width trade-size histogram per market (CH histogram()
     // report shape, fixed 10 bins over [min, max] usd per market).
     "q_trade_histogram" -> ((s, d) =>
@@ -3642,6 +3656,24 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN rank <= 10 THEN v ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
         |    CAST(MAX(tot) AS DOUBLE) AS top10_share
         |FROM r GROUP BY market ORDER BY market""".stripMargin,
+
+    // smallest v with 2·W(≤v) ≥ W_total — decimal weights, integer
+    // threshold ratio, integer values: exact on any engine
+    "q_weighted_median" ->
+      s"""WITH $TRADES,
+        |t AS (
+        |  SELECT p.p_brand AS market,
+        |    CAST(FLOOR(price * 10000) AS BIGINT) AS v, qty
+        |  FROM trades JOIN part p ON trades.token_id = p.p_partkey),
+        |c AS (
+        |  SELECT market, v, qty,
+        |    SUM(qty) OVER (PARTITION BY market ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(qty) OVER (PARTITION BY market) AS tot
+        |  FROM t)
+        |SELECT market, MIN(v) AS wmedian_px_e4
+        |FROM c WHERE cum * 2 >= tot * 1
+        |GROUP BY market ORDER BY market""".stripMargin,
 
     // same bin rule as Stats.histogram: w = (mx-mn)/10, bin capped at
     // 9, degenerate group (mx = mn) entirely in bin 0; identical IEEE

@@ -180,6 +180,30 @@ object Stats {
         col("median_qty_approx"), col("p90_usd_approx"))
   }
 
+  /** Exact weighted quantile per group (the ClickHouse
+    * quantileExactWeighted surface): the smallest value whose
+    * cumulative weight reaches qNum/qDen of the group total. One
+    * value-ordered partitioned window for the running weight plus one
+    * full-partition total (both O(n) frames — no per-row suffix
+    * frame), then min over the qualifying rows. Deterministic under
+    * ties: the pick depends only on W(≤ v), never on intra-tie order;
+    * with decimal weights and an integer q ratio the threshold
+    * comparison is exact on any engine. */
+  def weightedQuantile(df: DataFrame, groupCol: String, value: Column,
+                       weight: Column, qNum: Int, qDen: Int): DataFrame = {
+    require(qNum > 0 && qDen > 0 && qNum <= qDen, "need 0 < qNum/qDen <= 1")
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), value.as("__v"), weight.as("__w"))
+      .withColumn("__cum", sum(col("__w")).over(run))
+      .withColumn("__tot", sum(col("__w")).over(tot))
+      .filter(col("__cum") * qDen >= col("__tot") * qNum)
+      .groupBy(col(groupCol))
+      .agg(min(col("__v")).as("wq"))
+  }
+
   /** Equi-width histogram of a value per group (the ClickHouse
     * `histogram()` report surface, with fixed bin count): bins span
     * [min, max] per group, bin = min(floor((x − mn)/w), bins − 1) with

@@ -109,6 +109,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r == Map(1L -> 5000L, 2L -> -2500L))
   }
 
+  test("weighted quantile: threshold picks by cumulative weight") {
+    import spark.implicits._
+    val df = Seq(
+      // a: heavy tail value dominates → median 3
+      ("a", 1L, 1.0), ("a", 2L, 1.0), ("a", 3L, 10.0),
+      // b: heavy head → median 1
+      ("b", 1L, 5.0), ("b", 2L, 1.0), ("b", 3L, 1.0),
+      // c: uniform weights, p90 → 3
+      ("c", 1L, 1.0), ("c", 2L, 1.0), ("c", 3L, 1.0)
+    ).toDF("g", "v", "w")
+    def wq(num: Int, den: Int) =
+      Stats.weightedQuantile(df, "g", col("v"), col("w"), num, den)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val med = wq(1, 2)
+    assert(med("a") == 3L && med("b") == 1L && med("c") == 2L)
+    assert(wq(9, 10)("c") == 3L)
+  }
+
   test("property: histogram bins partition every group exactly") {
     import spark.implicits._
     import org.scalacheck.{Gen, Prop}
