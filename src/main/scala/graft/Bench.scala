@@ -13,35 +13,17 @@ import org.apache.spark.sql.SparkSession
   *     wall clock stays well inside the driver's cap.
   */
 object Bench {
-  // Queries whose per-query timing is NOT in the printed one-line JSON
-  // (they still run and count toward "value"). The driver captures only
-  // the last ~2000 chars of output; with 100+ queries the full map no
-  // longer fits, so the line carries the headline subset — every heavy
-  // or plan-interesting query — and the complete map goes to
-  // BENCH_LOCAL.json next to the build.
-  private val nonHeadline: Set[String] = Set(
-    "q_watermark", "q_reorg_rewrite", "q_changelog", "q_dedup_ingest",
-    "q_dormant_wallets", "q_activity_cursor", "q_sample_hash",
-    "q_sample_stratified", "q_sequence_match", "q_funnel_summary",
-    "q_sql_daily_cumvol", "q_sql_candles_4h", "q_retention",
-    "q_group_rollup", "q_top_per_market", "q_trade_quantiles",
-    "q_candles_15m", "q_last_price", "q_token_volume_1h",
-    "q_multimodal_features", "q_fingerprint", "q_active_wallets",
-    "q_data_mix", "q_pii_signals", "q_price_change",
-    "q_word_topk_approx", "q_embed_centroid", "q_lm_score",
-    "q_quantiles_sketch", "q_recent_tokens", "q_sql_ledger_profile",
-    "q_ledger_resolved_exact", "q_pnl_period_exact", "q_ann_recall",
-    "q_ledger_rows_exact", "q_pnl_modes_exact",
-    "q_mix_sample", "q_seq_pack", "q_ledger_curve_exact",
-    "q_log_decode", "q_log_decode_batch", "q_log_decode_condition",
-    "q_neardup_recall", "q_hll_gate", "q_topk_gate", "q_quantile_gate",
-    "q_quality_gate", "q_wallet_deciles", "q_pivot_segments",
-    "q_win_rate", "q_log_decode_e2e", "q_log_decode_negrisk",
-    "q_log_decode_fees", "q_conditions_state",
-    // light fixed-cost queries (steady < 1 s, no plan interest) kept
-    // out of the line so it stays inside the driver's tail capture
-    "q_activity", "q_token_trades", "q_token_metadata", "q_word_freq",
-    "q_scd2", "q_market_categories")
+  // The driver captures only the last ~2000 chars of output, so the
+  // printed one-line JSON carries a SIZE-CAPPED cold map: the TopN
+  // heaviest cold queries plus every failure (everything still runs
+  // and counts toward "value"; the complete map rides
+  // BENCH_LOCAL.json, committed next to the build). A size cap cannot
+  // drift the way the r8 name-denylist did — at 137 queries the
+  // denylisted line grew past 2 000 chars again and BENCH_r11.json
+  // came back `parsed: null`. BenchHeadlineSpec pins the rendered
+  // length < 1900 at 300 synthetic queries.
+  private[graft] val HeadlineTopN = 25
+  private[graft] val SteadyWorstN = 10
 
   // ---- crash-proof state: everything the shutdown hook needs, no Spark ----
   // passes(i)(name) = (seconds, ok); `order` preserves run order for output
@@ -86,6 +68,43 @@ object Bench {
   private def coldPass: Seq[(String, Double, Boolean)] =
     order.flatMap(n =>
       passes.headOption.flatMap(_.get(n)).map(s => (n, s._1, s._2)))
+  /** Pure renderer, unit-tested by BenchHeadlineSpec: given the cold
+    * samples, the steady samples and the scalars, produce the one-line
+    * headline JSON. Size-bounded by construction — the cold map is
+    * capped at [[HeadlineTopN]] heaviest + all failures, the steady
+    * side prints scalars + the [[SteadyWorstN]] worst queries. */
+  private[graft] def renderHeadline(
+      cold: Seq[(String, Double, Boolean)],
+      steady: Seq[(String, Double)],
+      failed: Seq[String],
+      done: Int, selected: Int, nPasses: Int,
+      mvTotal: Double, mvN: Int,
+      mode: String, sfDir: String): String = {
+    val total = cold.collect { case (_, v, true) => v }.sum
+    // cap: every failure (-1 entries; same population as failed[] — the
+    // r7 invariant) + the HeadlineTopN heaviest successes, run order
+    // preserved for the survivors
+    val okByWeight = cold.filter(_._3).sortBy(-_._2).take(HeadlineTopN)
+      .map(_._1).toSet
+    val line = cold.filter { case (k, _, ok) => !ok || okByWeight(k) }
+    val steadyTotal = steady.map(_._2).sum
+    // worst-N steady map (VERDICT r11 #1): the heaviest queries keep a
+    // directly machine-readable longitudinal signal; the full steady
+    // map rides BENCH_LOCAL.json
+    val steadyWorst = steady.sortBy(-_._2).take(SteadyWorstN)
+    val steadyWorstJson = steadyWorst
+      .map { case (n, v) => s""""$n":${fmt(v)}""" }.mkString("{", ",", "}")
+    val failedJs = failed.map(n => s""""$n"""").mkString("[", ",", "]")
+    // completed/selected/passes: a SIGTERM'd sweep sums only what
+    // finished, which would otherwise read as a (misleadingly fast)
+    // complete run — completed < selected marks the COLD line as
+    // truncated (ADVICE r6); the steady sweep reports its own count.
+    // steady_scope marks the steady population (ADVICE r9); mode marks
+    // the storage layout under test; queries_scope marks the cold-map
+    // cap so cross-round tooling doesn't read the capped map as the
+    // full population.
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":$done,"selected":$selected,"passes":$nPasses,"mv_warmup":${fmt(mvTotal)},"mv_warmup_n":$mvN,"queries":${mapJson(line)},"queries_scope":"top${HeadlineTopN}_plus_failed","steady_total":${fmt(steadyTotal)},"steady_n":${steady.size},"steady_scope":"all","steady_worst":$steadyWorstJson,"failed":$failedJs,"mode":"$mode","sf":"$sfDir"}"""
+  }
   private def headlineJson: String = {
     val rs = merged
     // A query that failed in ANY pass is a failure: it rides failed[]
@@ -94,43 +113,21 @@ object Bench {
     // failed[] entry for the same name).
     val anyFail = rs.collect { case (k, _, false) => k }.toSet
     val cold = coldPass.map { case (k, v, ok) => (k, v, ok && !anyFail(k)) }
-    val total = cold.collect { case (_, v, true) => v }.sum
-    val line = cold.filter { case (k, _, _) => !nonHeadline(k) }
     // Steady = min over ≥2 samples (the longitudinal signal r1-r5's
     // min-of-2 carried — first-touch codegen and session-MV builds
-    // land only in the cold map). The headline line must stay inside
-    // the driver's ~2000-char output-tail capture, so it carries only
-    // the steady SCALARS (total, count, worst query); the full
-    // per-query steady map rides BENCH_LOCAL.json, which is committed
-    // next to the build.
-    // only fully-ok queries enter the steady population, so
-    // steady_n, steady_total and steady_worst all describe the same
-    // set (a failed query's time is time-to-exception, not a runtime)
-    // ALL queries enter the steady population (VERDICT r8 #2: the
-    // steady sweep used to cover only the headline subset, leaving
-    // the most expensive queries with no longitudinal signal); the
-    // printed line still carries only the three steady SCALARS.
+    // land only in the cold map). ALL queries enter the steady
+    // population (VERDICT r8 #2); only fully-ok queries count (a
+    // failed query's time is time-to-exception, not a runtime).
     val steady = order.flatMap { n =>
       val ss = passes.flatMap(_.get(n))
       if (ss.length >= 2 && ss.forall(_._2))
         Some((n, ss.map(_._1).min))
       else None
     }
-    val steadyTotal = steady.map(_._2).sum
-    val steadyWorst = steady.sortBy(-_._2).headOption
-      .map { case (n, v) => s""","steady_worst":{"$n":${fmt(v)}}""" }
-      .getOrElse("")
-    // completed/selected/passes: a SIGTERM'd sweep sums only what
-    // finished, which would otherwise read as a (misleadingly fast)
-    // complete run — completed < selected marks the COLD line as
-    // truncated (ADVICE r6); the steady sweep reports its own count.
     val done = passes.headOption.map(_.size).getOrElse(0)
     val mvTotal = mvWarmup.collect { case (_, v, true) => v }.sum
-    // steady_scope marks the steady population (ADVICE r9: it widened
-    // from headline-only to ALL queries in r9, same field names — the
-    // marker keeps cross-round tooling from silently comparing mixed
-    // populations); mode marks the storage layout under test.
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":$done,"selected":${order.size},"passes":$nPassesV,"mv_warmup":${fmt(mvTotal)},"mv_warmup_n":${mvWarmup.size},"queries":${mapJson(line)},"steady_total":${fmt(steadyTotal)},"steady_n":${steady.size},"steady_scope":"all"$steadyWorst,"failed":${failedJson(rs)},"mode":"$modeV","sf":"$sfDirV"}"""
+    renderHeadline(cold, steady, rs.collect { case (k, _, false) => k },
+      done, order.size, nPassesV, mvTotal, mvWarmup.size, modeV, sfDirV)
   }
   /** Full map + raw per-pass samples → BENCH_LOCAL.json. Called after every
     * query: a tmp-file + atomic move so a kill mid-write can't truncate it. */
@@ -207,13 +204,6 @@ object Bench {
     val nPasses = math.max(1,
       sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(1))
     nPassesV = nPasses
-    // every nonHeadline name should be a real query — catch set drift when
-    // a query is renamed/removed (ADVICE r6: four dead names shipped in r6).
-    // Loud warning, not a crash: the bench must still emit numbers.
-    val unknownNH = nonHeadline -- SparkEntry.queries.keySet
-    if (unknownNH.nonEmpty)
-      System.err.println("[bench] WARNING nonHeadline names not in " +
-        s"SparkEntry.queries (set drift): ${unknownNH.toSeq.sorted.mkString(", ")}")
     // The hook is registered BEFORE Spark starts: on SIGTERM it runs
     // concurrently with Spark's own stop-hook and touches no Spark state —
     // it prints the headline line from completed measurements and flushes.

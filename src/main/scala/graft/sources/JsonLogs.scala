@@ -62,15 +62,21 @@ object JsonLogs {
     * exploded to topic0..topic3, `0x` prefixes stripped from topics
     * and data so the 64-char word arithmetic applies unchanged).
     * Rows that parsed but miss the contract (no topics) are dropped
-    * here and auditable via [[shapeRejects]]. */
+    * here and auditable via [[shapeRejects]].
+    *
+    * topic1..topic3 use `try_element_at` (null on missing index):
+    * Spark 4 runs ANSI-on by default, where a plain `element_at` past
+    * the array end THROWS — a valid 3-topic log (e.g. ERC-20
+    * Transfer) or a 1-topic anonymous event would otherwise kill the
+    * whole ingest, violating this module's quarantine contract. */
   def good(raw: DataFrame): DataFrame =
     raw.filter(col(CorruptCol).isNull &&
         col("topics").isNotNull && size(col("topics")) >= 1)
       .select(col("address"),
         strip0x(element_at(col("topics"), 1)).as("topic0"),
-        strip0x(element_at(col("topics"), 2)).as("topic1"),
-        strip0x(element_at(col("topics"), 3)).as("topic2"),
-        strip0x(element_at(col("topics"), 4)).as("topic3"),
+        strip0x(try_element_at(col("topics"), lit(2))).as("topic1"),
+        strip0x(try_element_at(col("topics"), lit(3))).as("topic2"),
+        strip0x(try_element_at(col("topics"), lit(4))).as("topic3"),
         strip0x(col("data")).as("data"),
         col("block_number"), col("log_index"), col("ts"))
 

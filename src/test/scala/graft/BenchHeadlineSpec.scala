@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench headline line inside the driver's ~2000-char output
+  * tail capture (VERDICT r11 #1: the r8 denylist sizing re-broke at
+  * 137 queries and BENCH_r11.json came back `parsed: null`). The
+  * renderer is size-capped by construction; this spec makes surface
+  * growth unable to silently re-break it. */
+class BenchHeadlineSpec extends AnyFunSuite {
+
+  // worst-case realistic names: long, like q_ledger_resolved_exact
+  private def mkName(i: Int) = f"q_some_quite_long_query_name_$i%03d"
+
+  test("headline stays under 1900 chars even at 300 queries") {
+    val cold = (0 until 300).map(i => (mkName(i), 100.0 + i, true))
+    val steady = (0 until 300).map(i => (mkName(i), 100.0 + i))
+    val line = Bench.renderHeadline(cold, steady, Nil,
+      done = 300, selected = 300, nPasses = 1,
+      mvTotal = 1234.567, mvN = 25,
+      mode = "bucketed", sfDir = "/root/testdata/sf0.1")
+    assert(line.length < 1900, s"len=${line.length}: $line")
+  }
+
+  test("headline carries the heaviest queries, worst steady, and all failures") {
+    val cold = (0 until 100).map(i => (mkName(i), i.toDouble, i != 7))
+    val steady = (0 until 100).filter(_ != 7).map(i => (mkName(i), i.toDouble))
+    val line = Bench.renderHeadline(cold, steady, Seq(mkName(7)),
+      done = 100, selected = 100, nPasses = 1,
+      mvTotal = 10.0, mvN = 3, mode = "flat", sfDir = "sf0.1")
+    // heaviest success present, lightest absent from the cold map
+    assert(line.contains(s""""${mkName(99)}":99.000"""))
+    assert(!line.contains(s""""${mkName(1)}":"""))
+    // the failure rides the map as -1 AND failed[]
+    assert(line.contains(s""""${mkName(7)}":-1"""))
+    assert(line.contains(s""""failed":["${mkName(7)}"]"""))
+    // steady worst map present with the top entry
+    assert(line.contains(""""steady_worst":{"""))
+    assert(line.contains(s""""steady_total":"""))
+    // scope markers for cross-round tooling
+    assert(line.contains(""""queries_scope":"top25_plus_failed""""))
+    assert(line.contains(""""steady_scope":"all""""))
+  }
+
+  test("headline is valid JSON shape (balanced, parse-spot-checked)") {
+    val cold = (0 until 40).map(i => (mkName(i), i * 1.5, true))
+    val line = Bench.renderHeadline(cold, cold.map(c => (c._1, c._2)), Nil,
+      40, 40, 1, 5.0, 2, "flat", "sf0.01")
+    // cheap structural check without a JSON lib: balanced braces/brackets
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(line.count(_ == '[') == line.count(_ == ']'))
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.endsWith("""}"""))
+  }
+}

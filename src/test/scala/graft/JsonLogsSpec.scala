@@ -53,6 +53,35 @@ class JsonLogsSpec extends SparkSpec {
       "decode must not see a difference between the parquet fixture and JSON ingest")
   }
 
+  test("good() tolerates short topics arrays under ANSI mode (1-3 topics)") {
+    // ANSI element_at(arr, n) THROWS past the array end; valid logs
+    // with fewer than 4 topics (ERC-20 Transfer has 3, anonymous
+    // events 1) must flow through good() with null topic slots, not
+    // kill the job (ADVICE r11 high).
+    val dir = java.nio.file.Files.createTempDirectory("graft-shorttopics")
+    val lines = Seq(
+      // anonymous event: 1 topic
+      """{"address":"0x01","topics":["0xaa"],"data":"0x00","block_number":1,"log_index":0}""",
+      // ERC-20 Transfer shape: 3 topics
+      """{"address":"0x02","topics":["0xbb","0x11","0x22"],"data":"0x01","block_number":1,"log_index":1}""",
+      // full 4-topic row
+      """{"address":"0x03","topics":["0xcc","0x11","0x22","0x33"],"data":"0x02","block_number":1,"log_index":2}""")
+    java.nio.file.Files.write(dir.resolve("page.jsonl"),
+      lines.mkString("\n").getBytes)
+    val good = JsonLogs.good(JsonLogs.read(spark, dir.toString))
+      .orderBy("log_index").collect()
+    assert(good.length == 3, "all three valid rows survive")
+    val one = good(0)
+    assert(one.getString(1) == "aa" && one.isNullAt(2) && one.isNullAt(3) &&
+      one.isNullAt(4), "1-topic row: topic0 set, topic1..3 null")
+    val three = good(1)
+    assert(three.getString(1) == "bb" && three.getString(2) == "11" &&
+      three.getString(3) == "22" && three.isNullAt(4),
+      "3-topic row: topic3 null")
+    val four = good(2)
+    assert(four.getString(4) == "33", "4-topic row unchanged")
+  }
+
   test("streaming json ingest decodes incrementally to the batch result") {
     val trades = Tables.trades(spark, sf).limit(12).cache()
     val encoded = LogDecode.encodeOrderFilled(trades)
