@@ -353,8 +353,9 @@ object SparkEntry {
     // trader distribution (14…49 at sf0.01) so BOTH branches are
     // driver-exercised — bounded per-group state (the native
     // UniqUpToAgg drops values once saturated). The oracle's
-    // least(count distinct, 26) makes this a HARD verification of the
-    // saturating aggregate, not a rows-only sketch.
+    // LEAST(COUNT(DISTINCT wallet), 31) — n+1 for n=30 — makes this a
+    // HARD verification of the saturating aggregate, not a rows-only
+    // sketch.
     "q_traders_capped" -> ((s, d) =>
       wt(s, d).groupBy(col("token_id"))
         .agg(graft.functions.UniqUpTo.uniq_up_to(col("wallet").cast("long"), 30)
@@ -516,8 +517,10 @@ object SparkEntry {
         .withColumnRenamed("user", "wallet")
         .orderBy(col("wallet"))),
 
-    // strict_order funnel: interleaved events of OTHER funnel steps
-    // break the chain (non-funnel types never do).
+    // Order-strict funnel: interleaved events of OTHER funnel steps
+    // break the chain (non-funnel types never do; chain stays anchored
+    // at the earliest step-1 event — a documented deviation from CH
+    // strict_order, see Funnel.windowFunnelStrict).
     "q_funnel_strict" -> ((s, d) =>
       Funnel.windowFunnelStrict(Tables.eventStream(s, d), "wallet", "ts",
           "event_type", Seq("view", "click", "purchase"), 24)
@@ -1661,13 +1664,16 @@ object SparkEntry {
         .orderBy(col("check_name"))
     }),
 
-    // Count-Min gate: never-undercount is a THEOREM of the structure
-    // (row counters only ever add), checked over the ENTIRE vocab, not
-    // a sample; overshoot per query is ≤ ⌈e·N/width⌉ w.p. 1−e^{−depth},
-    // and the merged sketch is partitioning-invariant (element-wise
-    // add), so both booleans are data properties. The max-overshoot
-    // bar is the theoretical e·N/width with the union-slack of the
-    // full-vocab max measured well inside it. n = distinct words.
+    // Count-Min gate. Never-undercount IS a theorem of the structure
+    // (row counters only ever add; element-wise-add merge is
+    // partitioning-invariant), checked over the ENTIRE vocab. The
+    // overshoot bound is NOT a theorem: per query it holds only with
+    // probability 1−e^{−depth} (≈98.2% at depth 4), and the per-word
+    // rows are correlated, so the vocab-wide MAX can legitimately
+    // exceed e·N/width on a data or scale-factor change. The gate
+    // therefore checks the p99 of overshoot against the per-query bar
+    // (a population-level property the guarantee does imply) instead
+    // of the max (ADVICE r11). n = distinct words.
     "q_cm_gate" -> ((s, d) => {
       val words = Tables.documents(s, d)
         .select(explode(split(trim(col("text")), " +")).as("word"))
@@ -1681,12 +1687,13 @@ object SparkEntry {
           (graft.functions.CountMinExprs.cm_estimate(col("sk"),
             xxhash64(col("word"))) - col("cnt")).as("over"))
         .agg(count(lit(1)).as("n"), sum(col("cnt")).as("total"),
-          min(col("over")).as("min_over"), max(col("over")).as("max_over"))
+          min(col("over")).as("min_over"),
+          expr("percentile(over, 0.99)").as("p99_over"))
       diffs.select(explode(array(
           struct(lit("cm_never_undercounts").as("check_name"), col("n"),
             (col("min_over") >= 0L).as("ok")),
-          struct(lit("cm_overshoot_bound").as("check_name"), col("n"),
-            (col("max_over").cast("double") <=
+          struct(lit("cm_overshoot_p99_bound").as("check_name"), col("n"),
+            (col("p99_over") <=
               lit(math.E) * col("total").cast("double") / 2048.0).as("ok"))))
           .as("r"))
         .select(col("r.check_name").as("check_name"), col("r.n").as("n"),
@@ -3533,7 +3540,7 @@ object SparkEntry {
         |  WHERE len(word) > 0)
         |SELECT v.check_name, n.n, v.ok
         |FROM n CROSS JOIN (VALUES
-        |  ('cm_never_undercounts', true), ('cm_overshoot_bound', true))
+        |  ('cm_never_undercounts', true), ('cm_overshoot_p99_bound', true))
         |  v(check_name, ok)
         |ORDER BY check_name""".stripMargin,
 

@@ -202,3 +202,61 @@ object DotI8 {
     ColumnBridge.column(
       DotI8(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** The `nprobe` nearest IVF cells for a query vector against a flat
+  * row-major (nlist × dim) centroid array (a broadcast literal, like
+  * the PCA component columns in EmbeddingCompress): cell indices in
+  * ascending squared-L2-distance order, ties by index. One codegen'd
+  * pass per row — the query-side cell ranking of
+  * [[graft.operators.IvfIndex]] runs in the scan stage with no Scala
+  * UDF (VERDICT r11). nlist is small (≤ a few hundred), so the full
+  * distance pass is O(nlist·dim) per query and the sort O(nlist log
+  * nlist). */
+case class NearestCells(left: Expression, right: Expression, nprobe: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(q: Any, c: Any): Any =
+    NearestCells.compute(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData],
+      nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"${ev.value} = graft.functions.NearestCells.compute($q, $c, $nprobe);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): NearestCells = copy(left = newLeft, right = newRight)
+}
+
+object NearestCells {
+  def compute(unit: ArrayData, flat: ArrayData, nprobe: Int): ArrayData = {
+    val dim = unit.numElements()
+    val nlist = if (dim == 0) 0 else flat.numElements() / dim
+    val d = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      var acc = 0.0
+      var j = 0
+      val base = c * dim
+      while (j < dim) {
+        val diff = flat.getDouble(base + j) - unit.getDouble(j)
+        acc += diff * diff
+        j += 1
+      }
+      d(c) = acc
+      c += 1
+    }
+    val idx = Array.tabulate(nlist)(identity)
+      .sortBy(i => (d(i), i))
+    val out = new Array[Any](math.min(nprobe, nlist))
+    var i = 0
+    while (i < out.length) { out(i) = idx(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def nearest_cells(unit: Column, flatCentroids: Column, nprobe: Int): Column =
+    ColumnBridge.column(NearestCells(
+      ColumnBridge.expression(unit), ColumnBridge.expression(flatCentroids),
+      nprobe))
+}

@@ -47,14 +47,24 @@ object Funnel {
   def funnelSummary(funnel: DataFrame): DataFrame =
     funnel.groupBy(col("level")).agg(count(lit(1)).as("users"))
 
-  /** `strict_order` variant of [[windowFunnel]] (the CH windowFunnel
-    * mode): the chain advances to step i+1 only if NO funnel-step
-    * event of another type occurs strictly between the step-i and
-    * step-i+1 matches. Deterministic earliest-chain + gap-validation
-    * reduction: an interloper before the EARLIEST step-i+1 match also
-    * precedes every later match, so validating the greedy chain is
-    * already the fixpoint — no rescan. Non-funnel event types never
-    * break the chain. Returns (user, t1, level_strict).
+  /** Order-strict variant of [[windowFunnel]]: the chain advances to
+    * step i+1 only if NO funnel-step event of another type occurs
+    * strictly between the step-i and step-i+1 matches.
+    *
+    * This is a DELIBERATE DEVIATION from ClickHouse `strict_order`
+    * (which it is inspired by), in two documented ways (ADVICE r11):
+    * (a) the chain stays anchored at the EARLIEST step-1 event — a
+    * later step-1 event that would start a cleaner chain is not
+    * retried (CH restarts the chain there); (b) only funnel-typed
+    * events interrupt — non-funnel event types never break the chain
+    * (CH strict_order is interrupted by ANY intervening event). Both
+    * choices keep the operator a fixed number of keyed aggregates
+    * instead of a per-user event sort; the oracle twin implements the
+    * same greedy-anchored, funnel-typed-interloper semantics. Within
+    * that fixed-t1 anchoring, validating the greedy chain is already
+    * the fixpoint: an interloper before the EARLIEST step-i+1 match
+    * also precedes every later match — no rescan needed. Returns
+    * (user, t1, level_strict).
     *
     * Scale shape: [[windowFunnel]]'s per-step aggregates plus ONE
     * more aggregate join keyed by user over the funnel-typed events. */

@@ -55,35 +55,56 @@ object IvfIndex {
     }
   }
 
-  /** Top-k per query probing the nprobe nearest cells. */
-  def topK(spark: SparkSession, model: Model, queries: DataFrame, k: Int,
-           nprobe: Int): DataFrame = {
-    import spark.implicits._
-    // nearest-centroid ranking happens driver-side: nlist × dim floats
-    val centroids = model.centroids
-    val cellsFor = udf { (q: Seq[Double]) =>
-      centroids.zipWithIndex.map { case (c, i) =>
-        var d = 0.0
-        var j = 0
-        while (j < c.length && j < q.length) {
-          val diff = c(j) - q(j); d += diff * diff; j += 1
-        }
-        (d, i)
-      }.sortBy(_._1).take(nprobe).map(_._2)
-    }
-    val probes = queries.select(col("id").as("query_id"), col("unit").as("qu"),
-        explode(cellsFor(col("unit"))).as("cell"))
-    val joined = model.assigned
-      .select(col("cell"), col("id").as("corpus_id"), col("unit").as("cu"))
-      .join(broadcast(probes), Seq("cell"))
-      .filter(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"),
-        round(Similarity.dot(col("cu"), col("qu")), 6).as("cosine"))
-      .distinct()
+  /** (query_id, qu, cell): each query exploded to its nprobe nearest
+    * cells. Cell ranking is the codegen'd [[graft.functions
+    * .NearestCells]] expression against the flattened centroid matrix
+    * as a broadcast literal (nlist × dim doubles — same pattern as the
+    * PCA component literals in [[EmbeddingCompress]]); it runs inside
+    * the query scan stage, no Scala UDF, no driver loop. */
+  private def probes(model: Model, queries: DataFrame, nprobe: Int): DataFrame = {
+    val flat = typedLit(model.centroids.flatten.toSeq)
+    queries.select(col("id").as("query_id"), col("unit").as("qu"),
+      explode(graft.functions.NearestCells.nearest_cells(
+        col("unit"), flat, nprobe)).as("cell"))
+  }
+
+  private def rankJoined(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cosine"))
   }
+
+  /** Top-k per query probing the nprobe nearest cells — the SERVING
+    * shape: the query set is small and broadcast, the assignment table
+    * streams with no shuffle. For offline batch query sets use
+    * [[topKBatch]]. */
+  def topK(spark: SparkSession, model: Model, queries: DataFrame, k: Int,
+           nprobe: Int): DataFrame =
+    rankJoined(model.assigned
+      .select(col("cell"), col("id").as("corpus_id"), col("unit").as("cu"))
+      .join(broadcast(probes(model, queries, nprobe)), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(Similarity.dot(col("cu"), col("qu")), 6).as("cosine"))
+      .distinct(), k)
+
+  /** Batch-query top-k: identical semantics to [[topK]] but the probe
+    * side is NOT broadcast — both sides shuffle on `cell` and
+    * sort-merge/hash join on the exchange. This is the plan for an
+    * OFFLINE query set of millions (e.g. corpus-vs-corpus semantic
+    * join), where broadcasting the probes would flip the build side
+    * past executor memory (VERDICT r11). Per-cell work is
+    * |cell| × |probes in cell| — the same bucketed bound as the
+    * serving shape, just shuffled instead of replicated. */
+  def topKBatch(spark: SparkSession, model: Model, queries: DataFrame, k: Int,
+                nprobe: Int): DataFrame =
+    rankJoined(model.assigned
+      .select(col("cell"), col("id").as("corpus_id"), col("unit").as("cu"))
+      .join(probes(model, queries, nprobe), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(Similarity.dot(col("cu"), col("qu")), 6).as("cosine"))
+      .distinct(), k)
 }

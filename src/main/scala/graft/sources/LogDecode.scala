@@ -350,11 +350,15 @@ object LogDecode {
       .otherwise("redeem")
     val isRedeem = col("topic0") === PayoutRedemptionTopic
     val sets = tailArray(1) // the offset rides head word 1 in all three
+    // block timestamp rides the log when the source carries one (the
+    // ledger-topology fixture does; the standalone decode fixture
+    // doesn't — schema unchanged there)
+    val tsCols = if (logs.columns.contains("ts")) Seq(col("ts")) else Nil
     logs
       .filter(col("topic0").isin(PositionSplitTopic, PositionsMergeTopic,
         PayoutRedemptionTopic))
-      .select(
-        col("log_index"),
+      .select(Seq(
+        col("log_index")) ++ tsCols ++ Seq(
         kind.as("kind"),
         wordLong(col("topic1")).as("wallet"),
         when(isRedeem, word(col("data"), 0)).otherwise(col("topic3"))
@@ -362,7 +366,7 @@ object LogDecode {
         wordLong(when(isRedeem, col("topic2")).otherwise(word(col("data"), 0)))
           .as("collateral"),
         wordLong(word(col("data"), 2)).as("amount_i"),
-        transform(sets, w => wordLong(w)).as("index_sets"))
+        transform(sets, w => wordLong(w)).as("index_sets")): _*)
   }
 
   /** Rebuild the canonical trade view from decoded OrderFilled rows —
@@ -471,13 +475,15 @@ object LogDecode {
       .otherwise("convert")
     val isMeta = t0.isin(NrMarketPreparedTopic, NrQuestionPreparedTopic)
     val amounts = transform(tailArray(0), w => wordLong(w))
+    // block timestamp passthrough, as in decodeConditionEvents
+    val tsCols = if (logs.columns.contains("ts")) Seq(col("ts")) else Nil
     logs
       .filter(col("addr") === NegRiskAdapterAddr && t0.isin(
         NrMarketPreparedTopic, NrQuestionPreparedTopic,
         NrPositionSplitTopic, NrPositionsMergeTopic,
         NrPayoutRedemptionTopic, NrPositionsConvertedTopic))
-      .select(
-        col("log_index"),
+      .select(Seq(
+        col("log_index")) ++ tsCols ++ Seq(
         kind.as("kind"),
         when(isMeta, col("topic1"))
           .when(t0 === NrPositionsConvertedTopic, col("topic2"))
@@ -501,7 +507,7 @@ object LogDecode {
         when(t0 === NrPayoutRedemptionTopic, size(amounts).cast("long"))
           .as("n_amounts"),
         when(t0 === NrPayoutRedemptionTopic,
-          aggregate(amounts, lit(0L), (a, x) => a + x)).as("amounts_sum"))
+          aggregate(amounts, lit(0L), (a, x) => a + x)).as("amounts_sum")): _*)
   }
 
   // ---------------------------------------------------------------
@@ -659,12 +665,15 @@ object LogDecode {
   def decodeConditionLifecycle(logs: DataFrame): DataFrame = {
     val isPrep = col("topic0") === ConditionPreparationTopic
     val nums = transform(tailArray(1), w => wordLong(w))
+    // block timestamp rides through when the source carries one (the
+    // ledger-topology fixture); standalone fixtures have no ts column
+    val tsCols = if (logs.columns.contains("ts")) Seq(col("ts")) else Nil
     logs
       .filter(col("addr") === ConditionalTokensAddr &&
         col("topic0").isin(ConditionPreparationTopic,
           ConditionResolutionTopic))
-      .select(
-        col("log_index"),
+      .select(Seq(
+        col("log_index")) ++ tsCols ++ Seq(
         when(isPrep, "prep").otherwise("resolve").as("kind"),
         col("topic1").as("condition_hex"),
         wordLong(col("topic2")).as("oracle"),
@@ -675,7 +684,11 @@ object LogDecode {
         when(!isPrep, aggregate(nums, lit(0L), (a, x) => a + x))
           .as("payout_denominator"),
         when(!isPrep, element_at(nums, 1)).as("first_payout"),
-        when(!isPrep, element_at(nums, -1)).as("last_payout"))
+        when(!isPrep, element_at(nums, -1)).as("last_payout"),
+        // the full numerator array, for consumers that need per-slot
+        // payouts (the ledger topology's mid-stream losing-outcome
+        // resolution derives the wiped tokens from the zero slots)
+        when(!isPrep, nums).as("payouts")): _*)
   }
 
   /** One row per (log, element): the exploded movement rows the

@@ -23,5 +23,25 @@ class IvfSpec extends SparkSpec {
     val full = IvfIndex.topK(spark, model, q, k = 5, nprobe = 8).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(full == exact)
+
+    // the unbroadcast batch-query plan is row-identical to serving
+    val batch = IvfIndex.topKBatch(spark, model, q, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val serving = IvfIndex.topK(spark, model, q, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(batch == serving)
+  }
+
+  test("NearestCells expression ranks cells by squared L2 distance") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.0, 0.9)), (2L, Seq(1.0, 0.1))).toDF("id", "unit")
+    // centroids: cell0 = (0,1), cell1 = (1,0), cell2 = (0.6, 0.6)
+    val flat = typedLit(Seq(0.0, 1.0, 1.0, 0.0, 0.6, 0.6))
+    val out = df.select(col("id"),
+        graft.functions.NearestCells.nearest_cells(col("unit"), flat, 2)
+          .as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(out(1L) == Seq(0, 2)) // (0,0.9): d0=0.01, d2=0.45, d1=1.64
+    assert(out(2L) == Seq(1, 2)) // (1,0.1): d1=0.01, d2=0.41, d0=1.81
   }
 }
