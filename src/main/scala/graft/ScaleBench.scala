@@ -95,15 +95,15 @@ object ScaleBench {
     "q_skew_join",        // salted join equivalence
     "q_doc_chunks",       // scan-stage explode, zero shuffles
     "q_vocab",            // explode + two-level partial agg
-    "q_semdedup",         // k-means fit + within-cell pairs at FIXED
-                          // nlist=16: the n²/nlist term grows ∝k² by
-                          // construction, so e→2 asymptotically; the
-                          // mitigation is nlist ∝ n (SemDeDup's own
-                          // guidance). MEASURED ×1…×16 (≤32k vectors):
-                          // e=0.79 — fit cost + fixed overhead still
-                          // dominate the quadratic term at this size;
-                          // the curve documents where the cliff ISN'T
-                          // yet, not that it's absent
+    "q_semdedup",         // k-means fit + within-cell pairs. Since r12
+                          // nlist is DERIVED from corpus size
+                          // (IvfIndex.nlistFor: n/1024 clamped, fit on
+                          // a capped hash sample) so the n²/nlist pair
+                          // term and the fit BOTH stay ∝ n — the
+                          // VERDICT r11 #6 mitigation implemented; the
+                          // density curve measures it (previously
+                          // e=0.79 at fixed nlist=16 with e→2
+                          // asymptotic)
     "q_corpus_e2e")       // clean → chunk → pack composition
 
   private def deleteRecursively(f: java.io.File): Unit = {

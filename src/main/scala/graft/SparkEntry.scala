@@ -123,6 +123,12 @@ object SparkEntry {
   private def logsOrderFilledUnit(s: SparkSession, d: String) =
     fixture(s, d, "logs_order_filled_unit")(
       LogDecode.encodeOrderFilled(trades(s, d).withColumn("qty", lit(1.0))))
+  private def logsLedgerTopology(s: SparkSession, d: String) =
+    fixture(s, d, "logs_ledger_topology")(
+      graft.sources.LogLedger.encodeTopologyLogs(
+        wt(s, d).filter(col("role") === "taker")
+          .select(col("trade_id"), col("ts"), col("wallet"), col("token_id"),
+            col("usd"))))
 
   /** Shared session MVs: warmup label → a frame whose evaluation
     * materializes that MV, for Bench's labeled `mv_warmup` phase
@@ -158,7 +164,9 @@ object SparkEntry {
     "logs_condition_lifecycle" -> ((s, d) => logsConditionLifecycle(s, d)),
     "logs_negrisk" -> ((s, d) => logsNegRisk(s, d)),
     "logs_fees" -> ((s, d) => logsFees(s, d)),
-    "logs_order_filled_unit" -> ((s, d) => logsOrderFilledUnit(s, d)))
+    "logs_order_filled_unit" -> ((s, d) => logsOrderFilledUnit(s, d)),
+    "logs_ledger_topology" -> ((s, d) => logsLedgerTopology(s, d)),
+    "ledger_from_logs_full" -> ((s, d) => queries("q_ledger_from_logs_full")(s, d)))
 
   // ---- queries --------------------------------------------------------
 
@@ -1464,7 +1472,7 @@ object SparkEntry {
         .select((col("vec_id") + 10000L).as("vec_id"),
           transform(col("embedding"), x => x * lit(2.0)).as("embedding"))
       Dedup.semDedup(s, base.unionAll(seeded), "vec_id", "embedding",
-          corpusKey = s"$d#semdedup", nlist = 16, threshold = 0.999)
+          corpusKey = s"$d#semdedup", threshold = 0.999)
         .orderBy(col("id"))
     }),
 
@@ -1510,27 +1518,48 @@ object SparkEntry {
     // θ ≈ 1.27 rad noise-tail neighbors. The methods are
     // deterministic (seeded hyperplanes, deterministic k-means init),
     // so the booleans are stable run to run.
+    // Two corpus SHAPES per method (VERDICT r11 #4): the raw
+    // embeddings are isotropic noise (the collision-bounded
+    // adversarial case above), and a deterministically CLUSTERED
+    // variant — each vector pulled toward a per-label pseudo-centroid
+    // (hash-seeded, engine-local) so same-label cosine ≈ 0.5+ — pins
+    // the same operating points on structured data, where IVF recall
+    // must come from k-means finding the clusters rather than from
+    // the scan fraction. Both shapes share one gate reduction.
     "q_ann_recall" -> ((s, d) => {
-      val nrm = Similarity.normalized(Tables.embeddings(s, d), "vec_id", "embedding")
-      val queries = nrm.filter(col("id") < 5)
-      val exact = Similarity.bruteForceTopK(nrm, queries, 10)
-        .select(col("query_id"), col("corpus_id"))
-      def gate(name: String, bar: Double, approx: DataFrame) =
-        exact.join(
-            approx.select(col("query_id"), col("corpus_id"))
-              .withColumn("hit", lit(1)),
-            Seq("query_id", "corpus_id"), "left")
-          .agg(avg(coalesce(col("hit"), lit(0))).as("recall"))
-          .select(lit(name).as("method"), lit(bar).as("bar"),
-            (col("recall") >= bar).as("recall_ge_bar"))
-      val model = IvfIndex.buildCached(s, nrm, corpusKey = d, nlist = 16)
-      gate("ivf", 0.9, IvfIndex.topK(s, model, queries, k = 10, nprobe = 8))
-        .unionByName(gate("lsh", 0.6,
-          Similarity.lshTopK(nrm, queries, dim = 64, planes = 6, k = 10,
-            tables = 24)))
-        .unionByName(gate("sq", 0.9,
-          Similarity.sqTopK(nrm, queries, k = 10, refine = 4)))
-        .orderBy(col("method"))
+      def gatesFor(shape: String, corpus: DataFrame, cacheKey: String) = {
+        val queries = corpus.filter(col("id") < 5)
+        val exact = Similarity.bruteForceTopK(corpus, queries, 10)
+          .select(col("query_id"), col("corpus_id"))
+        def gate(name: String, bar: Double, approx: DataFrame) =
+          exact.join(
+              approx.select(col("query_id"), col("corpus_id"))
+                .withColumn("hit", lit(1)),
+              Seq("query_id", "corpus_id"), "left")
+            .agg(avg(coalesce(col("hit"), lit(0))).as("recall"))
+            .select(lit(name).as("method"), lit(shape).as("shape"),
+              lit(bar).as("bar"), (col("recall") >= bar).as("recall_ge_bar"))
+        val model = IvfIndex.buildCached(s, corpus, corpusKey = cacheKey,
+          nlist = 16)
+        gate("ivf", 0.9, IvfIndex.topK(s, model, queries, k = 10, nprobe = 8))
+          .unionByName(gate("lsh", 0.6,
+            Similarity.lshTopK(corpus, queries, dim = 64, planes = 6, k = 10,
+              tables = 24)))
+          .unionByName(gate("sq", 0.9,
+            Similarity.sqTopK(corpus, queries, k = 10, refine = 4)))
+      }
+      val emb = Tables.embeddings(s, d)
+      val iso = Similarity.normalized(emb, "vec_id", "embedding")
+      val pulled = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") * 0.5 +
+            (pmod(xxhash64(col("label").cast("string"), i.cast("string")),
+              lit(2000L)).cast("double") / 1000.0 - 1.0)).as("embedding"))
+      val clustered = graft.model.Views.cached(s, d, "ann_clustered_corpus")(
+        Similarity.normalized(pulled, "vec_id", "embedding"))
+      gatesFor("isotropic", iso, d)
+        .unionByName(gatesFor("clustered", clustered, d + ":clustered"))
+        .orderBy(col("method"), col("shape"))
     }),
 
     // Text near-dup recall gate (the q_ann_recall pattern for the
@@ -1547,14 +1576,35 @@ object SparkEntry {
     // ≈ 4), so its recall on Jaccard-0.6 twins is pinned LOW (≥ 0.1)
     // — the gate documents that envelope rather than hiding it.
     // Deterministic: seeded hashes, exact integer truth.
+    // Two corpus SHAPES (VERDICT r11 #4): the natural corpus, and a
+    // TEMPLATED one — every doc prefixed with the same boilerplate, so
+    // unrelated docs share a block of identical shingles (cross-doc
+    // Jaccard ≈ 0.25, just under the 0.5 threshold) and the LSH
+    // buckets fill with confusable neighbors. Recall on the planted
+    // twins must hold among those confusers, not just on well-
+    // separated documents. Truth sets are recomputed exactly per
+    // shape (the twins of the templated corpus are templated too).
+    // The simhash×templated row pins the DOCUMENTED SATURATION
+    // CLIFF: on ~80-word templated docs the 64-bit fingerprint
+    // saturates and hamming ≤ 3 recall collapses to ~0, so the
+    // oracle pins recall_ge_bar = FALSE there — the gate records the
+    // envelope's collapse instead of hiding it behind a vacuous bar
+    // (if simhash recall ever "improved" past 0.1 on that shape, the
+    // flip would surface as a hash mismatch worth investigating).
     "q_neardup_recall" -> ((s, d) => {
-      Dedup.plantedRecall(Tables.documents(s, d), "doc_id", "text")
-        .select(col("method"), col("n_truth"),
-          when(col("method") === "minhash_lsh", 0.75).otherwise(0.1).as("bar"),
-          (col("recall") >=
-            when(col("method") === "minhash_lsh", 0.75).otherwise(0.1))
-            .as("recall_ge_bar"))
-        .orderBy(col("method"))
+      val docs = Tables.documents(s, d)
+      val templated = docs.select(col("doc_id"),
+        concat(lit(NeardupBoiler), lit(" "), col("text")).as("text"))
+      def gated(shape: String, in: DataFrame) =
+        Dedup.plantedRecall(in, "doc_id", "text")
+          .select(col("method"), lit(shape).as("shape"), col("n_truth"),
+            when(col("method") === "minhash_lsh", 0.75).otherwise(0.1)
+              .as("bar"),
+            (col("recall") >=
+              when(col("method") === "minhash_lsh", 0.75).otherwise(0.1))
+              .as("recall_ge_bar"))
+      gated("natural", docs).unionByName(gated("templated", templated))
+        .orderBy(col("method"), col("shape"))
     }),
 
     // HLL accuracy gate: approx_count_distinct (HLL++) vs the exact
@@ -1688,7 +1738,10 @@ object SparkEntry {
             xxhash64(col("word"))) - col("cnt")).as("over"))
         .agg(count(lit(1)).as("n"), sum(col("cnt")).as("total"),
           min(col("over")).as("min_over"),
-          expr("percentile(over, 0.99)").as("p99_over"))
+          // approx_percentile (bounded GK summary): rank error 1e-4,
+          // negligible next to the bar's slack — the exact percentile
+          // buffer is banned registry-wide (PlanAuditSpec)
+          expr("approx_percentile(over, 0.99, 10000)").as("p99_over"))
       diffs.select(explode(array(
           struct(lit("cm_never_undercounts").as("check_name"), col("n"),
             (col("min_over") >= 0L).as("ok")),
@@ -2037,6 +2090,56 @@ object SparkEntry {
           col("cost_basis").cast("long").as("basis_i"),
           col("realized_pnl").cast("long").as("realized_i"))
         .orderBy(col("wallet"), col("token_id"))
+    }),
+
+    // Full raw-logs→ledger capstone (VERDICT r11 #2): EVERY ledger
+    // event kind enters through encoded raw logs and the REAL
+    // decoders — OrderFilled fills (both wallets, unit lots),
+    // PositionSplit/PositionsMerge (CT condition events → leg lists
+    // via the position-token registry), PayoutRedemption,
+    // ConditionResolution (mid-stream losing-outcome wipes fanned out
+    // to every holder), NegRisk PositionsConverted, ERC1155
+    // TransferSingle (out+in pairs), and FeeModule refunds/
+    // withdrawals, with wrong-address decoys the handlers must drop —
+    // then fold through the one generalized-event engine
+    // (Ledger.buildEvents) and aggregate per event_type. Each fixture
+    // family lives on a disjoint position-token range seeded by an
+    // aux buy, so every per-family sum is a closed form the DuckDB
+    // twin recomputes relationally (see LogLedger.encodeTopologyLogs
+    // for the layout). main.ts:254-633 → ledger-engine.buildEvents is
+    // exactly this topology.
+    "q_ledger_from_logs_full" -> ((s, d) => {
+      import graft.sources.LogLedger
+      val logs = logsLedgerTopology(s, d)
+      val base = LogLedger.tradeEvents(
+        LogDecode.decodeOrderFilled(logsOrderFilledUnit(s, d)), _ * 10)
+      val aux = LogLedger.tradeEvents(
+        LogDecode.decodeOrderFilled(logs), identity)
+      val cond = LogLedger.conditionEvents(
+        LogDecode.decodeConditionEvents(logs))
+      val holders = LogDecode.decodeOrderFilled(logs)
+        .select(col("taker").as("wallet"),
+          (col("token_id") - LogDecode.TokenIdBase).as("token_id"))
+      val res = LogLedger.resolutionEventsPerWallet(
+        LogLedger.resolutionEvents(
+          LogDecode.decodeConditionLifecycle(logs)), holders)
+      val xfer = LogLedger.transferEvents(
+        LogDecode.decodeTransferSingle(logs))
+      val conv = LogLedger.convertEvents(
+        LogDecode.decodeNegRiskEvents(logs))
+      val fees = LogLedger.feeEvents(LogDecode.decodeFeeEvents(logs))
+      val events = base.unionByName(aux).unionByName(cond).unionByName(res)
+        .unionByName(xfer).unionByName(conv).unionByName(fees)
+      graft.model.Views.cached(s, d, "ledger_from_logs_full")(
+          Ledger.buildEvents(s, events).toDF())
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty")).cast("long").as("qty_i"),
+          sum(col("usd_delta")).cast("long").as("usd_i"),
+          sum(col("cost_basis")).cast("long").as("basis_i"),
+          sum(col("realized_pnl")).cast("long").as("realized_i"),
+          sum(col("fee")).cast("long").as("fee_i"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2141,6 +2244,14 @@ object SparkEntry {
       |           row_number() OVER (PARTITION BY token_id
       |             ORDER BY ts DESC, trade_id DESC, price DESC) AS rn
       |    FROM trades) t WHERE rn = 1)""".stripMargin
+
+  /** Shared boilerplate prefix for q_neardup_recall's templated corpus
+    * shape — identical on the Spark and oracle sides so the per-shape
+    * truth sets agree exactly. */
+  private val NeardupBoiler =
+    "terms of service this document is provided as is without warranty " +
+    "of any kind either express or implied including but not limited to " +
+    "the implied warranties of merchantability and fitness for purpose"
 
   private val EV =
     """ev AS (
@@ -2810,6 +2921,149 @@ object SparkEntry {
     // and the unit-lot fills round-trip the ABI encode/decode exactly
     "q_ledger_from_logs" -> RESOLVED_EXACT_SQL,
 
+    // all-event-kinds raw-logs capstone: each fixture family lives on
+    // a disjoint position-token range seeded by one aux buy, so every
+    // family aggregate is a closed form — base fills keep the first-K
+    // FIFO twin; splits/merges mint/burn at the uniform 0.5 unit cost
+    // (basis = amount exactly); redeem/resolution/convert/transfer
+    // legs telescope (each aux lot is consumed by exactly one later
+    // family event per (wallet, token)); fees are cash sums. The
+    // resolution row count is the log×holder fan-out (one wipe event
+    // per holder of the losing token per resolution log). transfer_out
+    // excludes wallet 0: the synthetic data has takers with custkey 0,
+    // which the seam (correctly) treats as the zero address — a mint/
+    // burn counterparty emits no wallet event.
+    "q_ledger_from_logs_full" ->
+      s"""WITH $WT,
+        |tk AS (
+        |  SELECT wallet, ts, trade_id, token_id,
+        |         CAST(usd * 10000 AS BIGINT) AS ui,
+        |         CAST(usd * 10000 AS BIGINT) % 100000 + 1 AS k
+        |  FROM wt WHERE role = 'taker'),
+        |o AS (
+        |  SELECT wallet, token_id, side,
+        |    SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id,
+        |            side, CAST(usd * 10000 AS BIGINT)
+        |            ROWS UNBOUNDED PRECEDING) AS cs,
+        |    SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id,
+        |            side, CAST(usd * 10000 AS BIGINT)
+        |            ROWS UNBOUNDED PRECEDING) AS cb
+        |  FROM wt),
+        |g AS (
+        |  SELECT wallet, token_id,
+        |    CAST(MAX(GREATEST(cs - cb, 0)) AS BIGINT) AS u,
+        |    CAST(SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_sells
+        |  FROM o GROUP BY 1, 2),
+        |b AS (
+        |  SELECT wallet, token_id, CAST(usd * 10000 AS BIGINT) AS ui,
+        |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
+        |      ORDER BY ts, trade_id, side, CAST(usd * 10000 AS BIGINT)) AS rn
+        |  FROM wt WHERE side = 'buy'),
+        |consumed AS (
+        |  SELECT CAST(COALESCE(SUM(b.ui), 0) AS BIGINT) AS basis
+        |  FROM b JOIN g ON b.wallet = g.wallet AND b.token_id = g.token_id
+        |  WHERE b.rn <= g.n_sells - g.u),
+        |bs AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ns,
+        |    CAST(SUM(CASE WHEN side = 'buy'
+        |      THEN CAST(usd * 10000 AS BIGINT) ELSE 0 END) AS BIGINT) AS sb,
+        |    CAST(SUM(CASE WHEN side = 'sell'
+        |      THEN CAST(usd * 10000 AS BIGINT) ELSE 0 END) AS BIGINT) AS ss
+        |  FROM wt),
+        |fam AS (
+        |  SELECT
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 13 = 0 THEN 1 END), 0)
+        |      AS BIGINT) AS n13,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 13 = 0 THEN 2 * k END), 0)
+        |      AS BIGINT) AS q13,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 13 = 0 THEN k * 10000 END),
+        |      0) AS BIGINT) AS u13,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 13 = 0
+        |      THEN (k // 2) * 2 END), 0) AS BIGINT) AS qm13,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 13 = 0
+        |      THEN (k // 2) * 10000 END), 0) AS BIGINT) AS um13,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 19 = 0 THEN 1 END), 0)
+        |      AS BIGINT) AS n19,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 19 = 0 THEN ui END), 0)
+        |      AS BIGINT) AS s19,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 19 = 0 AND wallet <> 0
+        |      THEN 1 END), 0) AS BIGINT) AS n19o,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 19 = 0 AND wallet <> 0
+        |      THEN ui END), 0) AS BIGINT) AS s19o,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 41 = 0 THEN 1 END), 0)
+        |      AS BIGINT) AS n41,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 41 = 0 THEN ui END), 0)
+        |      AS BIGINT) AS s41,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 43 = 0 THEN 1 END), 0)
+        |      AS BIGINT) AS n43,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 43 = 0 THEN ui END), 0)
+        |      AS BIGINT) AS s43,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 43 = 0 THEN ui // 2 END),
+        |      0) AS BIGINT) AS p43,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 47 = 0 THEN 1 END), 0)
+        |      AS BIGINT) AS n47,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 47 = 0 THEN ui END), 0)
+        |      AS BIGINT) AS s47,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 29 = 0 THEN 1 END), 0)
+        |      AS BIGINT) AS n29,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 29 = 0 THEN ui // 100 END),
+        |      0) AS BIGINT) AS f29,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 31 = 0 THEN 1 END), 0)
+        |      AS BIGINT) AS n31,
+        |    CAST(COALESCE(SUM(CASE WHEN trade_id % 31 = 0 THEN ui // 200 END),
+        |      0) AS BIGINT) AS f31
+        |  FROM tk),
+        |rp AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT token_id FROM tk WHERE trade_id % 47 = 0) l
+        |  JOIN (SELECT DISTINCT wallet, token_id FROM tk
+        |        WHERE trade_id % 47 = 0) h
+        |  USING (token_id))
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(qty_i AS BIGINT) AS qty_i, CAST(usd_i AS BIGINT) AS usd_i,
+        |  CAST(basis_i AS BIGINT) AS basis_i,
+        |  CAST(realized_i AS BIGINT) AS realized_i,
+        |  CAST(fee_i AS BIGINT) AS fee_i
+        |FROM (
+        |  SELECT 'buy' AS event_type,
+        |    bs.nb + f.n19 + f.n41 + f.n43 + f.n47 AS n,
+        |    bs.nb + f.n19 + f.n41 + f.n43 + f.n47 AS qty_i,
+        |    -(bs.sb + f.s19 + f.s41 + f.s43 + f.s47) AS usd_i,
+        |    bs.sb + f.s19 + f.s41 + f.s43 + f.s47 AS basis_i,
+        |    0 AS realized_i, 0 AS fee_i
+        |  FROM bs, fam f
+        |  UNION ALL SELECT 'convert', f.n41, f.n41, 0, f.s41, 0, 0 FROM fam f
+        |  UNION ALL SELECT 'fee_refund', f.n29, 0, f.f29, 0, 0, -f.f29
+        |    FROM fam f
+        |  UNION ALL SELECT 'fee_withdrawal', f.n31, 0, f.f31, 0, 0, -f.f31
+        |    FROM fam f
+        |  UNION ALL SELECT 'merge', f.n13, -f.qm13, f.um13, f.um13, 0, 0
+        |    FROM fam f
+        |  UNION ALL SELECT 'redeem', f.n43, -f.n43, f.p43, f.s43,
+        |    f.p43 - f.s43, 0 FROM fam f
+        |  UNION ALL SELECT 'resolution_loss', rp.n, -f.n47, 0, f.s47,
+        |    -f.s47, 0 FROM fam f, rp
+        |  UNION ALL SELECT 'sell',
+        |    bs.ns + f.n19 + f.n41 + f.n43 + f.n47,
+        |    -(bs.ns + f.n19 + f.n41 + f.n43 + f.n47),
+        |    bs.ss + f.s19 + f.s41 + f.s43 + f.s47,
+        |    c.basis,
+        |    bs.ss + f.s19 + f.s41 + f.s43 + f.s47 - c.basis, 0
+        |  FROM bs, fam f, consumed c
+        |  UNION ALL SELECT 'split', f.n13, f.q13, -f.u13, f.u13, 0, 0
+        |    FROM fam f
+        |  UNION ALL SELECT 'transfer_in', f.n19, f.n19, 0, 0, 0, 0 FROM fam f
+        |  UNION ALL SELECT 'transfer_out', f.n19o, -f.n19o, 0, f.s19o, 0, 0
+        |    FROM fam f) t
+        |ORDER BY event_type""".stripMargin,
+
     // period-mode twin: a sell is unmatched iff its running deficit
     // cs−cb sets a new positive max; matched sell #j consumes buy #j;
     // open lots = buys ranked past the total matched count. Period is
@@ -3453,10 +3707,12 @@ object SparkEntry {
     // driver-gate regression pin for the three ANN paths, the
     // hash-checkable reduction of the spec assertions
     "q_ann_recall" ->
-      """SELECT method, bar, recall_ge_bar FROM (VALUES
-        |  ('ivf', 0.9, true), ('lsh', 0.6, true), ('sq', 0.9, true))
-        |  t(method, bar, recall_ge_bar)
-        |ORDER BY method""".stripMargin,
+      """SELECT method, shape, bar, recall_ge_bar FROM (VALUES
+        |  ('ivf', 'isotropic', 0.9, true), ('ivf', 'clustered', 0.9, true),
+        |  ('lsh', 'isotropic', 0.6, true), ('lsh', 'clustered', 0.6, true),
+        |  ('sq', 'isotropic', 0.9, true), ('sq', 'clustered', 0.9, true))
+        |  t(method, shape, bar, recall_ge_bar)
+        |ORDER BY method, shape""".stripMargin,
 
     // the truth side (planted twin pairs with exact 3-gram Jaccard
     // ≥ 0.5) is recomputed exactly — same mutation, same grams — in
@@ -3464,32 +3720,43 @@ object SparkEntry {
     // at the documented operating points (Spark-only pipelines, same
     // reduction as q_ann_recall)
     "q_neardup_recall" ->
-      """WITH w AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws
-        |  FROM documents WHERE doc_id % 17 = 0),
+      s"""WITH src AS (
+        |  SELECT doc_id, 'natural' AS shape, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'templated',
+        |    '$NeardupBoiler' || ' ' || text FROM documents),
+        |w AS (
+        |  SELECT doc_id, shape,
+        |    regexp_split_to_array(trim(text), ' +') AS ws
+        |  FROM src WHERE doc_id % 17 = 0),
         |m AS (
-        |  SELECT doc_id, ws,
+        |  SELECT doc_id, shape, ws,
         |    list_transform(ws, (x, i) ->
         |      CASE WHEN i % (12 + (doc_id % 8) * 4) = 0
         |           THEN 'zz' || CAST(i - 1 AS VARCHAR) ELSE x END) AS mws
         |  FROM w),
         |g AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, shape,
         |    list_distinct(list_transform(range(greatest(len(ws) - 3, 0) + 1),
         |      i -> array_to_string(ws[(i+1):least(i+3, len(ws))], ' '))) AS ga,
         |    list_distinct(list_transform(range(greatest(len(mws) - 3, 0) + 1),
         |      i -> array_to_string(mws[(i+1):least(i+3, len(mws))], ' '))) AS gb
         |  FROM m),
         |t AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM g
+        |  SELECT shape, CAST(COUNT(*) AS BIGINT) AS n_truth FROM g
         |  WHERE len(ga) > 0 AND len(gb) > 0
         |    AND CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
-        |        CAST(len(list_distinct(ga || gb)) AS DOUBLE) >= 0.5)
-        |SELECT v.method, t.n_truth, v.bar, v.recall_ge_bar
-        |FROM t CROSS JOIN (VALUES
-        |  ('minhash_lsh', 0.75, true), ('simhash_h3', 0.1, true))
-        |  v(method, bar, recall_ge_bar)
-        |ORDER BY method""".stripMargin,
+        |        CAST(len(list_distinct(ga || gb)) AS DOUBLE) >= 0.5
+        |  GROUP BY shape)
+        |SELECT v.method, v.shape, t.n_truth, v.bar, v.recall_ge_bar
+        |FROM (VALUES
+        |  ('minhash_lsh', 'natural', 0.75, true),
+        |  ('minhash_lsh', 'templated', 0.75, true),
+        |  ('simhash_h3', 'natural', 0.1, true),
+        |  ('simhash_h3', 'templated', 0.1, false))
+        |  v(method, shape, bar, recall_ge_bar)
+        |JOIN t ON t.shape = v.shape
+        |ORDER BY method, v.shape""".stripMargin,
 
     // HLL++ error is a deterministic property of the value set
     // (order/partitioning-invariant merge); n is the exact wallet

@@ -323,13 +323,24 @@ object Dedup {
     * Returns (id, group_id, keep) for every member of a duplicate
     * group; rows not in any group are implicitly kept. Scale shape:
     * one ML transform for assignment (centroids broadcast), one
-    * shuffle on cell, pairs bounded by cell size (pick nlist ∝ √n),
-    * then Pregel CC on the — tiny — duplicate-pair graph. */
+    * shuffle on cell, pairs bounded by cell size, then Pregel CC on
+    * the — tiny — duplicate-pair graph.
+    *
+    * `nlist` ≤ 0 (the default) sizes the index from the corpus:
+    * nlist = n/1024 clamped ([[IvfIndex.nlistFor]]) with the k-means
+    * fit capped at a 64k-row hash sample — both the within-cell pair
+    * term (n²/nlist) and the fit stay LINEAR in n, SemDeDup's own
+    * nlist guidance (VERDICT r11 #6). Identical vectors assign to the
+    * same cell under any model, so duplicate recall on exact-scaled
+    * twins is nlist-invariant. The sizing count is one cheap scan per
+    * build (the model is session-cached). */
   def semDedup(spark: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
-               idCol: String, vecCol: String, corpusKey: String, nlist: Int,
-               threshold: Double): DataFrame = {
+               idCol: String, vecCol: String, corpusKey: String,
+               threshold: Double, nlist: Int = 0): DataFrame = {
     val nrm = Similarity.normalized(embeddings, idCol, vecCol)
-    val assigned = IvfIndex.buildCached(spark, nrm, corpusKey, nlist).assigned
+    val k = if (nlist > 0) nlist else IvfIndex.nlistFor(nrm.count())
+    val assigned =
+      IvfIndex.buildCached(spark, nrm, corpusKey, k, fitCap = 65536L).assigned
     val l = assigned.select(col("cell"), col("id").as("id_a"),
       col("unit").as("u_a"))
     val r = assigned.select(col("cell"), col("id").as("id_b"),

@@ -21,27 +21,50 @@ object IvfIndex {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Model]()
 
-  /** Cluster the corpus (id, unit) into nlist cells. */
+  /** Cluster the corpus (id, unit) into nlist cells.
+    *
+    * `fitCap` > 0 bounds the k-means FIT to a deterministic hash
+    * sample of ~fitCap rows (assignment still transforms the full
+    * corpus): with nlist ∝ n (see [[nlistFor]]) an uncapped fit costs
+    * O(n²·dim·iters/1024) and becomes the new quadratic term — the
+    * sampled fit keeps index build linear in n, the standard IVF
+    * training recipe (train on a sample, assign everything). */
   def build(spark: SparkSession, corpus: DataFrame, nlist: Int,
-            seed: Long = 42L): Model = {
+            seed: Long = 42L, fitCap: Long = 0L): Model = {
     val vecs = corpus.withColumn("fv", array_to_vector(col("unit")))
+    val fitOn =
+      if (fitCap <= 0) vecs
+      else {
+        val n = vecs.count()
+        if (n <= fitCap) vecs
+        else vecs.filter(pmod(xxhash64(col("id").cast("string")), lit(n)) <
+          lit(fitCap))
+      }
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv")
       .setPredictionCol("cell")
-    val m = km.fit(vecs)
+    val m = km.fit(fitOn)
     val assigned = m.transform(vecs).select(col("id"), col("unit"), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Model(m.clusterCenters.map(_.toArray), assigned)
   }
+
+  /** SemDeDup's own nlist guidance made concrete: cells sized so the
+    * within-cell quadratic term n²/nlist stays ∝ n — nlist = n/1024
+    * clamped to [16, 4096]. (VERDICT r11 #6: at fixed nlist the
+    * density-axis scale exponent trends to 2; with nlist ∝ n the
+    * per-cell population is constant.) */
+  def nlistFor(n: Long): Int =
+    math.max(16L, math.min(4096L, n / 1024L)).toInt
 
   /** Session-cached [[build]] keyed by a caller-chosen corpus key
     * (e.g. the table path): an IVF index is built once at ingest and
     * probed by every query — the reference's persistent-index
     * semantics, same policy as [[graft.model.Views]]. */
   def buildCached(spark: SparkSession, corpus: DataFrame, corpusKey: String,
-                  nlist: Int, seed: Long = 42L): Model =
+                  nlist: Int, seed: Long = 42L, fitCap: Long = 0L): Model =
     cache.computeIfAbsent(
       (spark.sparkContext.applicationId, corpusKey, nlist),
-      _ => build(spark, corpus, nlist, seed))
+      _ => build(spark, corpus, nlist, seed, fitCap))
 
   /** Unpersist and forget this app's cached models —
     * [[graft.model.Views.reset]] calls this so index lifetime follows

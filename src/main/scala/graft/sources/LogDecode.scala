@@ -112,7 +112,7 @@ object LogDecode {
     * runs single-threaded (measured: a 400 s lone task at sf0.1). An
     * explicit-count repartition is exempt from AQE coalescing, so the
     * expansion keeps the full task parallelism. */
-  private def spread(df: DataFrame): DataFrame = {
+  private[sources] def spread(df: DataFrame): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     df.repartition(n)
   }
@@ -311,14 +311,26 @@ object LogDecode {
     * = 2 × bytes, so the length word's low 8 bytes sit at char
     * ofs·2+49 and element j at char ofs·2 + 64·(j−1) + 65.
     * sequence(1,0) is DESCENDING in Spark — empty arrays need the
-    * explicit guard. */
+    * explicit guard.
+    *
+    * Allocation is BOUNDED even on foreign/corrupt rows: the decoded
+    * length is capped at the data string's own word count (a length-n
+    * tail structurally needs n·64 chars), and offsets/lengths parse
+    * via try_cast (null, never throw). Without the cap, Catalyst's
+    * predicate reordering can evaluate this expression on rows of
+    * OTHER log families in a unioned stream BEFORE the topic filter —
+    * an OrderFilled row reads a ~1e9 "length" through its zero asset
+    * word and sequence() allocates a billion-element array per row
+    * (measured OOM at sf0.001 in the r12 ledger-topology capstone). */
   private def tailArray(headWord: Int): Column = {
-    val ofs = s"conv(substr(data, ${headWord * 64 + 49}, 16), 16, 10)"
+    val ofs =
+      s"try_cast(conv(substr(data, ${headWord * 64 + 49}, 16), 16, 10) AS BIGINT)"
+    val len =
+      s"try_cast(conv(substr(data, ($ofs) * 2 + 49, 16), 16, 10) AS BIGINT)"
     expr(
-      s"""CASE WHEN int(conv(substr(data, ($ofs) * 2 + 49, 16), 16, 10)) < 1
-         |     THEN array()
+      s"""CASE WHEN ($len) IS NULL OR ($len) < 1 THEN array()
          |     ELSE transform(
-         |       sequence(1, int(conv(substr(data, ($ofs) * 2 + 49, 16), 16, 10))),
+         |       sequence(1, int(least($len, length(data) div 64))),
          |       i -> substr(data, ($ofs) * 2 + 64 * (i - 1) + 65, 64))
          |END""".stripMargin)
   }
@@ -683,8 +695,11 @@ object LogDecode {
         when(!isPrep, size(nums).cast("long")).as("n_payouts"),
         when(!isPrep, aggregate(nums, lit(0L), (a, x) => a + x))
           .as("payout_denominator"),
-        when(!isPrep, element_at(nums, 1)).as("first_payout"),
-        when(!isPrep, element_at(nums, -1)).as("last_payout"),
+        // try_element_at: under ANSI a plain element_at THROWS on the
+        // empty arrays this expression sees when Catalyst reorders it
+        // before the topic filter in a unioned log stream
+        when(!isPrep, try_element_at(nums, lit(1))).as("first_payout"),
+        when(!isPrep, try_element_at(nums, lit(-1))).as("last_payout"),
         // the full numerator array, for consumers that need per-slot
         // payouts (the ledger topology's mid-stream losing-outcome
         // resolution derives the wiped tokens from the zero slots)

@@ -298,4 +298,62 @@ class LogDecodeSpec extends SparkSpec {
     assert(st.filter(!col("is_resolved") &&
       col("resolved_log").isNotNull).isEmpty)
   }
+
+  test("dynamic-array decode is allocation-bounded on a mixed log stream") {
+    // Catalyst reorders merged filter conjuncts, so the tail-array
+    // expression CAN evaluate on rows of other families before the
+    // topic filter. An OrderFilled row reads offset 0 through its
+    // zero asset word and a ~1e9 "length" from the adjacent word —
+    // without the structural cap (len ≤ |data|/64 words) sequence()
+    // allocates a billion-element array per row (r12 OOM). The mixed
+    // stream here must decode the real rows and ignore the rest
+    // without throwing or exploding.
+    val trades = Tables.trades(spark, sf).limit(50)
+    val fills = LogDecode.encodeOrderFilled(trades)
+      .withColumn("addr", lit(LogDecode.ConditionalTokensAddr))
+    val lifecycle = LogDecode.encodeConditionLifecycle(
+      Tables.orders(spark, sf).limit(20), Tables.lineitem(spark, sf))
+      .withColumn("ts", lit(null).cast("timestamp"))
+    val mixed = fills.unionByName(lifecycle.select(fills.columns.map(col): _*))
+    val decoded = LogDecode.decodeConditionLifecycle(mixed)
+      // force the payout-array expressions into the same filter
+      .filter(col("kind") === "resolve" && size(col("payouts")) > 0)
+    val rows = decoded.collect()
+    assert(rows.nonEmpty, "resolution rows decode from the mixed stream")
+    assert(rows.forall(r => r.getAs[Seq[Long]]("payouts").size ==
+      r.getAs[Long]("slot_count")),
+      "payout arrays decode at their declared slot count")
+  }
+
+  test("ledger-topology seams: every event kind enters from raw logs") {
+    import graft.sources.LogLedger
+    val wtTaker = graft.operators.Leaderboard
+      .walletTrades(Tables.trades(spark, sf))
+      .filter(col("role") === "taker")
+      .select(col("trade_id"), col("ts"), col("wallet"), col("token_id"),
+        col("usd"))
+    val logs = LogLedger.encodeTopologyLogs(wtTaker)
+    val cond = LogLedger.conditionEvents(LogDecode.decodeConditionEvents(logs))
+    val resol = LogLedger.resolutionEvents(
+      LogDecode.decodeConditionLifecycle(logs))
+    val xfer = LogLedger.transferEvents(LogDecode.decodeTransferSingle(logs))
+    val conv = LogLedger.convertEvents(LogDecode.decodeNegRiskEvents(logs))
+    val fees = LogLedger.feeEvents(LogDecode.decodeFeeEvents(logs))
+    val kinds = cond.unionByName(xfer).unionByName(conv).unionByName(fees)
+      .select(col("kind")).distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("split", "merge", "redeem", "transfer_out",
+      "transfer_in", "convert", "fee_refund", "fee_withdrawal"),
+      s"all seam kinds present, got $kinds")
+    // zero-address senders (custkey 0 exists in the data) emit no
+    // transfer_out, but their receiver still gets the transfer_in
+    assert(xfer.filter(col("kind") === "transfer_out" &&
+      col("wallet") === 0L).isEmpty)
+    // resolution events wipe only zero-payout slots, one leg here
+    val r = resol.select(size(col("leg_tokens")).as("n")).distinct().collect()
+    assert(r.map(_.getInt(0)).forall(_ == 1))
+    // the fold accepts the unioned stream end to end
+    val events = cond.unionByName(xfer).unionByName(conv).unionByName(fees)
+    val folded = graft.operators.Ledger.buildEvents(spark, events)
+    assert(folded.count() > 0)
+  }
 }
