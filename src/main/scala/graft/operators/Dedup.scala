@@ -327,10 +327,10 @@ object Dedup {
     * the — tiny — duplicate-pair graph.
     *
     * `nlist` ≤ 0 (the default) sizes the index from the corpus:
-    * nlist = n/1024 clamped ([[IvfIndex.nlistFor]]) with the k-means
-    * fit capped at a 64k-row hash sample — both the within-cell pair
-    * term (n²/nlist) and the fit stay LINEAR in n, SemDeDup's own
-    * nlist guidance (VERDICT r11 #6). Identical vectors assign to the
+    * constant ~256-row cells ([[IvfIndex.nlistFor]]) with the k-means
+    * fit capped at a 64k-row hash sample — the within-cell pair term
+    * (n²/nlist) stays LINEAR in n, SemDeDup's own nlist guidance
+    * (VERDICT r11 #6). Identical vectors assign to the
     * same cell under any model, so duplicate recall on exact-scaled
     * twins is nlist-invariant. The sizing count is one cheap scan per
     * build (the model is session-cached). */

@@ -48,13 +48,16 @@ object IvfIndex {
     Model(m.clusterCenters.map(_.toArray), assigned)
   }
 
-  /** SemDeDup's own nlist guidance made concrete: cells sized so the
-    * within-cell quadratic term n²/nlist stays ∝ n — nlist = n/1024
-    * clamped to [16, 4096]. (VERDICT r11 #6: at fixed nlist the
-    * density-axis scale exponent trends to 2; with nlist ∝ n the
-    * per-cell population is constant.) */
+  /** SemDeDup's own nlist guidance made concrete: cells sized for a
+    * constant ~256-row population so the within-cell quadratic term
+    * n²/nlist stays ∝ n (VERDICT r11 #6: at fixed nlist the
+    * density-axis scale exponent trends to 2). The ceiling bounds the
+    * centroid broadcast (65536 × 64 doubles ≈ 33 MB); past ~16M
+    * vectors per corpus the per-cell population grows again and the
+    * next tool is hierarchical coarse quantization, not a bigger
+    * flat codebook. */
   def nlistFor(n: Long): Int =
-    math.max(16L, math.min(4096L, n / 1024L)).toInt
+    math.max(16L, math.min(65536L, n / 256L)).toInt
 
   /** Session-cached [[build]] keyed by a caller-chosen corpus key
     * (e.g. the table path): an IVF index is built once at ingest and
