@@ -129,6 +129,13 @@ object SparkEntry {
         wt(s, d).filter(col("role") === "taker")
           .select(col("trade_id"), col("ts"), col("wallet"), col("token_id"),
             col("usd"))))
+  // ExactSubstr span find is shared by the report (q_repeated_spans)
+  // and the apply (q_exactsub_dedup) — one session MV, like every
+  // other shared intermediate
+  private def repeatedSpans8(s: SparkSession, d: String): DataFrame =
+    graft.model.Views.cached(s, d, "repeated_spans_8")(
+      TextAnalysis.repeatedSpans(Tables.documents(s, d), "doc_id", "text",
+        l = 8))
 
   /** Shared session MVs: warmup label → a frame whose evaluation
     * materializes that MV, for Bench's labeled `mv_warmup` phase
@@ -166,7 +173,8 @@ object SparkEntry {
     "logs_fees" -> ((s, d) => logsFees(s, d)),
     "logs_order_filled_unit" -> ((s, d) => logsOrderFilledUnit(s, d)),
     "logs_ledger_topology" -> ((s, d) => logsLedgerTopology(s, d)),
-    "ledger_from_logs_full" -> ((s, d) => queries("q_ledger_from_logs_full")(s, d)))
+    "ledger_from_logs_full" -> ((s, d) => queries("q_ledger_from_logs_full")(s, d)),
+    "repeated_spans_8" -> ((s, d) => repeatedSpans8(s, d)))
 
   // ---- queries --------------------------------------------------------
 
@@ -1872,6 +1880,25 @@ object SparkEntry {
     "q_segment_dedup" -> ((s, d) =>
       Dedup.segmentDuplication(Tables.documents(s, d), "doc_id", "text",
           chunk = 10, maxDupFrac = 0.5)
+        .orderBy(col("doc_id"))),
+
+    // Exact repeated-substring spans (Lee et al. 2021 ExactSubstr
+    // dedup, relational form): maximal runs of positions whose 8-word
+    // window re-occurs anywhere in the corpus; `removable` marks
+    // spans safe to cut under the keep-the-earliest policy. The
+    // oracle recomputes windows, the corpus-minimal occurrence and
+    // the island merge relationally — exact string + integer
+    // arithmetic on both engines.
+    "q_repeated_spans" -> ((s, d) =>
+      repeatedSpans8(s, d)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // The APPLY side of ExactSubstr dedup: removable spans cut from
+    // each document — one (the earliest) copy of every duplicated
+    // substring survives; the cleaned text is hash-compared verbatim.
+    "q_exactsub_dedup" -> ((s, d) =>
+      TextAnalysis.cutSpans(Tables.documents(s, d), "doc_id", "text",
+          repeatedSpans8(s, d))
         .orderBy(col("doc_id"))),
 
     // Pure-SQL surface: the full query is ANSI SQL text over the
@@ -3912,6 +3939,79 @@ object SparkEntry {
         |    CAST(per.n_segments AS DOUBLE) < 0.5, true) AS keep
         |FROM w LEFT JOIN per USING (doc_id)
         |ORDER BY w.doc_id""".stripMargin,
+
+    // repeated-substring twin: window text + corpus-minimal occurrence
+    // per window via partitioned windows, islands via pos − row_number
+    "q_repeated_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(range(len(ws) - 8 + 1)) AS pos, ws
+        |  FROM w WHERE len(ws) >= 8),
+        |win AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(ws[(pos+1):(pos+8)], ' ') AS win
+        |  FROM p),
+        |mk AS (
+        |  SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY win) AS occ,
+        |    ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+        |  FROM win),
+        |d AS (SELECT doc_id, pos, (rn = 1) AS canon FROM mk WHERE occ >= 2),
+        |i AS (
+        |  SELECT doc_id, pos, canon,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(MIN(pos) AS BIGINT) AS span_start,
+        |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+        |  CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_words,
+        |  (SUM(CASE WHEN canon THEN 1 ELSE 0 END) = 0) AS removable
+        |FROM i GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // apply twin: same span machinery, removable spans only, then a
+    // position anti-join and an ordered string_agg rebuild
+    "q_exactsub_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS ws
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(range(len(ws) - 8 + 1)) AS pos, ws
+        |  FROM w WHERE len(ws) >= 8),
+        |win AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(ws[(pos+1):(pos+8)], ' ') AS win
+        |  FROM p),
+        |mk AS (
+        |  SELECT doc_id, pos,
+        |    COUNT(*) OVER (PARTITION BY win) AS occ,
+        |    ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+        |  FROM win),
+        |d AS (SELECT doc_id, pos, (rn = 1) AS canon FROM mk WHERE occ >= 2),
+        |i AS (
+        |  SELECT doc_id, pos, canon,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM d),
+        |sp AS (
+        |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+        |  FROM i GROUP BY doc_id, grp
+        |  HAVING SUM(CASE WHEN canon THEN 1 ELSE 0 END) = 0),
+        |words AS (
+        |  SELECT doc_id, unnest(range(len(ws))) AS pos, ws FROM w),
+        |kept AS (
+        |  SELECT wd.doc_id, wd.pos, wd.ws[wd.pos + 1] AS word
+        |  FROM words wd
+        |  WHERE NOT EXISTS (SELECT 1 FROM sp
+        |    WHERE sp.doc_id = wd.doc_id AND wd.pos BETWEEN sp.s AND sp.e))
+        |SELECT w.doc_id,
+        |  COALESCE(string_agg(k.word, ' ' ORDER BY k.pos), '') AS text_clean,
+        |  CAST(COUNT(k.pos) AS BIGINT) AS kept_words,
+        |  CAST(len(w.ws) - COUNT(k.pos) AS BIGINT) AS cut_words
+        |FROM w LEFT JOIN kept k USING (doc_id)
+        |GROUP BY w.doc_id, w.ws
+        |ORDER BY doc_id""".stripMargin,
 
     "q_market_hhi" ->
       s"""WITH $WT,

@@ -225,4 +225,101 @@ object TextAnalysis {
           lit(size)).as("chunk_text"))
       .withColumn("chunk_len", length(col("chunk_text")).cast("long"))
   }
+
+  /** Cross-document EXACT repeated-substring spans (Lee et al. 2021,
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language
+    * Models Better" — the ExactSubstr dedup their suffix array
+    * computes, re-expressed relationally): every maximal run of word
+    * positions whose `l`-word window re-occurs anywhere in the corpus
+    * (including elsewhere in the same document).
+    *
+    * Per span: (doc_id, span_start, span_end) in 0-based word
+    * positions (end inclusive), span_words, and `removable` — true
+    * when the span contains NO canonical window occurrence, where the
+    * canonical occurrence of a window is its corpus-minimal
+    * (doc_id, pos). Removing every removable span keeps exactly one
+    * copy of each duplicated substring (the earliest), the paper's
+    * all-but-one policy made deterministic.
+    *
+    * Spark shape, in place of the paper's single-node suffix array:
+    * scan-stage window explode (≈ |words| rows), ONE partial-agg
+    * groupBy on the window text computing (occurrences, min
+    * (doc_id, pos)) — both map-side combinable, so high-df boilerplate
+    * windows (the skew keys) collapse per partition before the
+    * exchange — a shuffle join back to positions, then per-doc island
+    * merging on a keyed window. Everything is linear in corpus words;
+    * nothing is pairwise. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    l: Int): DataFrame = {
+    require(l >= 2, s"window length must be >= 2, got $l")
+    val base = docs
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), " +").as("ws"))
+      .withColumn("n", size(col("ws")))
+    val wins = base
+      .filter(col("n") >= l)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n") - l),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(l))))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("win"))
+    val stats = wins.groupBy(col("win"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("m"))
+    val marked = wins
+      .join(stats.filter(col("occ") >= 2), Seq("win"))
+      .select(col("doc_id"), col("pos"),
+        (col("doc_id") === col("m.doc_id") && col("pos") === col("m.pos"))
+          .as("is_canonical"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + l - 1).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + l).as("span_words"),
+        (sum(when(col("is_canonical"), 1L).otherwise(0L)) === 0)
+          .as("removable"))
+      .drop("grp")
+  }
+
+  /** Apply [[repeatedSpans]]: cut every REMOVABLE span's words out of
+    * each document — the corpus after ExactSubstr dedup, exactly one
+    * (the earliest) copy of every duplicated substring surviving.
+    *
+    * Shape: the spans collapse to one small array per affected doc
+    * (groupBy on doc_id), join back to the corpus, and the cut itself
+    * is a single scan-stage filter-by-position lambda over the word
+    * array — no explode of the corpus, no second shuffle. Documents
+    * with no removable span pass through untouched. */
+  def cutRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                       l: Int): DataFrame =
+    cutSpans(docs, idCol, textCol, repeatedSpans(docs, idCol, textCol, l))
+
+  /** [[cutRepeatedSpans]] against an already-computed (usually
+    * session-materialized) [[repeatedSpans]] frame — the span find is
+    * the expensive half and is shared with the reporting query. */
+  def cutSpans(docs: DataFrame, idCol: String, textCol: String,
+               spanFrame: DataFrame): DataFrame = {
+    val spans = spanFrame
+      .filter(col("removable"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("span_start"),
+        col("span_end")))).as("cuts"))
+    val ws = split(trim(col(textCol)), " +")
+    docs
+      .select(col(idCol).as("doc_id"), ws.as("ws"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("cuts").isNull, col("ws"))
+          .otherwise(filter(col("ws"), (_, i) =>
+            !exists(col("cuts"), s =>
+              i.cast("long") >= s.getField("span_start") &&
+                i.cast("long") <= s.getField("span_end")))).as("kept"),
+        size(col("ws")).cast("long").as("n_words"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("kept")).as("text_clean"),
+        size(col("kept")).cast("long").as("kept_words"),
+        (col("n_words") - size(col("kept"))).cast("long").as("cut_words"))
+  }
 }

@@ -231,4 +231,46 @@ class TextAnalysisSpec extends SparkSpec {
       assert(covered == text.indices.toSet, s"doc $id coverage")
     }
   }
+
+  test("repeated spans: maximal islands, keep-earliest removability") {
+    import spark.implicits._
+    // shared 5-word phrase "a b c d e" at doc1[2..6], doc2[0..4];
+    // doc3 repeats its own 4-word run twice (intra-doc duplication);
+    // doc4 shares nothing
+    val docs = Seq(
+      (1L, "x1 x2 a b c d e y1 y2 y3"),
+      (2L, "a b c d e z1 z2 z3 z4 z5"),
+      (3L, "p q r s t1 t2 p q r s u1 u2"),
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")
+    ).toDF("doc_id", "text")
+    val spans = graft.operators.TextAnalysis
+      .repeatedSpans(docs, "doc_id", "text", l = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .sortBy(s => (s._1, s._2)).toSeq
+    // doc1: windows at pos 2,3 ("a b c d","b c d e") duplicated →
+    // one span [2..6], 5 words, canonical (earliest doc) → keep
+    // doc2: same windows at pos 0,1 → span [0..4] removable
+    // doc3: "p q r s" at pos 0 and 6 → two 4-word spans; pos 0
+    // canonical, pos 6 removable
+    assert(spans == Seq(
+      (1L, 2L, 6L, 5L, false),
+      (2L, 0L, 4L, 5L, true),
+      (3L, 0L, 3L, 4L, false),
+      (3L, 6L, 9L, 4L, true)), s"got ${spans.toSeq}")
+
+    // the apply side: removable spans cut, earliest copies survive
+    val cut = graft.operators.TextAnalysis
+      .cutRepeatedSpans(docs, "doc_id", "text", l = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(cut(1L) == (("x1 x2 a b c d e y1 y2 y3", 10L, 0L)),
+      "canonical doc untouched")
+    assert(cut(2L) == (("z1 z2 z3 z4 z5", 5L, 5L)), "duplicate span cut")
+    assert(cut(3L) == (("p q r s t1 t2 u1 u2", 8L, 4L)),
+      "intra-doc repeat keeps first occurrence")
+    assert(cut(4L) == (("w1 w2 w3 w4 w5 w6 w7 w8 w9", 9L, 0L)))
+  }
 }
