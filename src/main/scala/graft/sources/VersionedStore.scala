@@ -76,6 +76,22 @@ object VersionedStore {
   def overwrite(df: DataFrame, path: String): Int =
     commitData(df, path, currentVersion(path) + 1, Seq.empty)
 
+  /** foreachBatch seam: append `df` as version batchId+1. Replay-safe
+    * under Spark's at-least-once micro-batch contract — a re-delivered
+    * batch recommits the SAME version: its carried-file list derives
+    * from version batchId (deterministic, independent of replay), the
+    * data rewrite replaces the identical rows, and the manifest
+    * republish is an identical atomic replace — so at-least-once
+    * delivery lands exactly-once TABLE STATE, the same idempotency
+    * recipe as [[MetadataSync.upsert]] and SnapshotWriter's batch-id
+    * dedup. (Spark replays only the latest uncommitted batch, so a
+    * recommit never races versions committed after it.) */
+  def commitBatch(df: DataFrame, path: String, batchId: Long): Int = {
+    val v = batchId.toInt + 1
+    val carried = if (v == 1) Seq.empty else filesAsOf(path, v - 1)
+    commitData(df, path, v, carried)
+  }
+
   /** Rewrite the current version's files into `nFiles` outputs as a
     * new version (logically identical rows) — the background-merge
     * analogue; readers of older versions keep the small files until

@@ -86,4 +86,20 @@ object StreamingIngest {
           .write.partitionBy("ym").mode("append").parquet(path)
       }
       .start()
+
+  /** Sink a stream into the manifest-versioned store: one snapshot
+    * version per micro-batch, keyed by the foreachBatch batch id so a
+    * replayed batch recommits its own version instead of appending
+    * twice — at-least-once delivery, exactly-once table state
+    * ([[graft.sources.VersionedStore.commitBatch]]). Downstream batch
+    * readers pin a version and are isolated from in-flight commits;
+    * history stays time-travelable until vacuum. */
+  def sinkVersioned(stream: DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.VersionedStore.commitBatch(batch.toDF(), path, id): Unit
+      }
+      .start()
 }

@@ -79,4 +79,28 @@ class VersionedStoreSpec extends SparkSpec {
     val v = VersionedStore.append(Seq(2L).toDF("id"), path)
     assert(rows(path, v) == Set(1L, 2L))
   }
+
+  test("streaming micro-batch commits: replay lands exactly-once state") {
+    import spark.implicits._
+    val path = freshDir()
+    // two micro-batches through the streaming seam
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val q = graft.streaming.StreamingIngest.sinkVersioned(
+      ms.toDF().withColumnRenamed("value", "id"), path,
+      freshDir() + "/ckpt")
+    ms.addData(1L, 2L); q.processAllAvailable()
+    ms.addData(3L); q.processAllAvailable()
+    q.stop()
+    assert(VersionedStore.currentVersion(path) == 2)
+    assert(rows(path, 1) == Set(1L, 2L))
+    assert(rows(path, 2) == Set(1L, 2L, 3L))
+    // at-least-once replay: recommitting the LAST batch (same id,
+    // same rows — what a post-crash foreachBatch does) must land the
+    // identical state, not append a second copy
+    VersionedStore.commitBatch(Seq(3L).toDF("id"), path, batchId = 1L)
+    assert(VersionedStore.currentVersion(path) == 2)
+    assert(rows(path, 2) == Set(1L, 2L, 3L), "replay is idempotent")
+  }
 }
