@@ -32,7 +32,14 @@ import scala.jdk.CollectionConverters._
   *
   * Layout:  <path>/data/commit-<v>/part-*.parquet   (immutable)
   *          <path>/manifests/v<v>.manifest          (sorted file list)
-  */
+  *
+  * 100 TB honesty: a flat manifest lists every live file, so at
+  * millions of files per table the next step is Iceberg's actual
+  * refinement — a manifest LIST pointing at per-partition manifest
+  * files, so a commit rewrites only the touched partitions' entries
+  * and planning prunes whole manifests. The protocol (immutable data
+  * + atomic metadata pointer swap) is unchanged; only the metadata
+  * gets a second level. */
 object VersionedStore {
 
   private def manifestDir(path: String) = new File(path, "manifests")

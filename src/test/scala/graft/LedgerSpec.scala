@@ -559,4 +559,67 @@ class LedgerSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(r.passed, r.status.toString)
   }
+
+  test("differential: distributed generalized fold ≡ local fold, any partitioning") {
+    // buildEvents' machinery under test is everything AROUND the
+    // per-wallet fold: the repartition, the value-determined tie sort,
+    // and the streaming wallet-slice iterator. A seeded random stream
+    // over EVERY event kind (with deliberate ts ties across wallets
+    // and events) folded locally per wallet must equal the distributed
+    // build row-for-row at 1, 3 and 7 input partitions.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val kinds = Seq("buy", "sell", "split", "merge", "transfer_in",
+      "transfer_out", "redeem", "convert", "resolution", "fee_refund",
+      "fee_withdrawal")
+    val events = for {
+      w <- 1L to 4L
+      i <- 0 until 120
+    } yield {
+      val kind = kinds(rnd.nextInt(kinds.length))
+      val tok = rnd.nextInt(3) + 1L
+      val qty = (rnd.nextInt(5) + 1).toDouble
+      val usd = (rnd.nextInt(400) + 25) / 4.0
+      val legs = kind match {
+        case "split" | "merge" if rnd.nextBoolean() =>
+          (Seq(tok + 10L, tok + 20L, tok + 30L), Seq(qty, qty + 1, qty + 2))
+        case "redeem" | "resolution" if rnd.nextBoolean() =>
+          (Seq(tok, tok + 10L), Seq(qty, qty))
+        case _ => (Seq.empty[Long], Seq.empty[Double])
+      }
+      val legs2 = kind match {
+        case "convert" if rnd.nextBoolean() =>
+          (Seq(tok + 40L), Seq(qty))
+        case _ => (Seq.empty[Long], Seq.empty[Double])
+      }
+      // ts ties everywhere (only 7 distinct seconds); seq unique per
+      // wallet so the fold order is total
+      (w, ts(i % 7), i.toLong, tok, kind, qty, usd,
+        (rnd.nextInt(100)) / 10.0, tok + 5L,
+        legs._1, legs._2, legs2._1, legs2._2)
+    }
+    val df = events.toDF("wallet", "ts", "seq", "token_id", "kind", "qty",
+      "usd", "fee", "token_id2", "leg_tokens", "leg_qtys", "leg_tokens2",
+      "leg_qtys2")
+    // local reference: the same Fill mapping, grouped and sorted in
+    // plain Scala, folded with the single-wallet fold
+    def key(r: LedgerRow) = (r.wallet, r.ts, r.seq, r.token_id, r.event_type,
+      math.round(r.qty * 1e6), math.round(r.usd_delta * 1e6),
+      math.round(r.cost_basis * 1e6), math.round(r.realized_pnl * 1e6),
+      math.round(r.fee * 1e6))
+    val local = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val fills = es.sortBy(e => (e._2.getTime, e._3,
+          if (e._5 == "buy") 0 else 1, e._7))
+        .map(e => Fill(e._1, e._2, e._3, e._4, e._5 == "buy", e._6, e._7,
+          e._8, if (e._5 == "buy" || e._5 == "sell") "" else e._5, e._9,
+          e._10, e._11, e._12, e._13))
+      Ledger.foldWallet(fills.iterator)
+    }.map(key).groupBy(identity).view.mapValues(_.size).toMap
+    for (parts <- Seq(1, 3, 7)) {
+      val got = Ledger.buildEvents(spark, df.repartition(parts))
+        .collect().map(key).groupBy(identity).view.mapValues(_.size).toMap
+      assert(got == local, s"distributed fold diverged at $parts partitions")
+    }
+  }
 }
