@@ -103,6 +103,10 @@ object ScaleBench {
                           // mitigation implemented and MEASURED:
                           // density e 0.79 → 0.29 (×16 wall 6.9 s →
                           // 2.7 s) at the same scales
+    "q_repeated_spans",   // ExactSubstr span find: window explode +
+                          // one partial-agg groupBy on window text +
+                          // island merge — claimed linear in corpus
+                          // words; measured on both axes since r12
     "q_corpus_e2e")       // clean → chunk → pack composition
 
   private def deleteRecursively(f: java.io.File): Unit = {
