@@ -1497,6 +1497,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Batch-plan ANN hard gate: the UNBROADCAST probes-join plan
+    // (IvfIndex.topKBatch, the offline-query-set shape from VERDICT
+    // r11 #3) probing EVERY cell is exhaustive, so its top-10 must
+    // equal brute force exactly — the batch plan gets a full hash
+    // oracle on top of the spec's serving-parity pin.
+    "q_ann_batch_exact" -> ((s, d) => {
+      val nrm = Similarity.normalized(Tables.embeddings(s, d), "vec_id", "embedding")
+      val model = IvfIndex.buildCached(s, nrm, corpusKey = d, nlist = 16)
+      IvfIndex.topKBatch(s, model, nrm.filter(col("id") < 5), k = 10,
+          nprobe = 16)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // SQ8 ANN: int8-quantized scan + exact rerank (rows-only; recall
     // vs brute force asserted in SimilaritySpec).
     "q_ann_sq" -> ((s, d) => {
@@ -3711,6 +3724,26 @@ object SparkEntry {
         |GROUP BY wallet ORDER BY wallet""".stripMargin,
 
     "q_ann_topk" ->
+      """WITH nrm AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS unit
+        |  FROM embeddings
+        |  WHERE sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) > 0),
+        |pairs AS (
+        |  SELECT q.id AS query_id, c.id AS corpus_id,
+        |    round(list_dot_product(q.unit, c.unit), 6) AS cosine
+        |  FROM nrm q JOIN nrm c ON q.id < 5 AND c.id <> q.id),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rank
+        |  FROM pairs)
+        |SELECT query_id, rank, corpus_id, cosine FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // full-probe IVF through the batch (unbroadcast) plan is
+    // exhaustive ⇒ identical to brute force — same oracle
+    "q_ann_batch_exact" ->
       """WITH nrm AS (
         |  SELECT vec_id AS id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
