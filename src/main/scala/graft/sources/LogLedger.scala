@@ -126,7 +126,7 @@ object LogLedger {
     decodedLifecycle
       .filter(col("kind") === "resolve" && size(col("payouts")) > 0)
       .select(Seq(
-        lit(0L).as("wallet_drop"), col("ts"),
+        col("ts"),
         col("log_index").cast("long").as("seq"),
         cPrime.as("token_id"),
         lit("resolution").as("kind"),
@@ -138,7 +138,6 @@ object LogLedger {
         lit(null).cast("array<long>").as("leg_tokens2"),
         lit(null).cast("array<double>").as("leg_qtys2")): _*)
       .filter(size(col("leg_tokens")) > 0)
-      .drop("wallet_drop")
   }
 
   /** Expand a per-condition resolution event to every affected wallet.
