@@ -24,6 +24,13 @@ object Bench {
   // length < 1900 at 300 synthetic queries.
   private[graft] val HeadlineTopN = 25
   private[graft] val SteadyWorstN = 10
+  // Failures render TWICE (a -1 map entry + a failed[] entry, ~76
+  // chars a pair — the r7 same-population invariant), so they carry
+  // their own cap AND displace success entries two-for-one from the
+  // shared budget; failed_n always carries the true count (ADVICE
+  // r12: unbounded failures could overflow the line exactly when a
+  // mass-failure run made the headline matter most).
+  private[graft] val FailTopN = 10
 
   // ---- crash-proof state: everything the shutdown hook needs, no Spark ----
   // passes(i)(name) = (seconds, ok); `order` preserves run order for output
@@ -81,12 +88,19 @@ object Bench {
       mvTotal: Double, mvN: Int,
       mode: String, sfDir: String): String = {
     val total = cold.collect { case (_, v, true) => v }.sum
-    // cap: every failure (-1 entries; same population as failed[] — the
-    // r7 invariant) + the HeadlineTopN heaviest successes, run order
-    // preserved for the survivors
-    val okByWeight = cold.filter(_._3).sortBy(-_._2).take(HeadlineTopN)
+    // cap BOTH sides (ADVICE r12): the first FailTopN failures in run
+    // order, and the heaviest successes filling what's left of the
+    // shared budget (each rendered failure costs ~2 success slots).
+    // The -1 map entries and failed[] stay the SAME (now capped)
+    // population — the r7 invariant over the shown set — with failed_n
+    // carrying the true count so a truncated list reads as truncated.
+    val failShown = failed.take(FailTopN)
+    val failCap = failShown.toSet
+    val successBudget = math.max(3, HeadlineTopN - 2 * failShown.size)
+    val okByWeight = cold.filter(_._3).sortBy(-_._2).take(successBudget)
       .map(_._1).toSet
-    val line = cold.filter { case (k, _, ok) => !ok || okByWeight(k) }
+    val line = cold.filter { case (k, _, ok) =>
+      if (ok) okByWeight(k) else failCap(k) }
     val steadyTotal = steady.map(_._2).sum
     // worst-N steady map (VERDICT r11 #1): the heaviest queries keep a
     // directly machine-readable longitudinal signal; the full steady
@@ -94,7 +108,7 @@ object Bench {
     val steadyWorst = steady.sortBy(-_._2).take(SteadyWorstN)
     val steadyWorstJson = steadyWorst
       .map { case (n, v) => s""""$n":${fmt(v)}""" }.mkString("{", ",", "}")
-    val failedJs = failed.map(n => s""""$n"""").mkString("[", ",", "]")
+    val failedJs = failShown.map(n => s""""$n"""").mkString("[", ",", "]")
     // completed/selected/passes: a SIGTERM'd sweep sums only what
     // finished, which would otherwise read as a (misleadingly fast)
     // complete run — completed < selected marks the COLD line as
@@ -103,7 +117,7 @@ object Bench {
     // the storage layout under test; queries_scope marks the cold-map
     // cap so cross-round tooling doesn't read the capped map as the
     // full population.
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":$done,"selected":$selected,"passes":$nPasses,"mv_warmup":${fmt(mvTotal)},"mv_warmup_n":$mvN,"queries":${mapJson(line)},"queries_scope":"top${HeadlineTopN}_plus_failed","steady_total":${fmt(steadyTotal)},"steady_n":${steady.size},"steady_scope":"all","steady_worst":$steadyWorstJson,"failed":$failedJs,"mode":"$mode","sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":$done,"selected":$selected,"passes":$nPasses,"mv_warmup":${fmt(mvTotal)},"mv_warmup_n":$mvN,"queries":${mapJson(line)},"queries_scope":"top${HeadlineTopN}_plus_failed","failed_n":${failed.size},"steady_total":${fmt(steadyTotal)},"steady_n":${steady.size},"steady_scope":"all","steady_worst":$steadyWorstJson,"failed":$failedJs,"mode":"$mode","sf":"$sfDir"}"""
   }
   private def headlineJson: String = {
     val rs = merged

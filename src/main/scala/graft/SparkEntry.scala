@@ -136,6 +136,22 @@ object SparkEntry {
     graft.model.Views.cached(s, d, "repeated_spans_8")(
       TextAnalysis.repeatedSpans(Tables.documents(s, d), "doc_id", "text",
         l = 8))
+  // Clustered ANN corpus shape (shared by q_ann_recall's clustered
+  // gates): each embedding pulled toward a per-label pseudo-centroid
+  // so k-means has real structure to find. One session MV, warmed in
+  // mv_warmup like every other shared intermediate (VERDICT r12 #2 —
+  // unwarmed, its build cost landed on whichever ANN/dedup query ran
+  // first in the cold sweep).
+  private def annClusteredCorpus(s: SparkSession, d: String): DataFrame =
+    graft.model.Views.cached(s, d, "ann_clustered_corpus") {
+      val emb = Tables.embeddings(s, d)
+      val pulled = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") * 0.5 +
+            (pmod(xxhash64(col("label").cast("string"), i.cast("string")),
+              lit(2000L)).cast("double") / 1000.0 - 1.0)).as("embedding"))
+      operators.Similarity.normalized(pulled, "vec_id", "embedding")
+    }
 
   /** Shared session MVs: warmup label → a frame whose evaluation
     * materializes that MV, for Bench's labeled `mv_warmup` phase
@@ -174,7 +190,8 @@ object SparkEntry {
     "logs_order_filled_unit" -> ((s, d) => logsOrderFilledUnit(s, d)),
     "logs_ledger_topology" -> ((s, d) => logsLedgerTopology(s, d)),
     "ledger_from_logs_full" -> ((s, d) => queries("q_ledger_from_logs_full")(s, d)),
-    "repeated_spans_8" -> ((s, d) => repeatedSpans8(s, d)))
+    "repeated_spans_8" -> ((s, d) => repeatedSpans8(s, d)),
+    "ann_clustered_corpus" -> ((s, d) => annClusteredCorpus(s, d)))
 
   // ---- queries --------------------------------------------------------
 
@@ -1571,13 +1588,7 @@ object SparkEntry {
       }
       val emb = Tables.embeddings(s, d)
       val iso = Similarity.normalized(emb, "vec_id", "embedding")
-      val pulled = emb.select(col("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          x.cast("double") * 0.5 +
-            (pmod(xxhash64(col("label").cast("string"), i.cast("string")),
-              lit(2000L)).cast("double") / 1000.0 - 1.0)).as("embedding"))
-      val clustered = graft.model.Views.cached(s, d, "ann_clustered_corpus")(
-        Similarity.normalized(pulled, "vec_id", "embedding"))
+      val clustered = annClusteredCorpus(s, d)
       gatesFor("isotropic", iso, d)
         .unionByName(gatesFor("clustered", clustered, d + ":clustered"))
         .orderBy(col("method"), col("shape"))

@@ -18,8 +18,12 @@ object IvfIndex {
 
   final case class Model(centroids: Array[Array[Double]], assigned: DataFrame)
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Model]()
+  // keyed by every build input (ADVICE r12: seed/fitCap joined the
+  // build signature when semDedup added the sampled fit — two calls
+  // sharing (corpusKey, nlist) but differing there must not share a
+  // model)
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Long, Long), Model]()
 
   /** Cluster the corpus (id, unit) into nlist cells.
     *
@@ -66,7 +70,7 @@ object IvfIndex {
   def buildCached(spark: SparkSession, corpus: DataFrame, corpusKey: String,
                   nlist: Int, seed: Long = 42L, fitCap: Long = 0L): Model =
     cache.computeIfAbsent(
-      (spark.sparkContext.applicationId, corpusKey, nlist),
+      (spark.sparkContext.applicationId, corpusKey, nlist, seed, fitCap),
       _ => build(spark, corpus, nlist, seed, fitCap))
 
   /** Unpersist and forget this app's cached models —

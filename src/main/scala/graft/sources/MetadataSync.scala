@@ -7,10 +7,15 @@ import scala.annotation.tailrec
 
 /** Replayable paged-HTTP metadata sync connector.
   *
-  * Reference: sync-metadata.ts:1-165 — the external market-metadata
-  * API fetcher: cursor-paginated GET, retry with exponential backoff,
-  * each page's records upserted into market_metadata, the cursor
-  * checkpointed so a crashed sync resumes where it stopped.
+  * Reference: sync-metadata.ts:50-112 — the external market-metadata
+  * API fetcher: a plain offset-paginated GET loop with a rate-limit
+  * sleep between pages, each page's records upserted into
+  * market_metadata. Pagination and the idempotent keep-latest upsert
+  * mirror that loop; retry with exponential backoff and the
+  * resume-cursor checkpoint are HARDENING THIS MODULE ADDS on top
+  * (the reference has neither — a mid-sync crash there restarts from
+  * offset 0), because at-least-once fetch composed with the
+  * idempotent upsert makes resume safe to offer.
   *
   * This environment has no network, so the HTTP call is a seam
   * ([[PageFetcher]]) the specs drive with canned pages and injected
@@ -38,19 +43,28 @@ object MetadataSync {
     * failed request (timeout, 5xx, …). */
   trait PageFetcher { def fetch(cursor: Long): Either[String, Page] }
 
-  /** Outcome of a sync run. `cursor` is always the RESUME point: the
-    * first page not durably fetched — equal to the end cursor on
-    * success, the failed page on give-up. `backoffsMs` is the exact
-    * sleep schedule taken (spec'd, deterministic — no jitter). */
+  /** Outcome of a sync run. `completed` = the source reported no next
+    * page; `cursor` is the last cursor actually handed to the fetcher
+    * — the failed page on give-up (resume from it), the final fetched
+    * page on success. Cursors are server-supplied opaque values
+    * ([[Page.next]]) everywhere, so no cursor is ever synthesized
+    * here: a completed sync needs no resume point, and a caller that
+    * checkpoints `cursor` must gate on `completed` first (ADVICE r12 —
+    * the old `cursor + 1` fabrication assumed dense integer cursors
+    * and could mis-address a resume against a real paged API).
+    * `backoffsMs` is the exact sleep schedule taken (spec'd,
+    * deterministic — no jitter). */
   final case class SyncResult(pages: Seq[String], cursor: Long,
+                              completed: Boolean,
                               attempts: Int, backoffsMs: Seq[Long],
                               failure: Option[String])
 
   /** Pull pages from `from` until the source reports no next page or
     * a page exhausts its retries. Exponential backoff (base·2^attempt)
     * rides the injected `sleep`, so tests replay instantly and a real
-    * deployment passes Thread.sleep. Mirrors sync-metadata.ts's
-    * fetchWithRetry loop. */
+    * deployment passes Thread.sleep. The pagination loop mirrors
+    * sync-metadata.ts:50-112; the retry wrapper is this module's
+    * hardening (see the class doc). */
   def syncPages(fetcher: PageFetcher, from: Long = 0L, maxRetries: Int = 3,
                 baseBackoffMs: Long = 250L,
                 sleep: Long => Unit = _ => ()): SyncResult = {
@@ -80,12 +94,12 @@ object MetadataSync {
           page.next match {
             case Some(next) => loop(next)
             case None =>
-              SyncResult(pages.result(), cursor + 1, attempts,
+              SyncResult(pages.result(), cursor, completed = true, attempts,
                 backoffs.result(), None)
           }
         case Left(err) =>
-          SyncResult(pages.result(), cursor, attempts, backoffs.result(),
-            Some(err))
+          SyncResult(pages.result(), cursor, completed = false, attempts,
+            backoffs.result(), Some(err))
       }
 
     loop(from)

@@ -33,13 +33,19 @@ import scala.jdk.CollectionConverters._
   * Layout:  <path>/data/commit-<v>/part-*.parquet   (immutable)
   *          <path>/manifests/v<v>.manifest          (sorted file list)
   *
-  * 100 TB honesty: a flat manifest lists every live file, so at
-  * millions of files per table the next step is Iceberg's actual
-  * refinement — a manifest LIST pointing at per-partition manifest
-  * files, so a commit rewrites only the touched partitions' entries
-  * and planning prunes whole manifests. The protocol (immutable data
-  * + atomic metadata pointer swap) is unchanged; only the metadata
-  * gets a second level. */
+  * 100 TB: a flat manifest lists every live file, which works to
+  * ~10⁵ files; past that the metadata itself needs the second level,
+  * and this store has it — the HIERARCHICAL form (Iceberg's actual
+  * refinement, [[appendPartitioned]]/[[overwritePartitions]]):
+  * `v<v>.mlist` is a manifest LIST mapping each partition value to an
+  * immutable per-partition manifest file, so a commit touching k of
+  * N partitions writes k new pmanifests and one new list (the other
+  * N−k entries are carried BY REFERENCE — O(touched), not O(table)),
+  * and a pruned read ([[readPartitionsAsOf]]) never opens the
+  * untouched partitions' manifests at all. The protocol (immutable
+  * data + atomic metadata pointer swap) is unchanged; flat and
+  * hierarchical versions share one version counter, one reader
+  * dispatch and one vacuum. */
 object VersionedStore {
 
   private def manifestDir(path: String) = new File(path, "manifests")
@@ -47,25 +53,41 @@ object VersionedStore {
     new File(manifestDir(path), s"v$v.manifest")
 
   private val ManifestRe = "v([0-9]+)\\.manifest".r
+  private val MlistRe = "v([0-9]+)\\.mlist".r
+  private def mlistFile(path: String, v: Int) =
+    new File(manifestDir(path), s"v$v.mlist")
 
-  /** Latest committed version; 0 = empty table. */
+  /** Latest committed version (flat `.manifest` or hierarchical
+    * `.mlist` — one version counter); 0 = empty table. */
   def currentVersion(path: String): Int = {
     val files = Option(manifestDir(path).list()).getOrElse(Array.empty)
-    files.collect { case ManifestRe(v) => v.toInt }.foldLeft(0)(math.max)
+    files.collect {
+      case ManifestRe(v) => v.toInt
+      case MlistRe(v) => v.toInt
+    }.foldLeft(0)(math.max)
   }
 
-  /** The live data files (table-relative) of version `v`. */
+  /** The live data files (table-relative) of version `v`, resolving
+    * through the manifest list when `v` is a hierarchical commit. */
   def filesAsOf(path: String, v: Int): Seq[String] = {
     val mf = manifestFile(path, v)
-    require(mf.exists(), s"version $v does not exist (vacuumed or never committed)")
-    Files.readAllLines(mf.toPath).asScala.toSeq.filter(_.nonEmpty)
+    if (mf.exists())
+      Files.readAllLines(mf.toPath).asScala.toSeq.filter(_.nonEmpty)
+    else {
+      require(mlistFile(path, v).exists(),
+        s"version $v does not exist (vacuumed or never committed)")
+      readMlist(path, v).parts.flatMap(p => readPmanifest(path, p.pmanifest))
+    }
   }
 
   /** Read the table as of version `v` — a stable snapshot: later
     * commits, compactions and vacuums of other versions never change
-    * what this returns. */
+    * what this returns. Dispatches on the version's manifest form, so
+    * flat and hierarchical snapshots read through one API. */
   def readAsOf(spark: SparkSession, path: String, v: Int): DataFrame =
-    spark.read.parquet(filesAsOf(path, v).map(f => s"$path/$f"): _*)
+    if (manifestFile(path, v).exists())
+      spark.read.parquet(filesAsOf(path, v).map(f => s"$path/$f"): _*)
+    else readPartitionsAsOf(spark, path, v, _ => true)
 
   /** Read the latest version. */
   def read(spark: SparkSession, path: String): DataFrame =
@@ -92,9 +114,25 @@ object VersionedStore {
     * delivery lands exactly-once TABLE STATE, the same idempotency
     * recipe as [[MetadataSync.upsert]] and SnapshotWriter's batch-id
     * dedup. (Spark replays only the latest uncommitted batch, so a
-    * recommit never races versions committed after it.) */
+    * recommit never races versions committed after it.)
+    *
+    * Guarded (ADVICE r12): the version derives from batchId, so a
+    * batch id that is neither the next version nor a replay of the
+    * CURRENT one means the checkpoint and the table have diverged —
+    * a fresh/reset checkpoint pointed at a non-empty table, or a
+    * batch append()/overwrite() interleaved with the stream. Silently
+    * proceeding would REWRITE published history (clobber an old
+    * version's manifest and delete part files later manifests still
+    * carry), so this fails fast instead. */
   def commitBatch(df: DataFrame, path: String, batchId: Long): Int = {
+    require(batchId >= 0 && batchId < Int.MaxValue,
+      s"batchId $batchId outside the supported version range")
     val v = batchId.toInt + 1
+    val cur = currentVersion(path)
+    require(v == cur + 1 || v == cur,
+      s"batch $batchId would commit version $v but the table at $path is at " +
+        s"version $cur — a reset checkpoint or a concurrent batch writer; " +
+        "refusing to rewrite published history")
     val carried = if (v == 1) Seq.empty else filesAsOf(path, v - 1)
     commitData(df, path, v, carried)
   }
@@ -109,6 +147,138 @@ object VersionedStore {
       Seq.empty)
   }
 
+  // ---- hierarchical manifests (manifest list + per-partition) --------
+
+  /** One manifest-list entry: a partition value and the name of the
+    * immutable per-partition manifest holding its live files. */
+  final case class PartEntry(value: String, pmanifest: String)
+  /** A parsed manifest list: the partition column (name + Spark DDL
+    * type, so readers reattach the column losslessly) and one entry
+    * per live partition. */
+  final case class Mlist(partCol: String, partType: String,
+                         parts: Seq[PartEntry])
+
+  /** Parse version `v`'s manifest list. */
+  def readMlist(path: String, v: Int): Mlist = {
+    val mf = mlistFile(path, v)
+    require(mf.exists(),
+      s"version $v does not exist or is not a partitioned commit")
+    val lines = Files.readAllLines(mf.toPath).asScala.toSeq.filter(_.nonEmpty)
+    val header = lines.head.split("\t", -1)
+    require(header.length == 3 && header(0) == "#part",
+      s"malformed manifest list header: ${lines.head}")
+    Mlist(header(1), header(2), lines.tail.map { l =>
+      val f = l.split("\t", -1); PartEntry(f(0), f(1))
+    })
+  }
+
+  private def readPmanifest(path: String, name: String): Seq[String] =
+    Files.readAllLines(new File(manifestDir(path), name).toPath)
+      .asScala.toSeq.filter(_.nonEmpty)
+
+  /** Append rows into their partitions as a new version: only the
+    * partitions present in `df` get a NEW per-partition manifest
+    * (carried files + added files); every untouched partition is
+    * carried by reference — the commit writes O(touched partitions)
+    * metadata, not O(table). */
+  def appendPartitioned(df: DataFrame, path: String, partCol: String): Int =
+    commitPartitioned(df, path, partCol, replaceTouched = false)
+
+  /** Dynamic-partition overwrite: the partitions present in `df` are
+    * REPLACED in the new version, untouched partitions carried by
+    * reference — the hot-range rewrite shape (reorg finality) on the
+    * versioned store: old versions still resolve the pre-rewrite
+    * files until vacuumed. */
+  def overwritePartitions(df: DataFrame, path: String, partCol: String): Int =
+    commitPartitioned(df, path, partCol, replaceTouched = true)
+
+  /** Read only the partitions `keep` accepts, as of version `v` —
+    * planning-level pruning: a rejected partition's per-partition
+    * manifest is never even opened, so a one-partition query on an
+    * N-partition table does O(1) metadata work. Each selected
+    * partition becomes its own parquet scan (partition value
+    * reattached as a literal column — it is not stored in the data
+    * files); the scans union into one plan, which is exactly how the
+    * work distributes on a cluster. At ~10⁴+ selected partitions the
+    * next refinement is handing Spark a single FileIndex instead of a
+    * union — noted, not needed at this metadata scale. */
+  def readPartitionsAsOf(spark: SparkSession, path: String, v: Int,
+                         keep: String => Boolean): DataFrame = {
+    val ml = readMlist(path, v)
+    val selected = ml.parts.filter(p => keep(p.value))
+    require(selected.nonEmpty, s"no partition of version $v matches")
+    selected.map { p =>
+      val files = readPmanifest(path, p.pmanifest)
+      spark.read.parquet(files.map(f => s"$path/$f"): _*)
+        .withColumn(ml.partCol,
+          org.apache.spark.sql.functions.lit(p.value).cast(ml.partType))
+    }.reduce(_.unionByName(_))
+  }
+
+  private def enc(v: String): String =
+    java.net.URLEncoder.encode(v, "UTF-8")
+
+  private def commitPartitioned(df: DataFrame, path: String, partCol: String,
+                                replaceTouched: Boolean): Int = {
+    val prev = currentVersion(path)
+    require(prev == 0 || mlistFile(path, prev).exists(),
+      s"version $prev is a flat commit — a table is flat or partitioned, not both")
+    val v = prev + 1
+    val partType = df.schema(partCol).dataType.catalogString
+    val commitRel = s"data/commit-$v"
+    // partitionBy lays the files out as <commit>/<partCol>=<value>/…;
+    // Overwrite clobbers only a torn UNPUBLISHED attempt at this same
+    // version (same argument as commitData)
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(partCol).parquet(s"$path/$commitRel")
+    val touched: Map[String, Seq[String]] =
+      Option(new File(path, commitRel).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(partCol + "="))
+        .map { dir =>
+          val value = dir.getName.stripPrefix(partCol + "=")
+          value -> Option(dir.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet"))
+            .map(f => s"$commitRel/${dir.getName}/${f.getName}")
+            .toSeq.sorted
+        }.toMap
+    val prevParts: Map[String, PartEntry] =
+      if (prev == 0) Map.empty
+      else readMlist(path, prev).parts.map(p => p.value -> p).toMap
+    val prevPartCol =
+      if (prev == 0) partCol else readMlist(path, prev).partCol
+    require(prevPartCol == partCol,
+      s"table is partitioned by $prevPartCol, not $partCol")
+    // pmanifests land BEFORE the list publish: a crash in between
+    // leaves them orphaned and invisible, same as data files
+    val entries = (prevParts.keySet ++ touched.keySet).toSeq.sorted.map { value =>
+      touched.get(value) match {
+        case None => prevParts(value) // untouched: carried by reference
+        case Some(added) =>
+          val carried =
+            if (replaceTouched) Seq.empty
+            else prevParts.get(value).toSeq
+              .flatMap(p => readPmanifest(path, p.pmanifest))
+          val name = s"p-${enc(value)}-v$v.pmanifest"
+          writeAtomic(new File(manifestDir(path), name),
+            (carried ++ added).sorted.mkString("\n"))
+          PartEntry(value, name)
+      }
+    }
+    val body = (s"#part\t$partCol\t$partType" +:
+      entries.map(e => s"${e.value}\t${e.pmanifest}")).mkString("\n")
+    writeAtomic(mlistFile(path, v), body)
+    v
+  }
+
+  private def writeAtomic(target: File, body: String): Unit = {
+    target.getParentFile.mkdirs()
+    val tmp = new File(target.getParentFile, target.getName + ".tmp")
+    Files.write(tmp.toPath, body.getBytes("UTF-8"))
+    Files.move(tmp.toPath, target.toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   /** Delete manifests older than the last `keepVersions` and every
     * data file no retained manifest references. Never touches files a
     * retained snapshot can still resolve. Returns deleted paths
@@ -117,30 +287,50 @@ object VersionedStore {
     require(keepVersions >= 1, "must retain at least the current version")
     val cur = currentVersion(path)
     val cutoff = cur - keepVersions + 1
-    val retained = (cutoff to cur)
-      .filter(v => manifestFile(path, v).exists())
-      .flatMap(v => filesAsOf(path, v)).toSet
+    val retainedVs = (cutoff to cur).filter(v =>
+      manifestFile(path, v).exists() || mlistFile(path, v).exists())
+    val retained = retainedVs.flatMap(v => filesAsOf(path, v)).toSet
+    // pmanifests any retained manifest list still references must
+    // survive — a list carries old versions' pmanifests by reference
+    val retainedPms = retainedVs.filter(v => mlistFile(path, v).exists())
+      .flatMap(v => readMlist(path, v).parts.map(_.pmanifest)).toSet
     val dataRoot = new File(path, "data")
+    // walk commit dirs recursively: flat commits keep files one level
+    // deep, partitioned commits nest them under <partCol>=<value>/
+    def walk(f: File): Seq[File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    def rel(f: File): String =
+      dataRoot.toPath.getParent.relativize(f.toPath).toString
     val live = Option(dataRoot.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.isDirectory).flatMap(walk)
       .filter(_.getName.endsWith(".parquet"))
-    val doomed = live.filterNot(f =>
-      retained.contains(s"data/${f.getParentFile.getName}/${f.getName}"))
+    val doomed = live.filterNot(f => retained.contains(rel(f)))
     doomed.foreach(f => f.delete(): Unit)
-    // drop now-empty commit dirs and the expired manifests
-    Option(dataRoot.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory &&
-        Option(d.listFiles()).getOrElse(Array.empty)
-          .forall(!_.getName.endsWith(".parquet")))
-      .foreach { d =>
-        Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-        d.delete(): Unit
+    // drop now-empty commit dirs (and partition subdirs) bottom-up
+    def prune(d: File): Unit = {
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).foreach(prune)
+      val left = Option(d.listFiles()).getOrElse(Array.empty)
+      if (left.forall(!_.getName.endsWith(".parquet"))) {
+        left.filterNot(_.isDirectory).foreach(_.delete())
+        if (Option(d.listFiles()).getOrElse(Array.empty).isEmpty)
+          d.delete(): Unit
       }
+    }
+    Option(dataRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).foreach(prune)
+    // expired version pointers (both forms) and any pmanifest no
+    // retained manifest list still references
     Option(manifestDir(path).list()).getOrElse(Array.empty)
-      .collect { case n @ ManifestRe(v) if v.toInt < cutoff => n }
+      .collect {
+        case n @ ManifestRe(v) if v.toInt < cutoff => n
+        case n @ MlistRe(v) if v.toInt < cutoff => n
+        case n if n.endsWith(".pmanifest") && !retainedPms.contains(n) => n
+      }
       .foreach(n => new File(manifestDir(path), n).delete(): Unit)
-    doomed.map(f => s"data/${f.getParentFile.getName}/${f.getName}").toSeq
+    doomed.map(rel).toSeq
   }
 
   private def commitData(df: DataFrame, path: String, v: Int,
@@ -161,12 +351,6 @@ object VersionedStore {
 
   /** The atomic publish: full file list to a tmp file, one rename. */
   private def publishManifest(path: String, v: Int,
-                              files: Seq[String]): Unit = {
-    manifestDir(path).mkdirs()
-    val tmp = new File(manifestDir(path), s"v$v.manifest.tmp")
-    Files.write(tmp.toPath, files.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp.toPath, manifestFile(path, v).toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    ()
-  }
+                              files: Seq[String]): Unit =
+    writeAtomic(manifestFile(path, v), files.mkString("\n"))
 }

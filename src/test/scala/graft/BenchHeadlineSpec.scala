@@ -42,6 +42,29 @@ class BenchHeadlineSpec extends AnyFunSuite {
     assert(line.contains(""""steady_scope":"all""""))
   }
 
+  test("mass failure stays under 1900 chars with a true failed_n count") {
+    // ADVICE r12: ~100 failures used to render unbounded AND twice
+    // (a -1 map entry plus a failed[] entry) — the scenario where the
+    // headline matters most. Both sides now cap at HeadlineTopN.
+    val cold = (0 until 150).map(i => (mkName(i), 10.0 + i, i >= 100))
+    val steady = (100 until 150).map(i => (mkName(i), 10.0 + i))
+    val failed = (0 until 100).map(mkName)
+    val line = Bench.renderHeadline(cold, steady, failed,
+      done = 150, selected = 150, nPasses = 1,
+      mvTotal = 100.0, mvN = 25, mode = "flat", sfDir = "sf0.1")
+    assert(line.length < 1900, s"len=${line.length}: $line")
+    assert(line.contains(""""failed_n":100"""), "true count survives the cap")
+    // capped populations agree: first-FailTopN failures in both the
+    // map and failed[] (the r7 invariant, now over the shown set)
+    assert(line.contains(s""""${mkName(0)}":-1"""))
+    assert(line.contains(s""""${mkName(Bench.FailTopN - 1)}":-1"""))
+    assert(!line.contains(s""""${mkName(Bench.FailTopN)}":-1"""))
+    // failures displace success slots but never erase them: the
+    // heaviest successes stay
+    assert(line.contains(s""""${mkName(149)}":159.000"""))
+    assert(line.contains(""""completed":150"""))
+  }
+
   test("headline is valid JSON shape (balanced, parse-spot-checked)") {
     val cold = (0 until 40).map(i => (mkName(i), i * 1.5, true))
     val line = Bench.renderHeadline(cold, cold.map(c => (c._1, c._2)), Nil,

@@ -42,7 +42,8 @@ class MetadataSyncSpec extends SparkSpec {
     val slept = mutable.Buffer[Long]()
     val r = MetadataSync.syncPages(cannedFetcher(Map(1L -> 2)),
       baseBackoffMs = 250, sleep = slept += _)
-    assert(r.failure.isEmpty)
+    assert(r.failure.isEmpty && r.completed)
+    assert(r.cursor == 2L, "cursor = last fetched page, never synthesized")
     assert(r.pages == pageBodies)
     assert(r.backoffsMs == Seq(250L, 500L), "base·2^attempt schedule")
     assert(slept == Seq(250L, 500L), "sleep rides the injected clock")
@@ -52,7 +53,7 @@ class MetadataSyncSpec extends SparkSpec {
   test("retry exhaustion stops at the failed page with a resume cursor") {
     val r = MetadataSync.syncPages(cannedFetcher(Map(2L -> 99)),
       maxRetries = 3)
-    assert(r.failure.contains("503@2"))
+    assert(r.failure.contains("503@2") && !r.completed)
     assert(r.cursor == 2L, "resume cursor = first unfetched page")
     assert(r.pages == pageBodies.take(2))
     assert(r.backoffsMs == Seq(250L, 500L, 1000L))
@@ -76,7 +77,8 @@ class MetadataSyncSpec extends SparkSpec {
     // crashed run: page 2 dies, state is upserted from the fetched
     // prefix, then a resumed run continues from the checkpoint cursor
     val crashed = MetadataSync.syncPages(cannedFetcher(Map(2L -> 99)))
-    assert(crashed.failure.isDefined)
+    assert(crashed.failure.isDefined && !crashed.completed,
+      "a crashed sync is what makes `cursor` a resume point")
     val (part1, _) = MetadataSync.parsePages(spark, crashed.pages)
     val mid = MetadataSync.upsert(empty, part1)
     val resumed = MetadataSync.syncPages(cannedFetcher(), from = crashed.cursor)
@@ -120,7 +122,7 @@ class MetadataSyncSpec extends SparkSpec {
           if (cursor.toInt == logPages.size - 1) None else Some(cursor + 1)))
     }
     val r = MetadataSync.syncPages(fetcher)
-    assert(r.failure.isEmpty && r.backoffsMs.size == 1)
+    assert(r.failure.isEmpty && r.completed && r.backoffsMs.size == 1)
     def decode(pages: Seq[String]): DataFrame = {
       val logs = spark.read.json(
         pages.flatMap(_.split("\n")).toSeq.toDS())

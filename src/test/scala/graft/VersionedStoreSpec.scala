@@ -103,4 +103,195 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.currentVersion(path) == 2)
     assert(rows(path, 2) == Set(1L, 2L, 3L), "replay is idempotent")
   }
+
+  test("commitBatch refuses to rewrite published history (ADVICE r12)") {
+    import spark.implicits._
+    val path = freshDir()
+    VersionedStore.append(Seq(1L).toDF("id"), path) // v1
+    VersionedStore.append(Seq(2L).toDF("id"), path) // v2
+    // a RESET checkpoint restarts batch ids at 0 → version 1, which is
+    // already published: must fail fast, not clobber v1's manifest
+    intercept[IllegalArgumentException] {
+      VersionedStore.commitBatch(Seq(99L).toDF("id"), path, batchId = 0L)
+    }
+    assert(rows(path, 1) == Set(1L) && rows(path, 2) == Set(1L, 2L),
+      "published versions untouched by the refused commit")
+    // a future batch id (gap in versions) is equally diverged
+    intercept[IllegalArgumentException] {
+      VersionedStore.commitBatch(Seq(99L).toDF("id"), path, batchId = 5L)
+    }
+    // the two legal moves still work: next version, and replay of the
+    // current one
+    assert(VersionedStore.commitBatch(Seq(3L).toDF("id"), path, 2L) == 3)
+    assert(VersionedStore.commitBatch(Seq(3L).toDF("id"), path, 2L) == 3)
+    assert(rows(path, 3) == Set(1L, 2L, 3L))
+  }
+
+  test("crash MID-COMMIT between data write and manifest publish: " +
+    "restart + replay + later batches land exactly-once state") {
+    // VERDICT r12 #4: the full failure matrix for stream →
+    // VersionedStore. The torn point is INSIDE commitBatch — data
+    // files for the next version on disk, manifest never renamed —
+    // and the checkpoint never recorded the batch, so the restarted
+    // stream re-delivers it.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = freshDir()
+    val ckpt = freshDir() + "/ckpt"
+    // run 1: batch 0 commits v1, then the process "dies" while batch 1
+    // was mid-commit — simulated by stopping the stream before batch 1
+    // and fabricating exactly what a torn commitBatch leaves behind
+    val ms1 = MemoryStream[Long]
+    val q1 = graft.streaming.StreamingIngest.sinkVersioned(
+      ms1.toDF().withColumnRenamed("value", "id"), path, ckpt)
+    ms1.addData(1L, 2L); q1.processAllAvailable(); q1.stop()
+    Seq(3L).toDF("id").write.parquet(s"$path/data/commit-2")
+    assert(VersionedStore.currentVersion(path) == 1,
+      "torn batch-1 commit is invisible: v1 still live")
+    assert(rows(path, 1) == Set(1L, 2L))
+    // run 2: fresh stream instance over the SAME checkpoint; the
+    // source replays to the committed offset, batch 1 re-delivers its
+    // rows, and a later batch follows
+    val ms2 = MemoryStream[Long]
+    val q2 = graft.streaming.StreamingIngest.sinkVersioned(
+      ms2.toDF().withColumnRenamed("value", "id"), path, ckpt)
+    ms2.addData(1L, 2L) // replay ballast: re-aligns the source offset
+    ms2.addData(3L)     // the batch that was mid-commit at the crash
+    q2.processAllAvailable()
+    ms2.addData(4L)     // life goes on after recovery
+    q2.processAllAvailable(); q2.stop()
+    assert(VersionedStore.currentVersion(path) == 3)
+    assert(rows(path, 2) == Set(1L, 2L, 3L),
+      "replayed batch overwrote the torn debris exactly once")
+    assert(rows(path, 3) == Set(1L, 2L, 3L, 4L))
+    assert(rows(path, 1) == Set(1L, 2L), "history intact")
+  }
+
+  test("crash AFTER manifest publish but before checkpoint commit: " +
+    "the replayed batch republishes identically, not twice") {
+    // the other half of the failure matrix: commitBatch finished (v2
+    // published) but the sink's batch never reached the checkpoint's
+    // commit log, so the restarted stream re-runs it → v == cur, the
+    // idempotent-replay arm of the commitBatch guard — driven through
+    // a REAL restarted stream, not a direct call
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = freshDir()
+    val ckpt = freshDir() + "/ckpt"
+    val ms1 = MemoryStream[Long]
+    val q1 = graft.streaming.StreamingIngest.sinkVersioned(
+      ms1.toDF().withColumnRenamed("value", "id"), path, ckpt)
+    ms1.addData(1L, 2L); q1.processAllAvailable(); q1.stop()
+    // the "crashed" run published batch 1's version before dying
+    VersionedStore.commitBatch(Seq(3L).toDF("id"), path, batchId = 1L)
+    assert(VersionedStore.currentVersion(path) == 2)
+    val ms2 = MemoryStream[Long]
+    val q2 = graft.streaming.StreamingIngest.sinkVersioned(
+      ms2.toDF().withColumnRenamed("value", "id"), path, ckpt)
+    ms2.addData(1L, 2L)
+    ms2.addData(3L)
+    q2.processAllAvailable()
+    ms2.addData(4L)
+    q2.processAllAvailable(); q2.stop()
+    assert(VersionedStore.currentVersion(path) == 3)
+    assert(rows(path, 2) == Set(1L, 2L, 3L), "replay republished v2, no dup")
+    assert(rows(path, 3) == Set(1L, 2L, 3L, 4L))
+  }
+
+  // ---- hierarchical manifests (manifest list + per-partition) --------
+
+  private def part(path: String, month: String, id: Long*) = {
+    import spark.implicits._
+    id.map(i => (i, month)).toDF("id", "month")
+  }
+  private def pmanifests(path: String): Set[String] =
+    new java.io.File(path, "manifests").list().toSet
+      .filter(_.endsWith(".pmanifest"))
+  private def prows(path: String, v: Int): Set[(Long, String)] =
+    VersionedStore.readAsOf(spark, path, v)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("month"))).toSet
+
+  test("a 1-partition append rewrites O(1) manifest entries") {
+    val path = freshDir()
+    // v1: three partitions
+    val v1 = VersionedStore.appendPartitioned(
+      part(path, "1996-01", 1L).unionByName(part(path, "1996-02", 2L))
+        .unionByName(part(path, "1996-03", 3L)), path, "month")
+    assert(v1 == 1)
+    val pmsV1 = pmanifests(path)
+    assert(pmsV1.size == 3, "one pmanifest per partition")
+    // v2: append into ONE partition
+    val v2 = VersionedStore.appendPartitioned(part(path, "1996-02", 20L),
+      path, "month")
+    val pmsV2 = pmanifests(path)
+    assert((pmsV2 -- pmsV1).size == 1,
+      s"one new pmanifest for the touched partition, got ${pmsV2 -- pmsV1}")
+    // untouched partitions carried BY REFERENCE: identical entries
+    val (m1, m2) = (VersionedStore.readMlist(path, 1),
+      VersionedStore.readMlist(path, 2))
+    def entry(m: VersionedStore.Mlist, v: String) =
+      m.parts.find(_.value == v).get
+    assert(entry(m2, "1996-01") == entry(m1, "1996-01"))
+    assert(entry(m2, "1996-03") == entry(m1, "1996-03"))
+    assert(entry(m2, "1996-02") != entry(m1, "1996-02"))
+    // pinned old version still resolves, new version unions
+    assert(prows(path, 1) ==
+      Set((1L, "1996-01"), (2L, "1996-02"), (3L, "1996-03")))
+    assert(prows(path, v2) == prows(path, 1) + ((20L, "1996-02")))
+  }
+
+  test("pruned reads never open unselected partitions' manifests or files") {
+    val path = freshDir()
+    VersionedStore.appendPartitioned(
+      part(path, "1996-01", 1L).unionByName(part(path, "1996-02", 2L)),
+      path, "month")
+    VersionedStore.appendPartitioned(part(path, "1996-02", 20L), path, "month")
+    val pruned = VersionedStore.readPartitionsAsOf(spark, path, 2,
+      _ == "1996-01")
+    assert(pruned.collect().map(_.getAs[Long]("id")).toSet == Set(1L))
+    // planning prunes whole manifests: the only files in the plan are
+    // the selected partition's — which live in commit-1, because v2
+    // never touched it
+    val inputs = pruned.inputFiles
+    assert(inputs.nonEmpty && inputs.forall(f =>
+      f.contains("commit-1") && f.contains("month=1996-01")), inputs.toSeq)
+  }
+
+  test("partition overwrite replaces one partition; snapshots + vacuum hold") {
+    val path = freshDir()
+    VersionedStore.appendPartitioned(
+      part(path, "1996-01", 1L).unionByName(part(path, "1996-02", 2L)),
+      path, "month")
+    // hot-range rewrite of one partition (reorg finality shape)
+    val v2 = VersionedStore.overwritePartitions(part(path, "1996-02", 99L),
+      path, "month")
+    assert(prows(path, v2) == Set((1L, "1996-01"), (99L, "1996-02")))
+    assert(prows(path, 1) == Set((1L, "1996-01"), (2L, "1996-02")),
+      "pre-rewrite snapshot still resolves the replaced files")
+    // vacuum to the current version only: v1's orphaned partition file
+    // goes, the carried 1996-01 files and pmanifest survive
+    val deleted = VersionedStore.vacuum(path, keepVersions = 1)
+    assert(deleted.nonEmpty && deleted.forall(_.contains("month=1996-02")),
+      s"only the replaced partition's old files are unreferenced: $deleted")
+    assert(prows(path, v2) == Set((1L, "1996-01"), (99L, "1996-02")),
+      "current version unaffected by vacuum")
+    intercept[IllegalArgumentException] {
+      VersionedStore.readAsOf(spark, path, 1)
+    }
+    val leftPms = pmanifests(path)
+    assert(leftPms == VersionedStore.readMlist(path, v2).parts
+      .map(_.pmanifest).toSet,
+      "exactly the referenced pmanifests survive vacuum")
+  }
+
+  test("flat and partitioned commits do not mix on one table") {
+    import spark.implicits._
+    val path = freshDir()
+    VersionedStore.append(Seq(1L).toDF("id"), path)
+    intercept[IllegalArgumentException] {
+      VersionedStore.appendPartitioned(part(path, "1996-01", 2L), path, "month")
+    }
+  }
 }
