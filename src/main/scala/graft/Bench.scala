@@ -22,7 +22,10 @@ object Bench {
   // denylisted line grew past 2 000 chars again and BENCH_r11.json
   // came back `parsed: null`. BenchHeadlineSpec pins the rendered
   // length < 1900 at 300 synthetic queries.
-  private[graft] val HeadlineTopN = 25
+  // 20 (was 25 through r12): the saved ~220 chars fund the vs_baseline
+  // section (VERDICT r12 #1) inside the same ~2000-char tail window;
+  // the full cold map still rides BENCH_LOCAL.json
+  private[graft] val HeadlineTopN = 20
   private[graft] val SteadyWorstN = 10
   // Failures render TWICE (a -1 map entry + a failed[] entry, ~76
   // chars a pair — the r7 same-population invariant), so they carry
@@ -58,6 +61,40 @@ object Bench {
     }
 
   private def fmt(v: Double): String = f"$v%.3f"
+  private def fmt2(v: Double): String = f"$v%.2f"
+
+  // ---- vs_baseline (VERDICT r12 #1) -----------------------------------
+  // BASELINE.json publishes no reference timings, so the "within 2x of
+  // baseline" gate was unfalsifiable; BASELINE_DUCKDB.json (written by
+  // tools/duckdb_baseline.py, committed) carries DuckDB's wall-times on
+  // the ORACLE SQL over the same parquet at the same sf on the same
+  // host. ratio = our steady seconds / DuckDB seconds per query.
+  /** Parse {"sf": ..., "times": {name: sec}} with a regex (no JSON lib
+    * on the classpath); returns empty when the file is missing or was
+    * measured at a different sf than this run (an sf0.01 smoke run
+    * must not ratio itself against sf0.1 baselines). */
+  private[graft] def parseBaseline(body: String, sfDir: String)
+      : Map[String, Double] = {
+    val sfRe = """"sf"\s*:\s*"([^"]+)"""".r
+    val measured = sfRe.findFirstMatchIn(body).map(_.group(1))
+    if (!measured.contains(sfDir)) return Map.empty
+    val i = body.indexOf("\"times\"")
+    if (i < 0) return Map.empty
+    val re = """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+    re.findAllMatchIn(body.substring(i))
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter { case (k, v) => k != "times" && v > 0 }.toMap
+  }
+  private lazy val baseline: Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get("BASELINE_DUCKDB.json")
+      if (java.nio.file.Files.exists(p))
+        parseBaseline(java.nio.file.Files.readString(p), sfDirV)
+      else Map.empty
+    } catch { case _: Throwable => Map.empty }
+  private def vsBaseline(steady: Seq[(String, Double)]): Map[String, Double] =
+    steady.flatMap { case (n, s) =>
+      baseline.get(n).map(b => n -> s / b) }.toMap
   private def mapJson(rs: Seq[(String, Double, Boolean)]): String =
     rs.map { case (k, v, ok) => s"\"$k\":" + (if (ok) fmt(v) else "-1") }
       .mkString("{", ",", "}")
@@ -86,7 +123,8 @@ object Bench {
       failed: Seq[String],
       done: Int, selected: Int, nPasses: Int,
       mvTotal: Double, mvN: Int,
-      mode: String, sfDir: String): String = {
+      mode: String, sfDir: String,
+      vsb: Map[String, Double] = Map.empty): String = {
     val total = cold.collect { case (_, v, true) => v }.sum
     // cap BOTH sides (ADVICE r12): the first FailTopN failures in run
     // order, and the heaviest successes filling what's left of the
@@ -108,6 +146,21 @@ object Bench {
     val steadyWorst = steady.sortBy(-_._2).take(SteadyWorstN)
     val steadyWorstJson = steadyWorst
       .map { case (n, v) => s""""$n":${fmt(v)}""" }.mkString("{", ",", "}")
+    // per-HEADLINE-query vs_baseline ratios (the steady_worst set —
+    // the full per-query map rides BENCH_LOCAL.json) + summary stats
+    // over every ratio'd query; empty objects when no baseline file
+    val vsShownJson = steadyWorst
+      .flatMap { case (n, _) => vsb.get(n).map(r => s""""$n":${fmt2(r)}""") }
+      .mkString("{", ",", "}")
+    val vsStatsJson =
+      if (vsb.isEmpty) """{"n":0}"""
+      else {
+        val rs = vsb.values.toSeq.sorted
+        def pct(p: Double) = rs(math.round(p * (rs.size - 1)).toInt)
+        val worst = vsb.maxBy(_._2)
+        s"""{"n":${rs.size},"median":${fmt2(pct(0.5))},"p90":${fmt2(pct(0.9))},""" +
+          s""""max":${fmt2(rs.last)},"worst":"${worst._1}"}"""
+      }
     val failedJs = failShown.map(n => s""""$n"""").mkString("[", ",", "]")
     // completed/selected/passes: a SIGTERM'd sweep sums only what
     // finished, which would otherwise read as a (misleadingly fast)
@@ -117,7 +170,7 @@ object Bench {
     // the storage layout under test; queries_scope marks the cold-map
     // cap so cross-round tooling doesn't read the capped map as the
     // full population.
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":$done,"selected":$selected,"passes":$nPasses,"mv_warmup":${fmt(mvTotal)},"mv_warmup_n":$mvN,"queries":${mapJson(line)},"queries_scope":"top${HeadlineTopN}_plus_failed","failed_n":${failed.size},"steady_total":${fmt(steadyTotal)},"steady_n":${steady.size},"steady_scope":"all","steady_worst":$steadyWorstJson,"failed":$failedJs,"mode":"$mode","sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","completed":$done,"selected":$selected,"passes":$nPasses,"mv_warmup":${fmt(mvTotal)},"mv_warmup_n":$mvN,"queries":${mapJson(line)},"queries_scope":"top${HeadlineTopN}_plus_failed","failed_n":${failed.size},"steady_total":${fmt(steadyTotal)},"steady_n":${steady.size},"steady_scope":"all","steady_worst":$steadyWorstJson,"vs_baseline":$vsShownJson,"vs_baseline_stats":$vsStatsJson,"failed":$failedJs,"mode":"$mode","sf":"$sfDir"}"""
   }
   private def headlineJson: String = {
     val rs = merged
@@ -141,7 +194,8 @@ object Bench {
     val done = passes.headOption.map(_.size).getOrElse(0)
     val mvTotal = mvWarmup.collect { case (_, v, true) => v }.sum
     renderHeadline(cold, steady, rs.collect { case (k, _, false) => k },
-      done, order.size, nPassesV, mvTotal, mvWarmup.size, modeV, sfDirV)
+      done, order.size, nPassesV, mvTotal, mvWarmup.size, modeV, sfDirV,
+      vsBaseline(steady))
   }
   /** Full map + raw per-pass samples → BENCH_LOCAL.json. Called after every
     * query: a tmp-file + atomic move so a kill mid-write can't truncate it. */
@@ -151,8 +205,13 @@ object Bench {
     val passJson = passes.zipWithIndex.map { case (p, i) =>
       s""""pass${i + 1}":${mapJson(order.flatMap(n => p.get(n).map(s => (n, s._1, s._2))))}"""
     }.mkString(",")
+    // FULL per-query vs_baseline map (uncapped) from the min-of-passes
+    // samples — the headline carries only the steady_worst slice
+    val vsbFull = vsBaseline(rs.collect { case (k, v, true) => (k, v) })
+    val vsbJson = vsbFull.toSeq.sortBy(_._1)
+      .map { case (n, r) => s""""$n":${fmt2(r)}""" }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":${passes.length},"mv_warmup":${mapJson(mvWarmup)},"queries":${mapJson(rs)},$passJson,"failed":${failedJson(rs)},"steady_scope":"all","mode":"$modeV","sf":"$sfDirV"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":${passes.length},"mv_warmup":${mapJson(mvWarmup)},"queries":${mapJson(rs)},$passJson,"failed":${failedJson(rs)},"vs_baseline":$vsbJson,"steady_scope":"all","mode":"$modeV","sf":"$sfDirV"}"""
     try {
       // bucketed-mode sweeps land in their own artifact so the
       // zero-exchange layout gets a longitudinal signal (VERDICT r9

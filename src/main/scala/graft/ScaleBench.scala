@@ -179,6 +179,12 @@ object ScaleBench {
       case "density" => "density"
       case _         => "entities"
     }
+    // SPARK_GRAFT_SCALE_ONLY=q_a,q_b: restrict the query set — used to
+    // push the worst-exponent families an extra octave (×32 ≈ sf3.2)
+    // without paying for the full set at that size (VERDICT r12 #5)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = queries.filter(n => only.forall(_.contains(n)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -211,7 +217,7 @@ object ScaleBench {
         graft.model.Views.trades(spark, dir)
           .write.format("noop").mode("overwrite").save()
         System.err.println(f"[scale] warmup trades x$k ${(System.nanoTime() - tw0) / 1e9}%.1fs")
-        for (name <- queries; pass <- 1 to 3) {
+        for (name <- selected; pass <- 1 to 3) {
           val fn = SparkEntry.queries(name)
           val t0 = System.nanoTime()
           val ok =
@@ -247,7 +253,7 @@ object ScaleBench {
       }
     }
 
-    val perQuery = queries.filter(times.contains).map { name =>
+    val perQuery = selected.filter(times.contains).map { name =>
       val m = times(name).toMap
       val ks = m.keys.toSeq.sorted
       val tJson = ks.map(k => s""""x$k":${fmt(m(k))}""").mkString("{", ",", "}")
@@ -258,14 +264,17 @@ object ScaleBench {
       s""""$name":{"sec":$tJson,"exponent":$e,"ratio_max_over_min":${ratio.getOrElse("null")}}"""
     }.mkString("{", ",", "}")
     val meanE = {
-      val es = queries.flatMap(n => times.get(n).flatMap(m => slope(m.toMap)))
+      val es = selected.flatMap(n => times.get(n).flatMap(m => slope(m.toMap)))
       if (es.isEmpty) "null" else fmt(es.sum / es.size)
     }
     val line =
       s"""{"metric":"scale_curve","unit":"exponent","value":$meanE,"axis":"$axis","scales":${scales.mkString("[", ",", "]")},"src":"$srcDir","steady":"min_of_3","fit":"k>=2","queries":$perQuery}"""
     try {
-      val out = if (axis == "density") "SCALE_CURVE_DENSITY.json"
-                else "SCALE_CURVE.json"
+      // a SCALE_ONLY focus run gets its own artifact so it never
+      // clobbers the full-set curve
+      val base = if (axis == "density") "SCALE_CURVE_DENSITY"
+                 else "SCALE_CURVE"
+      val out = base + (if (only.isDefined) "_FOCUS.json" else ".json")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
     } catch { case e: Throwable => System.err.println(s"[scale] dump: ${e.getMessage}") }
     spark.sparkContext.setLogLevel("OFF"); spark.stop()

@@ -9,8 +9,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * growth unable to silently re-break it. */
 class BenchHeadlineSpec extends AnyFunSuite {
 
-  // worst-case realistic names: long, like q_ledger_resolved_exact
-  private def mkName(i: Int) = f"q_some_quite_long_query_name_$i%03d"
+  // worst-case names: 24 chars, one past the registry's real maximum
+  // (q_ledger_from_logs_full = 23) — "registry names fit the budget"
+  // is itself pinned below, so this synthetic width stays the true
+  // worst case
+  private def mkName(i: Int) = f"q_long_query_name_xx_$i%03d"
+
+  test("registry query names stay within the headline size model") {
+    val tooLong = SparkEntry.queries.keys.filter(_.length > 24)
+    assert(tooLong.isEmpty,
+      s"headline sizing assumes names <= 24 chars; widen BenchHeadlineSpec's " +
+        s"mkName if these are intentional: $tooLong")
+  }
+
+  private def vsbFor(names: Seq[String]): Map[String, Double] =
+    names.map(n => n -> 1.23).toMap
 
   test("headline stays under 1900 chars even at 300 queries") {
     val cold = (0 until 300).map(i => (mkName(i), 100.0 + i, true))
@@ -18,7 +31,8 @@ class BenchHeadlineSpec extends AnyFunSuite {
     val line = Bench.renderHeadline(cold, steady, Nil,
       done = 300, selected = 300, nPasses = 1,
       mvTotal = 1234.567, mvN = 25,
-      mode = "bucketed", sfDir = "/root/testdata/sf0.1")
+      mode = "bucketed", sfDir = "/root/testdata/sf0.1",
+      vsb = vsbFor(steady.map(_._1)))
     assert(line.length < 1900, s"len=${line.length}: $line")
   }
 
@@ -38,20 +52,22 @@ class BenchHeadlineSpec extends AnyFunSuite {
     assert(line.contains(""""steady_worst":{"""))
     assert(line.contains(s""""steady_total":"""))
     // scope markers for cross-round tooling
-    assert(line.contains(""""queries_scope":"top25_plus_failed""""))
+    assert(line.contains(""""queries_scope":"top20_plus_failed""""))
     assert(line.contains(""""steady_scope":"all""""))
   }
 
   test("mass failure stays under 1900 chars with a true failed_n count") {
     // ADVICE r12: ~100 failures used to render unbounded AND twice
     // (a -1 map entry plus a failed[] entry) — the scenario where the
-    // headline matters most. Both sides now cap at HeadlineTopN.
+    // headline matters most. Both sides now cap at FailTopN and
+    // displace success slots from the shared budget.
     val cold = (0 until 150).map(i => (mkName(i), 10.0 + i, i >= 100))
     val steady = (100 until 150).map(i => (mkName(i), 10.0 + i))
     val failed = (0 until 100).map(mkName)
     val line = Bench.renderHeadline(cold, steady, failed,
       done = 150, selected = 150, nPasses = 1,
-      mvTotal = 100.0, mvN = 25, mode = "flat", sfDir = "sf0.1")
+      mvTotal = 100.0, mvN = 25, mode = "flat", sfDir = "sf0.1",
+      vsb = vsbFor(steady.map(_._1)))
     assert(line.length < 1900, s"len=${line.length}: $line")
     assert(line.contains(""""failed_n":100"""), "true count survives the cap")
     // capped populations agree: first-FailTopN failures in both the
@@ -65,10 +81,45 @@ class BenchHeadlineSpec extends AnyFunSuite {
     assert(line.contains(""""completed":150"""))
   }
 
+  test("vs_baseline rides the headline for the steady_worst set + stats") {
+    // VERDICT r12 #1: the per-headline-query ratio (our steady sec /
+    // DuckDB sec on the oracle SQL) plus summary stats over every
+    // ratio'd query; the full map rides BENCH_LOCAL.json
+    val cold = (0 until 40).map(i => (mkName(i), i.toDouble, true))
+    val steady = (0 until 40).map(i => (mkName(i), i.toDouble))
+    val vsb = Map(mkName(39) -> 0.5, mkName(38) -> 2.0, mkName(2) -> 9.0)
+    val line = Bench.renderHeadline(cold, steady, Nil,
+      40, 40, 1, 5.0, 2, "flat", "sf0.1", vsb)
+    // steady_worst members with a ratio appear; non-members don't
+    assert(line.contains(s""""vs_baseline":{"${mkName(39)}":0.50,"${mkName(38)}":2.00}"""))
+    // stats cover ALL ratio'd queries, including the non-headline one
+    assert(line.contains(""""vs_baseline_stats":{"n":3,"median":2.00,"p90":9.00,"max":9.00,"worst":""""))
+    assert(line.contains(s""""worst":"${mkName(2)}""""))
+  }
+
+  test("no baseline file → empty vs_baseline objects, line still parses") {
+    val cold = (0 until 10).map(i => (mkName(i), i.toDouble, true))
+    val line = Bench.renderHeadline(cold, cold.map(c => (c._1, c._2)), Nil,
+      10, 10, 1, 5.0, 2, "flat", "sf0.01")
+    assert(line.contains(""""vs_baseline":{},"vs_baseline_stats":{"n":0}"""))
+  }
+
+  test("baseline parser: sf-mismatch yields empty, matching sf yields times") {
+    val body =
+      """{"engine":"duckdb","sf":"/root/testdata/sf0.1","threads":32,
+        |"times":{"q_a":0.5,"q_b":1.25}}""".stripMargin
+    assert(Bench.parseBaseline(body, "/root/testdata/sf0.1") ==
+      Map("q_a" -> 0.5, "q_b" -> 1.25))
+    assert(Bench.parseBaseline(body, "/root/testdata/sf0.01").isEmpty,
+      "a baseline measured at another sf must not produce ratios")
+    assert(Bench.parseBaseline("""{"no":"times"}""", "x").isEmpty)
+  }
+
   test("headline is valid JSON shape (balanced, parse-spot-checked)") {
     val cold = (0 until 40).map(i => (mkName(i), i * 1.5, true))
     val line = Bench.renderHeadline(cold, cold.map(c => (c._1, c._2)), Nil,
-      40, 40, 1, 5.0, 2, "flat", "sf0.01")
+      40, 40, 1, 5.0, 2, "flat", "sf0.01",
+      vsb = vsbFor(cold.map(_._1)))
     // cheap structural check without a JSON lib: balanced braces/brackets
     assert(line.count(_ == '{') == line.count(_ == '}'))
     assert(line.count(_ == '[') == line.count(_ == ']'))
