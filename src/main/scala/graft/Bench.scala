@@ -92,9 +92,16 @@ object Bench {
         parseBaseline(java.nio.file.Files.readString(p), sfDirV)
       else Map.empty
     } catch { case _: Throwable => Map.empty }
-  private def vsBaseline(steady: Seq[(String, Double)]): Map[String, Double] =
+  /** name -> (our steady sec, DuckDB sec). Kept as the pair so the
+    * stats can separate throughput from Spark's ~0.3-1 s per-query
+    * floor: a 2 ms oracle (a gate whose SQL re-derives constants, or a
+    * dim-sized query) measures the floor, not the engine — `med_sub`
+    * medians only the substantive oracles (DuckDB >= 0.5 s), `sum` is
+    * total wall over total wall. */
+  private def vsBaseline(steady: Seq[(String, Double)])
+      : Map[String, (Double, Double)] =
     steady.flatMap { case (n, s) =>
-      baseline.get(n).map(b => n -> s / b) }.toMap
+      baseline.get(n).map(b => n -> (s, b)) }.toMap
   private def mapJson(rs: Seq[(String, Double, Boolean)]): String =
     rs.map { case (k, v, ok) => s"\"$k\":" + (if (ok) fmt(v) else "-1") }
       .mkString("{", ",", "}")
@@ -124,7 +131,7 @@ object Bench {
       done: Int, selected: Int, nPasses: Int,
       mvTotal: Double, mvN: Int,
       mode: String, sfDir: String,
-      vsb: Map[String, Double] = Map.empty): String = {
+      vsb: Map[String, (Double, Double)] = Map.empty): String = {
     val total = cold.collect { case (_, v, true) => v }.sum
     // cap BOTH sides (ADVICE r12): the first FailTopN failures in run
     // order, and the heaviest successes filling what's left of the
@@ -149,17 +156,30 @@ object Bench {
     // per-HEADLINE-query vs_baseline ratios (the steady_worst set —
     // the full per-query map rides BENCH_LOCAL.json) + summary stats
     // over every ratio'd query; empty objects when no baseline file
+    val ratios = vsb.map { case (n, (s, b)) => n -> s / b }
     val vsShownJson = steadyWorst
-      .flatMap { case (n, _) => vsb.get(n).map(r => s""""$n":${fmt2(r)}""") }
+      .flatMap { case (n, _) => ratios.get(n).map(r => s""""$n":${fmt2(r)}""") }
       .mkString("{", ",", "}")
     val vsStatsJson =
       if (vsb.isEmpty) """{"n":0}"""
       else {
-        val rs = vsb.values.toSeq.sorted
+        val rs = ratios.values.toSeq.sorted
+        def med(xs: Seq[Double]) = xs((xs.size - 1) / 2)
         def pct(p: Double) = rs(math.round(p * (rs.size - 1)).toInt)
-        val worst = vsb.maxBy(_._2)
-        s"""{"n":${rs.size},"median":${fmt2(pct(0.5))},"p90":${fmt2(pct(0.9))},""" +
-          s""""max":${fmt2(rs.last)},"worst":"${worst._1}"}"""
+        val worst = ratios.maxBy(_._2)
+        // sum: total wall / total wall — the throughput aggregate.
+        // med_sub: median ratio over oracles DuckDB itself needs
+        // >= 0.5 s for; below that the ratio measures Spark's fixed
+        // per-query floor (driver+codegen+32-task scheduling), not the
+        // engine (a 2 ms constant-gate oracle vs any Spark query is a
+        // floor measurement by construction).
+        val sum = vsb.values.map(_._1).sum / vsb.values.map(_._2).sum
+        val sub = vsb.collect { case (_, (s, b)) if b >= 0.5 => s / b }
+          .toSeq.sorted
+        val subJson =
+          if (sub.isEmpty) "" else s""""sub_n":${sub.size},"med_sub":${fmt2(med(sub))},"""
+        s"""{"n":${rs.size},"sum":${fmt2(sum)},${subJson}"median":${fmt2(pct(0.5))},""" +
+          s""""p90":${fmt2(pct(0.9))},"max":${fmt2(rs.last)},"worst":"${worst._1}"}"""
       }
     val failedJs = failShown.map(n => s""""$n"""").mkString("[", ",", "]")
     // completed/selected/passes: a SIGTERM'd sweep sums only what
@@ -209,7 +229,8 @@ object Bench {
     // samples — the headline carries only the steady_worst slice
     val vsbFull = vsBaseline(rs.collect { case (k, v, true) => (k, v) })
     val vsbJson = vsbFull.toSeq.sortBy(_._1)
-      .map { case (n, r) => s""""$n":${fmt2(r)}""" }.mkString("{", ",", "}")
+      .map { case (n, (s, b)) => s""""$n":${fmt2(s / b)}""" }
+      .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":${passes.length},"mv_warmup":${mapJson(mvWarmup)},"queries":${mapJson(rs)},$passJson,"failed":${failedJson(rs)},"vs_baseline":$vsbJson,"steady_scope":"all","mode":"$modeV","sf":"$sfDirV"}"""
     try {

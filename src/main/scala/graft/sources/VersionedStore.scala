@@ -215,15 +215,41 @@ object VersionedStore {
     }.reduce(_.unionByName(_))
   }
 
+  /** foreachBatch seam for PARTITIONED tables — [[commitBatch]]'s
+    * recipe on the hierarchical metadata: version = batchId+1, same
+    * divergence guard, and replay idempotency holds for the same
+    * reasons plus one more — pmanifest NAMES embed the version, so a
+    * replayed batch rewrites its own pmanifests (atomic replace) and
+    * republishes an identical list instead of minting new metadata. */
+  def commitBatchPartitioned(df: DataFrame, path: String, partCol: String,
+                             batchId: Long): Int = {
+    require(batchId >= 0 && batchId < Int.MaxValue,
+      s"batchId $batchId outside the supported version range")
+    val v = batchId.toInt + 1
+    val cur = currentVersion(path)
+    require(v == cur + 1 || v == cur,
+      s"batch $batchId would commit version $v but the table at $path is at " +
+        s"version $cur — a reset checkpoint or a concurrent batch writer; " +
+        "refusing to rewrite published history")
+    commitPartitionedAt(df, path, partCol, v, replaceTouched = false)
+  }
+
   private def enc(v: String): String =
     java.net.URLEncoder.encode(v, "UTF-8")
 
   private def commitPartitioned(df: DataFrame, path: String, partCol: String,
-                                replaceTouched: Boolean): Int = {
-    val prev = currentVersion(path)
+                                replaceTouched: Boolean): Int =
+    commitPartitionedAt(df, path, partCol, currentVersion(path) + 1,
+      replaceTouched)
+
+  /** Commit at an EXPLICIT version: carried state derives from v−1
+    * (deterministic, replay-independent), which is what makes the
+    * streaming recommit path idempotent. */
+  private def commitPartitionedAt(df: DataFrame, path: String, partCol: String,
+                                  v: Int, replaceTouched: Boolean): Int = {
+    val prev = v - 1
     require(prev == 0 || mlistFile(path, prev).exists(),
       s"version $prev is a flat commit — a table is flat or partitioned, not both")
-    val v = prev + 1
     val partType = df.schema(partCol).dataType.catalogString
     val commitRel = s"data/commit-$v"
     // partitionBy lays the files out as <commit>/<partCol>=<value>/…;

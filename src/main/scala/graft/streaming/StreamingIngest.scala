@@ -102,4 +102,24 @@ object StreamingIngest {
         graft.sources.VersionedStore.commitBatch(batch.toDF(), path, id): Unit
       }
       .start()
+
+  /** [[sinkVersioned]] onto the HIERARCHICAL store: each micro-batch
+    * appends into its rows' partitions
+    * ([[graft.sources.VersionedStore.commitBatchPartitioned]]) — a
+    * batch touching k partitions writes k per-partition manifests +
+    * one list, everything else carried by reference, so the warehouse
+    * metadata stays O(touched) per batch at month-partitioned 100 TB
+    * scale; the same batch-id versioning makes replays recommit their
+    * own version (the VersionedStoreSpec crash matrix covers both torn
+    * points). */
+  def sinkVersionedPartitioned(stream: DataFrame, path: String,
+                               partCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.VersionedStore.commitBatchPartitioned(batch.toDF(),
+          path, partCol, id): Unit
+      }
+      .start()
 }

@@ -22,8 +22,8 @@ class BenchHeadlineSpec extends AnyFunSuite {
         s"mkName if these are intentional: $tooLong")
   }
 
-  private def vsbFor(names: Seq[String]): Map[String, Double] =
-    names.map(n => n -> 1.23).toMap
+  private def vsbFor(names: Seq[String]): Map[String, (Double, Double)] =
+    names.map(n => n -> ((1.23, 1.0))).toMap
 
   test("headline stays under 1900 chars even at 300 queries") {
     val cold = (0 until 300).map(i => (mkName(i), 100.0 + i, true))
@@ -87,13 +87,19 @@ class BenchHeadlineSpec extends AnyFunSuite {
     // ratio'd query; the full map rides BENCH_LOCAL.json
     val cold = (0 until 40).map(i => (mkName(i), i.toDouble, true))
     val steady = (0 until 40).map(i => (mkName(i), i.toDouble))
-    val vsb = Map(mkName(39) -> 0.5, mkName(38) -> 2.0, mkName(2) -> 9.0)
+    // (ourSec, duckSec): ratios 0.5 / 2.0 / 9.0; only mkName(2)'s
+    // oracle is substantive (>= 0.5 s DuckDB) — med_sub isolates it
+    val vsb = Map(mkName(39) -> ((0.05, 0.1)), mkName(38) -> ((0.2, 0.1)),
+      mkName(2) -> ((9.0, 1.0)))
     val line = Bench.renderHeadline(cold, steady, Nil,
       40, 40, 1, 5.0, 2, "flat", "sf0.1", vsb)
     // steady_worst members with a ratio appear; non-members don't
     assert(line.contains(s""""vs_baseline":{"${mkName(39)}":0.50,"${mkName(38)}":2.00}"""))
-    // stats cover ALL ratio'd queries, including the non-headline one
-    assert(line.contains(""""vs_baseline_stats":{"n":3,"median":2.00,"p90":9.00,"max":9.00,"worst":""""))
+    // stats cover ALL ratio'd queries, including the non-headline one;
+    // sum = (0.05+0.2+9.0)/(0.1+0.1+1.0) = 7.71, med_sub over the one
+    // substantive oracle
+    assert(line.contains(""""vs_baseline_stats":{"n":3,"sum":7.71,"sub_n":1,"med_sub":9.00,"median":2.00,"p90":9.00,"max":9.00,"worst":""""),
+      line)
     assert(line.contains(s""""worst":"${mkName(2)}""""))
   }
 

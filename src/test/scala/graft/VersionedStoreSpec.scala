@@ -286,6 +286,54 @@ class VersionedStoreSpec extends SparkSpec {
       "exactly the referenced pmanifests survive vacuum")
   }
 
+  test("partitioned streaming sink: torn mid-commit crash + replay " +
+    "lands exactly-once state with O(touched) metadata per batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = freshDir()
+    val ckpt = freshDir() + "/ckpt"
+    def withMonth(ms: MemoryStream[Long]) =
+      ms.toDF().withColumnRenamed("value", "id")
+        .withColumn("month", when(col("id") < 10, "1996-01")
+          .otherwise("1996-02"))
+    // batch 0 → v1 over two partitions, then die while batch 1 (one
+    // row, one partition) was mid-commit: its data + pmanifest exist,
+    // the mlist was never renamed
+    val ms1 = MemoryStream[Long]
+    val q1 = graft.streaming.StreamingIngest.sinkVersionedPartitioned(
+      withMonth(ms1), path, "month", ckpt)
+    ms1.addData(1L, 12L); q1.processAllAvailable(); q1.stop()
+    assert(VersionedStore.currentVersion(path) == 1)
+    part(path, "1996-01", 3L).write
+      .parquet(s"$path/data/commit-2/month=1996-01")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/manifests/p-1996-01-v2.pmanifest"),
+      "data/commit-2/month=1996-01/bogus.parquet")
+    assert(VersionedStore.currentVersion(path) == 1,
+      "an unpublished mlist leaves v1 live; orphan pmanifest invisible")
+    // restart: replay batch 1, then a later batch
+    val ms2 = MemoryStream[Long]
+    val q2 = graft.streaming.StreamingIngest.sinkVersionedPartitioned(
+      withMonth(ms2), path, "month", ckpt)
+    ms2.addData(1L, 12L)
+    ms2.addData(3L)
+    q2.processAllAvailable()
+    ms2.addData(14L)
+    q2.processAllAvailable(); q2.stop()
+    assert(VersionedStore.currentVersion(path) == 3)
+    assert(prows(path, 1) == Set((1L, "1996-01"), (12L, "1996-02")))
+    assert(prows(path, 2) == prows(path, 1) + ((3L, "1996-01")),
+      "replayed batch overwrote the torn debris exactly once")
+    assert(prows(path, 3) == prows(path, 2) + ((14L, "1996-02")))
+    // O(touched) held batch to batch: v2 touched only 1996-01, so its
+    // 1996-02 entry is v1's, carried by reference
+    val (m1, m2) = (VersionedStore.readMlist(path, 1),
+      VersionedStore.readMlist(path, 2))
+    assert(m1.parts.find(_.value == "1996-02") ==
+      m2.parts.find(_.value == "1996-02"))
+  }
+
   test("flat and partitioned commits do not mix on one table") {
     import spark.implicits._
     val path = freshDir()
