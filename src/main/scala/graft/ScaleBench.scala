@@ -185,9 +185,17 @@ object ScaleBench {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val selected = queries.filter(n => only.forall(_.contains(n)))
+    // SPARK_GRAFT_SHUFFLE decouples shuffle width from cpu count: on a
+    // real cluster partitions scale with DATA, not cores — a fixed 32
+    // at ×32 data puts ~1.2M fills in one sort partition and the
+    // ledger fold's sortWithinPartitions hits its spill cliff (the ×32
+    // focus-run finding; see PLANS.md r13). The knob measures that
+    // same query with data-proportional width.
+    val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE")
+      .flatMap(_.toIntOption).getOrElse(cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

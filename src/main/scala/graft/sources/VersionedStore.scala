@@ -153,10 +153,15 @@ object VersionedStore {
     * immutable per-partition manifest holding its live files. */
   final case class PartEntry(value: String, pmanifest: String)
   /** A parsed manifest list: the partition column (name + Spark DDL
-    * type, so readers reattach the column losslessly) and one entry
-    * per live partition. */
+    * type, so readers reattach the column losslessly), the optional
+    * per-file STATS column, and one entry per live partition. */
   final case class Mlist(partCol: String, partType: String,
-                         parts: Seq[PartEntry])
+                         parts: Seq[PartEntry],
+                         statsCol: Option[String] = None)
+  /** One pmanifest line: a data file and its optional footer stats
+    * (rowCount, min, max of the declared stats column). */
+  final case class FileEntry(file: String,
+                             stats: Option[(Long, Double, Double)])
 
   /** Parse version `v`'s manifest list. */
   def readMlist(path: String, v: Int): Mlist = {
@@ -165,32 +170,58 @@ object VersionedStore {
       s"version $v does not exist or is not a partitioned commit")
     val lines = Files.readAllLines(mf.toPath).asScala.toSeq.filter(_.nonEmpty)
     val header = lines.head.split("\t", -1)
-    require(header.length == 3 && header(0) == "#part",
+    require((header.length == 3 || header.length == 4) && header(0) == "#part",
       s"malformed manifest list header: ${lines.head}")
     Mlist(header(1), header(2), lines.tail.map { l =>
       val f = l.split("\t", -1); PartEntry(f(0), f(1))
-    })
+    }, if (header.length == 4) Some(header(3)) else None)
   }
 
-  private def readPmanifest(path: String, name: String): Seq[String] =
+  private def readPmanifestLines(path: String, name: String): Seq[String] =
     Files.readAllLines(new File(manifestDir(path), name).toPath)
       .asScala.toSeq.filter(_.nonEmpty)
+
+  /** Parse one pmanifest: `file[\trows\tmin\tmax]` per line — the
+    * stats fields are present when the commit declared a stats column
+    * and the parquet footer carried numeric min/max for it. */
+  def readPmanifestEntries(path: String, name: String): Seq[FileEntry] =
+    readPmanifestLines(path, name).map { l =>
+      val f = l.split("\t", -1)
+      if (f.length >= 4)
+        FileEntry(f(0), Some((f(1).toLong, f(2).toDouble, f(3).toDouble)))
+      else FileEntry(f(0), None)
+    }
+
+  private def readPmanifest(path: String, name: String): Seq[String] =
+    readPmanifestEntries(path, name).map(_.file)
 
   /** Append rows into their partitions as a new version: only the
     * partitions present in `df` get a NEW per-partition manifest
     * (carried files + added files); every untouched partition is
     * carried by reference — the commit writes O(touched partitions)
-    * metadata, not O(table). */
-  def appendPartitioned(df: DataFrame, path: String, partCol: String): Int =
-    commitPartitioned(df, path, partCol, replaceTouched = false)
+    * metadata, not O(table).
+    *
+    * `statsCol` (first commit only; inherited afterwards) declares a
+    * numeric/timestamp column whose per-file min/max land in the
+    * pmanifest, harvested from the parquet FOOTERS the writer already
+    * produced (metadata-only — no data re-read at commit). Readers
+    * then skip whole files at PLANNING time ([[readPartitionsAsOf]]'s
+    * statsRange) — the manifest-level analogue of ClickHouse's
+    * ORDER-BY granule index / Iceberg's file stats: at 100 TB a
+    * time-range query touches the partition's few overlapping files
+    * instead of listing and footer-probing everything. */
+  def appendPartitioned(df: DataFrame, path: String, partCol: String,
+                        statsCol: Option[String] = None): Int =
+    commitPartitioned(df, path, partCol, replaceTouched = false, statsCol)
 
   /** Dynamic-partition overwrite: the partitions present in `df` are
     * REPLACED in the new version, untouched partitions carried by
     * reference — the hot-range rewrite shape (reorg finality) on the
     * versioned store: old versions still resolve the pre-rewrite
     * files until vacuumed. */
-  def overwritePartitions(df: DataFrame, path: String, partCol: String): Int =
-    commitPartitioned(df, path, partCol, replaceTouched = true)
+  def overwritePartitions(df: DataFrame, path: String, partCol: String,
+                          statsCol: Option[String] = None): Int =
+    commitPartitioned(df, path, partCol, replaceTouched = true, statsCol)
 
   /** Read only the partitions `keep` accepts, as of version `v` —
     * planning-level pruning: a rejected partition's per-partition
@@ -203,13 +234,29 @@ object VersionedStore {
     * next refinement is handing Spark a single FileIndex instead of a
     * union — noted, not needed at this metadata scale. */
   def readPartitionsAsOf(spark: SparkSession, path: String, v: Int,
-                         keep: String => Boolean): DataFrame = {
+                         keep: String => Boolean,
+                         statsRange: Option[(Double, Double)] = None)
+      : DataFrame = {
     val ml = readMlist(path, v)
     val selected = ml.parts.filter(p => keep(p.value))
     require(selected.nonEmpty, s"no partition of version $v matches")
-    selected.map { p =>
-      val files = readPmanifest(path, p.pmanifest)
-      spark.read.parquet(files.map(f => s"$path/$f"): _*)
+    // second pruning level: a file whose [min,max] of the table's
+    // stats column cannot intersect [lo,hi] never enters the plan.
+    // Conservative by construction — files without recorded stats
+    // (legacy lines, non-numeric footers) are always kept.
+    val perPart = selected.map { p =>
+      val entries = readPmanifestEntries(path, p.pmanifest)
+      val kept = statsRange match {
+        case Some((lo, hi)) => entries.filter(_.stats.forall {
+          case (_, mn, mx) => mx >= lo && mn <= hi })
+        case None => entries
+      }
+      p -> kept
+    }.filter(_._2.nonEmpty)
+    require(perPart.nonEmpty,
+      s"every file of version $v was pruned by the stats range $statsRange")
+    perPart.map { case (p, entries) =>
+      spark.read.parquet(entries.map(e => s"$path/${e.file}"): _*)
         .withColumn(ml.partCol,
           org.apache.spark.sql.functions.lit(p.value).cast(ml.partType))
     }.reduce(_.unionByName(_))
@@ -222,7 +269,8 @@ object VersionedStore {
     * replayed batch rewrites its own pmanifests (atomic replace) and
     * republishes an identical list instead of minting new metadata. */
   def commitBatchPartitioned(df: DataFrame, path: String, partCol: String,
-                             batchId: Long): Int = {
+                             batchId: Long,
+                             statsCol: Option[String] = None): Int = {
     require(batchId >= 0 && batchId < Int.MaxValue,
       s"batchId $batchId outside the supported version range")
     val v = batchId.toInt + 1
@@ -231,22 +279,25 @@ object VersionedStore {
       s"batch $batchId would commit version $v but the table at $path is at " +
         s"version $cur — a reset checkpoint or a concurrent batch writer; " +
         "refusing to rewrite published history")
-    commitPartitionedAt(df, path, partCol, v, replaceTouched = false)
+    commitPartitionedAt(df, path, partCol, v, replaceTouched = false,
+      statsCol)
   }
 
   private def enc(v: String): String =
     java.net.URLEncoder.encode(v, "UTF-8")
 
   private def commitPartitioned(df: DataFrame, path: String, partCol: String,
-                                replaceTouched: Boolean): Int =
+                                replaceTouched: Boolean,
+                                statsCol: Option[String] = None): Int =
     commitPartitionedAt(df, path, partCol, currentVersion(path) + 1,
-      replaceTouched)
+      replaceTouched, statsCol)
 
   /** Commit at an EXPLICIT version: carried state derives from v−1
     * (deterministic, replay-independent), which is what makes the
     * streaming recommit path idempotent. */
   private def commitPartitionedAt(df: DataFrame, path: String, partCol: String,
-                                  v: Int, replaceTouched: Boolean): Int = {
+                                  v: Int, replaceTouched: Boolean,
+                                  statsCol: Option[String] = None): Int = {
     val prev = v - 1
     require(prev == 0 || mlistFile(path, prev).exists(),
       s"version $prev is a flat commit — a table is flat or partitioned, not both")
@@ -267,34 +318,85 @@ object VersionedStore {
             .map(f => s"$commitRel/${dir.getName}/${f.getName}")
             .toSeq.sorted
         }.toMap
+    val prevMl = if (prev == 0) None else Some(readMlist(path, prev))
     val prevParts: Map[String, PartEntry] =
-      if (prev == 0) Map.empty
-      else readMlist(path, prev).parts.map(p => p.value -> p).toMap
-    val prevPartCol =
-      if (prev == 0) partCol else readMlist(path, prev).partCol
-    require(prevPartCol == partCol,
-      s"table is partitioned by $prevPartCol, not $partCol")
+      prevMl.map(_.parts.map(p => p.value -> p).toMap).getOrElse(Map.empty)
+    for (pm <- prevMl)
+      require(pm.partCol == partCol,
+        s"table is partitioned by ${pm.partCol}, not $partCol")
+    // the stats column is a TABLE property: declared on the first
+    // commit, inherited afterwards (carried lines' stats stay
+    // meaningful only if the column never changes)
+    val effStats = statsCol.orElse(prevMl.flatMap(_.statsCol))
+    for (pm <- prevMl; pc <- pm.statsCol; sc <- statsCol)
+      require(pc == sc, s"stats column cannot change mid-table: $pc -> $sc")
     // pmanifests land BEFORE the list publish: a crash in between
     // leaves them orphaned and invisible, same as data files
     val entries = (prevParts.keySet ++ touched.keySet).toSeq.sorted.map { value =>
       touched.get(value) match {
         case None => prevParts(value) // untouched: carried by reference
         case Some(added) =>
+          // carried LINES verbatim (their stats fields ride along);
+          // added files get footer-harvested stats when declared
           val carried =
             if (replaceTouched) Seq.empty
             else prevParts.get(value).toSeq
-              .flatMap(p => readPmanifest(path, p.pmanifest))
+              .flatMap(p => readPmanifestLines(path, p.pmanifest))
+          val addedLines = added.map { rel =>
+            effStats.flatMap(c => footerStats(new File(path, rel), c)) match {
+              case Some((rows, mn, mx)) => s"$rel\t$rows\t$mn\t$mx"
+              case None => rel
+            }
+          }
           val name = s"p-${enc(value)}-v$v.pmanifest"
           writeAtomic(new File(manifestDir(path), name),
-            (carried ++ added).sorted.mkString("\n"))
+            (carried ++ addedLines).sorted.mkString("\n"))
           PartEntry(value, name)
       }
     }
-    val body = (s"#part\t$partCol\t$partType" +:
+    val header = s"#part\t$partCol\t$partType" +
+      effStats.map(c => s"\t$c").getOrElse("")
+    val body = (header +:
       entries.map(e => s"${e.value}\t${e.pmanifest}")).mkString("\n")
     writeAtomic(mlistFile(path, v), body)
     v
   }
+
+  /** Per-file (rowCount, min, max) of `column`, harvested from the
+    * parquet FOOTER the writer already produced — metadata-only, no
+    * data read. None (= "no stats recorded, always keep the file")
+    * when the column is absent, non-numeric, all-null, or anything
+    * about the footer surprises us: stats can only ever PRUNE, so the
+    * safe failure mode is silence, not a failed commit. */
+  private def footerStats(file: File,
+                          column: String): Option[(Long, Double, Double)] =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toURI),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val chunks = blocks.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == column)
+        def num(v: Any): Option[Double] = v match {
+          case n: java.lang.Number => Some(n.doubleValue)
+          case _ => None
+        }
+        val bounds = chunks.map { c =>
+          val s = c.getStatistics
+          if (s == null || !s.hasNonNullValue) None
+          else for (mn <- num(s.genericGetMin); mx <- num(s.genericGetMax))
+            yield (mn, mx)
+        }
+        if (bounds.isEmpty || bounds.exists(_.isEmpty)) None
+        else {
+          val bs = bounds.flatten
+          Some((rows, bs.map(_._1).min, bs.map(_._2).max))
+        }
+      } finally r.close()
+    } catch { case _: Throwable => None }
 
   private def writeAtomic(target: File, body: String): Unit = {
     target.getParentFile.mkdirs()

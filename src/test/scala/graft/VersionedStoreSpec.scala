@@ -334,6 +334,52 @@ class VersionedStoreSpec extends SparkSpec {
       m2.parts.find(_.value == "1996-02"))
   }
 
+  test("file-level stats pruning: a time-range read skips whole files " +
+    "from the manifest, no footer probing at plan time") {
+    import spark.implicits._
+    val path = freshDir()
+    // one partition, four disjoint-ts files (repartitionByRange +
+    // local sort puts each ts band in its own file, like an hourly
+    // ingest producing time-ordered files)
+    val df = (0L until 4000L).map(i => (i, 1000L + i, "1996-01"))
+      .toDF("id", "ts", "month")
+      .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+    val v1 = VersionedStore.appendPartitioned(df, path, "month",
+      statsCol = Some("ts"))
+    val ml = VersionedStore.readMlist(path, v1)
+    assert(ml.statsCol.contains("ts"), "stats column is a table property")
+    val entries = VersionedStore.readPmanifestEntries(path,
+      ml.parts.head.pmanifest)
+    assert(entries.size == 4 && entries.forall(_.stats.nonEmpty),
+      s"every file carries footer-harvested (rows, min, max): $entries")
+    assert(entries.map(_.stats.get._1).sum == 4000L, "row counts harvested")
+    // a narrow range: only the one file whose [min,max] intersects
+    val pruned = VersionedStore.readPartitionsAsOf(spark, path, v1,
+      _ => true, statsRange = Some((1100.0, 1200.0)))
+    assert(pruned.inputFiles.length == 1,
+      s"3 of 4 files pruned at PLANNING time: ${pruned.inputFiles.toSeq}")
+    assert(pruned.filter(col("ts").between(1100, 1200)).count() == 101,
+      "the surviving file contains the full answer")
+    // inherited on later commits without re-declaring; appended files
+    // get their own stats; carried lines keep theirs
+    val v2 = VersionedStore.appendPartitioned(
+      Seq((9000L, 9000L, "1996-01")).toDF("id", "ts", "month"), path, "month")
+    val e2 = VersionedStore.readPmanifestEntries(path,
+      VersionedStore.readMlist(path, v2).parts.head.pmanifest)
+    assert(e2.size == 5 && e2.forall(_.stats.nonEmpty))
+    // declaring a DIFFERENT stats column mid-table is refused
+    intercept[IllegalArgumentException] {
+      VersionedStore.appendPartitioned(
+        Seq((1L, 1L, "1996-01")).toDF("id", "ts", "month"), path, "month",
+        statsCol = Some("id"))
+    }
+    // conservative on range misses beyond all files
+    intercept[IllegalArgumentException] {
+      VersionedStore.readPartitionsAsOf(spark, path, v1, _ => true,
+        statsRange = Some((999999.0, 999999.5)))
+    }
+  }
+
   test("flat and partitioned commits do not mix on one table") {
     import spark.implicits._
     val path = freshDir()
