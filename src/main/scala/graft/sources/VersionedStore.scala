@@ -283,6 +283,25 @@ object VersionedStore {
       statsCol)
   }
 
+  /** Compact ONE partition's files into `nFiles` as a new version
+    * (logically identical rows; all other partitions carried by
+    * reference) — the background-merge analogue on the hierarchical
+    * store: at 100 TB compaction is per-partition maintenance that
+    * rewrites O(one partition) data and metadata, never the table.
+    * Old versions keep resolving the uncompacted files until vacuum.
+    * Inherited stats are re-harvested for the rewritten files. */
+  def compactPartition(spark: SparkSession, path: String, value: String,
+                       nFiles: Int): Int = {
+    val cur = currentVersion(path)
+    val ml = readMlist(path, cur)
+    require(ml.parts.exists(_.value == value),
+      s"partition $value does not exist in version $cur")
+    val rows = readPartitionsAsOf(spark, path, cur, _ == value)
+      .repartition(nFiles)
+    commitPartitionedAt(rows, path, ml.partCol, cur + 1,
+      replaceTouched = true)
+  }
+
   private def enc(v: String): String =
     java.net.URLEncoder.encode(v, "UTF-8")
 

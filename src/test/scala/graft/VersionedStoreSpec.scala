@@ -380,6 +380,28 @@ class VersionedStoreSpec extends SparkSpec {
     }
   }
 
+  test("per-partition compaction rewrites one partition, carries the rest") {
+    import spark.implicits._
+    val path = freshDir()
+    VersionedStore.appendPartitioned(
+      part(path, "1996-01", 1L to 8L: _*).repartition(8)
+        .unionByName(part(path, "1996-02", 100L)), path, "month")
+    val m1 = VersionedStore.readMlist(path, 1)
+    val before = VersionedStore
+      .readPmanifestEntries(path, m1.parts.find(_.value == "1996-01").get.pmanifest).size
+    assert(before > 1, s"compactable: $before files")
+    val v2 = VersionedStore.compactPartition(spark, path, "1996-01", nFiles = 1)
+    val m2 = VersionedStore.readMlist(path, v2)
+    assert(VersionedStore.readPmanifestEntries(path,
+      m2.parts.find(_.value == "1996-01").get.pmanifest).size == 1)
+    // untouched partition carried by reference; rows identical; old
+    // version still resolves the uncompacted files
+    assert(m2.parts.find(_.value == "1996-02") ==
+      m1.parts.find(_.value == "1996-02"))
+    assert(prows(path, v2) == prows(path, 1), "compaction changes no rows")
+    assert(prows(path, 1).size == 9)
+  }
+
   test("flat and partitioned commits do not mix on one table") {
     import spark.implicits._
     val path = freshDir()
