@@ -34,6 +34,29 @@ object SparkEntry {
     Tables.part(s, d).select(col("p_partkey").cast("long").as("token_id"),
       col("p_brand").as("market"))
 
+  // Month-partitioned manifest-versioned trades table, built once per
+  // (session, sfDir) in two commits split at 1997-01-01 — the driver
+  // fixture behind q_versioned_scan. `ts` is the declared stats column
+  // so the snapshot scan can prune files from manifest (rows,min,max)
+  // at planning. Not a Views MV (it is a TABLE on disk, not a cached
+  // plan); builds under java.io.tmpdir like the spec fixtures.
+  private val versionedDone =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private def versionedTrades(s: SparkSession, d: String): String =
+    versionedDone.computeIfAbsent((s.sparkContext.applicationId, d), _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_vtrades").toFile
+      dir.deleteOnExit()
+      val path = dir.getAbsolutePath
+      val t = trades(s, d)
+        .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+      val cut = lit("1997-01-01").cast("date")
+      graft.sources.VersionedStore.appendPartitioned(
+        t.where(col("ts") < cut), path, "month", statsCol = Some("ts"))
+      graft.sources.VersionedStore.appendPartitioned(
+        t.where(col("ts") >= cut), path, "month")
+      path
+    })
+
   // Shared bucketized quantile bases over wt⋈markets (VERDICT r9 #1):
   // q_trade_quantiles and q_quantile_gate together issue four
   // Rank.groupedQuantiles calls over this one input per pass. Each
@@ -403,6 +426,35 @@ object SparkEntry {
     "q_portfolio_light" -> ((s, d) =>
       Snapshots.portfolioHistoryLight(wt(s, d), lastPrice(s, d))
         .orderBy(col("wallet"), col("day"))),
+
+    // Versioned-store driver surface (§2 #145/#146/#149/#150 promoted
+    // from test-only to a hash-green oracle): trades land in a
+    // month-partitioned manifest-versioned table in two commits split
+    // at 1997-01-01 (built once per session), and the query answers
+    // three questions through the Catalyst-integrated snapshot scan:
+    //   snapshot=1 — per-month profile AS OF version 1: the second
+    //     commit's rows must be invisible (snapshot isolation is what
+    //     the hash actually checks here);
+    //   snapshot=2 — the same profile at version 2 (both commits);
+    //   snapshot=3 — a month + date-range slice of version 2, the
+    //     WHERE clause itself driving partition pruning and file-stats
+    //     pruning inside the planner (no store API parameters).
+    "q_versioned_scan" -> ((s, d) => {
+      val path = versionedTrades(s, d)
+      def profile(v: Int, tag: Int, f: DataFrame => DataFrame) =
+        f(graft.sources.VersionedStore.readIndexed(s, path, v))
+          .groupBy(col("month"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("usd")).cast("double").as("volume"))
+          .select(lit(tag).as("snapshot"), col("month"), col("n"),
+            col("volume"))
+      profile(1, 1, identity)
+        .unionByName(profile(2, 2, identity))
+        .unionByName(profile(2, 3, _.where(col("month") === "1996-03" &&
+          col("ts").between(lit("1996-03-10").cast("date"),
+            lit("1996-03-20").cast("date")))))
+        .orderBy(col("snapshot"), col("month"))
+    }),
 
     "q_reorg_rewrite" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -4420,6 +4472,26 @@ object SparkEntry {
         |    THEN t.usd END), 0) AS DOUBLE) AS "MACHINERY"
         |FROM trades t JOIN customer c ON c.c_custkey = t.taker
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The oracle recomputes each snapshot's contents from the RAW
+    // tables with the same 1997-01-01 commit split, so the hash match
+    // verifies snapshot isolation itself (leg 1 must exclude commit
+    // 2's rows), not just scan parity.
+    "q_versioned_scan" ->
+      s"""WITH $TRADES,
+        |m AS (SELECT strftime(ts, '%Y-%m') AS month, ts, usd FROM trades)
+        |SELECT 1 AS snapshot, month, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(usd) AS DOUBLE) AS volume
+        |FROM m WHERE ts < DATE '1997-01-01' GROUP BY month
+        |UNION ALL
+        |SELECT 2, month, CAST(COUNT(*) AS BIGINT), CAST(SUM(usd) AS DOUBLE)
+        |FROM m GROUP BY month
+        |UNION ALL
+        |SELECT 3, month, CAST(COUNT(*) AS BIGINT), CAST(SUM(usd) AS DOUBLE)
+        |FROM m WHERE month = '1996-03'
+        |  AND ts BETWEEN DATE '1996-03-10' AND DATE '1996-03-20'
+        |GROUP BY month
+        |ORDER BY snapshot, month""".stripMargin,
 
     "q_vwap" ->
       s"""WITH $TRADES

@@ -57,6 +57,10 @@ object VersionedStore {
   private def mlistFile(path: String, v: Int) =
     new File(manifestDir(path), s"v$v.mlist")
 
+  /** Whether version `v` is a flat (non-partitioned) commit. */
+  private[sources] def isFlatVersion(path: String, v: Int): Boolean =
+    manifestFile(path, v).exists()
+
   /** Latest committed version (flat `.manifest` or hierarchical
     * `.mlist` — one version counter); 0 = empty table. */
   def currentVersion(path: String): Int = {
@@ -87,11 +91,36 @@ object VersionedStore {
   def readAsOf(spark: SparkSession, path: String, v: Int): DataFrame =
     if (manifestFile(path, v).exists())
       spark.read.parquet(filesAsOf(path, v).map(f => s"$path/$f"): _*)
-    else readPartitionsAsOf(spark, path, v, _ => true)
+    else readIndexed(spark, path, v)
 
   /** Read the latest version. */
   def read(spark: SparkSession, path: String): DataFrame =
     readAsOf(spark, path, currentVersion(path))
+
+  /** Snapshot read through [[VersionedFileIndex]]: the manifest
+    * metadata becomes a Catalyst [[org.apache.spark.sql.execution
+    * .datasources.FileIndex]], so the snapshot plans as ONE parquet
+    * scan (not a per-partition union) and the query's own WHERE
+    * clause drives partition pruning AND file-stats pruning inside
+    * the planner — no store-specific pruning parameters at the call
+    * site, and whole-stage codegen spans one scan node. This is the
+    * scale path for reads: [[readPartitionsAsOf]] stays as the
+    * explicit-API form (and the two are spec-pinned identical).
+    * Schema comes from one data-file footer (the store already
+    * assumes commit-stable schemas), with the partition column
+    * reattached from the manifest list. */
+  def readIndexed(spark: SparkSession, path: String, v: Int): DataFrame = {
+    val idx = new VersionedFileIndex(spark, path, v)
+    val files = idx.inputFiles
+    require(files.nonEmpty, s"version $v of $path lists no data files")
+    val dataSchema = spark.read.parquet(files.head).schema
+    spark.baseRelationToDataFrame(
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        idx, idx.partitionSchema, dataSchema, None,
+        new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFileFormat(),
+        Map.empty[String, String])(spark))
+  }
 
   /** Append `df` as a new version; returns the committed version. */
   def append(df: DataFrame, path: String): Int = {
@@ -229,10 +258,11 @@ object VersionedStore {
     * N-partition table does O(1) metadata work. Each selected
     * partition becomes its own parquet scan (partition value
     * reattached as a literal column — it is not stored in the data
-    * files); the scans union into one plan, which is exactly how the
-    * work distributes on a cluster. At ~10⁴+ selected partitions the
-    * next refinement is handing Spark a single FileIndex instead of a
-    * union — noted, not needed at this metadata scale. */
+    * files); the scans union into one plan. This is the EXPLICIT-API
+    * form; [[readIndexed]] is the planner-integrated one (a single
+    * scan whose pruning derives from the query's WHERE clause via
+    * [[VersionedFileIndex]]) and is what [[readAsOf]] dispatches to —
+    * the two are spec-pinned row-identical. */
   def readPartitionsAsOf(spark: SparkSession, path: String, v: Int,
                          keep: String => Boolean,
                          statsRange: Option[(Double, Double)] = None)

@@ -402,6 +402,65 @@ class VersionedStoreSpec extends SparkSpec {
     assert(prows(path, 1).size == 9)
   }
 
+  test("fileindex snapshot read: one scan node, parity with the union " +
+    "reader, pinned against later commits") {
+    import spark.implicits._
+    val path = freshDir()
+    VersionedStore.appendPartitioned(
+      part(path, "1996-01", 1L, 2L, 3L)
+        .unionByName(part(path, "1996-02", 10L, 11L)), path, "month")
+    val df = VersionedStore.readIndexed(spark, path, 1)
+    assert(df.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("month"))).toSet == prows(path, 1),
+      "row parity with the union reader")
+    // the union reader plans one scan PER partition; this plans ONE
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.size == 1, s"single scan node, got ${scans.size}")
+    // snapshot isolation at the plan level: the index pins version 1
+    VersionedStore.appendPartitioned(part(path, "1996-01", 99L), path, "month")
+    assert(df.count() == 5, "pinned FileIndex unaffected by later commits")
+    // flat tables read through the same API (empty partition schema)
+    val fpath = freshDir()
+    VersionedStore.append(Seq(1L, 2L).toDF("id"), fpath)
+    assert(VersionedStore.readIndexed(spark, fpath, 1)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("fileindex pruning is driven by the query's own WHERE clause " +
+    "inside the planner: partition AND file-stats levels") {
+    import spark.implicits._
+    val path = freshDir()
+    // 1996-01: four disjoint-ts files with footer stats; 1996-02: one
+    val jan = (0L until 4000L).map(i => (i, 1000L + i, "1996-01"))
+      .toDF("id", "ts", "month")
+      .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+    val feb = Seq((9000L, 99000L, "1996-02")).toDF("id", "ts", "month")
+    VersionedStore.appendPartitioned(jan.unionByName(feb), path, "month",
+      statsCol = Some("ts"))
+    val df = VersionedStore.readIndexed(spark, path, 1)
+    assert(df.inputFiles.length == 5, "five live files before pruning")
+    val q = df.where(col("month") === "1996-01" &&
+      col("ts").between(1100L, 1200L))
+    assert(q.collect().length == 101, "filter answer correct")
+    // the executed scan read ONE file of five: the month predicate
+    // dropped 1996-02 without opening its pmanifest, and the ts range
+    // dropped 3 of Jan's 4 files from their manifest stats — no
+    // readPartitionsAsOf-style API parameters anywhere in the query
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.get
+    assert(scan.metrics("numFiles").value == 1,
+      s"planner-pruned to 1 file, got ${scan.metrics("numFiles").value}")
+    // a data filter the stats can't serve (different column) keeps all
+    // of the selected partition's files — conservative, still correct
+    val q2 = df.where(col("month") === "1996-01" && col("id") < 10L)
+    assert(q2.collect().length == 10)
+    val scan2 = q2.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.get
+    assert(scan2.metrics("numFiles").value == 4,
+      "partition pruning alone: all four Jan files scanned")
+  }
+
   test("flat and partitioned commits do not mix on one table") {
     import spark.implicits._
     val path = freshDir()
