@@ -21,16 +21,23 @@ import scala.jdk.CollectionConverters._
   * untouched by later appends, overwrites, compactions or vacuums of
   * other versions.
   *
-  * Commit protocol (single writer, like the reference's one indexer
-  * process): (1) write the new data files under data/commit-<v>/;
-  * (2) write manifests/v<v>.manifest.tmp; (3) RENAME it to
-  * v<v>.manifest — the one atomic publish. A crash anywhere before
-  * (3) leaves version v−1 live and the orphaned files invisible
-  * (vacuum removes them). Compaction is just a commit whose rows are
+  * Commit protocol (optimistic, one intended writer — the
+  * reference's one indexer process): (1) write the new data files
+  * under an ATTEMPT-UNIQUE data/commit-<v>-<attempt>/; (2) write the
+  * manifest to an attempt-unique tmp; (3) RENAME it to v<v>.manifest
+  * — the one atomic publish, CREATE-EXCLUSIVE outside the
+  * batch-replay seams. A crash anywhere before (3) leaves version
+  * v−1 live and the orphaned files invisible (vacuum removes them);
+  * a retry mints a fresh attempt and never touches the debris. If a
+  * second writer races the same version, attempt-unique paths mean
+  * neither can clobber files the other might publish, and the
+  * exclusive rename makes exactly one the winner — the loser fails
+  * loudly with only invisible debris behind (Iceberg's optimistic
+  * commit, minimal form). Compaction is just a commit whose rows are
   * logically identical; old versions keep reading the uncompacted
   * files until vacuumed.
   *
-  * Layout:  <path>/data/commit-<v>/part-*.parquet   (immutable)
+  * Layout:  <path>/data/commit-<v>-<attempt>/part-*.parquet (immutable)
   *          <path>/manifests/v<v>.manifest          (sorted file list)
   *
   * 100 TB: a flat manifest lists every live file, which works to
@@ -163,7 +170,7 @@ object VersionedStore {
         s"version $cur — a reset checkpoint or a concurrent batch writer; " +
         "refusing to rewrite published history")
     val carried = if (v == 1) Seq.empty else filesAsOf(path, v - 1)
-    commitData(df, path, v, carried)
+    commitData(df, path, v, carried, replayable = true)
   }
 
   /** Rewrite the current version's files into `nFiles` outputs as a
@@ -294,10 +301,12 @@ object VersionedStore {
 
   /** foreachBatch seam for PARTITIONED tables — [[commitBatch]]'s
     * recipe on the hierarchical metadata: version = batchId+1, same
-    * divergence guard, and replay idempotency holds for the same
-    * reasons plus one more — pmanifest NAMES embed the version, so a
-    * replayed batch rewrites its own pmanifests (atomic replace) and
-    * republishes an identical list instead of minting new metadata. */
+    * divergence guard. A replayed batch mints fresh attempt-unique
+    * pmanifests and REPUBLISHES the version's mlist (the one
+    * replace-allowed pointer write, because the version is keyed by
+    * batchId and its content derives deterministically from v−1) —
+    * the earlier attempt's pmanifests and data become unreferenced
+    * debris for vacuum, and table STATE lands exactly-once. */
   def commitBatchPartitioned(df: DataFrame, path: String, partCol: String,
                              batchId: Long,
                              statsCol: Option[String] = None): Int = {
@@ -310,7 +319,7 @@ object VersionedStore {
         s"version $cur — a reset checkpoint or a concurrent batch writer; " +
         "refusing to rewrite published history")
     commitPartitionedAt(df, path, partCol, v, replaceTouched = false,
-      statsCol)
+      statsCol, replayable = true)
   }
 
   /** Compact ONE partition's files into `nFiles` as a new version
@@ -319,7 +328,17 @@ object VersionedStore {
     * store: at 100 TB compaction is per-partition maintenance that
     * rewrites O(one partition) data and metadata, never the table.
     * Old versions keep resolving the uncompacted files until vacuum.
-    * Inherited stats are re-harvested for the rewritten files. */
+    *
+    * When the table declares a stats column, the rewrite CLUSTERS on
+    * it (range-partition + local sort) instead of round-robin
+    * repartitioning: ingest order usually gives time-banded files
+    * whose (min,max) windows are disjoint, and a round-robin rewrite
+    * would hand every output file the full value range — file-stats
+    * pruning (#149) would silently die at the first compaction. A
+    * clustered rewrite keeps the windows disjoint, so a time-range
+    * read stays O(overlapping files) across the table's whole
+    * maintenance lifetime; stats are re-harvested from the new
+    * footers either way. */
   def compactPartition(spark: SparkSession, path: String, value: String,
                        nFiles: Int): Int = {
     val cur = currentVersion(path)
@@ -327,9 +346,117 @@ object VersionedStore {
     require(ml.parts.exists(_.value == value),
       s"partition $value does not exist in version $cur")
     val rows = readPartitionsAsOf(spark, path, cur, _ == value)
-      .repartition(nFiles)
-    commitPartitionedAt(rows, path, ml.partCol, cur + 1,
+    val laid = ml.statsCol match {
+      case Some(c) =>
+        import org.apache.spark.sql.functions.col
+        rows.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c)
+      case None => rows.repartition(nFiles)
+    }
+    commitPartitionedAt(laid, path, ml.partCol, cur + 1,
       replaceTouched = true)
+  }
+
+  /** One commit's audit record, derived entirely from the metadata a
+    * commit already publishes (no extra write-path state): the
+    * version, the manifest's own mtime as the commit time, the form,
+    * which partitions the commit touched (pmanifest names embed their
+    * minting version), and the file-list delta vs the previous
+    * version. `rowsAdded` comes from the added files' harvested stats
+    * lines when the table declares a stats column. */
+  final case class CommitInfo(version: Int, timestampMs: Long, form: String,
+                              partitionsTouched: Seq[String],
+                              filesAdded: Int, filesRemoved: Int,
+                              rowsAdded: Option[Long])
+
+  /** The table's commit history, oldest first — `DESCRIBE HISTORY`
+    * for this store, derived (never stored): audit/debug surface for
+    * "what changed when", and the substrate for [[versionAsOf]]
+    * timestamp travel. Vacuumed versions disappear from history the
+    * same way their snapshots do. */
+  def history(path: String): Seq[CommitInfo] = {
+    val cur = currentVersion(path)
+    (1 to cur).flatMap { v =>
+      val flat = manifestFile(path, v)
+      val ml = mlistFile(path, v)
+      val mf = if (flat.exists()) Some(flat)
+               else if (ml.exists()) Some(ml) else None
+      mf.map { f =>
+        val files = filesAsOf(path, v).toSet
+        val prev =
+          if (v == 1 || (!manifestFile(path, v - 1).exists() &&
+            !mlistFile(path, v - 1).exists())) Set.empty[String]
+          else filesAsOf(path, v - 1).toSet
+        val added = files -- prev
+        val (form, touched, rows) =
+          if (flat.exists()) ("flat", Seq.empty[String], None)
+          else {
+            val m = readMlist(path, v)
+            val mintedHere = s"-v$v-[0-9a-f]+\\.pmanifest$$".r
+            val t = m.parts.filter(p =>
+              mintedHere.findFirstIn(p.pmanifest).nonEmpty)
+            val r = if (m.statsCol.isEmpty) None else Some(
+              t.flatMap(p => readPmanifestEntries(path, p.pmanifest))
+                .filter(e => added.contains(e.file))
+                .flatMap(_.stats.map(_._1)).sum)
+            ("partitioned", t.map(_.value), r)
+          }
+        CommitInfo(v, f.lastModified(), form, touched,
+          added.size, (prev -- files).size, rows)
+      }
+    }
+  }
+
+  /** The rows ADDED in versions (fromV, toV] — the incremental read
+    * an append-only consumer wants ("give me what landed since my
+    * last checkpoint") without replaying the whole table: the scan
+    * covers exactly the file-list delta, so its cost is O(new data)
+    * regardless of table size. Only sound over append-only ranges —
+    * an overwrite/compaction inside the range rewrote history rather
+    * than appending to it, so the delta would mix rewritten copies
+    * with retractions this API cannot express; such ranges are
+    * REFUSED (the caller re-reads a snapshot instead, the same
+    * contract as Delta's startingVersion streaming read). */
+  def readChanges(spark: SparkSession, path: String,
+                  fromV: Int, toV: Int): DataFrame = {
+    require(fromV >= 0 && toV > fromV, s"bad version range ($fromV, $toV]")
+    val h = history(path).filter(c => c.version > fromV && c.version <= toV)
+    require(h.map(_.version).toSet == (fromV + 1 to toV).toSet,
+      s"versions in ($fromV, $toV] are not all retained")
+    val rewrote = h.filter(_.filesRemoved > 0).map(_.version)
+    require(rewrote.isEmpty,
+      s"versions $rewrote overwrote or compacted files — the range is not " +
+        "append-only; read a snapshot instead of a delta")
+    val before = if (fromV == 0) Set.empty[String]
+                 else filesAsOf(path, fromV).toSet
+    val added = filesAsOf(path, toV).filterNot(before)
+    require(added.nonEmpty, s"no files were added in ($fromV, $toV]")
+    if (isFlatVersion(path, toV))
+      spark.read.parquet(added.map(f => s"$path/$f"): _*)
+    else {
+      // reattach each added file's partition value from toV's mlist
+      val ml = readMlist(path, toV)
+      val byPart = ml.parts.flatMap { p =>
+        val files = readPmanifestEntries(path, p.pmanifest).map(_.file)
+          .filter(added.contains)
+        if (files.isEmpty) None else Some((p.value, files))
+      }
+      byPart.map { case (value, files) =>
+        spark.read.parquet(files.map(f => s"$path/$f"): _*)
+          .withColumn(ml.partCol,
+            org.apache.spark.sql.functions.lit(value).cast(ml.partType))
+      }.reduce(_.unionByName(_))
+    }
+  }
+
+  /** The latest version committed at or before `tsMs` — timestamp
+    * time travel: `readAsOf(spark, path, versionAsOf(path, t))` is
+    * the table as the indexer had published it at time t. */
+  def versionAsOf(path: String, tsMs: Long): Int = {
+    val vs = history(path).filter(_.timestampMs <= tsMs)
+    require(vs.nonEmpty,
+      s"no committed version at or before $tsMs (earliest retained: " +
+        s"${history(path).headOption.map(_.timestampMs)})")
+    vs.map(_.version).max
   }
 
   private def enc(v: String): String =
@@ -346,15 +473,21 @@ object VersionedStore {
     * streaming recommit path idempotent. */
   private def commitPartitionedAt(df: DataFrame, path: String, partCol: String,
                                   v: Int, replaceTouched: Boolean,
-                                  statsCol: Option[String] = None): Int = {
+                                  statsCol: Option[String] = None,
+                                  replayable: Boolean = false): Int = {
     val prev = v - 1
     require(prev == 0 || mlistFile(path, prev).exists(),
       s"version $prev is a flat commit — a table is flat or partitioned, not both")
+    if (!replayable)
+      require(!manifestFile(path, v).exists() && !mlistFile(path, v).exists(),
+        s"version $v already published — concurrent writer? (the exclusive " +
+          "mlist rename below is the authoritative check; this is the " +
+          "cheap fail-fast before the data write)")
     val partType = df.schema(partCol).dataType.catalogString
-    val commitRel = s"data/commit-$v"
-    // partitionBy lays the files out as <commit>/<partCol>=<value>/…;
-    // Overwrite clobbers only a torn UNPUBLISHED attempt at this same
-    // version (same argument as commitData)
+    val attempt = attemptId()
+    // attempt-unique dir (same argument as commitData); partitionBy
+    // lays the files out as <commit>/<partCol>=<value>/…
+    val commitRel = s"data/commit-$v-$attempt"
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy(partCol).parquet(s"$path/$commitRel")
     val touched: Map[String, Seq[String]] =
@@ -397,7 +530,10 @@ object VersionedStore {
               case None => rel
             }
           }
-          val name = s"p-${enc(value)}-v$v.pmanifest"
+          // attempt-unique name: racing writers (or a retry over torn
+          // debris) mint disjoint pmanifests, so nothing a published
+          // mlist references can ever be overwritten
+          val name = s"p-${enc(value)}-v$v-$attempt.pmanifest"
           writeAtomic(new File(manifestDir(path), name),
             (carried ++ addedLines).sorted.mkString("\n"))
           PartEntry(value, name)
@@ -407,7 +543,8 @@ object VersionedStore {
       effStats.map(c => s"\t$c").getOrElse("")
     val body = (header +:
       entries.map(e => s"${e.value}\t${e.pmanifest}")).mkString("\n")
-    writeAtomic(mlistFile(path, v), body)
+    // the one contended write: create-exclusive unless a batch replay
+    writeAtomic(mlistFile(path, v), body, replace = replayable)
     v
   }
 
@@ -447,14 +584,45 @@ object VersionedStore {
       } finally r.close()
     } catch { case _: Throwable => None }
 
-  private def writeAtomic(target: File, body: String): Unit = {
+  /** Atomic metadata write. `replace = false` is the optimistic-commit
+    * CAS: the rename is create-exclusive, so of two writers racing to
+    * publish the same version exactly one wins and the loser fails
+    * LOUDLY here (its attempt-unique data files and pmanifests are
+    * already invisible debris for vacuum) instead of silently
+    * rewriting published history. The tmp name is attempt-unique too,
+    * so racers never truncate each other's staging file. */
+  private def writeAtomic(target: File, body: String,
+                          replace: Boolean = true): Unit = {
     target.getParentFile.mkdirs()
-    val tmp = new File(target.getParentFile, target.getName + ".tmp")
+    val tmp = new File(target.getParentFile,
+      target.getName + "." + attemptId() + ".tmp")
     Files.write(tmp.toPath, body.getBytes("UTF-8"))
-    Files.move(tmp.toPath, target.toPath,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    ()
+    try {
+      if (replace)
+        Files.move(tmp.toPath, target.toPath,
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      else
+        // POSIX rename(2) — what ATOMIC_MOVE maps to — silently
+        // replaces, so the exclusive publish uses link(2) instead:
+        // hard-linking the fully-written tmp to the target fails
+        // atomically with EEXIST when someone else already published
+        try { Files.createLink(target.toPath, tmp.toPath); () }
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          throw new java.util.ConcurrentModificationException(
+            s"${target.getName} already published — a concurrent writer won " +
+              "this version; this attempt's files are unreferenced debris " +
+              "(vacuum removes them); re-read the table and retry")
+        }
+    } finally { Files.deleteIfExists(tmp.toPath); () }
   }
+
+  /** Unique per commit attempt — data dirs, pmanifests and staging
+    * files embed it so concurrent attempts (or a retry after a torn
+    * crash) never collide on a path; only the version POINTER
+    * (manifest/mlist) is contended, and [[writeAtomic]]'s exclusive
+    * rename decides that race atomically. */
+  private def attemptId(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
   /** Delete manifests older than the last `keepVersions` and every
     * data file no retained manifest references. Never touches files a
@@ -511,23 +679,29 @@ object VersionedStore {
   }
 
   private def commitData(df: DataFrame, path: String, v: Int,
-                         carriedFiles: Seq[String]): Int = {
-    val commitRel = s"data/commit-$v"
-    // Overwrite: a torn earlier attempt at this same version may have
-    // left data files behind — that version was never PUBLISHED (no
-    // manifest), so clobbering its debris is safe and unblocks retry
+                         carriedFiles: Seq[String],
+                         replayable: Boolean = false): Int = {
+    // attempt-unique dir: a torn earlier attempt at this version (or
+    // a concurrent one) left ITS OWN dir — never clobbered, never
+    // clobbering; unpublished attempts are invisible vacuum debris
+    val commitRel = s"data/commit-$v-${attemptId()}"
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/$commitRel")
     val added = Option(new File(path, commitRel).listFiles())
       .getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
       .map(f => s"$commitRel/${f.getName}").toSeq
-    publishManifest(path, v, (carriedFiles ++ added).sorted)
+    publishManifest(path, v, (carriedFiles ++ added).sorted, replayable)
     v
   }
 
-  /** The atomic publish: full file list to a tmp file, one rename. */
+  /** The atomic publish: full file list to a tmp file, one rename —
+    * create-exclusive unless this is a batch-replay seam (whose
+    * version is keyed by batchId, so republishing IS the idempotency
+    * contract). */
   private def publishManifest(path: String, v: Int,
-                              files: Seq[String]): Unit =
-    writeAtomic(manifestFile(path, v), files.mkString("\n"))
+                              files: Seq[String],
+                              replayable: Boolean = false): Unit =
+    writeAtomic(manifestFile(path, v), files.mkString("\n"),
+      replace = replayable)
 }

@@ -402,6 +402,149 @@ class VersionedStoreSpec extends SparkSpec {
     assert(prows(path, 1).size == 9)
   }
 
+  test("readChanges: the (from, to] delta reads only the added files; " +
+    "non-append ranges are refused") {
+    import spark.implicits._
+    val path = freshDir()
+    VersionedStore.appendPartitioned(part(path, "1996-01", 1L, 2L),
+      path, "month")                                                   // v1
+    VersionedStore.appendPartitioned(part(path, "1996-02", 3L),
+      path, "month")                                                   // v2
+    VersionedStore.appendPartitioned(
+      part(path, "1996-01", 4L).unionByName(part(path, "1996-03", 5L)),
+      path, "month")                                                   // v3
+    val delta = VersionedStore.readChanges(spark, path, 1, 3)
+    assert(delta.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("month"))).toSet ==
+      Set((3L, "1996-02"), (4L, "1996-01"), (5L, "1996-03")),
+      "exactly the rows added after v1, partition values reattached")
+    // O(new data): the delta scan lists only the added files
+    assert(delta.inputFiles.toSet.intersect(
+      VersionedStore.readAsOf(spark, path, 1).inputFiles.toSet).isEmpty,
+      "no v1 file enters the delta scan")
+    // an overwrite inside the range rewrites history — refused
+    VersionedStore.overwritePartitions(part(path, "1996-01", 9L),
+      path, "month")                                                   // v4
+    intercept[IllegalArgumentException] {
+      VersionedStore.readChanges(spark, path, 2, 4)
+    }
+    // flat tables: same API
+    val f = freshDir()
+    VersionedStore.append(Seq(1L).toDF("id"), f)
+    VersionedStore.append(Seq(2L, 3L).toDF("id"), f)
+    assert(VersionedStore.readChanges(spark, f, 1, 2)
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("optimistic publish: racing writers cannot lose an update — one " +
+    "wins the exclusive rename, the loser fails loudly, debris vacuums") {
+    import spark.implicits._
+    val path = freshDir()
+    VersionedStore.appendPartitioned(part(path, "1996-01", 1L), path, "month")
+    // two writers enter append simultaneously; each reads the current
+    // version at entry, writes attempt-unique data, then races the
+    // create-exclusive mlist rename for version 2
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val results = (10 to 11).map { i =>
+      val t = new java.util.concurrent.FutureTask(() => {
+        gate.await()
+        try Right(VersionedStore.appendPartitioned(
+          part(path, "1996-01", i.toLong), path, "month"))
+        catch {
+          // CME from the exclusive rename, IAE from the cheap
+          // fail-fast if the winner published before our data write
+          case e: java.util.ConcurrentModificationException => Left(e)
+          case e: IllegalArgumentException => Left(e)
+        }
+      })
+      new Thread(t).start(); t
+    }.map(_.get())
+    val won = results.collect { case Right(v) => v }
+    val lost = results.collect { case Left(_) => 1 }.size
+    assert(won.nonEmpty, "at least one writer committed")
+    assert(won.size + lost == 2)
+    assert(won.toSet.size == won.size, s"no two commits share a version: $won")
+    // THE invariant: every published version resolves, and every
+    // winner's row is present in the final table — nothing silently
+    // lost or clobbered regardless of who won the race
+    val cur = VersionedStore.currentVersion(path)
+    val finalRows = prows(path, cur)
+    assert(finalRows.contains((1L, "1996-01")))
+    for (v <- won)
+      assert(VersionedStore.readAsOf(spark, path, v).count() >= 2,
+        s"version $v resolves")
+    if (lost == 1) {
+      // the loser's attempt left only unreferenced debris — vacuum
+      // removes it and every retained snapshot still reads
+      VersionedStore.vacuum(path, keepVersions = cur)
+      assert(prows(path, cur) == finalRows, "vacuum never touches live files")
+    } else {
+      // the race serialized cleanly (one writer finished before the
+      // other read the version) — both rows landed
+      assert(finalRows == Set((1L, "1996-01"), (10L, "1996-01"),
+        (11L, "1996-01")))
+    }
+  }
+
+  test("compaction clusters on the stats column so file pruning survives " +
+    "maintenance") {
+    import spark.implicits._
+    val path = freshDir()
+    val df = (0L until 4000L).map(i => (i, 1000L + i, "1996-01"))
+      .toDF("id", "ts", "month")
+      .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+    VersionedStore.appendPartitioned(df, path, "month", statsCol = Some("ts"))
+    val v2 = VersionedStore.compactPartition(spark, path, "1996-01", nFiles = 2)
+    val entries = VersionedStore.readPmanifestEntries(path,
+      VersionedStore.readMlist(path, v2).parts.head.pmanifest)
+    assert(entries.size == 2 && entries.forall(_.stats.nonEmpty),
+      "compacted files re-harvest stats")
+    // the rewrite range-partitioned on ts, so the two files' (min,max)
+    // windows stay disjoint and a narrow range still reads ONE file —
+    // a round-robin rewrite would hand both files the full range and
+    // quietly kill #149's pruning at the first compaction
+    val pruned = VersionedStore.readPartitionsAsOf(spark, path, v2,
+      _ => true, statsRange = Some((1100.0, 1200.0)))
+    assert(pruned.inputFiles.length == 1,
+      s"stats pruning survives compaction: ${entries.map(_.stats)}")
+    assert(VersionedStore.readAsOf(spark, path, v2).count() == 4000)
+    // history: the compaction commit is a full-partition rewrite
+    val h = VersionedStore.history(path)
+    assert(h.map(_.version) == Seq(1, 2))
+    assert(h.head.rowsAdded.contains(4000L) && h.head.filesAdded == 4)
+    assert(h(1).rowsAdded.contains(4000L) && h(1).filesAdded == 2 &&
+      h(1).filesRemoved == 4 && h(1).partitionsTouched == Seq("1996-01"))
+  }
+
+  test("history + versionAsOf: derived commit audit and timestamp travel") {
+    val path = freshDir()
+    VersionedStore.appendPartitioned(part(path, "1996-01", 1L, 2L),
+      path, "month")                                                   // v1
+    Thread.sleep(50)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(50)
+    VersionedStore.appendPartitioned(part(path, "1996-02", 3L),
+      path, "month")                                                   // v2
+    VersionedStore.overwritePartitions(part(path, "1996-01", 9L),
+      path, "month")                                                   // v3
+    val h = VersionedStore.history(path)
+    assert(h.map(_.version) == Seq(1, 2, 3))
+    assert(h.forall(_.form == "partitioned"))
+    assert(h(1).partitionsTouched == Seq("1996-02") &&
+      h(1).filesAdded >= 1 && h(1).filesRemoved == 0,
+      s"append touches only its partition: ${h(1)}")
+    assert(h(2).partitionsTouched == Seq("1996-01") &&
+      h(2).filesRemoved >= 1, s"overwrite removes the old files: ${h(2)}")
+    assert(h.map(_.timestampMs) == h.map(_.timestampMs).sorted)
+    // timestamp travel resolves to the version live at that moment
+    assert(VersionedStore.versionAsOf(path, t1) == 1)
+    assert(VersionedStore.versionAsOf(path,
+      System.currentTimeMillis() + 1000) == 3)
+    intercept[IllegalArgumentException] {
+      VersionedStore.versionAsOf(path, 0L)
+    }
+  }
+
   test("fileindex snapshot read: one scan node, parity with the union " +
     "reader, pinned against later commits") {
     import spark.implicits._
