@@ -2218,18 +2218,29 @@ object SparkEntry {
         LogDecode.decodeOrderFilled(logsOrderFilledUnit(s, d)), _ * 10)
       val aux = LogLedger.tradeEvents(
         LogDecode.decodeOrderFilled(logs), identity)
-      val cond = LogLedger.conditionEvents(
-        LogDecode.decodeConditionEvents(logs))
+      // the position-token registry rides an injected dim (the
+      // formula as fixture data; a deployment swaps in the CTF
+      // registry table) — every leg token below resolves through the
+      // broadcast map join, not inline arithmetic
+      val decCond = LogDecode.decodeConditionEvents(logs)
+      val decLife = LogDecode.decodeConditionLifecycle(logs)
+      val decNr = LogDecode.decodeNegRiskEvents(logs)
+      def condWords(df: DataFrame, hexCol: String) =
+        df.select(LogDecode.wordLong(col(hexCol)).as("condition"))
+      val registry = Some(LogLedger.formulaRegistry(
+        condWords(decCond, "condition_hex")
+          .unionByName(condWords(decLife, "condition_hex"))
+          .unionByName(condWords(decNr.filter(col("kind") === "convert"),
+            "market_hex"))))
+      val cond = LogLedger.conditionEvents(decCond, registry = registry)
       val holders = LogDecode.decodeOrderFilled(logs)
         .select(col("taker").as("wallet"),
           (col("token_id") - LogDecode.TokenIdBase).as("token_id"))
       val res = LogLedger.resolutionEventsPerWallet(
-        LogLedger.resolutionEvents(
-          LogDecode.decodeConditionLifecycle(logs)), holders)
+        LogLedger.resolutionEvents(decLife, registry), holders)
       val xfer = LogLedger.transferEvents(
         LogDecode.decodeTransferSingle(logs))
-      val conv = LogLedger.convertEvents(
-        LogDecode.decodeNegRiskEvents(logs))
+      val conv = LogLedger.convertEvents(decNr, registry)
       val fees = LogLedger.feeEvents(LogDecode.decodeFeeEvents(logs))
       val events = base.unionByName(aux).unionByName(cond).unionByName(res)
         .unionByName(xfer).unionByName(conv).unionByName(fees)

@@ -23,12 +23,17 @@ import org.apache.spark.sql.functions._
   *
   * Position-token registry: the reference resolves (conditionId,
   * indexSet) → ERC1155 position id through the CTF's getPositionId /
-  * its token registry tables. This module's deterministic stand-in is
-  *   positionToken(c, is) = (c − TokenIdBase) + 100000·is
-  * and for NegRisk markets the complementary YES token of a NO token
-  * sits at +50000. Valid while base token ids stay < 50000 (true at
-  * the driver SFs; a real deployment swaps in the registry lookup —
-  * the seam shape is unchanged).
+  * its token registry tables. Every token-producing seam takes an
+  * optional `registry` dim — schema (condition, index_set, token_id
+  * [, yes_token_id]) — that is broadcast-joined as a per-condition
+  * set→token map, so a real deployment injects the CTF registry
+  * table and the mapping is arbitrary (ids of any magnitude; no
+  * arithmetic-range assumption). [[formulaRegistry]] builds the
+  * deterministic stand-in as a dim —
+  *   token(c, is) = (c − TokenIdBase) + 100000·is, YES at +50000
+  * — which is also what the seams fall back to inline when no
+  * registry is passed (fixture convenience; valid while base token
+  * ids stay < 50000, true at the driver SFs).
   *
   * Amount conventions match [[LogDecode.decodedToTrades]]: on-chain
   * 6-decimal integers; event `qty` = amount/1e6 shares, event `usd` =
@@ -56,9 +61,64 @@ object LogLedger {
     lit(null).cast("array<long>").as("leg_tokens2"),
     lit(null).cast("array<double>").as("leg_qtys2"))
 
-  /** (conditionHexWord, indexSet) → position token id. */
+  /** (conditionHexWord, indexSet) → position token id — the inline
+    * formula stand-in (see the registry note above). */
   private def positionToken(conditionHex: Column, indexSet: Column): Column =
     (wordLong(conditionHex) - TokenIdBase) + lit(SlotStride) * indexSet
+
+  // ---------------------------------------------------------------
+  // position-token registry dim
+  // ---------------------------------------------------------------
+
+  /** The deterministic formula as a registry DIM: one row per
+    * (condition word, index set 1..maxSet), token ids by the stand-in
+    * arithmetic, YES complements at +[[YesOffset]]. The test
+    * fixture's dim — a real deployment feeds the seams the CTF
+    * registry table (getPositionId materialized) with this schema
+    * instead: `condition` (raw 32-byte-word value), `index_set`,
+    * `token_id`, optional `yes_token_id`. */
+  def formulaRegistry(conditionWords: DataFrame, maxSet: Int = 2): DataFrame =
+    conditionWords
+      .select(col("condition").cast("long").as("condition"))
+      .where(col("condition").isNotNull).distinct()
+      .select(col("condition"),
+        explode(sequence(lit(1L), lit(maxSet.toLong))).as("index_set"))
+      .select(col("condition"), col("index_set"),
+        (col("condition") - TokenIdBase + lit(SlotStride) * col("index_set"))
+          .as("token_id"))
+      .withColumn("yes_token_id", col("token_id") + YesOffset)
+
+  /** Registry → one row per condition carrying a set→tokens map.
+    * Dim-sized by construction (markets × slot count), so it rides a
+    * broadcast join and array-valued legs look tokens up per element
+    * with no explode/re-group shuffle. */
+  private def tokenMapDim(registry: DataFrame): DataFrame = {
+    val yes = if (registry.columns.contains("yes_token_id"))
+      col("yes_token_id") else lit(null)
+    registry.groupBy(col("condition"))
+      .agg(map_from_entries(collect_list(struct(
+        col("index_set").cast("long"),
+        struct(col("token_id").cast("long").as("no"),
+          yes.cast("long").as("yes"))))).as("__tok_map"))
+  }
+
+  /** Broadcast-attach `__tok_map` keyed by the hex condition/market
+    * word. Left join: a condition missing from the registry keeps a
+    * null map, so its legs surface as nulls downstream (a visible
+    * registry gap) instead of the event silently disappearing. */
+  private def withTokenMap(decoded: DataFrame, condHex: Column,
+                           registry: DataFrame): DataFrame =
+    decoded.join(broadcast(tokenMapDim(registry)),
+      wordLong(condHex) === col("condition"), "left").drop("condition")
+
+  /** Per-element token lookup: registry map when injected, the
+    * formula stand-in otherwise. */
+  private def lookupToken(registry: Option[DataFrame], condHex: Column)
+                         (is: Column): Column = registry match {
+    case Some(_) =>
+      element_at(col("__tok_map"), is.cast("long")).getField("no")
+    case None => positionToken(condHex, is)
+  }
 
   // ---------------------------------------------------------------
   // seams: decoded frames → Ledger.buildEvents rows
@@ -89,11 +149,14 @@ object LogLedger {
     * quantities from the tx's ERC1155 transfers, not the log — this
     * parameter is that injection point; the fixture uses unit lots). */
   def conditionEvents(decoded: DataFrame,
-                      redeemQtyPerLeg: Column = lit(1.0)): DataFrame = {
+                      redeemQtyPerLeg: Column = lit(1.0),
+                      registry: Option[DataFrame] = None): DataFrame = {
     val cPrime = wordLong(col("condition_hex")) - TokenIdBase
     val shares = (col("amount_i") / 1000000L).cast("double")
     val isRedeem = col("kind") === "redeem"
-    decoded.select(Seq(
+    val tok = lookupToken(registry, col("condition_hex")) _
+    registry.fold(decoded)(withTokenMap(decoded, col("condition_hex"), _))
+      .select(Seq(
       col("wallet").cast("long").as("wallet"), col("ts"),
       col("log_index").cast("long").as("seq"),
       cPrime.as("token_id"),
@@ -101,8 +164,7 @@ object LogLedger {
       lit(0.0).as("qty"),
       (col("amount_i") / 100L).cast("double").as("usd"),
       lit(0.0).as("fee"), lit(0L).as("token_id2"),
-      transform(col("index_sets"),
-        is => positionToken(col("condition_hex"), is)).as("leg_tokens"),
+      transform(col("index_sets"), is => tok(is)).as("leg_tokens"),
       when(isRedeem, transform(col("index_sets"), _ => redeemQtyPerLeg))
         .otherwise(transform(col("index_sets"), _ => shares)).as("leg_qtys"),
       lit(null).cast("array<long>").as("leg_tokens2"),
@@ -115,7 +177,8 @@ object LogLedger {
     * Winning slots keep their lots — their payout rides the
     * settlement path, not the wipe. Conditions with no losing slot
     * emit nothing. */
-  def resolutionEvents(decodedLifecycle: DataFrame): DataFrame = {
+  def resolutionEvents(decodedLifecycle: DataFrame,
+                       registry: Option[DataFrame] = None): DataFrame = {
     val cPrime = wordLong(col("condition_hex")) - TokenIdBase
     // greatest(…, 1): sequence(1, 0) is DESCENDING [1, 0] in Spark, so
     // an empty payouts array (a reordered foreign row) must not reach
@@ -123,8 +186,10 @@ object LogLedger {
     val losing = filter(
       sequence(lit(1), greatest(size(col("payouts")), lit(1))),
       i => try_element_at(col("payouts"), i) === 0L)
-    decodedLifecycle
+    val tok = lookupToken(registry, col("condition_hex")) _
+    val filtered = decodedLifecycle
       .filter(col("kind") === "resolve" && size(col("payouts")) > 0)
+    registry.fold(filtered)(withTokenMap(filtered, col("condition_hex"), _))
       .select(Seq(
         col("ts"),
         col("log_index").cast("long").as("seq"),
@@ -132,8 +197,7 @@ object LogLedger {
         lit("resolution").as("kind"),
         lit(0.0).as("qty"), lit(0.0).as("usd"), lit(0.0).as("fee"),
         lit(0L).as("token_id2"),
-        transform(losing,
-          i => cPrime + lit(SlotStride) * i.cast("long")).as("leg_tokens"),
+        transform(losing, i => tok(i)).as("leg_tokens"),
         transform(losing, _ => lit(0.0)).as("leg_qtys"),
         lit(null).cast("array<long>").as("leg_tokens2"),
         lit(null).cast("array<double>").as("leg_qtys2")): _*)
@@ -191,10 +255,15 @@ object LogLedger {
     * mint its YES complement at the same basis. (The multi-question
     * leg-list form is exercised relationally in q_ledger_events /
     * LedgerSpec — the registry stand-in keeps the log path binary.) */
-  def convertEvents(decodedNegRisk: DataFrame): DataFrame = {
-    val noTok = positionToken(col("market_hex"), col("index_set"))
-    decodedNegRisk
-      .filter(col("kind") === "convert")
+  def convertEvents(decodedNegRisk: DataFrame,
+                    registry: Option[DataFrame] = None): DataFrame = {
+    val entry = element_at(col("__tok_map"), col("index_set").cast("long"))
+    val noTok = registry.fold(
+      positionToken(col("market_hex"), col("index_set")))(
+      _ => entry.getField("no"))
+    val yesTok = registry.fold(noTok + YesOffset)(_ => entry.getField("yes"))
+    val converts = decodedNegRisk.filter(col("kind") === "convert")
+    registry.fold(converts)(withTokenMap(converts, col("market_hex"), _))
       .select(Seq(
         col("wallet").cast("long").as("wallet"), col("ts"),
         col("log_index").cast("long").as("seq"),
@@ -202,7 +271,7 @@ object LogLedger {
         lit("convert").as("kind"),
         (col("amount_i") / 1000000L).cast("double").as("qty"),
         lit(0.0).as("usd"), lit(0.0).as("fee"),
-        (noTok + YesOffset).as("token_id2")) ++ noLegs: _*)
+        yesTok.as("token_id2")) ++ noLegs: _*)
   }
 
   /** Decoded FeeModule rows → fee_refund / fee_withdrawal cash events

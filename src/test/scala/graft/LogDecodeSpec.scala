@@ -356,4 +356,66 @@ class LogDecodeSpec extends SparkSpec {
     val folded = graft.operators.Ledger.buildEvents(spark, events)
     assert(folded.count() > 0)
   }
+
+  test("position-token registry dim: arbitrary ids above the formula bound") {
+    import graft.sources.LogLedger
+    // a condition whose base id is far above the 50 000 bound the
+    // arithmetic stand-in needs — the injected dim maps its sets to
+    // handpicked token ids the formula could never produce
+    val baseId = 987654321L
+    val word = LogDecode.TokenIdBase + baseId
+    val ts = lit("2020-01-01 00:00:00").cast("timestamp")
+    val decodedSplit = spark.range(1).select(
+      lit(1L).as("log_index"), ts.as("ts"), lit("split").as("kind"),
+      lit(42L).as("wallet"), LogDecode.toWord(lit(word)).as("condition_hex"),
+      lit(0L).as("collateral"), lit(3000000L).as("amount_i"),
+      array(lit(1L), lit(2L)).as("index_sets"))
+    val registry = spark.range(1).select(
+        lit(word).as("condition"), lit(1L).as("index_set"),
+        lit(70000000001L).as("token_id"), lit(80000000001L).as("yes_token_id"))
+      .unionByName(spark.range(1).select(
+        lit(word).as("condition"), lit(2L).as("index_set"),
+        lit(70000000002L).as("token_id"), lit(80000000002L).as("yes_token_id")))
+    val legs = LogLedger.conditionEvents(decodedSplit, registry = Some(registry))
+      .select(col("leg_tokens")).head.getSeq[Long](0).toList
+    assert(legs == Seq(70000000001L, 70000000002L),
+      s"split legs resolve through the dim, got $legs")
+
+    // convert: NO and YES both come from the dim, not +offset math
+    val decodedConvert = spark.range(1).select(
+      lit(2L).as("log_index"), ts.as("ts"), lit("convert").as("kind"),
+      LogDecode.toWord(lit(word)).as("market_hex"),
+      lit(43L).as("wallet"), lit(2L).as("index_set"),
+      lit(1000000L).as("amount_i"))
+    val conv = LogLedger.convertEvents(decodedConvert, Some(registry))
+      .select(col("token_id"), col("token_id2")).head
+    assert(conv.getLong(0) == 70000000002L && conv.getLong(1) == 80000000002L,
+      s"convert NO/YES resolve through the dim, got $conv")
+
+    // resolution: losing-slot legs look up by slot index
+    val decodedResolve = spark.range(1).select(
+      lit(3L).as("log_index"), ts.as("ts"), lit("resolve").as("kind"),
+      LogDecode.toWord(lit(word)).as("condition_hex"),
+      array(lit(0L), lit(1L)).as("payouts"))
+    val resLegs = LogLedger.resolutionEvents(decodedResolve, Some(registry))
+      .select(col("leg_tokens")).head.getSeq[Long](0).toList
+    assert(resLegs == Seq(70000000001L),
+      s"losing slot 1 resolves through the dim, got $resLegs")
+
+    // the formula-as-dim is exactly the inline formula: seams agree
+    // row-for-row when fed formulaRegistry over the fixture's words
+    val wtTaker = graft.operators.Leaderboard
+      .walletTrades(graft.model.Tables.trades(spark, sf))
+      .filter(col("role") === "taker")
+      .select(col("trade_id"), col("ts"), col("wallet"), col("token_id"),
+        col("usd"))
+    val logs = LogLedger.encodeTopologyLogs(wtTaker)
+    val decCond = LogDecode.decodeConditionEvents(logs)
+    val dim = LogLedger.formulaRegistry(
+      decCond.select(LogDecode.wordLong(col("condition_hex")).as("condition")))
+    val inline = LogLedger.conditionEvents(decCond)
+    val viaDim = LogLedger.conditionEvents(decCond, registry = Some(dim))
+    assert(inline.exceptAll(viaDim).isEmpty && viaDim.exceptAll(inline).isEmpty,
+      "formulaRegistry dim path ≡ inline formula path")
+  }
 }
