@@ -1,0 +1,209 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graft.StreamShim
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** The versioned store as a STRUCTURED STREAMING SOURCE — Delta's
+  * `startingVersion` streaming read, on this store's manifests:
+  *
+  * {{{
+  *   spark.readStream.format("graft-versioned")
+  *     .option("path", table)
+  *     .option("startingVersion", "latest" | "snapshot" | "<n>")
+  *     .load()
+  * }}}
+  *
+  * Offsets ARE table versions (checkpointed as LongOffset), and a
+  * micro-batch (fromV, toV] plans exactly the per-version file-list
+  * deltas — O(new data) regardless of table size, the incremental-
+  * consumer seam ([[VersionedStore.readChanges]]) lifted into the
+  * engine's own replay/checkpoint machinery: downstream dedup/index/
+  * backfill jobs tail the warehouse table with exactly-once batch
+  * delivery instead of managing their own "what landed since my
+  * checkpoint" bookkeeping.
+  *
+  * startingVersion:
+  *  - `latest` (default) — only commits AFTER stream start.
+  *  - `snapshot` — first batch is the full table as of stream start
+  *    (the bootstrap read riding the same checkpoint), then deltas.
+  *  - `<n>` — deltas since version n (exclusive); requires versions
+  *    (n, …] retained and append-only.
+  *
+  * Rewrite versions (compaction / overwrite / dynamic-partition
+  * overwrite: `filesRemoved > 0`) are NOT append-only — their delta
+  * would mix rewritten copies of old rows with retractions a stream
+  * cannot express — so a batch covering one FAILS loudly (Delta's
+  * contract). `skipRewrites=true` opts into skipping those versions
+  * whole: sound for compaction (logically identical rows), and for
+  * overwrites it means the stream intentionally carries only the
+  * append-shaped history (documented under-delivery, the caller's
+  * explicit choice).
+  *
+  * V1 Source (the FileStreamSource API): `getBatch` returns the
+  * batch as a DataFrame built from manifest-listed parquet files, so
+  * the whole read path — schema, pruning, codegen — is the ordinary
+  * parquet scan; the source itself is metadata-only. Partition values
+  * of hierarchical tables are reattached per delta group exactly as
+  * [[VersionedStore.readChanges]] does. */
+class VersionedStreamSource(spark: SparkSession, path: String,
+                            override val schema: StructType,
+                            startVersion: Int, snapshotFirst: Boolean,
+                            skipRewrites: Boolean) extends Source {
+  import VersionedStreamSource.dataSchemaOf
+
+  // the data-file schema (without the reattached partition column)
+  private val dataSchema: StructType = dataSchemaOf(spark, path)
+  private val partCol: Option[(String, String)] = {
+    val v = VersionedStore.currentVersion(path)
+    if (VersionedStore.isFlatVersion(path, v)) None
+    else {
+      val ml = VersionedStore.readMlist(path, v)
+      Some((ml.partCol, ml.partType))
+    }
+  }
+
+  override def getOffset: Option[Offset] = {
+    val v = VersionedStore.currentVersion(path)
+    // nothing to emit yet: before the first commit past the start
+    // point (except snapshot mode, whose first batch is the snapshot)
+    if (v > startVersion || (snapshotFirst && v > 0)) Some(LongOffset(v))
+    else None
+  }
+
+  private def toV(o: Offset): Int = (o match {
+    case LongOffset(l) => l
+    case SerializedOffset(json) => json.trim.toLong
+    case other => other.json().trim.toLong
+  }).toInt
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = toV(end)
+    val fromV = start.map(toV).getOrElse(startVersion)
+    if (start.isEmpty && snapshotFirst) {
+      // bootstrap: the full table as of the first offset, riding the
+      // same checkpoint as the deltas that follow
+      val files = VersionedStore.filesAsOf(path, endV)
+      grouped(endV, files)
+    } else if (endV <= fromV) {
+      StreamShim.emptyStreaming(spark, schema)
+    } else {
+      // per-version walk (not one end-minus-start diff): rewrite
+      // versions must be detected — and skippable — individually
+      val perV = (fromV + 1 to endV).map { v =>
+        val prev = if (v == 1) Set.empty[String]
+                   else VersionedStore.filesAsOf(path, v - 1).toSet
+        val cur = VersionedStore.filesAsOf(path, v).toSet
+        (v, (cur -- prev).toSeq.sorted, (prev -- cur).nonEmpty)
+      }
+      val rewrote = perV.collect { case (v, _, true) => v }
+      if (rewrote.nonEmpty && !skipRewrites)
+        throw new IllegalStateException(
+          s"versions ${rewrote.mkString(",")} of $path rewrote files " +
+            "(compaction/overwrite) — not an append-only range; set " +
+            "skipRewrites=true to stream past them or restart from a snapshot")
+      val added = perV.collect { case (_, add, rw) if !rw => add }.flatten
+      if (added.isEmpty) StreamShim.emptyStreaming(spark, schema)
+      else grouped(endV, added)
+    }
+  }
+
+  /** Build the batch DataFrame: flat tables scan the file list
+    * directly; hierarchical tables group files by partition (resolved
+    * through version `v`'s mlist) and reattach the value as a literal
+    * column, unioned into one streaming plan. */
+  private def grouped(v: Int, files: Seq[String]): DataFrame = {
+    def scan(fs: Seq[String]) =
+      StreamShim.streamingParquet(spark, fs.map(f => s"$path/$f"), dataSchema)
+    partCol match {
+      case None => scan(files)
+      case Some((pc, pt)) =>
+        val ml = VersionedStore.readMlist(path, v)
+        val fileSet = files.toSet
+        val byPart = ml.parts.flatMap { p =>
+          val fs = VersionedStore.readPmanifestEntries(path, p.pmanifest)
+            .map(_.file).filter(fileSet.contains)
+          if (fs.isEmpty) None else Some((p.value, fs))
+        }
+        require(byPart.map(_._2.size).sum == files.size,
+          s"version $v's mlist does not resolve every batch file")
+        byPart.map { case (value, fs) =>
+          scan(fs).withColumn(pc, lit(value).cast(pt))
+        }.reduce(_.unionByName(_))
+    }
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+object VersionedStreamSource {
+  /** The store assumes commit-stable schemas, so one footer is the
+    * schema authority; hierarchical tables append the partition
+    * column (it is not stored in the data files). */
+  private[sources] def dataSchemaOf(spark: SparkSession,
+                                    path: String): StructType = {
+    val v = VersionedStore.currentVersion(path)
+    require(v > 0, s"cannot stream from an empty versioned table: $path")
+    val files = VersionedStore.filesAsOf(path, v)
+    require(files.nonEmpty, s"version $v of $path lists no data files")
+    spark.read.parquet(s"$path/${files.head}").schema
+  }
+
+  private[sources] def fullSchemaOf(spark: SparkSession,
+                                    path: String): StructType = {
+    val v = VersionedStore.currentVersion(path)
+    val data = dataSchemaOf(spark, path)
+    if (VersionedStore.isFlatVersion(path, v)) data
+    else {
+      val ml = VersionedStore.readMlist(path, v)
+      val partType = org.apache.spark.sql.types.DataType
+        .fromDDL(ml.partType)
+      data.add(ml.partCol, partType)
+    }
+  }
+}
+
+/** `format("graft-versioned")` registration (DataSourceRegister via
+  * META-INF/services, like every Spark file format). */
+class VersionedSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-versioned"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-versioned requires .option(\"path\", <table>) or .load(<table>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(), schema.getOrElse(VersionedStreamSource
+      .fullSchemaOf(sqlContext.sparkSession, pathOf(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val starting = parameters.getOrElse("startingVersion", "latest")
+    val cur = VersionedStore.currentVersion(path)
+    val (startV, snap) = starting match {
+      case "latest" => (cur, false)
+      case "snapshot" => (0, true)
+      case n => (n.toInt, false)
+    }
+    require(startV <= cur,
+      s"startingVersion $startV is ahead of the table (version $cur)")
+    new VersionedStreamSource(spark, path,
+      schema.getOrElse(VersionedStreamSource.fullSchemaOf(spark, path)),
+      startV, snap,
+      parameters.getOrElse("skipRewrites", "false").toBoolean)
+  }
+}
