@@ -1296,16 +1296,18 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // scaled-long sums (usd/qty ≤4-decimals-exact); each integer sum
+    // divides back to double BEFORE the vwap ratio so the rounding
+    // stages match the oracle's decimal-sum-then-cast exactly
     "q_vwap" -> ((s, d) =>
       trades(s, d)
         .groupBy(col("token_id"), date_trunc("day", col("ts")).as("day"))
-        .agg(sum(col("usd")).as("usd_sum"),
-          sum(col("qty").cast("decimal(18,4)")).as("qty_sum"),
+        .agg(sum((col("usd") * 10000).cast("long")).as("ui"),
+          sum((col("qty") * 10000).cast("long")).as("qi"),
           count(lit(1)).as("trades"))
         .select(col("token_id"), col("day"),
-          (col("usd_sum").cast("double") / col("qty_sum").cast("double"))
-            .as("vwap"),
-          col("usd_sum").cast("double").as("volume_usd"), col("trades"))
+          ((col("ui") / 10000.0) / (col("qi") / 10000.0)).as("vwap"),
+          (col("ui") / 10000.0).as("volume_usd"), col("trades"))
         .orderBy(col("token_id"), col("day"))),
 
     // ClickHouse groupArray(5)-style ordered collection: each wallet's

@@ -98,23 +98,25 @@ object TextAnalysis {
       .filter(col("gram").isNotNull)
     val counts = exploded.groupBy(col("doc_id"), col("n"), col("gram"))
       .agg(count(lit(1)).as("c"))
-    val per = counts.groupBy(col("doc_id"), col("n"))
-      .agg(sum(col("c")).as("total"), count(lit(1)).as("uniq"),
-        max(col("c")).as("maxc"))
-    def at(n: Int, c: String): Column = max(when(col("n") === n, col(c)))
-    per.groupBy(col("doc_id"))
+    // one aggregation from gram counts to the per-doc report:
+    // total(n) = Σc | n, uniq(n) = Σ1 | n — conditional sums replace
+    // the per-(doc,n) intermediate groupBy (one less exchange; the
+    // gram-count shuffle above is the one that matters at scale)
+    def at(n: Int, c: Column): Column = sum(when(col("n") === n, c))
+    def atMax(n: Int, c: Column): Column = max(when(col("n") === n, c))
+    counts.groupBy(col("doc_id"))
       .agg(
-        at(1, "total").cast("long").as("n_tokens"),
-        (at(1, "uniq").cast("double") / at(1, "total").cast("double"))
+        at(1, col("c")).cast("long").as("n_tokens"),
+        (at(1, lit(1L)).cast("double") / at(1, col("c")).cast("double"))
           .as("distinct_token_ratio"),
-        ((at(2, "total") - at(2, "uniq")).cast("double") /
-          greatest(at(2, "total").cast("double"), lit(1.0)))
+        ((at(2, col("c")) - at(2, lit(1L))).cast("double") /
+          greatest(at(2, col("c")).cast("double"), lit(1.0)))
           .as("dup_bigram_frac"),
-        ((at(3, "total") - at(3, "uniq")).cast("double") /
-          greatest(at(3, "total").cast("double"), lit(1.0)))
+        ((at(3, col("c")) - at(3, lit(1L))).cast("double") /
+          greatest(at(3, col("c")).cast("double"), lit(1.0)))
           .as("dup_trigram_frac"),
-        (at(2, "maxc").cast("double") * 2.0 / at(1, "total").cast("double"))
-          .as("top_bigram_cover"))
+        (atMax(2, col("c")).cast("double") * 2.0 /
+          at(1, col("c")).cast("double")).as("top_bigram_cover"))
   }
 
   /** Corpus-wide token frequency top-k (the Zipf table): one explode,
