@@ -116,17 +116,22 @@ object VersionedStore {
     * Schema comes from one data-file footer (the store already
     * assumes commit-stable schemas), with the partition column
     * reattached from the manifest list. */
-  def readIndexed(spark: SparkSession, path: String, v: Int): DataFrame = {
+  def readIndexed(spark: SparkSession, path: String, v: Int): DataFrame =
+    spark.baseRelationToDataFrame(snapshotRelation(spark, path, v))
+
+  /** The snapshot as a BaseRelation (the [[readIndexed]] body, also
+    * what `spark.read.format("graft-versioned")` serves). */
+  def snapshotRelation(spark: SparkSession, path: String, v: Int)
+      : org.apache.spark.sql.sources.BaseRelation = {
     val idx = new VersionedFileIndex(spark, path, v)
     val files = idx.inputFiles
     require(files.nonEmpty, s"version $v of $path lists no data files")
     val dataSchema = spark.read.parquet(files.head).schema
-    spark.baseRelationToDataFrame(
-      org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-        idx, idx.partitionSchema, dataSchema, None,
-        new org.apache.spark.sql.execution.datasources.parquet
-          .ParquetFileFormat(),
-        Map.empty[String, String])(spark))
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      idx, idx.partitionSchema, dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFileFormat(),
+      Map.empty[String, String])(spark)
   }
 
   /** Append `df` as a new version; returns the committed version. */

@@ -151,6 +151,77 @@ class VersionedStreamSourceSpec extends SparkSpec {
       s"delta rows carry their partition values, got $got")
   }
 
+  test("batch format read: current, versionAsOf, timestampAsOf") {
+    import spark.implicits._
+    val path = freshDir("vss-batch")
+    VersionedStore.append(Seq(1L, 2L).toDF("id"), path)           // v1
+    VersionedStore.append(Seq(3L).toDF("id"), path)               // v2
+    def fmt = spark.read.format("graft-versioned").option("path", path)
+    assert(fmt.load().collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L), "no option = current snapshot")
+    assert(fmt.option("versionAsOf", "1").load()
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "versionAsOf pins the snapshot")
+    // far-future timestamp resolves to the current version (the
+    // at-t precision is pinned in VersionedStoreSpec; manifest mtimes
+    // of back-to-back commits can collide at ms resolution)
+    val tFuture = VersionedStore.history(path).last.timestampMs + 3600000L
+    assert(fmt.option("timestampAsOf", tFuture.toString).load()
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L),
+      "timestampAsOf resolves the version live at t")
+    intercept[IllegalArgumentException] {
+      fmt.option("versionAsOf", "1").option("timestampAsOf", "0").load()
+    }
+    // partitioned tables read through the same format with the
+    // partition column attached (the Catalyst FileIndex underneath)
+    val ppath = freshDir("vss-batch-p")
+    VersionedStore.appendPartitioned(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "p"), ppath, "p")
+    val got = spark.read.format("graft-versioned").option("path", ppath)
+      .load().select("id", "p").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(1L -> "a", 2L -> "b"))
+  }
+
+  test("the warehouse tail drives a downstream incremental consumer") {
+    // the point of #154: a downstream pipeline (here: keep-first
+    // exact dedup over doc hashes, the incremental-ingest shape)
+    // tails the warehouse table and maintains its state with
+    // exactly-once batch delivery — no hand-rolled checkpointing
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val path = freshDir("vss-consume")
+    VersionedStore.append(
+      Seq((1L, "aa"), (2L, "bb")).toDF("id", "text"), path)       // v1
+    val stream = spark.readStream.format("graft-versioned")
+      .option("path", path).option("startingVersion", "0").load()
+    val firstSeen = stream
+      .select(col("text"), col("id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (text: String, rows: Iterator[(String, Long)],
+         state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val id = rows.map(_._2).min
+            state.update(id)
+            Iterator((text, id))
+          }
+      }.toDF("text", "keep_id")
+    val q = firstSeen.writeStream.format("memory").queryName("vss_dedup")
+      .option("checkpointLocation", freshDir("vss-ckpt"))
+      .outputMode("append").start()
+    q.processAllAvailable()
+    VersionedStore.append(
+      Seq((3L, "aa"), (4L, "cc")).toDF("id", "text"), path)       // v2
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT text, keep_id FROM vss_dedup").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set("aa" -> 1L, "bb" -> 2L, "cc" -> 4L),
+      s"duplicate 'aa' in v2 is suppressed by the stateful consumer, got $got")
+  }
+
   test("streamed deltas equal readChanges over the same range") {
     import spark.implicits._
     val path = freshDir("vss-parity")
