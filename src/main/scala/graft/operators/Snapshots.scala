@@ -93,7 +93,9 @@ object Snapshots {
         floor(col("qty_dec").cast("double") * coalesce(col("last_price"), lit(0.0))
           * 1e4).cast("long"))
       .groupBy(col("wallet"), col("day"))
-      .agg(sum(col("cashflow_dec")).as("day_cash"),
+      // cashflow_dec is DECIMAL(18,4): ×1e4 is exact — integer sums
+      // from here on (PLANS r13)
+      .agg(sum((col("cashflow_dec") * 10000).cast("long")).as("day_cash_s"),
            sum(col("value_delta_s")).as("day_value_s"))
 
     runningTotals(perDay)
@@ -116,8 +118,11 @@ object Snapshots {
         floor(col("signed_qty") * coalesce(col("last_price"), lit(0.0)) * 1e4)
           .cast("long"))
       .groupBy(col("wallet"), date_trunc("day", col("ts")).as("day"))
-      .agg(sum(when(col("side") === "sell", col("usd")).otherwise(-col("usd")))
-          .as("day_cash"),
+      // 1e-4-scaled LONG cash sum (usd ≤4-decimals-exact): integer
+      // partial agg, one /1e4 per output row — same exact value as
+      // the decimal sum (PLANS r13)
+      .agg(sum(when(col("side") === "sell", (col("usd") * 10000).cast("long"))
+          .otherwise(-(col("usd") * 10000).cast("long"))).as("day_cash_s"),
         sum(col("value_delta_s")).as("day_value_s"))
 
     runningTotals(perDay)
@@ -127,10 +132,10 @@ object Snapshots {
     val wW = Window.partitionBy(col("wallet")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, 0)
     perDay
-      .withColumn("cum_cashflow", sum(col("day_cash")).over(wW).cast("double"))
+      .withColumn("cum_cashflow", sum(col("day_cash_s")).over(wW) / 10000.0)
       .withColumn("portfolio_value", sum(col("day_value_s")).over(wW) / 10000.0)
       .withColumn("total_value",
-        sum(col("day_cash")).over(wW).cast("double") +
+        sum(col("day_cash_s")).over(wW) / 10000.0 +
           sum(col("day_value_s")).over(wW) / 10000.0)
       .select(col("wallet"), col("day"), col("cum_cashflow"),
         col("portfolio_value"), col("total_value"))

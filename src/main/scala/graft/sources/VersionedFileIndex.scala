@@ -85,14 +85,20 @@ final class VersionedFileIndex(spark: SparkSession, table: String,
         VersionedStore.filesAsOf(table, version).map(status).toArray))
     case Some(ml) =>
       val selected = prunePartitions(ml.parts, partitionFilters)
-      val range = ml.statsCol.map(_ => statsBounds(dataFilters, ml.statsCol.get))
+      // one [lo, hi] window PER declared stats column; a file is
+      // skipped when ANY column's recorded (min, max) cannot
+      // intersect its window. Lines whose bounds don't cover the full
+      // declaration (legacy / statless) are always kept.
+      val windows = ml.statsCols.map(c => statsBounds(dataFilters, c))
       selected.map { p =>
         val entries = VersionedStore.readPmanifestEntries(table, p.pmanifest)
-        val kept = range match {
-          case Some((lo, hi)) => entries.filter(_.stats.forall {
-            case (_, mn, mx) => mx >= lo && mn <= hi })
-          case None => entries
-        }
+        val kept =
+          if (windows.isEmpty) entries
+          else entries.filter { e =>
+            e.bounds.size != windows.size ||
+              e.bounds.zip(windows).forall {
+                case ((mn, mx), (lo, hi)) => mx >= lo && mn <= hi }
+          }
         PartitionDirectory(partValueRow(p.value),
           kept.map(e => status(e.file)).toArray)
       }.filter(_.files.nonEmpty)

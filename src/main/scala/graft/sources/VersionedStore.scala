@@ -195,14 +195,23 @@ object VersionedStore {
   final case class PartEntry(value: String, pmanifest: String)
   /** A parsed manifest list: the partition column (name + Spark DDL
     * type, so readers reattach the column losslessly), the optional
-    * per-file STATS column, and one entry per live partition. */
+    * per-file STATS columns (one or more, comma-joined in the header
+    * — Iceberg-style per-column file stats), and one entry per live
+    * partition. `statsCol` keeps the first declared column as the
+    * single-column view (the clustering / statsRange key). */
   final case class Mlist(partCol: String, partType: String,
                          parts: Seq[PartEntry],
-                         statsCol: Option[String] = None)
-  /** One pmanifest line: a data file and its optional footer stats
-    * (rowCount, min, max of the declared stats column). */
-  final case class FileEntry(file: String,
-                             stats: Option[(Long, Double, Double)])
+                         statsCols: Seq[String] = Nil) {
+    def statsCol: Option[String] = statsCols.headOption
+  }
+  /** One pmanifest line: a data file and its optional footer stats —
+    * rowCount plus (min, max) PER declared stats column, in
+    * declaration order. `stats` keeps the legacy first-column view. */
+  final case class FileEntry(file: String, rows: Option[Long],
+                             bounds: Seq[(Double, Double)]) {
+    def stats: Option[(Long, Double, Double)] =
+      for (r <- rows; (mn, mx) <- bounds.headOption) yield (r, mn, mx)
+  }
 
   /** Parse version `v`'s manifest list. */
   def readMlist(path: String, v: Int): Mlist = {
@@ -215,22 +224,25 @@ object VersionedStore {
       s"malformed manifest list header: ${lines.head}")
     Mlist(header(1), header(2), lines.tail.map { l =>
       val f = l.split("\t", -1); PartEntry(f(0), f(1))
-    }, if (header.length == 4) Some(header(3)) else None)
+    }, if (header.length == 4) header(3).split(",").toSeq else Nil)
   }
 
   private def readPmanifestLines(path: String, name: String): Seq[String] =
     Files.readAllLines(new File(manifestDir(path), name).toPath)
       .asScala.toSeq.filter(_.nonEmpty)
 
-  /** Parse one pmanifest: `file[\trows\tmin\tmax]` per line — the
-    * stats fields are present when the commit declared a stats column
-    * and the parquet footer carried numeric min/max for it. */
+  /** Parse one pmanifest: `file[\trows\tmin1\tmax1[\tmin2\tmax2…]]`
+    * per line — the stats fields are present when the commit declared
+    * stats column(s) and the parquet footer carried numeric min/max
+    * for every one of them (all-or-nothing per line, so bounds align
+    * with the header's declaration order). */
   def readPmanifestEntries(path: String, name: String): Seq[FileEntry] =
     readPmanifestLines(path, name).map { l =>
       val f = l.split("\t", -1)
-      if (f.length >= 4)
-        FileEntry(f(0), Some((f(1).toLong, f(2).toDouble, f(3).toDouble)))
-      else FileEntry(f(0), None)
+      if (f.length >= 4 && f.length % 2 == 0)
+        FileEntry(f(0), Some(f(1).toLong),
+          f.drop(2).grouped(2).map(p => (p(0).toDouble, p(1).toDouble)).toSeq)
+      else FileEntry(f(0), None, Nil)
     }
 
   private def readPmanifest(path: String, name: String): Seq[String] =
@@ -351,11 +363,24 @@ object VersionedStore {
     require(ml.parts.exists(_.value == value),
       s"partition $value does not exist in version $cur")
     val rows = readPartitionsAsOf(spark, path, cur, _ == value)
-    val laid = ml.statsCol match {
-      case Some(c) =>
-        import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.col
+    val laid = ml.statsCols match {
+      case Seq(c) =>
         rows.repartitionByRange(nFiles, col(c)).sortWithinPartitions(c)
-      case None => rows.repartition(nFiles)
+      case a +: b +: _ =>
+        // two or more stats columns: cluster the rewrite on the
+        // MORTON interleave of the first two, so each output file
+        // covers a bounded window in BOTH dimensions and the
+        // per-column manifest stats prune on either predicate — a
+        // single-key sort would keep only its own column's windows
+        // narrow (Delta's OPTIMIZE ZORDER BY, manifest-stats form)
+        val z = graft.functions.ZOrder.z_order(
+          col(a).cast("long"), col(b).cast("long"))
+        rows.withColumn("__z", z)
+          .repartitionByRange(nFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      case _ => rows.repartition(nFiles)
     }
     commitPartitionedAt(laid, path, ml.partCol, cur + 1,
       replaceTouched = true)
@@ -399,10 +424,10 @@ object VersionedStore {
             val mintedHere = s"-v$v-[0-9a-f]+\\.pmanifest$$".r
             val t = m.parts.filter(p =>
               mintedHere.findFirstIn(p.pmanifest).nonEmpty)
-            val r = if (m.statsCol.isEmpty) None else Some(
+            val r = if (m.statsCols.isEmpty) None else Some(
               t.flatMap(p => readPmanifestEntries(path, p.pmanifest))
                 .filter(e => added.contains(e.file))
-                .flatMap(_.stats.map(_._1)).sum)
+                .flatMap(_.rows).sum)
             ("partitioned", t.map(_.value), r)
           }
         CommitInfo(v, f.lastModified(), form, touched,
@@ -511,12 +536,16 @@ object VersionedStore {
     for (pm <- prevMl)
       require(pm.partCol == partCol,
         s"table is partitioned by ${pm.partCol}, not $partCol")
-    // the stats column is a TABLE property: declared on the first
-    // commit, inherited afterwards (carried lines' stats stay
-    // meaningful only if the column never changes)
-    val effStats = statsCol.orElse(prevMl.flatMap(_.statsCol))
-    for (pm <- prevMl; pc <- pm.statsCol; sc <- statsCol)
-      require(pc == sc, s"stats column cannot change mid-table: $pc -> $sc")
+    // the stats column LIST is a TABLE property: declared on the
+    // first commit (comma-joined for more than one — per-column file
+    // stats, Iceberg shape), inherited afterwards (carried lines'
+    // stats stay meaningful only if the list never changes)
+    val declared = statsCol.map(_.split(",").toSeq).getOrElse(Nil)
+    val inherited = prevMl.map(_.statsCols).getOrElse(Nil)
+    val effStats = if (declared.nonEmpty) declared else inherited
+    if (declared.nonEmpty && inherited.nonEmpty)
+      require(declared == inherited,
+        s"stats columns cannot change mid-table: $inherited -> $declared")
     // pmanifests land BEFORE the list publish: a crash in between
     // leaves them orphaned and invisible, same as data files
     val entries = (prevParts.keySet ++ touched.keySet).toSeq.sorted.map { value =>
@@ -530,10 +559,14 @@ object VersionedStore {
             else prevParts.get(value).toSeq
               .flatMap(p => readPmanifestLines(path, p.pmanifest))
           val addedLines = added.map { rel =>
-            effStats.flatMap(c => footerStats(new File(path, rel), c)) match {
-              case Some((rows, mn, mx)) => s"$rel\t$rows\t$mn\t$mx"
-              case None => rel
-            }
+            // all-or-nothing per line: bounds must cover EVERY
+            // declared column or the line stays bare (conservative)
+            val per = effStats.map(c => footerStats(new File(path, rel), c))
+            if (per.nonEmpty && per.forall(_.isDefined)) {
+              val rows = per.head.get._1
+              val bounds = per.flatten.map { case (_, mn, mx) => s"$mn\t$mx" }
+              s"$rel\t$rows\t${bounds.mkString("\t")}"
+            } else rel
           }
           // attempt-unique name: racing writers (or a retry over torn
           // debris) mint disjoint pmanifests, so nothing a published
@@ -545,7 +578,7 @@ object VersionedStore {
       }
     }
     val header = s"#part\t$partCol\t$partType" +
-      effStats.map(c => s"\t$c").getOrElse("")
+      (if (effStats.isEmpty) "" else s"\t${effStats.mkString(",")}")
     val body = (header +:
       entries.map(e => s"${e.value}\t${e.pmanifest}")).mkString("\n")
     // the one contended write: create-exclusive unless a batch replay

@@ -612,4 +612,47 @@ class VersionedStoreSpec extends SparkSpec {
       VersionedStore.appendPartitioned(part(path, "1996-01", 2L), path, "month")
     }
   }
+
+  test("multi-column file stats + z-order compaction: predicates on " +
+    "EITHER column prune files after the rewrite") {
+    import spark.implicits._
+    val path = freshDir()
+    // x banded by ingest order, y scattered (y = x*17 mod 64): raw
+    // files have narrow x windows but near-full y windows
+    val rows = (0L until 64L).map(i => (i, (i * 17) % 64, "p"))
+      .toDF("x", "y", "month")
+      .repartitionByRange(4, col("x")).sortWithinPartitions("x")
+    val v1 = VersionedStore.appendPartitioned(rows, path, "month",
+      statsCol = Some("x,y"))
+    val ml = VersionedStore.readMlist(path, v1)
+    assert(ml.statsCols == Seq("x", "y"), "comma-declared column list")
+    val e1 = VersionedStore.readPmanifestEntries(path, ml.parts.head.pmanifest)
+    assert(e1.size == 4 && e1.forall(_.bounds.size == 2),
+      s"every file carries (min, max) PER column: $e1")
+    def filesFor(pred: org.apache.spark.sql.Column): Long = {
+      val q = VersionedStore.read(spark, path).where(pred)
+      q.collect()
+      q.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get.metrics("numFiles").value
+    }
+    // pre-compaction: x prunes (banded), y cannot (scattered windows)
+    assert(filesFor(col("month") === "p" && col("x") <= 15) == 1L,
+      "x-banded ingest: narrow x range reads 1 of 4 files")
+    assert(filesFor(col("month") === "p" && col("y") <= 15) == 4L,
+      "scattered y: every file's y window intersects — no pruning")
+    // z-order compaction: each output file bounded in BOTH dimensions
+    VersionedStore.compactPartition(spark, path, "p", nFiles = 4)
+    val e2 = VersionedStore.readPmanifestEntries(path,
+      VersionedStore.readMlist(path, VersionedStore.currentVersion(path))
+        .parts.head.pmanifest)
+    assert(e2.size == 4 && e2.forall(_.bounds.size == 2),
+      "stats re-harvested per column after the rewrite")
+    val xFiles = filesFor(col("month") === "p" && col("x") <= 15)
+    val yFiles = filesFor(col("month") === "p" && col("y") <= 15)
+    assert(xFiles < 4L && yFiles < 4L,
+      s"morton clustering bounds BOTH windows: x->$xFiles files, y->$yFiles")
+    assert(VersionedStore.read(spark, path)
+      .where(col("y") <= 15).count() == 16, "pruned read is still exact")
+  }
 }
