@@ -2187,8 +2187,10 @@ object SparkEntry {
           (col("first_payout") * 10000.0 / col("payout_denominator"))
             .as("payout"))
       val open = ledgerOpenFromLogs(s, d)
-      Ledger.resolveOpen(open, resolutions)
-        .filter(col("event_type") === "redeem")
+      // settlements() directly: resolveOpen's union branch would be
+      // filtered straight back out (event_type === redeem), and the
+      // cached fold is big enough that the saved scan shows up
+      Ledger.settlements(open, resolutions)
         .select(col("wallet"), col("token_id"),
           (-col("qty")).cast("long").as("open_qty"),
           col("usd_delta").cast("long").as("payout_i"),

@@ -388,8 +388,14 @@ object Ledger {
   /** Settlement over an already-built (usually cached) open-rows fold
     * output: resolved `"_open"` rows become "redeem" rows, unresolved
     * ones are dropped, trade rows pass through. */
-  def resolveOpen(rows: DataFrame, resolutions: DataFrame): DataFrame = {
-    val settlements = rows.filter(col("event_type") === "_open")
+  /** Only the settlement rows resolution produces — the broadcast
+    * join of open lots against per-token payouts. A consumer that
+    * wants JUST the redemption rows (q_ledger_from_logs) calls this
+    * directly and skips [[resolveOpen]]'s union branch, whose
+    * non-open rows it would filter straight back out (one full scan
+    * of the cached fold saved). */
+  def settlements(rows: DataFrame, resolutions: DataFrame): DataFrame =
+    rows.filter(col("event_type") === "_open")
       .join(broadcast(resolutions.select(col("token_id"), col("payout"))),
         Seq("token_id"))
       .select(col("wallet"), col("ts"), col("seq"), col("token_id"),
@@ -399,9 +405,10 @@ object Ledger {
         col("cost_basis"),
         (col("qty") * col("payout") - col("cost_basis")).as("realized_pnl"),
         lit(0.0).as("fee"))
+
+  def resolveOpen(rows: DataFrame, resolutions: DataFrame): DataFrame =
     rows.filter(col("event_type") =!= "_open")
-      .unionByName(settlements)
-  }
+      .unionByName(settlements(rows, resolutions))
 
   /** Distributed ledger build over a generalized event stream:
     * columns (wallet, ts, seq, token_id, kind, qty, usd[, fee]
