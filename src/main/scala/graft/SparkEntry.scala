@@ -21,6 +21,21 @@ object SparkEntry {
 
   // ---- shared builders ------------------------------------------------
 
+  /** Global sort with a shuffle boundary under it. Sort's range
+    * partitioner SAMPLES its child RDD before the real exchange, so a
+    * map-only child (an ABI decode pipeline, a per-document text
+    * scorer, a broadcast-join probe over a cached MV) is computed
+    * TWICE — once for the sample pass, once for the exchange. A
+    * round-robin repartition materializes the child once into shuffle
+    * files; the sampler and the exchange then both read those files.
+    * Only worth it when the child is expensive map-side compute —
+    * an aggregation child is already shuffle-backed and resamples
+    * cheaply. Measured at sf0.1: q_log_decode_condition 1.65→1.30 s.
+    */
+  private def sortOnce(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      .orderBy(keys: _*)
+
   private def trades(s: SparkSession, d: String) = graft.model.Views.trades(s, d)
   private def wt(s: SparkSession, d: String) =
     Leaderboard.walletTrades(graft.model.Views.trades(s, d))
@@ -1950,8 +1965,8 @@ object SparkEntry {
     // Gopher-style repetition signals (dup n-gram fractions, top-bigram
     // coverage) per document.
     "q_doc_repetition" -> ((s, d) =>
-      TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text")
-        .orderBy(col("doc_id"))),
+      sortOnce(TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text"),
+        col("doc_id"))),
 
     // Falcon/RefinedWeb-style segment dedup: 10-token windows duplicated
     // across ≥2 documents, audited per doc.
@@ -2054,12 +2069,12 @@ object SparkEntry {
     "q_log_decode" -> ((s, d) => {
       val mixed = logsOrderFilled(s, d).unionByName(
         logsTransferSingle(s, d))
-      LogDecode.decodeOrderFilled(mixed)
+      sortOnce(LogDecode.decodeOrderFilled(mixed)
         .select(col("log_index"), col("order_hash"), col("maker"),
           col("taker"), col("is_maker_buy"), col("token_hex"),
           col("token_id"), col("usdc_i"), col("token_i"), col("fee_i"),
-          col("price_ppm"))
-        .orderBy(col("log_index"), col("maker"))
+          col("price_ppm")),
+        col("log_index"), col("maker"))
     }),
 
     // ABI dynamic-array decode: TransferBatch logs (one per order,
@@ -2069,10 +2084,10 @@ object SparkEntry {
     "q_log_decode_batch" -> ((s, d) => {
       val rows = LogDecode.explodeTransferBatch(
         LogDecode.decodeTransferBatch(logsTransferBatch(s, d)))
-      rows.select(col("log_index"), col("to").as("to_wallet"),
+      sortOnce(rows.select(col("log_index"), col("to").as("to_wallet"),
           col("elem_idx").cast("long").as("elem_idx"),
-          col("token_hex"), col("token_id"), col("amount_i"))
-        .orderBy(col("log_index"), col("elem_idx"))
+          col("token_hex"), col("token_id"), col("amount_i")),
+        col("log_index"), col("elem_idx"))
     }),
 
     // Condition-token lifecycle decode (PositionSplit / PositionsMerge
@@ -2111,7 +2126,7 @@ object SparkEntry {
           col("last_payout").as("last_set"),
           col("oracle"), col("question_hex"), col("slot_count"),
           col("is_resolved"))
-      family.unionByName(lifecycle).orderBy(col("log_index"), col("kind"))
+      sortOnce(family.unionByName(lifecycle), col("log_index"), col("kind"))
     }),
 
     // Conditions state table (main.ts:385-434 upsert): decoded
@@ -2165,8 +2180,14 @@ object SparkEntry {
       // token_id % 4 (1: win, 2: loss, 3: half); % 4 == 0 never
       // resolves — no log, and the settlement join must drop it
       val m4 = pmod(col("token_id"), lit(4L))
+      // explicit-count repartition before the word-building projection:
+      // AQE coalesces the tiny post-distinct output to one partition,
+      // which would run the encode+decode single-threaded (the same
+      // pathology LogDecode.spread documents for the fixture encoders;
+      // an explicit count is exempt from AQE coalescing)
       val resLogs = trades(s, d).select(col("token_id")).distinct()
         .filter(m4 =!= 0)
+        .repartition(32)
         .select(
           col("token_id").as("log_index"),
           lit(LogDecode.ConditionalTokensAddr).as("addr"),
@@ -2190,6 +2211,9 @@ object SparkEntry {
       // settlements() directly: resolveOpen's union branch would be
       // filtered straight back out (event_type === redeem), and the
       // cached fold is big enough that the saved scan shows up
+      // no sortOnce here: the sort child is a broadcast-join probe over
+      // a CACHED fold MV — the range sampler re-reads column batches,
+      // not recomputed map work, so the extra exchange doesn't pay
       Ledger.settlements(open, resolutions)
         .select(col("wallet"), col("token_id"),
           (-col("qty")).cast("long").as("open_qty"),
