@@ -188,6 +188,172 @@ object VersionedStore {
       Seq.empty)
   }
 
+  // ---- row-level operations (copy-on-write) --------------------------
+
+  /** Delete the rows matching `predicate` as a new version, rewriting
+    * ONLY the data files that contain at least one match — every other
+    * file is carried into the new manifest by reference (Delta's
+    * DELETE in its copy-on-write form). Old versions still read the
+    * pre-delete rows until vacuumed.
+    *
+    * Two scans, both file-bounded: (1) a find-matches scan whose
+    * predicate is pushed to the parquet reader (row-group stats skip
+    * non-matching files wholesale), collecting the DISTINCT file names
+    * that contain matches — driver state is O(#files), never O(rows);
+    * (2) a rewrite scan over only those files. At 100 TB a delete
+    * whose predicate touches one time band rewrites that band's few
+    * files and carries the rest — O(matching data), not O(table).
+    *
+    * Delete semantics are WHERE-true: rows where the predicate is
+    * false OR NULL are kept. A predicate matching nothing is a no-op
+    * that mints no version (returns the current one). */
+  def delete(spark: SparkSession, path: String,
+             predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val cur = flatCurrent(path, "delete")
+    val touched = touchedFiles(spark, path, cur,
+      _.filter(predicate))
+    if (touched.isEmpty) cur
+    else {
+      val survivors = readFiles(spark, path, touched)
+        .filter(not(coalesce(predicate, lit(false))))
+      commitRewrite(spark, survivors, path, cur, touched)
+    }
+  }
+
+  /** Upsert `updates` by `keys` as a new version: rows whose key
+    * matches an update are REPLACED by the update row, unmatched
+    * update rows are inserted, and only the data files containing a
+    * matched key are rewritten — the rest carried by reference
+    * (Delta's MERGE, specialized to whenMatched-update-all /
+    * whenNotMatched-insert-all: the ReplacingMergeTree keep-latest
+    * upsert as a table operation instead of a read-time dedup).
+    *
+    * The find-matches pass is a semi-join of the snapshot against the
+    * update keys — Spark broadcasts the key set when it is small (the
+    * common dim-table refresh), so the probe is one map-side pass
+    * whose matched-file set bounds the rewrite. Rows with a NULL key
+    * never match (SQL join semantics) and are therefore inserted, not
+    * replaced. `updates` must carry exactly the table's columns. */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+            keys: Seq[String]): Int = {
+    val cur = flatCurrent(path, "merge")
+    val table = readAsOf(spark, path, cur)
+    require(updates.columns.toSet == table.columns.toSet,
+      s"merge schema mismatch: table has ${table.columns.sorted.mkString(",")}" +
+        s" but updates carry ${updates.columns.sorted.mkString(",")}")
+    require(keys.nonEmpty && keys.forall(updates.columns.contains),
+      s"merge keys $keys must be update columns")
+    val keyRows = updates.select(keys.map(org.apache.spark.sql.functions.col): _*)
+      .distinct()
+    require(keyRows.count() == updates.count(),
+      "updates carry duplicate keys — which row wins would be nondeterministic")
+    val touched = touchedFiles(spark, path, cur,
+      _.join(keyRows, keys, "left_semi"))
+    val aligned = updates.select(table.columns.map(
+      org.apache.spark.sql.functions.col): _*)
+    // no file holds a matched key -> a pure insert: append the update
+    // rows, carry every existing file
+    val rewritten =
+      if (touched.isEmpty) aligned
+      else readFiles(spark, path, touched)
+        .join(keyRows, keys, "left_anti")
+        .unionByName(aligned)
+    commitRewrite(spark, rewritten, path, cur, touched)
+  }
+
+  /** [[delete]] on a HIERARCHICAL table, still at FILE granularity:
+    * the find-matches scan runs through [[readIndexed]], so a
+    * predicate on the partition column prunes whole partitions and a
+    * predicate on a stats column prunes whole files before any data
+    * is read; only the files that actually contain matches are
+    * rewritten, within their partitions. Untouched partitions are
+    * carried by reference as ever (O(touched) metadata); a touched
+    * partition's pmanifest is re-minted with its untouched lines
+    * (stats riding along) plus the rewrite's new files. A partition
+    * whose every row is deleted disappears from the new manifest
+    * list. */
+  def deletePartitioned(spark: SparkSession, path: String,
+                        predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val cur = currentVersion(path)
+    require(cur > 0, s"cannot delete: no committed version at $path")
+    require(!isFlatVersion(path, cur),
+      s"version $cur is flat — use delete()")
+    val ml = readMlist(path, cur)
+    // basename -> (partition value, table-relative file)
+    val byBase: Map[String, (String, String)] = ml.parts.flatMap { p =>
+      readPmanifestEntries(path, p.pmanifest).map(e =>
+        e.file.substring(e.file.lastIndexOf('/') + 1) -> ((p.value, e.file)))
+    }.toMap
+    import org.apache.spark.sql.functions.input_file_name
+    val hit = readIndexed(spark, path, cur).filter(predicate)
+      .select(input_file_name().as("__f")).distinct()
+      .collect().map(_.getString(0))
+    val touched: Seq[(String, String)] = hit.map { uri =>
+      val base = uri.substring(uri.lastIndexOf('/') + 1)
+      byBase.getOrElse(base,
+        sys.error(s"scanned file $base not in version $cur's manifests"))
+    }.toSeq.sortBy(_._2)
+    if (touched.isEmpty) cur
+    else {
+      // survivors read file-bounded, partition value reattached so the
+      // commit can lay them back out by partition
+      // partition column reattached BEFORE the filter (the predicate
+      // may reference it; data files do not store it), so the commit
+      // can lay survivors back out by partition
+      val survivors = touched.groupBy(_._1).map { case (value, fs) =>
+        readFiles(spark, path, fs.map(_._2))
+          .withColumn(ml.partCol, lit(value).cast(ml.partType))
+          .filter(not(coalesce(predicate, lit(false))))
+      }.reduce(_.unionByName(_))
+      commitPartitionedAt(survivors, path, ml.partCol, cur + 1,
+        replaceTouched = false, removedFiles = touched.map(_._2).toSet)
+    }
+  }
+
+  private def flatCurrent(path: String, op: String): Int = {
+    val cur = currentVersion(path)
+    require(cur > 0, s"cannot $op: no committed version at $path")
+    require(isFlatVersion(path, cur),
+      s"row-level $op targets flat tables; partitioned tables rewrite at " +
+        "partition granularity via overwritePartitions")
+    cur
+  }
+
+  /** The table-relative names of version `v`'s data files that survive
+    * `probe` (a filter or semi-join marking matched rows): scan with
+    * input_file_name(), distinct, map back through basenames — part
+    * file names embed a writer UUID, so they are unique across
+    * commits and the mapping is total. */
+  private def touchedFiles(spark: SparkSession, path: String, v: Int,
+                           probe: DataFrame => DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.input_file_name
+    val byBase = filesAsOf(path, v)
+      .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+    val hit = probe(readAsOf(spark, path, v))
+      .select(input_file_name().as("__f")).distinct()
+      .collect().map(_.getString(0))
+    hit.map { uri =>
+      val base = uri.substring(uri.lastIndexOf('/') + 1)
+      byBase.getOrElse(base,
+        sys.error(s"scanned file $base not in version $v's manifest"))
+    }.toSeq.sorted
+  }
+
+  private def readFiles(spark: SparkSession, path: String,
+                        rel: Seq[String]): DataFrame =
+    spark.read.parquet(rel.map(f => s"$path/$f"): _*)
+
+  /** Publish the copy-on-write commit: new files from `rewritten`,
+    * every untouched file carried by reference. */
+  private def commitRewrite(spark: SparkSession, rewritten: DataFrame,
+                            path: String, cur: Int,
+                            touched: Seq[String]): Int = {
+    val carried = filesAsOf(path, cur).filterNot(touched.toSet)
+    commitData(rewritten, path, cur + 1, carried)
+  }
+
   // ---- hierarchical manifests (manifest list + per-partition) --------
 
   /** One manifest-list entry: a partition value and the name of the
@@ -504,7 +670,8 @@ object VersionedStore {
   private def commitPartitionedAt(df: DataFrame, path: String, partCol: String,
                                   v: Int, replaceTouched: Boolean,
                                   statsCol: Option[String] = None,
-                                  replayable: Boolean = false): Int = {
+                                  replayable: Boolean = false,
+                                  removedFiles: Set[String] = Set.empty): Int = {
     val prev = v - 1
     require(prev == 0 || mlistFile(path, prev).exists(),
       s"version $prev is a flat commit — a table is flat or partitioned, not both")
@@ -548,9 +715,27 @@ object VersionedStore {
         s"stats columns cannot change mid-table: $inherited -> $declared")
     // pmanifests land BEFORE the list publish: a crash in between
     // leaves them orphaned and invisible, same as data files
-    val entries = (prevParts.keySet ++ touched.keySet).toSeq.sorted.map { value =>
+    // a carried pmanifest LINE's leading field is its file; a
+    // row-level delete strikes removed files from carried lines while
+    // the stats fields of the surviving lines ride along verbatim
+    def keepLine(l: String): Boolean =
+      removedFiles.isEmpty || !removedFiles.contains(l.split("\t", 2)(0))
+    val entries = (prevParts.keySet ++ touched.keySet).toSeq.sorted.flatMap { value =>
       touched.get(value) match {
-        case None => prevParts(value) // untouched: carried by reference
+        case None =>
+          val prev = prevParts(value)
+          val lines = readPmanifestLines(path, prev.pmanifest)
+          val kept = lines.filter(keepLine)
+          if (kept.size == lines.size) Some(prev) // untouched: by reference
+          else if (kept.isEmpty) None // every file deleted: partition gone
+          else {
+            // files struck but no new data for this partition: re-mint
+            // the pmanifest with the surviving lines
+            val name = s"p-${enc(value)}-v$v-$attempt.pmanifest"
+            writeAtomic(new File(manifestDir(path), name),
+              kept.sorted.mkString("\n"))
+            Some(PartEntry(value, name))
+          }
         case Some(added) =>
           // carried LINES verbatim (their stats fields ride along);
           // added files get footer-harvested stats when declared
@@ -558,6 +743,7 @@ object VersionedStore {
             if (replaceTouched) Seq.empty
             else prevParts.get(value).toSeq
               .flatMap(p => readPmanifestLines(path, p.pmanifest))
+              .filter(keepLine)
           val addedLines = added.map { rel =>
             // all-or-nothing per line: bounds must cover EVERY
             // declared column or the line stays bare (conservative)
@@ -574,7 +760,7 @@ object VersionedStore {
           val name = s"p-${enc(value)}-v$v-$attempt.pmanifest"
           writeAtomic(new File(manifestDir(path), name),
             (carried ++ addedLines).sorted.mkString("\n"))
-          PartEntry(value, name)
+          Some(PartEntry(value, name))
       }
     }
     val header = s"#part\t$partCol\t$partType" +

@@ -62,6 +62,80 @@ class VersionedStoreSpec extends SparkSpec {
     }
   }
 
+  test("row-level delete rewrites only the files containing matches") {
+    import spark.implicits._
+    val path = freshDir()
+    // two separate appends -> two disjoint file sets; the predicate
+    // only ever matches rows of the second
+    VersionedStore.append((1L to 10L).toDF("id").coalesce(1), path)  // v1
+    VersionedStore.append((11L to 20L).toDF("id").coalesce(1), path) // v2
+    val before = VersionedStore.filesAsOf(path, 2)
+    val v3 = VersionedStore.delete(spark, path, col("id") > 15L)
+    assert(v3 == 3)
+    assert(rows(path, 3) == ((1L to 10L) ++ (11L to 15L)).toSet)
+    assert(rows(path, 2) == (1L to 20L).toSet,
+      "pre-delete snapshot still reads the deleted rows")
+    // copy-on-write at FILE granularity: v1's file is carried by
+    // reference (same name), v2's file was rewritten
+    val after = VersionedStore.filesAsOf(path, 3)
+    val v1Files = VersionedStore.filesAsOf(path, 1)
+    assert(v1Files.forall(after.contains),
+      "untouched files are carried by reference, not rewritten")
+    assert(before.exists(f => !after.contains(f)),
+      "the matching file was replaced")
+  }
+
+  test("delete keeps false AND null predicate rows; no-match is a no-op") {
+    import spark.implicits._
+    val path = freshDir()
+    VersionedStore.append(Seq((1L, Some(5L)), (2L, None: Option[Long]),
+      (3L, Some(50L))).toDF("id", "score"), path)
+    // null score: predicate evaluates NULL -> row is KEPT
+    VersionedStore.delete(spark, path, col("score") > 10L)
+    assert(rows(path, 2) == Set(1L, 2L), "null-predicate row survives")
+    // nothing matches: no version minted
+    val v = VersionedStore.delete(spark, path, col("score") > 999L)
+    assert(v == 2 && VersionedStore.currentVersion(path) == 2,
+      "a no-match delete mints no version")
+  }
+
+  test("merge upserts by key, rewriting only files with matched keys") {
+    import spark.implicits._
+    val path = freshDir()
+    VersionedStore.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .coalesce(1), path)                                           // v1
+    VersionedStore.append(Seq((3L, "c"), (4L, "d")).toDF("id", "name")
+      .coalesce(1), path)                                           // v2
+    val v1Files = VersionedStore.filesAsOf(path, 1)
+    // update key 3 (lives in v2's file), insert key 9
+    val v3 = VersionedStore.merge(spark, path,
+      Seq((3L, "C2"), (9L, "new")).toDF("id", "name"), Seq("id"))
+    val got = VersionedStore.readAsOf(spark, path, v3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b", 3L -> "C2", 4L -> "d",
+      9L -> "new"))
+    val after = VersionedStore.filesAsOf(path, v3)
+    assert(v1Files.forall(after.contains),
+      "the file without matched keys is carried by reference")
+    assert(rows(path, 2) == Set(1L, 2L, 3L, 4L),
+      "pre-merge snapshot unchanged")
+    // pure insert (no key matches): every existing file carried
+    val v4 = VersionedStore.merge(spark, path,
+      Seq((10L, "x")).toDF("id", "name"), Seq("id"))
+    assert(after.forall(VersionedStore.filesAsOf(path, v4).contains),
+      "a no-match merge carries every file")
+    assert(rows(path, v4).contains(10L))
+    // guards: duplicate update keys and schema drift are refused
+    intercept[IllegalArgumentException] {
+      VersionedStore.merge(spark, path,
+        Seq((1L, "p"), (1L, "q")).toDF("id", "name"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedStore.merge(spark, path,
+        Seq((1L, "p", 0L)).toDF("id", "name", "extra"), Seq("id"))
+    }
+  }
+
   test("a torn commit leaves the previous version live") {
     import spark.implicits._
     val path = freshDir()
@@ -240,6 +314,51 @@ class VersionedStoreSpec extends SparkSpec {
     assert(prows(path, 1) ==
       Set((1L, "1996-01"), (2L, "1996-02"), (3L, "1996-03")))
     assert(prows(path, v2) == prows(path, 1) + ((20L, "1996-02")))
+  }
+
+  test("partitioned row-level delete: file granularity inside partitions, " +
+      "untouched partitions by reference, emptied partitions vanish") {
+    val path = freshDir()
+    // v1: three partitions; v2: a second FILE into 1996-02, so that
+    // partition holds two files with disjoint id ranges
+    VersionedStore.appendPartitioned(
+      part(path, "1996-01", 1L, 2L).unionByName(part(path, "1996-02", 10L))
+        .unionByName(part(path, "1996-03", 30L)), path, "month")
+    VersionedStore.appendPartitioned(part(path, "1996-02", 20L),
+      path, "month")
+    val m2 = VersionedStore.readMlist(path, 2)
+    // delete id=20: lives in exactly one of 1996-02's two files
+    val v3 = VersionedStore.deletePartitioned(spark, path, col("id") === 20L)
+    assert(v3 == 3)
+    assert(prows(path, 3) ==
+      Set((1L, "1996-01"), (2L, "1996-01"), (10L, "1996-02"),
+        (30L, "1996-03")))
+    assert(prows(path, 2).contains((20L, "1996-02")),
+      "pre-delete snapshot unchanged")
+    val m3 = VersionedStore.readMlist(path, 3)
+    def entry(m: VersionedStore.Mlist, v: String) =
+      m.parts.find(_.value == v).get
+    // untouched partitions carried by reference (identical entries);
+    // within 1996-02, the file holding id=10 survives untouched
+    assert(entry(m3, "1996-01") == entry(m2, "1996-01"))
+    assert(entry(m3, "1996-03") == entry(m2, "1996-03"))
+    val files2 = VersionedStore.readPmanifestEntries(path,
+      entry(m2, "1996-02").pmanifest).map(_.file).toSet
+    val files3 = VersionedStore.readPmanifestEntries(path,
+      entry(m3, "1996-02").pmanifest).map(_.file).toSet
+    assert((files3 -- files2).isEmpty && files2 != files3,
+      "delete with no survivors in the file strikes it; no rewrite needed")
+    // wipe a whole partition: its entry disappears from the mlist
+    val v4 = VersionedStore.deletePartitioned(spark, path,
+      col("month") === "1996-03")
+    val m4 = VersionedStore.readMlist(path, v4)
+    assert(!m4.parts.exists(_.value == "1996-03"),
+      "an emptied partition vanishes from the manifest list")
+    assert(prows(path, v4) ==
+      Set((1L, "1996-01"), (2L, "1996-01"), (10L, "1996-02")))
+    // no-match delete mints no version
+    assert(VersionedStore.deletePartitioned(spark, path,
+      col("id") === 999L) == v4)
   }
 
   test("pruned reads never open unselected partitions' manifests or files") {
