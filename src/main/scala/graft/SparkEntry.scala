@@ -72,6 +72,36 @@ object SparkEntry {
       path
     })
 
+  // Flat manifest-versioned customer dim driven through the row-level
+  // operations — the q_versioned_upsert fixture: v1 = the base dim,
+  // v2 = MERGE (update every custkey%10==0 row, insert a %100==1
+  // echo), v3 = DELETE custkey%7==3. Copy-on-write file rewrite on
+  // disk; the driver's oracle recomputes the final state relationally,
+  // so the hash verifies the upsert/delete SEMANTICS end-to-end.
+  private def versionedUpsertDim(s: SparkSession, d: String): String =
+    versionedDone.computeIfAbsent(
+      (s.sparkContext.applicationId, d + "#upsert"), _ => {
+        val dir =
+          java.nio.file.Files.createTempDirectory("graft_vupsert").toFile
+        dir.deleteOnExit()
+        val path = dir.getAbsolutePath
+        val base = Tables.customer(s, d).select(
+          col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name").as("name"),
+          col("c_acctbal").cast("double").as("acctbal"))
+        graft.sources.VersionedStore.append(base.repartition(4), path)
+        val updates = base.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), lit("UPDATED").as("name"),
+            lit(-1.0).as("acctbal"))
+          .unionByName(base.filter(col("c_custkey") % 100 === 1)
+            .select((col("c_custkey") + 1000000L).as("c_custkey"),
+              lit("INSERTED").as("name"), lit(42.0).as("acctbal")))
+        graft.sources.VersionedStore.merge(s, path, updates, Seq("c_custkey"))
+        graft.sources.VersionedStore.delete(s, path,
+          col("c_custkey") % 7 === 3)
+        path
+      })
+
   // Shared bucketized quantile bases over wt⋈markets (VERDICT r9 #1):
   // q_trade_quantiles and q_quantile_gate together issue four
   // Rank.groupedQuantiles calls over this one input per pass. Each
@@ -470,6 +500,18 @@ object SparkEntry {
             lit("1996-03-20").cast("date")))))
         .orderBy(col("snapshot"), col("month"))
     }),
+
+    // Row-level MERGE + DELETE on the versioned store (§2 #156),
+    // driver-gated: the final table state after upsert-by-key and
+    // predicate delete, hash-compared against the oracle's relational
+    // recomputation (base minus updated keys, plus updates, plus
+    // inserts, minus deleted). Old versions stay readable — snapshot
+    // isolation itself is gated by q_versioned_scan; THIS hash pins
+    // the row-level semantics: matched keys replaced not duplicated,
+    // unmatched inserted, WHERE-true delete applied to both.
+    "q_versioned_upsert" -> ((s, d) =>
+      graft.sources.VersionedStore.read(s, versionedUpsertDim(s, d))
+        .orderBy(col("c_custkey"))),
 
     "q_reorg_rewrite" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -4531,6 +4573,25 @@ object SparkEntry {
         |  AND ts BETWEEN DATE '1996-03-10' AND DATE '1996-03-20'
         |GROUP BY month
         |ORDER BY snapshot, month""".stripMargin,
+
+    // the relational recomputation of MERGE-then-DELETE: base rows
+    // whose key was not updated, plus the update/insert rows, minus
+    // the WHERE-true delete — applied uniformly to inserts too
+    "q_versioned_upsert" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name AS name,
+        |         CAST(c_acctbal AS DOUBLE) AS acctbal
+        |  FROM customer),
+        |merged AS (
+        |  SELECT c_custkey, name, acctbal FROM base WHERE c_custkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'UPDATED', -1.0 FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'INSERTED', 42.0 FROM base
+        |  WHERE c_custkey % 100 = 1)
+        |SELECT c_custkey, name, acctbal FROM merged
+        |WHERE c_custkey % 7 <> 3
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_vwap" ->
       s"""WITH $TRADES

@@ -331,8 +331,12 @@ object VersionedStore {
     import org.apache.spark.sql.functions.input_file_name
     val byBase = filesAsOf(path, v)
       .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
-    val hit = probe(readAsOf(spark, path, v))
-      .select(input_file_name().as("__f")).distinct()
+    // the file name is stamped BEFORE the probe runs: a semi-join
+    // probe whose other side also reads files would otherwise make
+    // input_file_name() ambiguous (MULTI_SOURCES_UNSUPPORTED)
+    val hit = probe(readAsOf(spark, path, v)
+        .withColumn("__f", input_file_name()))
+      .select("__f").distinct()
       .collect().map(_.getString(0))
     hit.map { uri =>
       val base = uri.substring(uri.lastIndexOf('/') + 1)
