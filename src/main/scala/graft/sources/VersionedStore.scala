@@ -312,6 +312,109 @@ object VersionedStore {
     }
   }
 
+  /** Row-level change feed over (fromV, toV], DERIVED — never stored —
+    * from the copy-on-write commits' file deltas (Delta's Change Data
+    * Feed, derivation form: no per-commit _change_data files, because
+    * every commit already bounds its changes to the files it removed
+    * and added). Per version step v−1→v, the rows of v's ADDED files
+    * full-outer-join the rows of v−1's REMOVED files on `keys`:
+    *
+    *   new side only                  → `insert`
+    *   old side only                  → `delete`
+    *   both, any non-key col differs  → `update_preimage` +
+    *                                    `update_postimage`
+    *   both, identical                → NOTHING — a copy-on-write
+    *     rewrite carries untouched survivor rows into new files, and
+    *     a naive file diff would misreport every one as a change;
+    *     compaction (same rows, new files) is CDF-silent for the same
+    *     reason.
+    *
+    * Cost is O(touched files of each step) — carried files are never
+    * read. Output: the table's columns + `_change_type` +
+    * `_commit_version`. Key columns must be non-null (join
+    * semantics), the same contract as [[merge]]. */
+  def readChangeFeed(spark: SparkSession, path: String, fromV: Int,
+                     toV: Int, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct, not}
+    require(fromV >= 0 && toV > fromV, s"bad version range ($fromV, $toV]")
+    val h = history(path).filter(c => c.version > fromV && c.version <= toV)
+    require(h.map(_.version).toSet == (fromV + 1 to toV).toSet,
+      s"versions in ($fromV, $toV] are not all retained")
+    val steps = (fromV + 1 to toV).flatMap { v =>
+      val prevFiles =
+        if (v == 1) Set.empty[String] else filesAsOf(path, v - 1).toSet
+      val curFiles = filesAsOf(path, v).toSet
+      val removed = (prevFiles -- curFiles).toSeq.sorted
+      val added = (curFiles -- prevFiles).toSeq.sorted
+      val oldOpt = readVersionFiles(spark, path, v - 1, removed)
+      val newOpt = readVersionFiles(spark, path, v, added)
+      val cols = newOpt.orElse(oldOpt).map(_.columns.toSeq)
+      val valCols = cols.map(_.filterNot(keys.contains)).getOrElse(Nil)
+      for (c <- cols)
+        require(keys.forall(c.contains), s"keys $keys must be table columns")
+      // payload struct for null-safe whole-row comparison; constant
+      // when the table is key-only (then only insert/delete can occur)
+      def payload(df: DataFrame) =
+        df.select(keys.map(col) :+
+          (if (valCols.isEmpty) struct(lit(0)) else
+            struct(valCols.map(col): _*)): _*)
+          .toDF(keys :+ "__img": _*)
+      def unpack(side: String, kind: String, df: DataFrame) =
+        df.select(keys.map(col) ++
+          valCols.map(c => col(s"$side.$c").as(c)) ++
+          Seq(lit(kind).as("_change_type"),
+            lit(v).as("_commit_version")): _*)
+      def tagAll(df: DataFrame, kind: String) =
+        df.select(cols.get.map(col) ++ Seq(
+          lit(kind).as("_change_type"),
+          lit(v).as("_commit_version")): _*)
+      (oldOpt, newOpt) match {
+        case (None, None) => None // metadata-only step: nothing changed
+        case (None, Some(nw)) => Some(tagAll(nw, "insert")) // pure append
+        case (Some(old), None) => Some(tagAll(old, "delete")) // pure delete
+        case (Some(old), Some(nw)) =>
+          val j = payload(old).withColumnRenamed("__img", "__pre")
+            .join(payload(nw).withColumnRenamed("__img", "__post"),
+              keys, "full_outer")
+          val inserts = unpack("__post", "insert",
+            j.filter(col("__pre").isNull && col("__post").isNotNull))
+          val deletes = unpack("__pre", "delete",
+            j.filter(col("__post").isNull && col("__pre").isNotNull))
+          val changed = j.filter(col("__pre").isNotNull &&
+            col("__post").isNotNull && not(col("__pre") <=> col("__post")))
+          Some(inserts.unionByName(deletes)
+            .unionByName(unpack("__pre", "update_preimage", changed))
+            .unionByName(unpack("__post", "update_postimage", changed)))
+      }
+    }
+    require(steps.nonEmpty,
+      s"every version in ($fromV, $toV] was a metadata-only commit")
+    steps.reduce(_.unionByName(_))
+  }
+
+  /** Read a subset of version `v`'s files, reattaching the partition
+    * value from v's manifest list when the version is hierarchical.
+    * None when `rel` is empty. */
+  private def readVersionFiles(spark: SparkSession, path: String, v: Int,
+                               rel: Seq[String]): Option[DataFrame] =
+    if (rel.isEmpty) None
+    else if (v == 0 || isFlatVersion(path, v))
+      Some(readFiles(spark, path, rel))
+    else {
+      val ml = readMlist(path, v)
+      val want = rel.toSet
+      val byPart = ml.parts.flatMap { p =>
+        val fs = readPmanifestEntries(path, p.pmanifest).map(_.file)
+          .filter(want.contains)
+        if (fs.isEmpty) None else Some((p.value, fs))
+      }
+      Some(byPart.map { case (value, fs) =>
+        readFiles(spark, path, fs)
+          .withColumn(ml.partCol,
+            org.apache.spark.sql.functions.lit(value).cast(ml.partType))
+      }.reduce(_.unionByName(_)))
+    }
+
   private def flatCurrent(path: String, op: String): Int = {
     val cur = currentVersion(path)
     require(cur > 0, s"cannot $op: no committed version at $path")

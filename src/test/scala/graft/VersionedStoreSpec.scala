@@ -136,6 +136,51 @@ class VersionedStoreSpec extends SparkSpec {
     }
   }
 
+  test("change feed derives row-level insert/update/delete from COW file " +
+      "deltas; carried survivors and compaction are silent") {
+    import spark.implicits._
+    val path = freshDir()
+    // v1: two rows in ONE file (so the merge rewrite carries a survivor)
+    VersionedStore.append(Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .coalesce(1), path)
+    // v2: update id=2, insert id=3 — id=1 survives the rewrite UNCHANGED
+    VersionedStore.merge(spark, path,
+      Seq((2L, "B2"), (3L, "c")).toDF("id", "name"), Seq("id"))
+    // v3: delete id=1
+    VersionedStore.delete(spark, path, col("id") === 1L)
+    // v4: compaction — same rows, new files
+    VersionedStore.compact(spark, path, nFiles = 1)
+    def feed(from: Int, to: Int) =
+      VersionedStore.readChangeFeed(spark, path, from, to, Seq("id"))
+        .collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"),
+          r.getAs[String]("_change_type"), r.getAs[Int]("_commit_version")))
+        .toSet
+    assert(feed(0, 1) == Set((1L, "a", "insert", 1), (2L, "b", "insert", 1)))
+    assert(feed(1, 2) == Set(
+      (2L, "b", "update_preimage", 2), (2L, "B2", "update_postimage", 2),
+      (3L, "c", "insert", 2)),
+      "the carried survivor id=1 is NOT misreported as a change")
+    assert(feed(2, 3) == Set((1L, "a", "delete", 3)))
+    assert(feed(3, 4) == Set.empty, "compaction is CDF-silent")
+    // a multi-version range unions the steps with their versions
+    assert(feed(1, 4) == feed(1, 2) ++ feed(2, 3))
+  }
+
+  test("change feed on the hierarchical store reattaches partition values") {
+    val path = freshDir()
+    VersionedStore.appendPartitioned(
+      part(path, "1996-01", 1L).unionByName(part(path, "1996-02", 10L, 20L)),
+      path, "month")
+    VersionedStore.deletePartitioned(spark, path, col("id") === 20L)
+    val got = VersionedStore.readChangeFeed(spark, path, 1, 2, Seq("id"))
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("month"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(got == Set((20L, "1996-02", "delete")),
+      "only the deleted row changes; its partition value rides along")
+  }
+
   test("a torn commit leaves the previous version live") {
     import spark.implicits._
     val path = freshDir()
