@@ -61,8 +61,86 @@ object VersionedStore {
 
   private val ManifestRe = "v([0-9]+)\\.manifest".r
   private val MlistRe = "v([0-9]+)\\.mlist".r
+  private val SchemaRe = "v([0-9]+)\\.schema".r
   private def mlistFile(path: String, v: Int) =
     new File(manifestDir(path), s"v$v.mlist")
+  private def schemaFile(path: String, v: Int) =
+    new File(manifestDir(path), s"v$v.schema")
+
+  // ---- schema tracking + evolution -----------------------------------
+
+  /** The LOGICAL table schema recorded for version `v` (hierarchical
+    * versions include the partition column), when the version was
+    * committed by a schema-aware writer; None for legacy versions,
+    * whose readers fall back to one data-file footer. */
+  def schemaAsOf(path: String, v: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val f = schemaFile(path, v)
+    if (!f.exists()) None
+    else Some(org.apache.spark.sql.types.StructType.fromDDL(
+      new String(Files.readAllBytes(f.toPath), "UTF-8")))
+  }
+
+  /** Version `v`'s logical schema: recorded if the commit wrote one,
+    * else inferred from a data-file footer (+ the partition column
+    * for hierarchical versions) — the legacy behavior. */
+  private def effectiveSchema(spark: SparkSession, path: String, v: Int)
+      : org.apache.spark.sql.types.StructType =
+    schemaAsOf(path, v).getOrElse {
+      val files = filesAsOf(path, v)
+      val data = spark.read.parquet(s"$path/${files.head}").schema
+      if (isFlatVersion(path, v)) data
+      else {
+        val ml = readMlist(path, v)
+        data.add(ml.partCol,
+          org.apache.spark.sql.types.DataType.fromDDL(ml.partType))
+      }
+    }
+
+  /** Enforce commit-time schema compatibility and produce the new
+    * version's recorded schema (Delta's enforcement + mergeSchema):
+    * every existing column must keep its name AND type (a type change
+    * or a drop is refused — old data files would silently misread);
+    * NEW columns are allowed only when the writer opts in
+    * (`allowEvolution`), and append to the end of the recorded schema
+    * — readers null-fill them in pre-evolution files. The recorded
+    * order is old-fields-then-extras, so consumers see a stable
+    * prefix across evolutions. */
+  private def evolvedSchema(spark: SparkSession, path: String, prev: Int,
+                            incoming: org.apache.spark.sql.types.StructType,
+                            allowEvolution: Boolean)
+      : org.apache.spark.sql.types.StructType = {
+    if (prev == 0) incoming
+    else {
+      val old = effectiveSchema(spark, path, prev)
+      val byName = incoming.map(f => f.name -> f).toMap
+      old.foreach { f =>
+        require(byName.contains(f.name),
+          s"schema drift: column ${f.name} missing from the incoming data " +
+            "— dropping a column would leave old files unreadable; " +
+            "project it (nullable) or overwrite() the table")
+        val nf = byName(f.name)
+        require(nf.dataType == f.dataType,
+          s"schema drift: column ${f.name} changes type " +
+            s"${f.dataType.simpleString} -> ${nf.dataType.simpleString}; " +
+            "type changes are refused (old files would misread)")
+      }
+      val oldNames = old.map(_.name).toSet
+      val extras = incoming.filterNot(f => oldNames.contains(f.name))
+      require(extras.isEmpty || allowEvolution,
+        s"schema drift: new column(s) ${extras.map(_.name).mkString(", ")} " +
+          "— pass allowSchemaEvolution = true to evolve the table")
+      org.apache.spark.sql.types.StructType(old.fields ++ extras)
+    }
+  }
+
+  private def recordSchema(path: String, v: Int,
+                           schema: org.apache.spark.sql.types.StructType): Unit =
+    // all-nullable: parquet-backed tables are nullable-on-read anyway,
+    // and a non-nullable (required) field would make the vectorized
+    // reader REFUSE pre-evolution files instead of null-filling them
+    writeAtomic(schemaFile(path, v),
+      org.apache.spark.sql.types.StructType(
+        schema.fields.map(_.copy(nullable = true))).toDDL)
 
   /** Whether version `v` is a flat (non-partitioned) commit. */
   private[sources] def isFlatVersion(path: String, v: Int): Boolean =
@@ -97,7 +175,11 @@ object VersionedStore {
     * flat and hierarchical snapshots read through one API. */
   def readAsOf(spark: SparkSession, path: String, v: Int): DataFrame =
     if (manifestFile(path, v).exists())
-      spark.read.parquet(filesAsOf(path, v).map(f => s"$path/$f"): _*)
+      // under the version's RECORDED schema when one exists: files
+      // written before a schema evolution null-fill the added columns
+      // (name-resolved), and every snapshot reads as the schema it was
+      // committed with
+      readFiles(spark, path, filesAsOf(path, v), schemaAsOf(path, v))
     else readIndexed(spark, path, v)
 
   /** Read the latest version. */
@@ -126,7 +208,13 @@ object VersionedStore {
     val idx = new VersionedFileIndex(spark, path, v)
     val files = idx.inputFiles
     require(files.nonEmpty, s"version $v of $path lists no data files")
-    val dataSchema = spark.read.parquet(files.head).schema
+    // recorded schema minus the partition column (reattached by the
+    // index's partitionSchema); legacy versions fall back to a footer
+    val partNames = idx.partitionSchema.fieldNames.toSet
+    val dataSchema = schemaAsOf(path, v)
+      .map(s => org.apache.spark.sql.types.StructType(
+        s.fields.filterNot(f => partNames.contains(f.name))))
+      .getOrElse(spark.read.parquet(files.head).schema)
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       idx, idx.partitionSchema, dataSchema, None,
       new org.apache.spark.sql.execution.datasources.parquet
@@ -134,17 +222,27 @@ object VersionedStore {
       Map.empty[String, String])(spark)
   }
 
-  /** Append `df` as a new version; returns the committed version. */
-  def append(df: DataFrame, path: String): Int = {
+  /** Append `df` as a new version; returns the committed version.
+    * Schema-enforced: existing columns must keep name and type; NEW
+    * columns need `allowSchemaEvolution = true` and are null-filled
+    * by readers in pre-evolution files. */
+  def append(df: DataFrame, path: String,
+             allowSchemaEvolution: Boolean = false): Int = {
     val prev = currentVersion(path)
     val carried = if (prev == 0) Seq.empty else filesAsOf(path, prev)
-    commitData(df, path, prev + 1, carried)
+    val schema = evolvedSchema(df.sparkSession, path, prev, df.schema,
+      allowSchemaEvolution)
+    commitData(df, path, prev + 1, carried, schema = Some(schema))
   }
 
   /** Replace the table contents with `df` as a new version — old
-    * versions stay readable until vacuumed. */
+    * versions stay readable until vacuumed. The new version records
+    * `df`'s schema as-is (nothing is carried, so no compatibility
+    * constraint — Delta's overwriteSchema shape); old versions keep
+    * reading under their own recorded schemas. */
   def overwrite(df: DataFrame, path: String): Int =
-    commitData(df, path, currentVersion(path) + 1, Seq.empty)
+    commitData(df, path, currentVersion(path) + 1, Seq.empty,
+      schema = Some(df.schema))
 
   /** foreachBatch seam: append `df` as version batchId+1. Replay-safe
     * under Spark's at-least-once micro-batch contract — a re-delivered
@@ -175,7 +273,12 @@ object VersionedStore {
         s"version $cur — a reset checkpoint or a concurrent batch writer; " +
         "refusing to rewrite published history")
     val carried = if (v == 1) Seq.empty else filesAsOf(path, v - 1)
-    commitData(df, path, v, carried, replayable = true)
+    // stream schema drift fails loudly — no silent evolution from a
+    // micro-batch writer
+    val schema = evolvedSchema(df.sparkSession, path, v - 1, df.schema,
+      allowEvolution = false)
+    commitData(df, path, v, carried, replayable = true,
+      schema = Some(schema))
   }
 
   /** Rewrite the current version's files into `nFiles` outputs as a
@@ -185,7 +288,7 @@ object VersionedStore {
   def compact(spark: SparkSession, path: String, nFiles: Int): Int = {
     val cur = read(spark, path)
     commitData(cur.repartition(nFiles), path, currentVersion(path) + 1,
-      Seq.empty)
+      Seq.empty, schema = Some(cur.schema))
   }
 
   // ---- row-level operations (copy-on-write) --------------------------
@@ -215,7 +318,11 @@ object VersionedStore {
       _.filter(predicate))
     if (touched.isEmpty) cur
     else {
-      val survivors = readFiles(spark, path, touched)
+      // touched files are read under the RECORDED schema: a file
+      // written before a schema evolution null-fills the added
+      // columns, so a predicate on an evolved column still evaluates
+      val survivors = readFiles(spark, path, touched,
+          Some(effectiveSchema(spark, path, cur)))
         .filter(not(coalesce(predicate, lit(false))))
       commitRewrite(spark, survivors, path, cur, touched)
     }
@@ -256,7 +363,8 @@ object VersionedStore {
     // rows, carry every existing file
     val rewritten =
       if (touched.isEmpty) aligned
-      else readFiles(spark, path, touched)
+      else readFiles(spark, path, touched,
+          Some(effectiveSchema(spark, path, cur)))
         .join(keyRows, keys, "left_anti")
         .unionByName(aligned)
     commitRewrite(spark, rewritten, path, cur, touched)
@@ -301,14 +409,19 @@ object VersionedStore {
       // commit can lay them back out by partition
       // partition column reattached BEFORE the filter (the predicate
       // may reference it; data files do not store it), so the commit
-      // can lay survivors back out by partition
+      // can lay survivors back out by partition; files read under the
+      // recorded data schema so pre-evolution files null-fill
+      val dataSchema = schemaAsOf(path, cur).map(s =>
+        org.apache.spark.sql.types.StructType(
+          s.fields.filterNot(_.name == ml.partCol)))
       val survivors = touched.groupBy(_._1).map { case (value, fs) =>
-        readFiles(spark, path, fs.map(_._2))
+        readFiles(spark, path, fs.map(_._2), dataSchema)
           .withColumn(ml.partCol, lit(value).cast(ml.partType))
           .filter(not(coalesce(predicate, lit(false))))
       }.reduce(_.unionByName(_))
       commitPartitionedAt(survivors, path, ml.partCol, cur + 1,
-        replaceTouched = false, removedFiles = touched.map(_._2).toSet)
+        replaceTouched = false, removedFiles = touched.map(_._2).toSet,
+        schemaOverride = Some(effectiveSchema(spark, path, cur)))
     }
   }
 
@@ -346,8 +459,12 @@ object VersionedStore {
       val curFiles = filesAsOf(path, v).toSet
       val removed = (prevFiles -- curFiles).toSeq.sorted
       val added = (curFiles -- prevFiles).toSeq.sorted
-      val oldOpt = readVersionFiles(spark, path, v - 1, removed)
-      val newOpt = readVersionFiles(spark, path, v, added)
+      // both sides read under the STEP'S schema (v's): an earlier
+      // evolution's files null-fill, so the full-outer payload
+      // comparison is width-aligned across the step
+      val stepSchema = schemaAsOf(path, v)
+      val oldOpt = readVersionFiles(spark, path, v - 1, removed, stepSchema)
+      val newOpt = readVersionFiles(spark, path, v, added, stepSchema)
       val cols = newOpt.orElse(oldOpt).map(_.columns.toSeq)
       val valCols = cols.map(_.filterNot(keys.contains)).getOrElse(Nil)
       for (c <- cols)
@@ -396,12 +513,18 @@ object VersionedStore {
     * value from v's manifest list when the version is hierarchical.
     * None when `rel` is empty. */
   private def readVersionFiles(spark: SparkSession, path: String, v: Int,
-                               rel: Seq[String]): Option[DataFrame] =
+                               rel: Seq[String],
+                               logicalSchema: Option[
+                                 org.apache.spark.sql.types.StructType] = None)
+      : Option[DataFrame] =
     if (rel.isEmpty) None
     else if (v == 0 || isFlatVersion(path, v))
-      Some(readFiles(spark, path, rel))
+      Some(readFiles(spark, path, rel, logicalSchema))
     else {
       val ml = readMlist(path, v)
+      val dataSchema = logicalSchema.map(s =>
+        org.apache.spark.sql.types.StructType(
+          s.fields.filterNot(_.name == ml.partCol)))
       val want = rel.toSet
       val byPart = ml.parts.flatMap { p =>
         val fs = readPmanifestEntries(path, p.pmanifest).map(_.file)
@@ -409,7 +532,7 @@ object VersionedStore {
         if (fs.isEmpty) None else Some((p.value, fs))
       }
       Some(byPart.map { case (value, fs) =>
-        readFiles(spark, path, fs)
+        readFiles(spark, path, fs, dataSchema)
           .withColumn(ml.partCol,
             org.apache.spark.sql.functions.lit(value).cast(ml.partType))
       }.reduce(_.unionByName(_)))
@@ -448,17 +571,23 @@ object VersionedStore {
     }.toSeq.sorted
   }
 
-  private def readFiles(spark: SparkSession, path: String,
-                        rel: Seq[String]): DataFrame =
-    spark.read.parquet(rel.map(f => s"$path/$f"): _*)
+  private def readFiles(spark: SparkSession, path: String, rel: Seq[String],
+                        schema: Option[org.apache.spark.sql.types.StructType]
+                          = None): DataFrame = {
+    val r = schema.fold(spark.read)(spark.read.schema)
+    r.parquet(rel.map(f => s"$path/$f"): _*)
+  }
 
   /** Publish the copy-on-write commit: new files from `rewritten`,
-    * every untouched file carried by reference. */
+    * every untouched file carried by reference. Row-level operations
+    * never change the schema — the new version re-records the
+    * current one. */
   private def commitRewrite(spark: SparkSession, rewritten: DataFrame,
                             path: String, cur: Int,
                             touched: Seq[String]): Int = {
     val carried = filesAsOf(path, cur).filterNot(touched.toSet)
-    commitData(rewritten, path, cur + 1, carried)
+    commitData(rewritten, path, cur + 1, carried,
+      schema = Some(effectiveSchema(spark, path, cur)))
   }
 
   // ---- hierarchical manifests (manifest list + per-partition) --------
@@ -537,8 +666,10 @@ object VersionedStore {
     * time-range query touches the partition's few overlapping files
     * instead of listing and footer-probing everything. */
   def appendPartitioned(df: DataFrame, path: String, partCol: String,
-                        statsCol: Option[String] = None): Int =
-    commitPartitioned(df, path, partCol, replaceTouched = false, statsCol)
+                        statsCol: Option[String] = None,
+                        allowSchemaEvolution: Boolean = false): Int =
+    commitPartitioned(df, path, partCol, replaceTouched = false, statsCol,
+      allowSchemaEvolution)
 
   /** Dynamic-partition overwrite: the partitions present in `df` are
     * REPLACED in the new version, untouched partitions carried by
@@ -546,8 +677,13 @@ object VersionedStore {
     * versioned store: old versions still resolve the pre-rewrite
     * files until vacuumed. */
   def overwritePartitions(df: DataFrame, path: String, partCol: String,
-                          statsCol: Option[String] = None): Int =
-    commitPartitioned(df, path, partCol, replaceTouched = true, statsCol)
+                          statsCol: Option[String] = None,
+                          allowSchemaEvolution: Boolean = false): Int =
+    // a PARTIAL overwrite still carries other partitions' files, so
+    // schema compatibility is enforced like an append (unlike the
+    // flat overwrite(), which carries nothing)
+    commitPartitioned(df, path, partCol, replaceTouched = true, statsCol,
+      allowSchemaEvolution)
 
   /** Read only the partitions `keep` accepts, as of version `v` —
     * planning-level pruning: a rejected partition's per-partition
@@ -582,8 +718,13 @@ object VersionedStore {
     }.filter(_._2.nonEmpty)
     require(perPart.nonEmpty,
       s"every file of version $v was pruned by the stats range $statsRange")
+    // recorded schema (minus the reattached partition column) so a
+    // partition holding pre- and post-evolution files reads uniformly
+    val dataSchema = schemaAsOf(path, v).map(s =>
+      org.apache.spark.sql.types.StructType(
+        s.fields.filterNot(_.name == ml.partCol)))
     perPart.map { case (p, entries) =>
-      spark.read.parquet(entries.map(e => s"$path/${e.file}"): _*)
+      readFiles(spark, path, entries.map(_.file), dataSchema)
         .withColumn(ml.partCol,
           org.apache.spark.sql.functions.lit(p.value).cast(ml.partType))
     }.reduce(_.unionByName(_))
@@ -656,7 +797,8 @@ object VersionedStore {
       case _ => rows.repartition(nFiles)
     }
     commitPartitionedAt(laid, path, ml.partCol, cur + 1,
-      replaceTouched = true)
+      replaceTouched = true,
+      schemaOverride = Some(effectiveSchema(spark, path, cur)))
   }
 
   /** One commit's audit record, derived entirely from the metadata a
@@ -767,9 +909,10 @@ object VersionedStore {
 
   private def commitPartitioned(df: DataFrame, path: String, partCol: String,
                                 replaceTouched: Boolean,
-                                statsCol: Option[String] = None): Int =
+                                statsCol: Option[String] = None,
+                                allowSchemaEvolution: Boolean = false): Int =
     commitPartitionedAt(df, path, partCol, currentVersion(path) + 1,
-      replaceTouched, statsCol)
+      replaceTouched, statsCol, allowEvolution = allowSchemaEvolution)
 
   /** Commit at an EXPLICIT version: carried state derives from v−1
     * (deterministic, replay-independent), which is what makes the
@@ -778,10 +921,18 @@ object VersionedStore {
                                   v: Int, replaceTouched: Boolean,
                                   statsCol: Option[String] = None,
                                   replayable: Boolean = false,
-                                  removedFiles: Set[String] = Set.empty): Int = {
+                                  removedFiles: Set[String] = Set.empty,
+                                  allowEvolution: Boolean = false,
+                                  schemaOverride: Option[
+                                    org.apache.spark.sql.types.StructType]
+                                    = None): Int = {
     val prev = v - 1
     require(prev == 0 || mlistFile(path, prev).exists(),
       s"version $prev is a flat commit — a table is flat or partitioned, not both")
+    // logical schema (partition column included) enforced/evolved
+    // against v−1; the rewrite paths pass the current schema through
+    val schema = schemaOverride.getOrElse(
+      evolvedSchema(df.sparkSession, path, prev, df.schema, allowEvolution))
     if (!replayable)
       require(!manifestFile(path, v).exists() && !mlistFile(path, v).exists(),
         s"version $v already published — concurrent writer? (the exclusive " +
@@ -874,6 +1025,8 @@ object VersionedStore {
       (if (effStats.isEmpty) "" else s"\t${effStats.mkString(",")}")
     val body = (header +:
       entries.map(e => s"${e.value}\t${e.pmanifest}")).mkString("\n")
+    // schema before the pointer (same ordering argument as commitData)
+    recordSchema(path, v, schema)
     // the one contended write: create-exclusive unless a batch replay
     writeAtomic(mlistFile(path, v), body, replace = replayable)
     v
@@ -1003,6 +1156,11 @@ object VersionedStore {
       .collect {
         case n @ ManifestRe(v) if v.toInt < cutoff => n
         case n @ MlistRe(v) if v.toInt < cutoff => n
+        // expired schema files (a torn-commit orphan at cur+1 is NOT
+        // reclaimed here — commits write the schema BEFORE the version
+        // pointer, so an in-flight commit's schema must survive a
+        // concurrent vacuum; the orphan expires once versions pass it)
+        case n @ SchemaRe(v) if v.toInt < cutoff => n
         case n if n.endsWith(".pmanifest") && !retainedPms.contains(n) => n
       }
       .foreach(n => new File(manifestDir(path), n).delete(): Unit)
@@ -1011,7 +1169,9 @@ object VersionedStore {
 
   private def commitData(df: DataFrame, path: String, v: Int,
                          carriedFiles: Seq[String],
-                         replayable: Boolean = false): Int = {
+                         replayable: Boolean = false,
+                         schema: Option[org.apache.spark.sql.types.StructType]
+                           = None): Int = {
     // attempt-unique dir: a torn earlier attempt at this version (or
     // a concurrent one) left ITS OWN dir — never clobbered, never
     // clobbering; unpublished attempts are invisible vacuum debris
@@ -1022,6 +1182,11 @@ object VersionedStore {
       .getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
       .map(f => s"$commitRel/${f.getName}").toSeq
+    // schema lands BEFORE the version pointer: a crash in between
+    // leaves an orphaned .schema file for an unpublished version —
+    // invisible (readers resolve versions through the pointer) and
+    // reclaimed by vacuum like any other debris
+    schema.foreach(s => recordSchema(path, v, s))
     publishManifest(path, v, (carriedFiles ++ added).sorted, replayable)
     v
   }

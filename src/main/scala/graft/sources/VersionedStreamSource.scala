@@ -142,16 +142,24 @@ class VersionedStreamSource(spark: SparkSession, path: String,
 }
 
 object VersionedStreamSource {
-  /** The store assumes commit-stable schemas, so one footer is the
-    * schema authority; hierarchical tables append the partition
-    * column (it is not stored in the data files). */
+  /** The current version's RECORDED schema when the table has one
+    * (schema-aware commits; the partition column is stripped — it is
+    * reattached from the manifest metadata); one data-file footer for
+    * legacy tables. */
   private[sources] def dataSchemaOf(spark: SparkSession,
                                     path: String): StructType = {
     val v = VersionedStore.currentVersion(path)
     require(v > 0, s"cannot stream from an empty versioned table: $path")
-    val files = VersionedStore.filesAsOf(path, v)
-    require(files.nonEmpty, s"version $v of $path lists no data files")
-    spark.read.parquet(s"$path/${files.head}").schema
+    VersionedStore.schemaAsOf(path, v) match {
+      case Some(s) if !VersionedStore.isFlatVersion(path, v) =>
+        val partCol = VersionedStore.readMlist(path, v).partCol
+        StructType(s.fields.filterNot(_.name == partCol))
+      case Some(s) => s
+      case None =>
+        val files = VersionedStore.filesAsOf(path, v)
+        require(files.nonEmpty, s"version $v of $path lists no data files")
+        spark.read.parquet(s"$path/${files.head}").schema
+    }
   }
 
   private[sources] def fullSchemaOf(spark: SparkSession,

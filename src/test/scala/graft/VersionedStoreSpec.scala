@@ -181,6 +181,80 @@ class VersionedStoreSpec extends SparkSpec {
       "only the deleted row changes; its partition value rides along")
   }
 
+  test("schema evolution: opted-in new columns null-fill old files; " +
+      "drift without opt-in, type changes and drops are refused") {
+    import spark.implicits._
+    val path = freshDir()
+    VersionedStore.append(Seq((1L, "a")).toDF("id", "name"), path)     // v1
+    // new column without opt-in: refused
+    intercept[IllegalArgumentException] {
+      VersionedStore.append(Seq((2L, "b", 0.5)).toDF("id", "name", "score"),
+        path)
+    }
+    // type change: refused
+    intercept[IllegalArgumentException] {
+      VersionedStore.append(Seq(("2", "b")).toDF("id", "name"), path)
+    }
+    // dropped column: refused
+    intercept[IllegalArgumentException] {
+      VersionedStore.append(Seq(Tuple1(2L)).toDF("id"), path)
+    }
+    // opted-in evolution
+    val v2 = VersionedStore.append(
+      Seq((2L, "b", 0.5)).toDF("id", "name", "score"), path,
+      allowSchemaEvolution = true)
+    val snap = VersionedStore.readAsOf(spark, path, v2)
+    assert(snap.columns.toSeq == Seq("id", "name", "score"),
+      "evolved schema keeps the stable prefix, extras at the end")
+    val got = snap.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got == Set((1L, "a", None), (2L, "b", Some(0.5))),
+      "pre-evolution file null-fills the new column")
+    // time travel: v1 still reads under ITS schema
+    assert(VersionedStore.readAsOf(spark, path, 1).columns.toSeq ==
+      Seq("id", "name"))
+    // post-evolution append must now carry the evolved schema
+    intercept[IllegalArgumentException] {
+      VersionedStore.append(Seq((3L, "c")).toDF("id", "name"), path)
+    }
+    // row-level ops work across the evolution boundary: a predicate
+    // on the evolved column deletes from a pre-evolution file region
+    val v3 = VersionedStore.delete(spark, path,
+      col("score").isNull && col("id") === 1L)
+    assert(VersionedStore.readAsOf(spark, path, v3).collect()
+      .map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("schema evolution on the hierarchical store; snapshot scan and " +
+      "stream source serve the recorded schema") {
+    val path = freshDir()
+    VersionedStore.appendPartitioned(part(path, "1996-01", 1L),
+      path, "month")
+    intercept[IllegalArgumentException] { // drift without opt-in
+      VersionedStore.appendPartitioned(
+        part(path, "1996-02", 2L).withColumn("tag", lit("x")),
+        path, "month")
+    }
+    val v2 = VersionedStore.appendPartitioned(
+      part(path, "1996-02", 2L).withColumn("tag", lit("x")),
+      path, "month", allowSchemaEvolution = true)
+    // the Catalyst FileIndex read serves the evolved schema with the
+    // old partition's rows null-filled
+    val snap = VersionedStore.readIndexed(spark, path, v2)
+    assert(snap.columns.toSet == Set("id", "month", "tag"))
+    val got = snap.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("month"),
+        Option(r.getAs[String]("tag")))).toSet
+    assert(got == Set((1L, "1996-01", None), (2L, "1996-02", Some("x"))))
+    // explicit-API reader agrees
+    val viaParts = VersionedStore.readPartitionsAsOf(spark, path, v2, _ => true)
+    assert(viaParts.columns.toSet == Set("id", "month", "tag"))
+    // the stream source's schema authority is the recorded schema
+    assert(spark.readStream.format("graft-versioned").load(path)
+      .schema.fieldNames.toSet == Set("id", "month", "tag"))
+  }
+
   test("a torn commit leaves the previous version live") {
     import spark.implicits._
     val path = freshDir()
