@@ -102,6 +102,47 @@ object SparkEntry {
         path
       })
 
+  // Flat manifest-versioned customer dim driven across a SCHEMA
+  // EVOLUTION — the q_versioned_evolve fixture:
+  //   v1 = even custkeys under (c_custkey, name);
+  //   v2 = odd custkeys appended WITH a new `segment` column
+  //        (allowSchemaEvolution — readers null-fill v1's files);
+  //   v3 = MERGE updating %50==0 keys (all of which live in the
+  //        PRE-evolution files) to ('EVOLVED', 'SEG-X');
+  //   v4 = DELETE where segment IS NULL AND custkey%11==5 — the
+  //        predicate references the EVOLVED column and must evaluate
+  //        over pre-evolution files (null-filled) to match.
+  // The driver's oracle recomputes the final state relationally, so
+  // the hash verifies evolution semantics end-to-end: null-fill of
+  // old files, stable column order, and row-level ops across the
+  // evolution boundary.
+  private def versionedEvolveDim(s: SparkSession, d: String): String =
+    versionedDone.computeIfAbsent(
+      (s.sparkContext.applicationId, d + "#evolve"), _ => {
+        val dir =
+          java.nio.file.Files.createTempDirectory("graft_vevolve").toFile
+        dir.deleteOnExit()
+        val path = dir.getAbsolutePath
+        val base = Tables.customer(s, d).select(
+          col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name").as("name"),
+          col("c_mktsegment").as("segment"))
+        graft.sources.VersionedStore.append(
+          base.filter(col("c_custkey") % 2 === 0)
+            .select(col("c_custkey"), col("name")).repartition(3), path)
+        graft.sources.VersionedStore.append(
+          base.filter(col("c_custkey") % 2 === 1).repartition(2), path,
+          allowSchemaEvolution = true)
+        graft.sources.VersionedStore.merge(s, path,
+          base.filter(col("c_custkey") % 50 === 0)
+            .select(col("c_custkey"), lit("EVOLVED").as("name"),
+              lit("SEG-X").as("segment")),
+          Seq("c_custkey"))
+        graft.sources.VersionedStore.delete(s, path,
+          col("segment").isNull && col("c_custkey") % 11 === 5)
+        path
+      })
+
   // Shared bucketized quantile bases over wt⋈markets (VERDICT r9 #1):
   // q_trade_quantiles and q_quantile_gate together issue four
   // Rank.groupedQuantiles calls over this one input per pass. Each
@@ -511,6 +552,18 @@ object SparkEntry {
     // unmatched inserted, WHERE-true delete applied to both.
     "q_versioned_upsert" -> ((s, d) =>
       graft.sources.VersionedStore.read(s, versionedUpsertDim(s, d))
+        .orderBy(col("c_custkey"))),
+
+    // Schema evolution on the versioned store (§2 #158), driver-gated:
+    // final snapshot after append → evolved append → cross-boundary
+    // MERGE → delete keyed on the evolved column. Pre-evolution rows
+    // must surface with segment NULL (old files null-fill under the
+    // recorded schema) and the delete must have seen those NULLs —
+    // a reader that refused old files, mis-ordered columns, or
+    // evaluated the predicate only over post-evolution files all
+    // flip the hash.
+    "q_versioned_evolve" -> ((s, d) =>
+      graft.sources.VersionedStore.read(s, versionedEvolveDim(s, d))
         .orderBy(col("c_custkey"))),
 
     "q_reorg_rewrite" -> ((s, d) => {
@@ -4591,6 +4644,27 @@ object SparkEntry {
         |  WHERE c_custkey % 100 = 1)
         |SELECT c_custkey, name, acctbal FROM merged
         |WHERE c_custkey % 7 <> 3
+        |ORDER BY c_custkey""".stripMargin,
+
+    // the relational recomputation of the evolution fixture: evens
+    // carry NULL segment (pre-evolution files null-fill) except the
+    // %50==0 keys the MERGE rewrote; odds carry their appended
+    // segment; the delete removes only NULL-segment %11==5 rows
+    "q_versioned_evolve" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name AS name,
+        |         c_mktsegment AS segment
+        |  FROM customer),
+        |v AS (
+        |  SELECT c_custkey, name, CAST(NULL AS VARCHAR) AS segment
+        |  FROM base WHERE c_custkey % 2 = 0 AND c_custkey % 50 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, name, segment FROM base WHERE c_custkey % 2 = 1
+        |  UNION ALL
+        |  SELECT c_custkey, 'EVOLVED', 'SEG-X' FROM base
+        |  WHERE c_custkey % 50 = 0)
+        |SELECT c_custkey, name, segment FROM v
+        |WHERE NOT (segment IS NULL AND c_custkey % 11 = 5)
         |ORDER BY c_custkey""".stripMargin,
 
     "q_vwap" ->
