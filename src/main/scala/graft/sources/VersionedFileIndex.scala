@@ -5,7 +5,7 @@ import java.io.File
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or, Predicate, XxHash64}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.StructType
 
@@ -90,18 +90,55 @@ final class VersionedFileIndex(spark: SparkSession, table: String,
       // intersect its window. Lines whose bounds don't cover the full
       // declaration (legacy / statless) are always kept.
       val windows = ml.statsCols.map(c => statsBounds(dataFilters, c))
+      // each conjunct that is WHOLLY an equality/IN shape on the
+      // declared bloom column yields a probe-hash set the file MUST
+      // intersect; a fingerprinted file disproving every value of any
+      // one set cannot hold a matching row
+      val probes = ml.bloomCol.toSeq.flatMap(c =>
+        dataFilters.flatMap(f => probeHashes(f, c)))
       selected.map { p =>
         val entries = VersionedStore.readPmanifestEntries(table, p.pmanifest)
-        val kept =
-          if (windows.isEmpty) entries
-          else entries.filter { e =>
+        val kept = entries.filter { e =>
+          val statsOk = windows.isEmpty ||
             e.bounds.size != windows.size ||
-              e.bounds.zip(windows).forall {
-                case ((mn, mx), (lo, hi)) => mx >= lo && mn <= hi }
-          }
+            e.bounds.zip(windows).forall {
+              case ((mn, mx), (lo, hi)) => mx >= lo && mn <= hi }
+          val bloomOk = e.bloom.isEmpty || probes.forall(set =>
+            set.exists(h =>
+              graft.functions.BloomExprs.contains(e.bloom.get, h)))
+          statsOk && bloomOk
+        }
         PartitionDirectory(partValueRow(p.value),
           kept.map(e => status(e.file)).toArray)
       }.filter(_.files.nonEmpty)
+  }
+
+  /** The probe-hash set a conjunct implies for the bloom column, when
+    * the WHOLE conjunct is an equality / IN / OR-of-those on it —
+    * `col = X` ⇒ {h(X)}, `col IN (…)` ⇒ their hashes, `a OR b` ⇒ the
+    * union (the row satisfies one of them). None on any other shape:
+    * no pruning — conservative, like the stats window. Hashes use the
+    * same `xxhash64(value)` the commit-side fingerprint fed, with the
+    * literal's post-analysis type (Catalyst has already coerced it to
+    * the column type, so typed hashes agree). */
+  private def probeHashes(e: Expression, col: String): Option[Seq[Long]] = {
+    def h(l: Literal): Long =
+      XxHash64(Seq(l), 42L).eval(InternalRow.empty).asInstanceOf[Long]
+    e match {
+      case EqualTo(a: AttributeReference, l: Literal) if a.name == col =>
+        Some(Seq(h(l)))
+      case EqualTo(l: Literal, a: AttributeReference) if a.name == col =>
+        Some(Seq(h(l)))
+      case In(a: AttributeReference, vs) if a.name == col &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        Some(vs.map(v => h(v.asInstanceOf[Literal])))
+      case InSet(a: AttributeReference, vs) if a.name == col =>
+        Some(vs.toSeq.map(v => h(Literal(v, a.dataType))))
+      case Or(l, r) =>
+        for (a <- probeHashes(l, col); b <- probeHashes(r, col))
+          yield a ++ b
+      case _ => None
+    }
   }
 
   /** Evaluate the partition predicates against each entry's value —

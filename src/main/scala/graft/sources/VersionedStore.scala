@@ -603,14 +603,19 @@ object VersionedStore {
     * single-column view (the clustering / statsRange key). */
   final case class Mlist(partCol: String, partType: String,
                          parts: Seq[PartEntry],
-                         statsCols: Seq[String] = Nil) {
+                         statsCols: Seq[String] = Nil,
+                         bloomCol: Option[String] = None) {
     def statsCol: Option[String] = statsCols.headOption
   }
-  /** One pmanifest line: a data file and its optional footer stats —
+  /** One pmanifest line: a data file, its optional footer stats —
     * rowCount plus (min, max) PER declared stats column, in
-    * declaration order. `stats` keeps the legacy first-column view. */
+    * declaration order — and its optional bloom fingerprint of the
+    * declared bloom column (a [[graft.functions.BloomAgg]]
+    * self-describing sketch). `stats` keeps the legacy first-column
+    * view. */
   final case class FileEntry(file: String, rows: Option[Long],
-                             bounds: Seq[(Double, Double)]) {
+                             bounds: Seq[(Double, Double)],
+                             bloom: Option[Array[Byte]] = None) {
     def stats: Option[(Long, Double, Double)] =
       for (r <- rows; (mn, mx) <- bounds.headOption) yield (r, mn, mx)
   }
@@ -622,29 +627,42 @@ object VersionedStore {
       s"version $v does not exist or is not a partitioned commit")
     val lines = Files.readAllLines(mf.toPath).asScala.toSeq.filter(_.nonEmpty)
     val header = lines.head.split("\t", -1)
-    require((header.length == 3 || header.length == 4) && header(0) == "#part",
+    require(header.length >= 3 && header.length <= 5 && header(0) == "#part",
       s"malformed manifest list header: ${lines.head}")
     Mlist(header(1), header(2), lines.tail.map { l =>
       val f = l.split("\t", -1); PartEntry(f(0), f(1))
-    }, if (header.length == 4) header(3).split(",").toSeq else Nil)
+    },
+      if (header.length >= 4 && header(3).nonEmpty)
+        header(3).split(",").toSeq else Nil,
+      if (header.length == 5 && header(4).nonEmpty)
+        Some(header(4)) else None)
   }
 
   private def readPmanifestLines(path: String, name: String): Seq[String] =
     Files.readAllLines(new File(manifestDir(path), name).toPath)
       .asScala.toSeq.filter(_.nonEmpty)
 
-  /** Parse one pmanifest: `file[\trows\tmin1\tmax1[\tmin2\tmax2…]]`
+  /** Parse one pmanifest:
+    * `file[\trows\tmin1\tmax1[\tmin2\tmax2…]][\tB:<base64 sketch>]`
     * per line — the stats fields are present when the commit declared
     * stats column(s) and the parquet footer carried numeric min/max
     * for every one of them (all-or-nothing per line, so bounds align
-    * with the header's declaration order). */
+    * with the header's declaration order); the trailing `B:` field is
+    * the file's bloom fingerprint when the commit declared a bloom
+    * column. */
   def readPmanifestEntries(path: String, name: String): Seq[FileEntry] =
     readPmanifestLines(path, name).map { l =>
-      val f = l.split("\t", -1)
+      val raw = l.split("\t", -1)
+      val (f, bloom) =
+        if (raw.length > 1 && raw.last.startsWith("B:"))
+          (raw.dropRight(1),
+            Some(java.util.Base64.getDecoder.decode(raw.last.drop(2))))
+        else (raw, None)
       if (f.length >= 4 && f.length % 2 == 0)
         FileEntry(f(0), Some(f(1).toLong),
-          f.drop(2).grouped(2).map(p => (p(0).toDouble, p(1).toDouble)).toSeq)
-      else FileEntry(f(0), None, Nil)
+          f.drop(2).grouped(2).map(p => (p(0).toDouble, p(1).toDouble)).toSeq,
+          bloom)
+      else FileEntry(f(0), None, Nil, bloom)
     }
 
   private def readPmanifest(path: String, name: String): Seq[String] =
@@ -664,12 +682,28 @@ object VersionedStore {
     * statsRange) — the manifest-level analogue of ClickHouse's
     * ORDER-BY granule index / Iceberg's file stats: at 100 TB a
     * time-range query touches the partition's few overlapping files
-    * instead of listing and footer-probing everything. */
+    * instead of listing and footer-probing everything.
+    *
+    * `bloomCol` (first commit only; inherited afterwards) declares a
+    * HIGH-CARDINALITY data column whose per-file bloom fingerprint
+    * lands in the pmanifest — the ClickHouse bloom_filter skip index
+    * in manifest form, for the point-lookup shape min/max stats can't
+    * serve (scattered ids make every file's [min,max] window cover
+    * everything). A `WHERE token_id = X` / `IN (…)` read then drops
+    * whole files whose fingerprint disproves membership at PLANNING
+    * time. Unlike the footer stats this costs one read-back of the
+    * COMMIT'S OWN new files (O(new data), never the table); sketches
+    * are sized from the commit's file row counts (~16 bits/key,
+    * capped) and saturate gracefully — an over-full bloom keeps its
+    * file, never drops it. At object-store scale the base64 text
+    * field becomes a binary sidecar (Iceberg's puffin shape); the
+    * protocol is unchanged. */
   def appendPartitioned(df: DataFrame, path: String, partCol: String,
                         statsCol: Option[String] = None,
-                        allowSchemaEvolution: Boolean = false): Int =
+                        allowSchemaEvolution: Boolean = false,
+                        bloomCol: Option[String] = None): Int =
     commitPartitioned(df, path, partCol, replaceTouched = false, statsCol,
-      allowSchemaEvolution)
+      allowSchemaEvolution, bloomCol)
 
   /** Dynamic-partition overwrite: the partitions present in `df` are
     * REPLACED in the new version, untouched partitions carried by
@@ -678,12 +712,13 @@ object VersionedStore {
     * files until vacuumed. */
   def overwritePartitions(df: DataFrame, path: String, partCol: String,
                           statsCol: Option[String] = None,
-                          allowSchemaEvolution: Boolean = false): Int =
+                          allowSchemaEvolution: Boolean = false,
+                          bloomCol: Option[String] = None): Int =
     // a PARTIAL overwrite still carries other partitions' files, so
     // schema compatibility is enforced like an append (unlike the
     // flat overwrite(), which carries nothing)
     commitPartitioned(df, path, partCol, replaceTouched = true, statsCol,
-      allowSchemaEvolution)
+      allowSchemaEvolution, bloomCol)
 
   /** Read only the partitions `keep` accepts, as of version `v` —
     * planning-level pruning: a rejected partition's per-partition
@@ -910,9 +945,11 @@ object VersionedStore {
   private def commitPartitioned(df: DataFrame, path: String, partCol: String,
                                 replaceTouched: Boolean,
                                 statsCol: Option[String] = None,
-                                allowSchemaEvolution: Boolean = false): Int =
+                                allowSchemaEvolution: Boolean = false,
+                                bloomCol: Option[String] = None): Int =
     commitPartitionedAt(df, path, partCol, currentVersion(path) + 1,
-      replaceTouched, statsCol, allowEvolution = allowSchemaEvolution)
+      replaceTouched, statsCol, allowEvolution = allowSchemaEvolution,
+      bloomCol = bloomCol)
 
   /** Commit at an EXPLICIT version: carried state derives from v−1
     * (deterministic, replay-independent), which is what makes the
@@ -925,7 +962,8 @@ object VersionedStore {
                                   allowEvolution: Boolean = false,
                                   schemaOverride: Option[
                                     org.apache.spark.sql.types.StructType]
-                                    = None): Int = {
+                                    = None,
+                                  bloomCol: Option[String] = None): Int = {
     val prev = v - 1
     require(prev == 0 || mlistFile(path, prev).exists(),
       s"version $prev is a flat commit — a table is flat or partitioned, not both")
@@ -971,6 +1009,47 @@ object VersionedStore {
     if (declared.nonEmpty && inherited.nonEmpty)
       require(declared == inherited,
         s"stats columns cannot change mid-table: $inherited -> $declared")
+    // the bloom column is a table property with the same lifecycle
+    val inheritedBloom = prevMl.flatMap(_.bloomCol)
+    val effBloom = bloomCol.orElse(inheritedBloom)
+    for (b <- bloomCol; i <- inheritedBloom)
+      require(b == i, s"bloom column cannot change mid-table: $i -> $b")
+    for (b <- effBloom)
+      require(b != partCol,
+        "the bloom column must be a data column (the partition column " +
+          "already prunes at the manifest-list level)")
+    // per-file bloom fingerprints of the commit's OWN new files: one
+    // read-back job over O(new data), grouped by file — each sketch
+    // sized from the commit's largest file (~16 bits/key, capped) so
+    // a point probe's false-positive rate stays low without per-file
+    // sizing machinery. Any failure degrades to "no fingerprint"
+    // (files without one are always kept), never a failed commit.
+    val addedRels = touched.values.flatten.toSeq.sorted
+    val blooms: Map[String, Array[Byte]] =
+      if (effBloom.isEmpty || addedRels.isEmpty) Map.empty
+      else try {
+        val bcol = effBloom.get
+        val maxRows = addedRels
+          .flatMap(r => footerRowCount(new File(path, r))).foldLeft(0L)(math.max)
+        val numBits = math.min(1L << 20,
+          math.max(1024L, ((16 * maxRows + 63) / 64) * 64)).toInt
+        import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
+        val spark = df.sparkSession
+        val perFile = spark.read
+          .parquet(addedRels.map(r => s"$path/$r"): _*)
+          .select(input_file_name().as("__f"), col(bcol))
+          .groupBy(col("__f"))
+          .agg(graft.functions.BloomExprs.bloom_agg(
+            xxhash64(col(bcol)), numBits, 7).as("__b"))
+          .collect()
+        perFile.flatMap { row =>
+          val abs = row.getString(0)
+          // absolute URI → the commit-relative path (file names can
+          // repeat across partition dirs, so match the full suffix)
+          addedRels.find(rel => abs.endsWith(rel))
+            .map(_ -> row.getAs[Array[Byte]](1))
+        }.toMap
+      } catch { case _: Throwable => Map.empty }
     // pmanifests land BEFORE the list publish: a crash in between
     // leaves them orphaned and invisible, same as data files
     // a carried pmanifest LINE's leading field is its file; a
@@ -1006,11 +1085,13 @@ object VersionedStore {
             // all-or-nothing per line: bounds must cover EVERY
             // declared column or the line stays bare (conservative)
             val per = effStats.map(c => footerStats(new File(path, rel), c))
-            if (per.nonEmpty && per.forall(_.isDefined)) {
+            val base = if (per.nonEmpty && per.forall(_.isDefined)) {
               val rows = per.head.get._1
               val bounds = per.flatten.map { case (_, mn, mx) => s"$mn\t$mx" }
               s"$rel\t$rows\t${bounds.mkString("\t")}"
             } else rel
+            blooms.get(rel).fold(base)(b =>
+              s"$base\tB:${java.util.Base64.getEncoder.encodeToString(b)}")
           }
           // attempt-unique name: racing writers (or a retry over torn
           // debris) mint disjoint pmanifests, so nothing a published
@@ -1022,7 +1103,9 @@ object VersionedStore {
       }
     }
     val header = s"#part\t$partCol\t$partType" +
-      (if (effStats.isEmpty) "" else s"\t${effStats.mkString(",")}")
+      (if (effStats.isEmpty && effBloom.isEmpty) ""
+       else s"\t${effStats.mkString(",")}") +
+      effBloom.fold("")(b => s"\t$b")
     val body = (header +:
       entries.map(e => s"${e.value}\t${e.pmanifest}")).mkString("\n")
     // schema before the pointer (same ordering argument as commitData)
@@ -1038,6 +1121,19 @@ object VersionedStore {
     * when the column is absent, non-numeric, all-null, or anything
     * about the footer surprises us: stats can only ever PRUNE, so the
     * safe failure mode is silence, not a failed commit. */
+  /** Total row count from the parquet footer — sketch-sizing input
+    * for the bloom fingerprints; None on any surprise (the sketch
+    * then sizes from the other files, or the minimum). */
+  private def footerRowCount(file: File): Option[Long] =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toURI),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try Some(r.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+      finally r.close()
+    } catch { case _: Throwable => None }
+
   private def footerStats(file: File,
                           column: String): Option[(Long, Double, Double)] =
     try {

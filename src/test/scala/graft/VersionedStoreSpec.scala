@@ -851,6 +851,84 @@ class VersionedStoreSpec extends SparkSpec {
     }
   }
 
+  test("bloom file-skip index: point lookups prune files min/max stats " +
+    "cannot, carried and compacted files keep fingerprints") {
+    import spark.implicits._
+    val path = freshDir()
+    // four files split by tok % 4: every file's [min, max] tok window
+    // spans nearly the whole range (min/max stats useless for a point
+    // probe) but the value SETS are disjoint — the bloom shape
+    val all = (0L until 4096L).map(i => (i, i % 997, "p"))
+      .toDF("tok", "ts", "month")
+    // one append per residue class → four one-file commits into the
+    // same partition (declaration on the first, inherited after)
+    val v1 = (0L until 4L).map(r => VersionedStore.appendPartitioned(
+      all.filter(col("tok") % 4 === r).coalesce(1), path, "month",
+      statsCol = if (r == 0) Some("ts") else None,
+      bloomCol = if (r == 0) Some("tok") else None)).last
+    val ml = VersionedStore.readMlist(path, v1)
+    assert(ml.bloomCol.contains("tok") && ml.statsCols == Seq("ts"),
+      "bloom column declared alongside the stats column")
+    val e1 = VersionedStore.readPmanifestEntries(path, ml.parts.head.pmanifest)
+    assert(e1.size == 4 && e1.forall(_.bloom.isDefined),
+      "every added file carries a fingerprint")
+    def filesFor(pred: org.apache.spark.sql.Column): (Long, Long) = {
+      val q = VersionedStore.read(spark, path).where(pred)
+      val n = q.collect().length.toLong
+      (q.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.metrics("numFiles").value).getOrElse(0L), n)
+    }
+    // point lookup: ONE file of four (the residue class holding 5)
+    assert(filesFor(col("month") === "p" && col("tok") === 5L) == ((1L, 1L)),
+      "equality probe reads exactly the one file containing the value")
+    // IN over two residue classes: two files
+    assert(filesFor(col("month") === "p" &&
+      col("tok").isin(5L, 6L)) == ((2L, 2L)),
+      "IN probe reads the union of containing files")
+    // absent value: every fingerprint disproves it — zero files planned
+    assert(filesFor(col("month") === "p" && col("tok") === 999999L)._2 == 0L,
+      "absent value answers empty")
+    // a non-bloom, non-stats column filter prunes nothing: conservative
+    assert(filesFor(col("month") === "p" &&
+      (col("tok") % 7) === 0L)._1 == 4L,
+      "unrecognized shapes keep all files")
+    // second commit WITHOUT re-declaring: the bloom column is a table
+    // property — new files fingerprint, carried lines ride verbatim
+    val v2 = VersionedStore.appendPartitioned(
+      Seq((9001L, 1L, "q")).toDF("tok", "ts", "month"), path, "month")
+    val ml2 = VersionedStore.readMlist(path, v2)
+    assert(ml2.bloomCol.contains("tok"), "bloom column inherited")
+    val qEntries = VersionedStore.readPmanifestEntries(path,
+      ml2.parts.find(_.value == "q").get.pmanifest)
+    assert(qEntries.forall(_.bloom.isDefined), "new partition fingerprints")
+    assert(filesFor(col("month") === "p" && col("tok") === 5L) == ((1L, 1L)),
+      "carried fingerprints still prune after the new commit")
+    // compaction re-mints files: fingerprints recomputed from the
+    // rewrite, point probes stay exact
+    VersionedStore.compactPartition(spark, path, "p", nFiles = 2)
+    val mlc = VersionedStore.readMlist(path,
+      VersionedStore.currentVersion(path))
+    val cEntries = VersionedStore.readPmanifestEntries(path,
+      mlc.parts.find(_.value == "p").get.pmanifest)
+    assert(cEntries.size == 2 && cEntries.forall(_.bloom.isDefined),
+      "compacted files re-fingerprinted")
+    assert(filesFor(col("month") === "p" && col("tok") === 5L)._2 == 1L,
+      "post-compaction point probe still exact")
+    // guards: mid-table change and partition-column blooms refused
+    intercept[IllegalArgumentException] {
+      VersionedStore.appendPartitioned(
+        Seq((1L, 1L, "r")).toDF("tok", "ts", "month"), path, "month",
+        bloomCol = Some("ts"))
+    }
+    intercept[IllegalArgumentException] {
+      val p2 = freshDir()
+      VersionedStore.appendPartitioned(
+        Seq((1L, 1L, "r")).toDF("tok", "ts", "month"), p2, "month",
+        bloomCol = Some("month"))
+    }
+  }
+
   test("multi-column file stats + z-order compaction: predicates on " +
     "EITHER column prune files after the rewrite") {
     import spark.implicits._
