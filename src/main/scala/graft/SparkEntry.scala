@@ -143,6 +143,48 @@ object SparkEntry {
         path
       })
 
+  // Flat manifest-versioned customer dim driven through the
+  // MERGE-ON-READ row-level ops — the q_versioned_mor fixture:
+  //   v1 = the base dim (4 files);
+  //   v2 = deleteVectored custkey%7==3 (a position-vector sidecar,
+  //        ZERO files rewritten);
+  //   v3 = mergeVectored (update every custkey%10==0 key to
+  //        ('UPDATED', -1) — keys whose row died at v2 become pure
+  //        inserts — plus a %100==1 echo insert at key+1000000);
+  //   v4 = deleteVectored name='UPDATED' AND custkey%20==0 — this
+  //        vector must target v3's OWN new data files, proving
+  //        vectors layer across commits and file generations.
+  // The driver's oracle recomputes the final state relationally, so
+  // the hash verifies merge-on-read SEMANTICS end-to-end: broadcast
+  // anti-join subtraction with no resurrection, replace-matched /
+  // insert-unmatched, vector layering.
+  private def versionedMorDim(s: SparkSession, d: String): String =
+    versionedDone.computeIfAbsent(
+      (s.sparkContext.applicationId, d + "#mor"), _ => {
+        val dir =
+          java.nio.file.Files.createTempDirectory("graft_vmor").toFile
+        dir.deleteOnExit()
+        val path = dir.getAbsolutePath
+        val base = Tables.customer(s, d).select(
+          col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name").as("name"),
+          col("c_acctbal").cast("double").as("acctbal"))
+        graft.sources.VersionedStore.append(base.repartition(4), path)
+        graft.sources.VersionedStore.deleteVectored(s, path,
+          col("c_custkey") % 7 === 3)
+        val updates = base.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), lit("UPDATED").as("name"),
+            lit(-1.0).as("acctbal"))
+          .unionByName(base.filter(col("c_custkey") % 100 === 1)
+            .select((col("c_custkey") + 1000000L).as("c_custkey"),
+              lit("INSERTED").as("name"), lit(42.0).as("acctbal")))
+        graft.sources.VersionedStore.mergeVectored(s, path, updates,
+          Seq("c_custkey"))
+        graft.sources.VersionedStore.deleteVectored(s, path,
+          col("name") === "UPDATED" && col("c_custkey") % 20 === 0)
+        path
+      })
+
   // Shared bucketized quantile bases over wt⋈markets (VERDICT r9 #1):
   // q_trade_quantiles and q_quantile_gate together issue four
   // Rank.groupedQuantiles calls over this one input per pass. Each
@@ -564,6 +606,18 @@ object SparkEntry {
     // flip the hash.
     "q_versioned_evolve" -> ((s, d) =>
       graft.sources.VersionedStore.read(s, versionedEvolveDim(s, d))
+        .orderBy(col("c_custkey"))),
+
+    // Merge-on-read row-level ops (§2 #160), driver-gated: the final
+    // snapshot after DV delete → vectored merge → DV delete targeting
+    // the merge's own new files (fixture doc at versionedMorDim).
+    // Unlike q_versioned_upsert (copy-on-write), NO data file here is
+    // ever rewritten — the hash therefore pins the position-vector
+    // subtraction itself: the broadcast anti-join on (_metadata
+    // basename, row_index), vector layering across file generations,
+    // and replace-matched/insert-unmatched landing as DV + append.
+    "q_versioned_mor" -> ((s, d) =>
+      graft.sources.VersionedStore.read(s, versionedMorDim(s, d))
         .orderBy(col("c_custkey"))),
 
     "q_reorg_rewrite" -> ((s, d) => {
@@ -4665,6 +4719,27 @@ object SparkEntry {
         |  WHERE c_custkey % 50 = 0)
         |SELECT c_custkey, name, segment FROM v
         |WHERE NOT (segment IS NULL AND c_custkey % 11 = 5)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // the relational recomputation of the merge-on-read fixture:
+    // v2's vector kills %7==3 rows; the vectored merge replaces EVERY
+    // %10==0 key (keys dead at v2 come back as pure inserts) and adds
+    // the %100==1 echo; v4's vector kills the even-twenty UPDATED rows
+    "q_versioned_mor" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name AS name,
+        |         CAST(c_acctbal AS DOUBLE) AS acctbal
+        |  FROM customer),
+        |merged AS (
+        |  SELECT c_custkey, name, acctbal FROM base
+        |  WHERE c_custkey % 7 <> 3 AND c_custkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'UPDATED', -1.0 FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'INSERTED', 42.0 FROM base
+        |  WHERE c_custkey % 100 = 1)
+        |SELECT c_custkey, name, acctbal FROM merged
+        |WHERE NOT (name = 'UPDATED' AND c_custkey % 20 = 0)
         |ORDER BY c_custkey""".stripMargin,
 
     "q_vwap" ->

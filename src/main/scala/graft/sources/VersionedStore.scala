@@ -38,7 +38,9 @@ import scala.jdk.CollectionConverters._
   * files until vacuumed.
   *
   * Layout:  <path>/data/commit-<v>-<attempt>/part-*.parquet (immutable)
-  *          <path>/manifests/v<v>.manifest          (sorted file list)
+  *          <path>/data/commit-<v>-<attempt>-dv/…   (delete vectors)
+  *          <path>/manifests/v<v>.manifest          (sorted file list;
+  *            `D:<sidecar>` lines carry merge-on-read delete vectors)
   *
   * 100 TB: a flat manifest lists every live file, which works to
   * ~10⁵ files; past that the metadata itself needs the second level,
@@ -157,17 +159,121 @@ object VersionedStore {
   }
 
   /** The live data files (table-relative) of version `v`, resolving
-    * through the manifest list when `v` is a hierarchical commit. */
+    * through the manifest list when `v` is a hierarchical commit.
+    * Delete-vector sidecar lines are NOT data files and are excluded
+    * (see [[deleteVectorsAsOf]]). */
   def filesAsOf(path: String, v: Int): Seq[String] = {
     val mf = manifestFile(path, v)
     if (mf.exists())
-      Files.readAllLines(mf.toPath).asScala.toSeq.filter(_.nonEmpty)
+      Files.readAllLines(mf.toPath).asScala.toSeq
+        .filter(l => l.nonEmpty && !l.startsWith(DvPrefix))
     else {
       require(mlistFile(path, v).exists(),
         s"version $v does not exist (vacuumed or never committed)")
       readMlist(path, v).parts.flatMap(p => readPmanifest(path, p.pmanifest))
     }
   }
+
+  // ---- merge-on-read delete vectors ----------------------------------
+  //
+  // A copy-on-write point delete in a 100 TB table rewrites every file
+  // that holds one matching row — O(touched data). The merge-on-read
+  // form writes only a DELETE VECTOR sidecar: (data-file basename,
+  // row position) pairs, published in the manifest as `D:<sidecar>`
+  // lines next to the data-file lines (Delta's deletion vectors /
+  // Iceberg v2 position deletes). Commit cost is O(deleted rows);
+  // readers subtract the vector with ONE broadcast anti-join keyed on
+  // (_metadata file basename, _metadata.row_index) — zero-DV snapshots
+  // keep the plain scan plan with no join at all. Positions are the
+  // file-physical row indexes Spark's parquet reader generates from
+  // the row-group metadata, so they are stable across predicates and
+  // readers. Basenames (not full paths) key the vector because part
+  // file names embed a writer UUID — unique across commits, the same
+  // invariant touchedFiles relies on — which makes a vector row whose
+  // data file was later rewritten or compacted away INERT rather than
+  // wrong: invalidation is automatic. Copy-on-write rewrites read
+  // their inputs vector-applied (no resurrection), compaction and
+  // overwrite carry nothing and therefore fold vectors away, and
+  // vacuum retains sidecars exactly like data files while any
+  // retained version references them.
+
+  private val DvPrefix = "D:"
+
+  /** The delete-vector sidecar files (table-relative) of version `v`
+    * — empty for hierarchical versions (vectors are a flat-table
+    * operation, like the other row-level ops). */
+  def deleteVectorsAsOf(path: String, v: Int): Seq[String] = {
+    val mf = manifestFile(path, v)
+    if (!mf.exists()) Nil
+    else Files.readAllLines(mf.toPath).asScala.toSeq
+      .filter(_.startsWith(DvPrefix)).map(_.substring(DvPrefix.length))
+  }
+
+  /** Full manifest lines to carry into a child commit: data files
+    * plus delete-vector lines (an append on a vectored table must
+    * keep the vectors or deleted rows would resurrect). */
+  private def carriedLines(path: String, v: Int): Seq[String] =
+    filesAsOf(path, v) ++ deleteVectorsAsOf(path, v).map(DvPrefix + _)
+
+  /** The union of `dvs` as a broadcast (basename, position) frame,
+    * column-named to match [[withMeta]]'s stamp. */
+  private def dvFrame(spark: SparkSession, path: String,
+                      dvs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    broadcast(spark.read.schema("file STRING, pos BIGINT")
+      .parquet(dvs.map(d => s"$path/$d"): _*)
+      .toDF("__dv_file", "__dv_pos"))
+  }
+
+  /** Stamp each row with its file basename and physical row index
+    * from the parquet scan's metadata column — the delete-vector
+    * join key. Must be applied directly over a file-source read. */
+  private def withMeta(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    df.select(col("*"),
+      element_at(split(col("_metadata.file_path"), "/"), -1)
+        .as("__dv_file"),
+      col("_metadata.row_index").as("__dv_pos"))
+  }
+
+  /** Subtract version `v`'s delete vectors from a raw file read —
+    * identity (no metadata projection, no join) when none exist.
+    * Also sound over a STREAMING file scan (the vector side is
+    * static and broadcast: a stream-static anti-join). */
+  private[sources] def applyDvs(spark: SparkSession, path: String,
+                                base: DataFrame,
+                                dvs: Seq[String]): DataFrame =
+    if (dvs.isEmpty) base
+    else withMeta(base)
+      .join(dvFrame(spark, path, dvs), Seq("__dv_file", "__dv_pos"),
+        "left_anti")
+      .drop("__dv_file", "__dv_pos")
+
+  /** Version `v`'s live rows with the (basename, position) stamp
+    * still attached — the find-matches input for the row-level ops:
+    * probes read THIS so matched positions (for vectors) and matched
+    * files (for rewrites) fall out of the same scan, vector-applied
+    * so already-deleted rows can never re-match. */
+  private def snapshotWithMeta(spark: SparkSession, path: String,
+                               v: Int): DataFrame = {
+    val base = withMeta(readFiles(spark, path, filesAsOf(path, v),
+      Some(effectiveSchema(spark, path, v))))
+    val dvs = deleteVectorsAsOf(path, v)
+    if (dvs.isEmpty) base
+    else base.join(dvFrame(spark, path, dvs),
+      Seq("__dv_file", "__dv_pos"), "left_anti")
+  }
+
+  /** Read a bounded set of version `v`'s data files with `v`'s
+    * delete vectors applied — the copy-on-write rewrite input (a raw
+    * [[readFiles]] would resurrect vector-deleted rows). */
+  private def readFilesApplied(spark: SparkSession, path: String,
+                               rel: Seq[String],
+                               schema: Option[
+                                 org.apache.spark.sql.types.StructType],
+                               v: Int): DataFrame =
+    applyDvs(spark, path, readFiles(spark, path, rel, schema),
+      deleteVectorsAsOf(path, v))
 
   /** Read the table as of version `v` — a stable snapshot: later
     * commits, compactions and vacuums of other versions never change
@@ -178,8 +284,11 @@ object VersionedStore {
       // under the version's RECORDED schema when one exists: files
       // written before a schema evolution null-fill the added columns
       // (name-resolved), and every snapshot reads as the schema it was
-      // committed with
-      readFiles(spark, path, filesAsOf(path, v), schemaAsOf(path, v))
+      // committed with; delete vectors subtract merge-on-read deletes
+      // (identity when the version carries none)
+      applyDvs(spark, path,
+        readFiles(spark, path, filesAsOf(path, v), schemaAsOf(path, v)),
+        deleteVectorsAsOf(path, v))
     else readIndexed(spark, path, v)
 
   /** Read the latest version. */
@@ -229,7 +338,7 @@ object VersionedStore {
   def append(df: DataFrame, path: String,
              allowSchemaEvolution: Boolean = false): Int = {
     val prev = currentVersion(path)
-    val carried = if (prev == 0) Seq.empty else filesAsOf(path, prev)
+    val carried = if (prev == 0) Seq.empty else carriedLines(path, prev)
     val schema = evolvedSchema(df.sparkSession, path, prev, df.schema,
       allowSchemaEvolution)
     commitData(df, path, prev + 1, carried, schema = Some(schema))
@@ -272,7 +381,7 @@ object VersionedStore {
       s"batch $batchId would commit version $v but the table at $path is at " +
         s"version $cur — a reset checkpoint or a concurrent batch writer; " +
         "refusing to rewrite published history")
-    val carried = if (v == 1) Seq.empty else filesAsOf(path, v - 1)
+    val carried = if (v == 1) Seq.empty else carriedLines(path, v - 1)
     // stream schema drift fails loudly — no silent evolution from a
     // micro-batch writer
     val schema = evolvedSchema(df.sparkSession, path, v - 1, df.schema,
@@ -320,9 +429,11 @@ object VersionedStore {
     else {
       // touched files are read under the RECORDED schema: a file
       // written before a schema evolution null-fills the added
-      // columns, so a predicate on an evolved column still evaluates
-      val survivors = readFiles(spark, path, touched,
-          Some(effectiveSchema(spark, path, cur)))
+      // columns, so a predicate on an evolved column still evaluates;
+      // vector-applied so an earlier merge-on-read delete's rows do
+      // not resurrect into the rewrite
+      val survivors = readFilesApplied(spark, path, touched,
+          Some(effectiveSchema(spark, path, cur)), cur)
         .filter(not(coalesce(predicate, lit(false))))
       commitRewrite(spark, survivors, path, cur, touched)
     }
@@ -363,12 +474,102 @@ object VersionedStore {
     // rows, carry every existing file
     val rewritten =
       if (touched.isEmpty) aligned
-      else readFiles(spark, path, touched,
-          Some(effectiveSchema(spark, path, cur)))
+      else readFilesApplied(spark, path, touched,
+          Some(effectiveSchema(spark, path, cur)), cur)
         .join(keyRows, keys, "left_anti")
         .unionByName(aligned)
     commitRewrite(spark, rewritten, path, cur, touched)
   }
+
+  /** [[delete]] in merge-on-read form: publish a DELETE VECTOR of the
+    * matched rows' (file, position) pairs instead of rewriting any
+    * data file — commit cost O(matched rows), not O(touched files),
+    * the right shape for a point/narrow delete in a huge table (a
+    * GDPR erasure, a reorg retraction). Readers subtract the vector
+    * with one broadcast anti-join; [[compact]] folds accumulated
+    * vectors back into clean files (the read-amplification reclaim,
+    * Delta's OPTIMIZE after DV deletes). Returns the new version, or
+    * the current one unchanged when nothing matched. NULL-predicate
+    * rows never match, the [[delete]] contract. */
+  def deleteVectored(spark: SparkSession, path: String,
+                     predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val cur = flatCurrent(path, "deleteVectored")
+    val v = cur + 1
+    // matched positions off the vector-applied snapshot: re-deleting
+    // an already-dead row can never re-list its position
+    val matched = snapshotWithMeta(spark, path, cur)
+      .filter(coalesce(predicate, lit(false)))
+      .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      // cluster by file (AQE re-coalesces the small shuffle): one
+      // tight run-length-friendly sidecar per touched file region
+      .repartition(col("file"))
+    val dvRel = writeSidecar(matched, path, v)
+    val parts = listParquet(path, dvRel)
+    if (parts.flatMap(p => footerRowCount(new File(path, p))).sum == 0L)
+      cur // nothing matched — the empty attempt dir is invisible debris
+    else {
+      recordSchema(path, v, effectiveSchema(spark, path, cur))
+      publishManifest(path, v,
+        (carriedLines(path, cur) ++ parts.map(DvPrefix + _)).sorted)
+      v
+    }
+  }
+
+  /** [[merge]] in merge-on-read form: matched rows die by delete
+    * vector, every update row lands in new data files — NOTHING is
+    * rewritten, so commit cost is O(updates + matched rows) even when
+    * the matches scatter across thousands of files (the dimension-
+    * refresh-into-giant-fact shape copy-on-write merge handles worst).
+    * Same contract as [[merge]] otherwise: whenMatched-replace-all /
+    * whenNotMatched-insert-all, duplicate update keys refused. */
+  def mergeVectored(spark: SparkSession, path: String, updates: DataFrame,
+                    keys: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    val cur = flatCurrent(path, "mergeVectored")
+    val table = readAsOf(spark, path, cur)
+    require(updates.columns.toSet == table.columns.toSet,
+      s"merge schema mismatch: table has ${table.columns.sorted.mkString(",")}" +
+        s" but updates carry ${updates.columns.sorted.mkString(",")}")
+    require(keys.nonEmpty && keys.forall(updates.columns.contains),
+      s"merge keys $keys must be update columns")
+    val keyRows = updates.select(keys.map(col): _*).distinct()
+    require(keyRows.count() == updates.count(),
+      "updates carry duplicate keys — which row wins would be nondeterministic")
+    val v = cur + 1
+    val matched = snapshotWithMeta(spark, path, cur)
+      .join(keyRows, keys, "left_semi")
+      .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      .repartition(col("file"))
+    val dvRel = writeSidecar(matched, path, v)
+    val dvParts = listParquet(path, dvRel)
+    val anyDead =
+      dvParts.flatMap(p => footerRowCount(new File(path, p))).sum > 0L
+    val aligned = updates.select(table.columns.map(col): _*)
+    val dataRel = s"data/commit-$v-${attemptId()}"
+    aligned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/$dataRel")
+    val dataParts = listParquet(path, dataRel)
+    recordSchema(path, v, effectiveSchema(spark, path, cur))
+    publishManifest(path, v,
+      (carriedLines(path, cur) ++ dataParts ++
+        (if (anyDead) dvParts.map(DvPrefix + _) else Nil)).sorted)
+    v
+  }
+
+  /** Write a delete-vector frame under an attempt-unique sidecar dir
+    * (same invisibility-until-publish contract as data commits). */
+  private def writeSidecar(dv: DataFrame, path: String, v: Int): String = {
+    val rel = s"data/commit-$v-${attemptId()}-dv"
+    dv.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/$rel")
+    rel
+  }
+
+  private def listParquet(path: String, rel: String): Seq[String] =
+    Option(new File(path, rel).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => s"$rel/${f.getName}").toSeq.sorted
 
   /** [[delete]] on a HIERARCHICAL table, still at FILE granularity:
     * the find-matches scan runs through [[readIndexed]], so a
@@ -463,7 +664,35 @@ object VersionedStore {
       // evolution's files null-fill, so the full-outer payload
       // comparison is width-aligned across the step
       val stepSchema = schemaAsOf(path, v)
-      val oldOpt = readVersionFiles(spark, path, v - 1, removed, stepSchema)
+      // the old side is the rows this step RETRACTED: removed files'
+      // rows (copy-on-write) plus rows killed by delete vectors
+      // PUBLISHED at this step (merge-on-read) — read position-exact
+      // from only the data files the new vectors name, so the cost
+      // stays O(touched) either way. The downstream full-outer pairing
+      // is shape-blind: a vectored merge step pairs its dead rows with
+      // its inserted files into the same update_pre/postimage rows a
+      // copy-on-write merge yields.
+      val removedRows = readVersionFiles(spark, path, v - 1, removed,
+        stepSchema)
+      val dvPrev = if (v == 1) Set.empty[String]
+                   else deleteVectorsAsOf(path, v - 1).toSet
+      val dvNew = deleteVectorsAsOf(path, v).filterNot(dvPrev).sorted
+      val deadRows = if (dvNew.isEmpty) None else {
+        val dv = dvFrame(spark, path, dvNew)
+        val bases = dv.select("__dv_file").distinct()
+          .collect().map(_.getString(0)).toSet
+        val byBase = filesAsOf(path, v - 1)
+          .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+        val files = bases.toSeq.sorted.map(b => byBase.getOrElse(b,
+          sys.error(s"delete vector names $b outside version ${v - 1}")))
+        readVersionFiles(spark, path, v - 1, files, stepSchema).map(df =>
+          withMeta(df).join(dv, Seq("__dv_file", "__dv_pos"), "left_semi")
+            .drop("__dv_file", "__dv_pos"))
+      }
+      val oldOpt = (removedRows, deadRows) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b))
+        case (a, b) => a.orElse(b)
+      }
       val newOpt = readVersionFiles(spark, path, v, added, stepSchema)
       val cols = newOpt.orElse(oldOpt).map(_.columns.toSeq)
       val valCols = cols.map(_.filterNot(keys.contains)).getOrElse(Nil)
@@ -554,18 +783,16 @@ object VersionedStore {
     * commits and the mapping is total. */
   private def touchedFiles(spark: SparkSession, path: String, v: Int,
                            probe: DataFrame => DataFrame): Seq[String] = {
-    import org.apache.spark.sql.functions.input_file_name
     val byBase = filesAsOf(path, v)
       .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
-    // the file name is stamped BEFORE the probe runs: a semi-join
-    // probe whose other side also reads files would otherwise make
-    // input_file_name() ambiguous (MULTI_SOURCES_UNSUPPORTED)
-    val hit = probe(readAsOf(spark, path, v)
-        .withColumn("__f", input_file_name()))
-      .select("__f").distinct()
+    // the file name is stamped BEFORE the probe runs (from the scan's
+    // _metadata, so it stays well-defined when the probe — or the
+    // delete-vector subtraction — joins in another source, where
+    // input_file_name() would be ambiguous)
+    val hit = probe(snapshotWithMeta(spark, path, v))
+      .select("__dv_file").distinct()
       .collect().map(_.getString(0))
-    hit.map { uri =>
-      val base = uri.substring(uri.lastIndexOf('/') + 1)
+    hit.map { base =>
       byBase.getOrElse(base,
         sys.error(s"scanned file $base not in version $v's manifest"))
     }.toSeq.sorted
@@ -585,7 +812,11 @@ object VersionedStore {
   private def commitRewrite(spark: SparkSession, rewritten: DataFrame,
                             path: String, cur: Int,
                             touched: Seq[String]): Int = {
-    val carried = filesAsOf(path, cur).filterNot(touched.toSet)
+    // delete-vector lines ride along verbatim: vector rows whose data
+    // file was just rewritten are inert (basename-keyed, and the file
+    // left the manifest), the rest still guard untouched files
+    val carried = filesAsOf(path, cur).filterNot(touched.toSet) ++
+      deleteVectorsAsOf(path, cur).map(DvPrefix + _)
     commitData(rewritten, path, cur + 1, carried,
       schema = Some(effectiveSchema(spark, path, cur)))
   }
@@ -906,6 +1137,16 @@ object VersionedStore {
     require(rewrote.isEmpty,
       s"versions $rewrote overwrote or compacted files — the range is not " +
         "append-only; read a snapshot instead of a delta")
+    // a merge-on-read delete changes no data files but retracts rows —
+    // equally non-append-only, detected by its delete-vector delta
+    val vectored = (fromV + 1 to toV).filter { v =>
+      val prev = if (v == 1) Set.empty[String]
+                 else deleteVectorsAsOf(path, v - 1).toSet
+      deleteVectorsAsOf(path, v).toSet != prev
+    }
+    require(vectored.isEmpty,
+      s"versions $vectored published delete vectors — the range is not " +
+        "append-only; read a snapshot instead of a delta")
     val before = if (fromV == 0) Set.empty[String]
                  else filesAsOf(path, fromV).toSet
     val added = filesAsOf(path, toV).filterNot(before)
@@ -1214,7 +1455,8 @@ object VersionedStore {
     val cutoff = cur - keepVersions + 1
     val retainedVs = (cutoff to cur).filter(v =>
       manifestFile(path, v).exists() || mlistFile(path, v).exists())
-    val retained = retainedVs.flatMap(v => filesAsOf(path, v)).toSet
+    val retained = retainedVs.flatMap(v =>
+      filesAsOf(path, v) ++ deleteVectorsAsOf(path, v)).toSet
     // pmanifests any retained manifest list still references must
     // survive — a list carries old versions' pmanifests by reference
     val retainedPms = retainedVs.filter(v => mlistFile(path, v).exists())

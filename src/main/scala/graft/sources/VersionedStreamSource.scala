@@ -86,26 +86,35 @@ class VersionedStreamSource(spark: SparkSession, path: String,
     val fromV = start.map(toV).getOrElse(startVersion)
     if (start.isEmpty && snapshotFirst) {
       // bootstrap: the full table as of the first offset, riding the
-      // same checkpoint as the deltas that follow
+      // same checkpoint as the deltas that follow — delete vectors
+      // subtracted (stream-static anti-join, static broadcast side)
       val files = VersionedStore.filesAsOf(path, endV)
-      grouped(endV, files)
+      VersionedStore.applyDvs(spark, path, grouped(endV, files),
+        VersionedStore.deleteVectorsAsOf(path, endV))
     } else if (endV <= fromV) {
       StreamShim.emptyStreaming(spark, schema)
     } else {
       // per-version walk (not one end-minus-start diff): rewrite
-      // versions must be detected — and skippable — individually
+      // versions must be detected — and skippable — individually.
+      // A version that removed files OR published delete vectors
+      // retracted rows an append-only stream cannot express.
       val perV = (fromV + 1 to endV).map { v =>
         val prev = if (v == 1) Set.empty[String]
                    else VersionedStore.filesAsOf(path, v - 1).toSet
         val cur = VersionedStore.filesAsOf(path, v).toSet
-        (v, (cur -- prev).toSeq.sorted, (prev -- cur).nonEmpty)
+        val dvPrev = if (v == 1) Set.empty[String]
+                     else VersionedStore.deleteVectorsAsOf(path, v - 1).toSet
+        val dvChanged =
+          VersionedStore.deleteVectorsAsOf(path, v).toSet != dvPrev
+        (v, (cur -- prev).toSeq.sorted, (prev -- cur).nonEmpty || dvChanged)
       }
       val rewrote = perV.collect { case (v, _, true) => v }
       if (rewrote.nonEmpty && !skipRewrites)
         throw new IllegalStateException(
           s"versions ${rewrote.mkString(",")} of $path rewrote files " +
-            "(compaction/overwrite) — not an append-only range; set " +
-            "skipRewrites=true to stream past them or restart from a snapshot")
+            "(compaction/overwrite) or published delete vectors — not an " +
+            "append-only range; set skipRewrites=true to stream past them " +
+            "or restart from a snapshot")
       val added = perV.collect { case (_, add, rw) if !rw => add }.flatten
       if (added.isEmpty) StreamShim.emptyStreaming(spark, schema)
       else grouped(endV, added)

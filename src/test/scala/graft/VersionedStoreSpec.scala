@@ -971,4 +971,156 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.read(spark, path)
       .where(col("y") <= 15).count() == 16, "pruned read is still exact")
   }
+
+  test("merge-on-read delete vectors: point deletes rewrite NOTHING, " +
+    "layer, time-travel, survive appends, apply inside copy-on-write " +
+    "rewrites, and fold away on compaction") {
+    import spark.implicits._
+    val path = freshDir()
+    // v1+v2: 200 rows across several files
+    VersionedStore.append((0L until 100L).map(i => (i, i % 10))
+      .toDF("id", "grp").repartition(4), path)
+    VersionedStore.append((100L until 200L).map(i => (i, i % 10))
+      .toDF("id", "grp").repartition(4), path)
+    val files2 = VersionedStore.filesAsOf(path, 2)
+    // v3: vectored delete grp=3 — the manifest's DATA files are
+    // byte-identical to v2's (no rewrite), only D: sidecar lines land
+    val v3 = VersionedStore.deleteVectored(spark, path, col("grp") === 3)
+    assert(v3 == 3)
+    assert(VersionedStore.filesAsOf(path, 3) == files2,
+      "merge-on-read: zero data files rewritten")
+    assert(VersionedStore.deleteVectorsAsOf(path, 3).nonEmpty)
+    assert(rows(path, 3) == (0L until 200L).filterNot(_ % 10 == 3).toSet)
+    assert(rows(path, 2) == (0L until 200L).toSet,
+      "the pre-delete snapshot still reads every row")
+    // zero matches: no new version, no debris published
+    assert(VersionedStore.deleteVectored(spark, path, col("id") === -1L) == 3)
+    // v4: a second vector layers on the first
+    assert(VersionedStore.deleteVectored(spark, path, col("id") === 0L) == 4)
+    assert(rows(path, 4) ==
+      (1L until 200L).filterNot(_ % 10 == 3).toSet)
+    assert(VersionedStore.deleteVectorsAsOf(path, 4).size >
+      VersionedStore.deleteVectorsAsOf(path, 3).size)
+    // plan shape: a vector-free snapshot stays a bare scan (no join);
+    // a vectored one subtracts via ONE broadcast anti-join (inspect
+    // the FINAL adaptive plan, materialized by the action)
+    def planOf(v: Int): String = {
+      val df = VersionedStore.readAsOf(spark, path, v)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(!planOf(2).contains("Join"),
+      "no delete vectors -> no join in the plan")
+    val p4 = planOf(4)
+    assert(p4.contains("BroadcastHashJoin") && p4.contains("LeftAnti"),
+      s"vectored snapshot plans a broadcast anti-join:\n$p4")
+    // v5: append carries the vectors — deleted rows stay dead
+    VersionedStore.append(Seq((1000L, 3L)).toDF("id", "grp"), path)
+    assert(rows(path, 5) ==
+      ((1L until 200L).filterNot(_ % 10 == 3) :+ 1000L).toSet,
+      "appended rows visible, vector-deleted rows still dead")
+    // v6: a COPY-ON-WRITE delete over files holding vectored rows must
+    // not resurrect them into the rewritten files
+    VersionedStore.delete(spark, path, col("grp") === 7)
+    assert(rows(path, 6) == ((1L until 200L)
+      .filterNot(i => i % 10 == 3 || i % 10 == 7) :+ 1000L).toSet,
+      "copy-on-write rewrite reads its inputs vector-applied")
+    // v7: compaction folds the vectors into clean files
+    VersionedStore.compact(spark, path, nFiles = 2)
+    assert(VersionedStore.deleteVectorsAsOf(path, 7).isEmpty,
+      "compaction reclaims the read-side anti-join")
+    assert(rows(path, 7) == rows(path, 6))
+    assert(!planOf(7).contains("Join"),
+      "post-compaction reads are scan-only again")
+    // an incremental reader cannot silently skip the retraction
+    intercept[IllegalArgumentException] {
+      VersionedStore.readChanges(spark, path, 2, 5)
+    }
+    // vacuum to the current (vector-free) version: the sidecars die
+    // with their manifests
+    val dataRoot = new java.io.File(path, "data")
+    def dvOnDisk(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(dataRoot).count(f => f.getPath.contains("-dv/") &&
+        f.getName.endsWith(".parquet"))
+    }
+    assert(dvOnDisk() > 0)
+    val beforeVacuum = rows(path, 7)
+    VersionedStore.vacuum(path, keepVersions = 1)
+    assert(dvOnDisk() == 0, "unreferenced sidecars are vacuumed")
+    assert(rows(path, 7) == beforeVacuum, "current version unharmed")
+  }
+
+  test("vectored vacuum retention: a retained vectored snapshot keeps " +
+    "its sidecars alive") {
+    import spark.implicits._
+    val path = freshDir()
+    VersionedStore.append((0L until 50L).toDF("id")
+      .withColumn("grp", col("id") % 5).repartition(2), path)
+    VersionedStore.deleteVectored(spark, path, col("grp") === 1) // v2
+    VersionedStore.append(Seq((500L, 9L)).toDF("id", "grp"), path) // v3
+    VersionedStore.vacuum(path, keepVersions = 2) // keeps v2, v3
+    assert(rows(path, 2) == (0L until 50L).filterNot(_ % 5 == 1).toSet,
+      "the retained vectored snapshot still resolves after vacuum")
+  }
+
+  test("mergeVectored rewrites nothing and lands the exact state " +
+    "copy-on-write merge lands") {
+    import spark.implicits._
+    def base = (0L until 120L).map(i => (i, s"n$i", i * 1.5))
+      .toDF("id", "name", "score")
+    def updates(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      (0L until 120L).filter(_ % 10 == 0).map(i => (i, "UPD", -1.0))
+        .toDF("id", "name", "score")
+        .unionByName(Seq((9001L, "NEW", 42.0), (9002L, "NEW", 43.0))
+          .toDF("id", "name", "score"))
+    }
+    val mor = freshDir(); val cow = freshDir()
+    VersionedStore.append(base.repartition(3), mor)
+    VersionedStore.append(base.repartition(3), cow)
+    val filesBefore = VersionedStore.filesAsOf(mor, 1)
+    VersionedStore.mergeVectored(spark, mor, updates(spark), Seq("id"))
+    VersionedStore.merge(spark, cow, updates(spark), Seq("id"))
+    assert(VersionedStore.filesAsOf(mor, 2).toSet
+      .intersect(filesBefore.toSet) == filesBefore.toSet,
+      "merge-on-read merge carries every pre-existing data file")
+    def state(p: String) = VersionedStore.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(state(mor) == state(cow),
+      "vectored merge ≡ copy-on-write merge, row for row")
+    // duplicate update keys refused, same contract
+    intercept[IllegalArgumentException] {
+      VersionedStore.mergeVectored(spark, mor,
+        Seq((1L, "a", 0.0), (1L, "b", 0.0)).toDF("id", "name", "score"),
+        Seq("id"))
+    }
+  }
+
+  test("change feed derives deletes and updates from delete vectors " +
+    "exactly like copy-on-write steps") {
+    import spark.implicits._
+    val path = freshDir()
+    VersionedStore.append(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+        .coalesce(1), path)                                         // v1
+    VersionedStore.deleteVectored(spark, path, col("id") === 2L)    // v2
+    VersionedStore.mergeVectored(spark, path,
+      Seq((3L, "C3"), (4L, "d")).toDF("id", "name"), Seq("id"))     // v3
+    def feed(from: Int, to: Int) =
+      VersionedStore.readChangeFeed(spark, path, from, to, Seq("id"))
+        .collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"),
+          r.getAs[String]("_change_type"), r.getAs[Int]("_commit_version")))
+        .toSet
+    assert(feed(1, 2) == Set((2L, "b", "delete", 2)),
+      "a vectored delete step reports exactly the dead rows")
+    assert(feed(2, 3) == Set(
+      (3L, "c", "update_preimage", 3), (3L, "C3", "update_postimage", 3),
+      (4L, "d", "insert", 3)),
+      "a vectored merge step pairs dead rows with inserts into updates")
+  }
 }

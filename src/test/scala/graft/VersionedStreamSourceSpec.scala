@@ -236,4 +236,36 @@ class VersionedStreamSourceSpec extends SparkSpec {
     assert(sunk("vss_parity") == batchDelta,
       "the streaming source and the batch delta read agree")
   }
+
+  test("delete-vector versions are retractions: the snapshot bootstrap " +
+    "subtracts them, mid-stream they fail unless skipRewrites") {
+    import spark.implicits._
+    val path = freshDir("vss-dv")
+    VersionedStore.append((1L to 10L).toDF("id").repartition(2), path) // v1
+    VersionedStore.deleteVectored(spark, path, col("id") <= 3L)        // v2
+    // bootstrap AFTER the vectored delete: dead rows must not stream
+    val q = startTail(path, "vss_dv_snap", freshDir("vss-ckpt"),
+      Map("startingVersion" -> "snapshot"))
+    q.processAllAvailable()
+    assert(sunk("vss_dv_snap") == (4L to 10L).toSet,
+      "the bootstrap applies the table's delete vectors")
+    // a vectored delete mid-stream retracts rows an append-only
+    // stream cannot express — same contract as a rewrite
+    VersionedStore.deleteVectored(spark, path, col("id") === 9L)       // v3
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(e.getMessage.contains("append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-only")),
+      s"vectored deletes must fail loudly, got: ${e.getMessage}")
+    // skipRewrites streams past the retraction; later appends arrive
+    val q2 = startTail(path, "vss_dv_skip", freshDir("vss-ckpt"),
+      Map("skipRewrites" -> "true"))
+    q2.processAllAvailable()
+    VersionedStore.deleteVectored(spark, path, col("id") === 10L)      // v4
+    VersionedStore.append(Seq(100L).toDF("id"), path)                  // v5
+    q2.processAllAvailable(); q2.stop()
+    assert(sunk("vss_dv_skip") == Set(100L),
+      "the vectored version is skipped whole; the append after arrives")
+  }
 }
