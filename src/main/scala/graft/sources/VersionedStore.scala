@@ -557,6 +557,58 @@ object VersionedStore {
     v
   }
 
+  /** Targeted read-amplification reclaim (Delta's `REORG … APPLY
+    * (PURGE)`): rewrite ONLY the data files whose delete-vector
+    * dead-row ratio reaches `minDeadRatio`, folding their vectors
+    * into clean files — the surgical middle ground between paying
+    * the anti-join forever and [[compact]]'s full-table rewrite. The
+    * decision input is O(vector rows + one footer probe per dead
+    * file): a small aggregation over the sidecars gives per-file dead
+    * counts, footers give totals. Untouched files (and the vector
+    * lines still guarding them) are carried by reference; when the
+    * rewrite covers every file the vectors name, the `D:` lines are
+    * dropped entirely and reads return to a bare scan. At
+    * `minDeadRatio = 0` this IS the full vector fold, still
+    * rewriting only the files that have dead rows at all. */
+  def reorgVectored(spark: SparkSession, path: String,
+                    minDeadRatio: Double): Int = {
+    require(minDeadRatio >= 0.0 && minDeadRatio <= 1.0,
+      s"minDeadRatio must be in [0, 1]: $minDeadRatio")
+    val cur = flatCurrent(path, "reorgVectored")
+    val dvs = deleteVectorsAsOf(path, cur)
+    if (dvs.isEmpty) cur
+    else {
+      val deadByBase = dvFrame(spark, path, dvs)
+        .groupBy("__dv_file").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val byBase = filesAsOf(path, cur)
+        .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
+      val touched = deadByBase.toSeq.flatMap { case (base, dead) =>
+        // a vector row whose file is gone (earlier rewrite) is inert:
+        // it names nothing in this version's manifest — skip it
+        byBase.get(base).filter { rel =>
+          footerRowCount(new File(path, rel))
+            .exists(total => total > 0 &&
+              dead.toDouble / total >= minDeadRatio)
+        }
+      }.sorted
+      if (touched.isEmpty) cur
+      else {
+        val touchedBases =
+          touched.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+        val liveDeadBases = deadByBase.keySet.filter(byBase.contains)
+        val allFolded = liveDeadBases.subsetOf(touchedBases)
+        val survivors = readFilesApplied(spark, path, touched,
+          Some(effectiveSchema(spark, path, cur)), cur)
+        val carried = filesAsOf(path, cur).filterNot(touched.toSet) ++
+          (if (allFolded) Nil
+           else deleteVectorsAsOf(path, cur).map(DvPrefix + _))
+        commitData(survivors, path, cur + 1, carried,
+          schema = Some(effectiveSchema(spark, path, cur)))
+      }
+    }
+  }
+
   /** Write a delete-vector frame under an attempt-unique sidecar dir
     * (same invisibility-until-publish contract as data commits). */
   private def writeSidecar(dv: DataFrame, path: String, v: Int): String = {

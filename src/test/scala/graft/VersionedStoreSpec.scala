@@ -1100,6 +1100,43 @@ class VersionedStoreSpec extends SparkSpec {
     }
   }
 
+  test("reorgVectored reclaims read amplification surgically: only " +
+    "files past the dead-ratio threshold rewrite, vectors drop once " +
+    "fully folded") {
+    import spark.implicits._
+    val path = freshDir()
+    // two single-file commits with very different dead densities
+    VersionedStore.append((0L until 100L).toDF("id").coalesce(1), path)
+    VersionedStore.append((100L until 200L).toDF("id").coalesce(1), path)
+    VersionedStore.deleteVectored(spark, path, col("id") < 50L)   // 50% of f1
+    VersionedStore.deleteVectored(spark, path, col("id") === 150L) // 1% of f2
+    val live = (50L until 200L).filterNot(_ == 150L).toSet
+    assert(rows(path, 4) == live)
+    val files4 = VersionedStore.filesAsOf(path, 4)
+    // threshold 10%: only the half-dead file rewrites; the 1%-dead
+    // file and the vector lines still guarding it are carried
+    val v5 = VersionedStore.reorgVectored(spark, path, minDeadRatio = 0.10)
+    assert(v5 == 5)
+    val files5 = VersionedStore.filesAsOf(path, 5)
+    assert(files4.toSet.intersect(files5.toSet).size == files4.size - 1,
+      "exactly one file (the dense-dead one) was rewritten")
+    assert(VersionedStore.deleteVectorsAsOf(path, 5).nonEmpty,
+      "vectors stay while any live file still needs them")
+    assert(rows(path, 5) == live, "reorg is row-preserving")
+    // threshold 0: fold the rest — vectors drop, reads go scan-only
+    val v6 = VersionedStore.reorgVectored(spark, path, minDeadRatio = 0.0)
+    assert(v6 == 6)
+    assert(VersionedStore.deleteVectorsAsOf(path, 6).isEmpty,
+      "a full fold drops the D: lines")
+    assert(rows(path, 6) == live)
+    val df6 = VersionedStore.readAsOf(spark, path, 6)
+    df6.collect()
+    assert(!df6.queryExecution.executedPlan.toString.contains("Join"),
+      "post-fold reads are a bare scan again")
+    // nothing left to reclaim: no new version
+    assert(VersionedStore.reorgVectored(spark, path, 0.0) == 6)
+  }
+
   test("change feed derives deletes and updates from delete vectors " +
     "exactly like copy-on-write steps") {
     import spark.implicits._
