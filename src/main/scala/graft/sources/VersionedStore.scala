@@ -200,13 +200,17 @@ object VersionedStore {
   private val DvPrefix = "D:"
 
   /** The delete-vector sidecar files (table-relative) of version `v`
-    * — empty for hierarchical versions (vectors are a flat-table
-    * operation, like the other row-level ops). */
+    * — `D:` lines in a flat manifest, `#dv` lines in a hierarchical
+    * manifest list (vector rows are basename-keyed, so one table-level
+    * vector set serves every partition; a partition's rewrite leaves
+    * its vector rows inert). */
   def deleteVectorsAsOf(path: String, v: Int): Seq[String] = {
     val mf = manifestFile(path, v)
-    if (!mf.exists()) Nil
-    else Files.readAllLines(mf.toPath).asScala.toSeq
-      .filter(_.startsWith(DvPrefix)).map(_.substring(DvPrefix.length))
+    if (mf.exists())
+      Files.readAllLines(mf.toPath).asScala.toSeq
+        .filter(_.startsWith(DvPrefix)).map(_.substring(DvPrefix.length))
+    else if (mlistFile(path, v).exists()) readMlist(path, v).dvs
+    else Nil
   }
 
   /** Full manifest lines to carry into a child commit: data files
@@ -228,7 +232,7 @@ object VersionedStore {
   /** Stamp each row with its file basename and physical row index
     * from the parquet scan's metadata column — the delete-vector
     * join key. Must be applied directly over a file-source read. */
-  private def withMeta(df: DataFrame): DataFrame = {
+  private[sources] def withMeta(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, split}
     df.select(col("*"),
       element_at(split(col("_metadata.file_path"), "/"), -1)
@@ -244,7 +248,16 @@ object VersionedStore {
                                 base: DataFrame,
                                 dvs: Seq[String]): DataFrame =
     if (dvs.isEmpty) base
-    else withMeta(base)
+    else subtractStamped(spark, path, withMeta(base), dvs)
+
+  /** The anti-join half of [[applyDvs]] for inputs ALREADY stamped
+    * with [[withMeta]] — the union-of-scans readers stamp each scan
+    * before the union (a metadata column cannot be resolved over a
+    * Union node), then subtract once. */
+  private[sources] def subtractStamped(spark: SparkSession, path: String,
+                                       stamped: DataFrame,
+                                       dvs: Seq[String]): DataFrame =
+    stamped
       .join(dvFrame(spark, path, dvs), Seq("__dv_file", "__dv_pos"),
         "left_anti")
       .drop("__dv_file", "__dv_pos")
@@ -308,7 +321,12 @@ object VersionedStore {
     * assumes commit-stable schemas), with the partition column
     * reattached from the manifest list. */
   def readIndexed(spark: SparkSession, path: String, v: Int): DataFrame =
-    spark.baseRelationToDataFrame(snapshotRelation(spark, path, v))
+    // delete vectors subtract ABOVE the relation (the FileIndex prunes
+    // partitions/files inside the planner as ever; the broadcast
+    // anti-join rides on top, absent when the version has no vectors)
+    applyDvs(spark, path,
+      spark.baseRelationToDataFrame(snapshotRelation(spark, path, v)),
+      deleteVectorsAsOf(path, v))
 
   /** The snapshot as a BaseRelation (the [[readIndexed]] body, also
     * what `spark.read.format("graft-versioned")` serves). */
@@ -647,12 +665,19 @@ object VersionedStore {
       readPmanifestEntries(path, p.pmanifest).map(e =>
         e.file.substring(e.file.lastIndexOf('/') + 1) -> ((p.value, e.file)))
     }.toMap
-    import org.apache.spark.sql.functions.input_file_name
-    val hit = readIndexed(spark, path, cur).filter(predicate)
-      .select(input_file_name().as("__f")).distinct()
+    // probe on the vector-applied snapshot, stamped from the scan's
+    // _metadata (an already-dead row can never re-touch its file)
+    val dvsCur = deleteVectorsAsOf(path, cur)
+    val stamped = withMeta(
+      spark.baseRelationToDataFrame(snapshotRelation(spark, path, cur)))
+    val snap =
+      if (dvsCur.isEmpty) stamped
+      else stamped.join(dvFrame(spark, path, dvsCur),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    val hit = snap.filter(predicate)
+      .select("__dv_file").distinct()
       .collect().map(_.getString(0))
-    val touched: Seq[(String, String)] = hit.map { uri =>
-      val base = uri.substring(uri.lastIndexOf('/') + 1)
+    val touched: Seq[(String, String)] = hit.map { base =>
       byBase.getOrElse(base,
         sys.error(s"scanned file $base not in version $cur's manifests"))
     }.toSeq.sortBy(_._2)
@@ -667,14 +692,69 @@ object VersionedStore {
       val dataSchema = schemaAsOf(path, cur).map(s =>
         org.apache.spark.sql.types.StructType(
           s.fields.filterNot(_.name == ml.partCol)))
-      val survivors = touched.groupBy(_._1).map { case (value, fs) =>
-        readFiles(spark, path, fs.map(_._2), dataSchema)
+      // rewrite inputs read vector-applied (per-scan stamp, one
+      // subtraction over the union) so earlier merge-on-read deletes
+      // do not resurrect into the rewritten files
+      val unioned = touched.groupBy(_._1).map { case (value, fs) =>
+        val raw = readFiles(spark, path, fs.map(_._2), dataSchema)
+        (if (dvsCur.isEmpty) raw else withMeta(raw))
           .withColumn(ml.partCol, lit(value).cast(ml.partType))
-          .filter(not(coalesce(predicate, lit(false))))
       }.reduce(_.unionByName(_))
+      val applied =
+        if (dvsCur.isEmpty) unioned
+        else subtractStamped(spark, path, unioned, dvsCur)
+      val survivors = applied.filter(not(coalesce(predicate, lit(false))))
       commitPartitionedAt(survivors, path, ml.partCol, cur + 1,
         replaceTouched = false, removedFiles = touched.map(_._2).toSet,
         schemaOverride = Some(effectiveSchema(spark, path, cur)))
+    }
+  }
+
+  /** [[deleteVectored]] on a HIERARCHICAL table — the merge-on-read
+    * delete at the 100 TB form: the find-matches probe runs through
+    * the Catalyst FileIndex (partition + stats + bloom predicates
+    * prune before any data read), matched positions land in one
+    * table-level vector sidecar, and the commit carries the ENTIRE
+    * previous manifest list VERBATIM plus the new `#dv` lines —
+    * O(matched rows) data cost and O(1) metadata cost (not even the
+    * touched partitions' pmanifests re-mint; compare
+    * [[deletePartitioned]]'s O(touched files) rewrite). Vector rows
+    * are basename-keyed, so one table-level set serves every
+    * partition and a later partition rewrite leaves its rows inert.
+    * Readers subtract above the FileIndex scan; [[compactPartition]]
+    * folds a partition's dead rows into clean files. */
+  def deletePartitionedVectored(spark: SparkSession, path: String,
+                                predicate: org.apache.spark.sql.Column)
+      : Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val cur = currentVersion(path)
+    require(cur > 0, s"cannot delete: no committed version at $path")
+    require(!isFlatVersion(path, cur),
+      s"version $cur is flat — use deleteVectored()")
+    val v = cur + 1
+    val stamped = withMeta(
+      spark.baseRelationToDataFrame(snapshotRelation(spark, path, cur)))
+    val dvs = deleteVectorsAsOf(path, cur)
+    val applied =
+      if (dvs.isEmpty) stamped
+      else stamped.join(dvFrame(spark, path, dvs),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    val matched = applied.filter(coalesce(predicate, lit(false)))
+      .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      .repartition(col("file"))
+    val dvRel = writeSidecar(matched, path, v)
+    val parts = listParquet(path, dvRel)
+    if (parts.flatMap(p => footerRowCount(new File(path, p))).sum == 0L)
+      cur // nothing matched — the empty attempt dir is invisible debris
+    else {
+      val prevLines = Files.readAllLines(mlistFile(path, cur).toPath)
+        .asScala.toSeq.filter(_.nonEmpty)
+      recordSchema(path, v, effectiveSchema(spark, path, cur))
+      // create-exclusive publish: racing writers get one winner
+      writeAtomic(mlistFile(path, v),
+        (prevLines ++ parts.map(p => s"#dv\t$p")).mkString("\n"),
+        replace = false)
+      v
     }
   }
 
@@ -737,8 +817,9 @@ object VersionedStore {
           .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
         val files = bases.toSeq.sorted.map(b => byBase.getOrElse(b,
           sys.error(s"delete vector names $b outside version ${v - 1}")))
-        readVersionFiles(spark, path, v - 1, files, stepSchema).map(df =>
-          withMeta(df).join(dv, Seq("__dv_file", "__dv_pos"), "left_semi")
+        readVersionFiles(spark, path, v - 1, files, stepSchema,
+            perScan = withMeta).map(df =>
+          df.join(dv, Seq("__dv_file", "__dv_pos"), "left_semi")
             .drop("__dv_file", "__dv_pos"))
       }
       val oldOpt = (removedRows, deadRows) match {
@@ -796,11 +877,16 @@ object VersionedStore {
   private def readVersionFiles(spark: SparkSession, path: String, v: Int,
                                rel: Seq[String],
                                logicalSchema: Option[
-                                 org.apache.spark.sql.types.StructType] = None)
+                                 org.apache.spark.sql.types.StructType] = None,
+                               perScan: DataFrame => DataFrame = identity)
       : Option[DataFrame] =
+    // `perScan` runs directly over each file scan BEFORE any union or
+    // partition-column projection — the seam the change feed uses to
+    // stamp (_metadata basename, row_index) where a post-union stamp
+    // would not resolve
     if (rel.isEmpty) None
     else if (v == 0 || isFlatVersion(path, v))
-      Some(readFiles(spark, path, rel, logicalSchema))
+      Some(perScan(readFiles(spark, path, rel, logicalSchema)))
     else {
       val ml = readMlist(path, v)
       val dataSchema = logicalSchema.map(s =>
@@ -813,7 +899,7 @@ object VersionedStore {
         if (fs.isEmpty) None else Some((p.value, fs))
       }
       Some(byPart.map { case (value, fs) =>
-        readFiles(spark, path, fs, dataSchema)
+        perScan(readFiles(spark, path, fs, dataSchema))
           .withColumn(ml.partCol,
             org.apache.spark.sql.functions.lit(value).cast(ml.partType))
       }.reduce(_.unionByName(_)))
@@ -887,7 +973,8 @@ object VersionedStore {
   final case class Mlist(partCol: String, partType: String,
                          parts: Seq[PartEntry],
                          statsCols: Seq[String] = Nil,
-                         bloomCol: Option[String] = None) {
+                         bloomCol: Option[String] = None,
+                         dvs: Seq[String] = Nil) {
     def statsCol: Option[String] = statsCols.headOption
   }
   /** One pmanifest line: a data file, its optional footer stats —
@@ -912,13 +999,17 @@ object VersionedStore {
     val header = lines.head.split("\t", -1)
     require(header.length >= 3 && header.length <= 5 && header(0) == "#part",
       s"malformed manifest list header: ${lines.head}")
-    Mlist(header(1), header(2), lines.tail.map { l =>
+    // `#dv` lines carry table-level delete-vector sidecars; the rest
+    // are partition entries
+    val (dvLines, partLines) = lines.tail.partition(_.startsWith("#dv\t"))
+    Mlist(header(1), header(2), partLines.map { l =>
       val f = l.split("\t", -1); PartEntry(f(0), f(1))
     },
       if (header.length >= 4 && header(3).nonEmpty)
         header(3).split(",").toSeq else Nil,
       if (header.length == 5 && header(4).nonEmpty)
-        Some(header(4)) else None)
+        Some(header(4)) else None,
+      dvLines.map(_.split("\t", 2)(1)))
   }
 
   private def readPmanifestLines(path: String, name: String): Seq[String] =
@@ -1041,11 +1132,16 @@ object VersionedStore {
     val dataSchema = schemaAsOf(path, v).map(s =>
       org.apache.spark.sql.types.StructType(
         s.fields.filterNot(_.name == ml.partCol)))
-    perPart.map { case (p, entries) =>
-      readFiles(spark, path, entries.map(_.file), dataSchema)
+    // delete vectors: stamp each scan BEFORE the union (metadata
+    // columns do not resolve over a Union node), subtract once after
+    val dvs = deleteVectorsAsOf(path, v)
+    val u = perPart.map { case (p, entries) =>
+      val raw = readFiles(spark, path, entries.map(_.file), dataSchema)
+      (if (dvs.isEmpty) raw else withMeta(raw))
         .withColumn(ml.partCol,
           org.apache.spark.sql.functions.lit(p.value).cast(ml.partType))
     }.reduce(_.unionByName(_))
+    if (dvs.isEmpty) u else subtractStamped(spark, path, u, dvs)
   }
 
   /** foreachBatch seam for PARTITIONED tables — [[commitBatch]]'s
@@ -1399,8 +1495,13 @@ object VersionedStore {
       (if (effStats.isEmpty && effBloom.isEmpty) ""
        else s"\t${effStats.mkString(",")}") +
       effBloom.fold("")(b => s"\t$b")
+    // delete-vector lines are a table property carried verbatim: a
+    // partition rewrite leaves its vector rows inert (basename-keyed),
+    // other partitions' vectors must keep guarding their files
+    val dvLines = prevMl.map(_.dvs).getOrElse(Nil).map(d => s"#dv\t$d")
     val body = (header +:
-      entries.map(e => s"${e.value}\t${e.pmanifest}")).mkString("\n")
+      (entries.map(e => s"${e.value}\t${e.pmanifest}") ++ dvLines))
+      .mkString("\n")
     // schema before the pointer (same ordering argument as commitData)
     recordSchema(path, v, schema)
     // the one contended write: create-exclusive unless a batch replay

@@ -87,10 +87,13 @@ class VersionedStreamSource(spark: SparkSession, path: String,
     if (start.isEmpty && snapshotFirst) {
       // bootstrap: the full table as of the first offset, riding the
       // same checkpoint as the deltas that follow — delete vectors
-      // subtracted (stream-static anti-join, static broadcast side)
+      // subtracted (stream-static anti-join, static broadcast side;
+      // each scan stamped BEFORE any union, subtracted once after)
       val files = VersionedStore.filesAsOf(path, endV)
-      VersionedStore.applyDvs(spark, path, grouped(endV, files),
-        VersionedStore.deleteVectorsAsOf(path, endV))
+      val dvs = VersionedStore.deleteVectorsAsOf(path, endV)
+      if (dvs.isEmpty) grouped(endV, files)
+      else VersionedStore.subtractStamped(spark, path,
+        grouped(endV, files, stamp = true), dvs)
     } else if (endV <= fromV) {
       StreamShim.emptyStreaming(spark, schema)
     } else {
@@ -125,9 +128,13 @@ class VersionedStreamSource(spark: SparkSession, path: String,
     * directly; hierarchical tables group files by partition (resolved
     * through version `v`'s mlist) and reattach the value as a literal
     * column, unioned into one streaming plan. */
-  private def grouped(v: Int, files: Seq[String]): DataFrame = {
-    def scan(fs: Seq[String]) =
-      StreamShim.streamingParquet(spark, fs.map(f => s"$path/$f"), dataSchema)
+  private def grouped(v: Int, files: Seq[String],
+                      stamp: Boolean = false): DataFrame = {
+    def scan(fs: Seq[String]) = {
+      val s = StreamShim.streamingParquet(
+        spark, fs.map(f => s"$path/$f"), dataSchema)
+      if (stamp) VersionedStore.withMeta(s) else s
+    }
     partCol match {
       case None => scan(files)
       case Some((pc, pt)) =>
@@ -225,6 +232,16 @@ class VersionedSourceProvider extends StreamSourceProvider
         VersionedStore.versionAsOf(path, millis)
       case (None, None) => VersionedStore.currentVersion(path)
     }
+    // a BaseRelation cannot carry the delete-vector anti-join, so a
+    // vectored snapshot through this pure-relation surface would
+    // silently resurrect deleted rows — refuse loudly instead; the
+    // DataFrame API (VersionedStore.readAsOf / read) subtracts them,
+    // and reorgVectored/compact fold them away for relation readers
+    require(VersionedStore.deleteVectorsAsOf(path, v).isEmpty,
+      s"version $v of $path carries delete vectors, which the " +
+        "relation-based reader cannot subtract — read through " +
+        "VersionedStore.readAsOf, or fold the vectors with " +
+        "reorgVectored/compact first")
     VersionedStore.snapshotRelation(spark, path, v)
   }
 

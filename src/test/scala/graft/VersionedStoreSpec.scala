@@ -1137,6 +1137,72 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.reorgVectored(spark, path, 0.0) == 6)
   }
 
+  test("hierarchical merge-on-read delete: O(1) metadata (mlist carried " +
+    "verbatim), pruned reads subtract, COW + compaction interplay, " +
+    "relation reader refuses") {
+    import spark.implicits._
+    val path = freshDir()
+    // two month partitions, several files each, ts as the stats column
+    def month(m: String, ids: Range) =
+      ids.map(i => (i.toLong, i.toLong % 97, m)).toDF("id", "ts", "month")
+    VersionedStore.appendPartitioned(
+      month("1996-01", 0 until 100).repartition(3)
+        .unionByName(month("1996-02", 100 until 200).repartition(3)),
+      path, "month", statsCol = Some("ts"))
+    val ml1 = VersionedStore.readMlist(path, 1)
+    // v2: vectored delete across BOTH partitions — zero pmanifests
+    // re-minted, the part entries are carried byte-identical
+    val v2 = VersionedStore.deletePartitionedVectored(spark, path,
+      col("id") % 10 === 4)
+    assert(v2 == 2)
+    val ml2 = VersionedStore.readMlist(path, 2)
+    assert(ml2.parts == ml1.parts,
+      "O(1) metadata: every partition entry carried verbatim")
+    assert(ml2.dvs.nonEmpty && ml2.statsCols == Seq("ts"),
+      "vector lines land next to the inherited header")
+    val live = (0L until 200L).filterNot(_ % 10 == 4).toSet
+    def ids(v: Int) = VersionedStore.readAsOf(spark, path, v)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(2) == live)
+    assert(ids(1) == (0L until 200L).toSet, "time travel unaffected")
+    // zero matches: no new version
+    assert(VersionedStore.deletePartitionedVectored(spark, path,
+      col("id") === -5L) == 2)
+    // pruned read paths subtract too
+    assert(VersionedStore.readPartitionsAsOf(spark, path, 2, _ == "1996-01")
+      .collect().map(_.getLong(0)).toSet ==
+      (0L until 100L).filterNot(_ % 10 == 4).toSet,
+      "partition-pruned read applies the vectors")
+    // the pure-relation reader cannot subtract: loud refusal
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-versioned").option("path", path).load()
+        .collect()
+    }
+    // v3: COW partitioned delete must not resurrect vectored rows
+    VersionedStore.deletePartitioned(spark, path, col("id") % 10 === 7)
+    assert(ids(3) == live.filterNot(_ % 10 == 7),
+      "copy-on-write rewrite reads vector-applied")
+    // v4: per-partition compaction folds that partition's dead rows
+    // into clean files (vector rows for it become inert)
+    VersionedStore.compactPartition(spark, path, "1996-01", nFiles = 1)
+    assert(ids(4) == ids(3), "compaction is row-preserving")
+    // append inherits the vectors; deleted rows stay dead
+    VersionedStore.appendPartitioned(
+      Seq((999L, 1L, "1996-03")).toDF("id", "ts", "month"), path, "month")
+    assert(ids(5) == ids(3) + 999L)
+    // the incremental reader refuses the vectored range
+    intercept[IllegalArgumentException] {
+      VersionedStore.readChanges(spark, path, 1, 2)
+    }
+    // CDF reports the vectored step's deletes with partition values
+    val feed = VersionedStore.readChangeFeed(spark, path, 1, 2, Seq("id"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("month"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(feed == (0L until 200L).filter(_ % 10 == 4)
+      .map(i => (i, if (i < 100) "1996-01" else "1996-02", "delete")).toSet,
+      "vector deletes surface in the change feed with partition values")
+  }
+
   test("change feed derives deletes and updates from delete vectors " +
     "exactly like copy-on-write steps") {
     import spark.implicits._
