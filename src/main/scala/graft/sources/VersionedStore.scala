@@ -758,6 +758,58 @@ object VersionedStore {
     }
   }
 
+  /** [[mergeVectored]] on a HIERARCHICAL table: matched rows die by a
+    * table-level delete vector, update rows land through the ordinary
+    * partitioned commit (new files in THEIR partitions' pmanifests,
+    * untouched partitions carried by reference) — O(updates + matched
+    * rows), nothing rewritten. Because the old row dies by position
+    * and the new row lands wherever its partition value says, this
+    * merge natively supports PARTITION-MOVING upserts (a row whose
+    * key changes partitions), which the copy-on-write form cannot do
+    * without rewriting both partitions. Same contract as [[merge]]:
+    * whenMatched-replace-all / whenNotMatched-insert-all, duplicate
+    * update keys refused; `updates` must carry the table's columns
+    * including the partition column. */
+  def mergePartitionedVectored(spark: SparkSession, path: String,
+                               updates: DataFrame,
+                               keys: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentVersion(path)
+    require(cur > 0, s"cannot merge: no committed version at $path")
+    require(!isFlatVersion(path, cur),
+      s"version $cur is flat — use mergeVectored()")
+    val ml = readMlist(path, cur)
+    val table = readAsOf(spark, path, cur)
+    require(updates.columns.toSet == table.columns.toSet,
+      s"merge schema mismatch: table has ${table.columns.sorted.mkString(",")}" +
+        s" but updates carry ${updates.columns.sorted.mkString(",")}")
+    require(keys.nonEmpty && keys.forall(updates.columns.contains),
+      s"merge keys $keys must be update columns")
+    val keyRows = updates.select(keys.map(col): _*).distinct()
+    require(keyRows.count() == updates.count(),
+      "updates carry duplicate keys — which row wins would be nondeterministic")
+    val v = cur + 1
+    val stamped = withMeta(
+      spark.baseRelationToDataFrame(snapshotRelation(spark, path, cur)))
+    val dvs = deleteVectorsAsOf(path, cur)
+    val applied =
+      if (dvs.isEmpty) stamped
+      else stamped.join(dvFrame(spark, path, dvs),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    val matched = applied.join(keyRows, keys, "left_semi")
+      .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      .repartition(col("file"))
+    val dvRel = writeSidecar(matched, path, v)
+    val dvParts = listParquet(path, dvRel)
+    val anyDead =
+      dvParts.flatMap(p => footerRowCount(new File(path, p))).sum > 0L
+    val aligned = updates.select(table.columns.map(col): _*)
+    commitPartitionedAt(aligned, path, ml.partCol, v,
+      replaceTouched = false,
+      schemaOverride = Some(effectiveSchema(spark, path, cur)),
+      extraDvs = if (anyDead) dvParts else Nil)
+  }
+
   /** Row-level change feed over (fromV, toV], DERIVED — never stored —
     * from the copy-on-write commits' file deltas (Delta's Change Data
     * Feed, derivation form: no per-commit _change_data files, because
@@ -1352,7 +1404,8 @@ object VersionedStore {
                                   schemaOverride: Option[
                                     org.apache.spark.sql.types.StructType]
                                     = None,
-                                  bloomCol: Option[String] = None): Int = {
+                                  bloomCol: Option[String] = None,
+                                  extraDvs: Seq[String] = Nil): Int = {
     val prev = v - 1
     require(prev == 0 || mlistFile(path, prev).exists(),
       s"version $prev is a flat commit — a table is flat or partitioned, not both")
@@ -1498,7 +1551,8 @@ object VersionedStore {
     // delete-vector lines are a table property carried verbatim: a
     // partition rewrite leaves its vector rows inert (basename-keyed),
     // other partitions' vectors must keep guarding their files
-    val dvLines = prevMl.map(_.dvs).getOrElse(Nil).map(d => s"#dv\t$d")
+    val dvLines = (prevMl.map(_.dvs).getOrElse(Nil) ++ extraDvs)
+      .map(d => s"#dv\t$d")
     val body = (header +:
       (entries.map(e => s"${e.value}\t${e.pmanifest}") ++ dvLines))
       .mkString("\n")

@@ -1203,6 +1203,51 @@ class VersionedStoreSpec extends SparkSpec {
       "vector deletes surface in the change feed with partition values")
   }
 
+  test("hierarchical vectored merge: partition-moving upserts with " +
+    "untouched partitions carried by reference") {
+    import spark.implicits._
+    val path = freshDir()
+    def month(m: String, ids: Range) =
+      ids.map(i => (i.toLong, s"n$i", m)).toDF("id", "name", "month")
+    VersionedStore.appendPartitioned(
+      month("1996-01", 0 until 50)
+        .unionByName(month("1996-02", 50 until 100))
+        .unionByName(month("1996-03", 100 until 150)), path, "month")
+    val ml1 = VersionedStore.readMlist(path, 1)
+    // updates: in-place update (id 10 stays in 1996-01), a PARTITION
+    // MOVE (id 60: 1996-02 -> 1996-01), an insert into a NEW partition
+    val updates = Seq(
+      (10L, "UPD", "1996-01"),
+      (60L, "MOVED", "1996-01"),
+      (999L, "NEW", "1996-04")).toDF("id", "name", "month")
+    val v2 = VersionedStore.mergePartitionedVectored(spark, path, updates,
+      Seq("id"))
+    assert(v2 == 2)
+    val ml2 = VersionedStore.readMlist(path, 2)
+    // 1996-03 was untouched by data: its pmanifest entry is carried
+    // verbatim; 1996-02 TOO — the move deletes by vector, not rewrite
+    assert(ml2.parts.find(_.value == "1996-03") ==
+      ml1.parts.find(_.value == "1996-03"), "untouched partition carried")
+    assert(ml2.parts.find(_.value == "1996-02") ==
+      ml1.parts.find(_.value == "1996-02"),
+      "the move's SOURCE partition is never rewritten (vector delete)")
+    assert(ml2.dvs.nonEmpty, "matched rows die by vector")
+    val got = VersionedStore.read(spark, path).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"),
+        r.getAs[String]("month"))).toSet
+    val want = (0 until 150).filterNot(i => i == 10 || i == 60)
+      .map(i => (i.toLong, s"n$i",
+        if (i < 50) "1996-01" else if (i < 100) "1996-02" else "1996-03"))
+      .toSet ++ Set((10L, "UPD", "1996-01"), (60L, "MOVED", "1996-01"),
+        (999L, "NEW", "1996-04"))
+    assert(got == want, "replace-matched / insert-unmatched / move exact")
+    // snapshot isolation: v1 unchanged
+    assert(VersionedStore.readAsOf(spark, path, 1).count() == 150)
+    // partition-pruned read of the move SOURCE subtracts the moved row
+    assert(VersionedStore.readPartitionsAsOf(spark, path, 2, _ == "1996-02")
+      .collect().map(_.getLong(0)).toSet == (50L until 100L).toSet - 60L)
+  }
+
   test("change feed derives deletes and updates from delete vectors " +
     "exactly like copy-on-write steps") {
     import spark.implicits._
