@@ -627,6 +627,77 @@ object VersionedStore {
     }
   }
 
+  /** [[mergeVectored]] keyed by micro-batch id — the CDC-upsert
+    * STREAMING seam ([[commitBatch]]'s idempotency recipe on the
+    * merge-on-read machinery): version = batchId+1, and EVERY input
+    * to the commit derives from version v−1 — the carried manifest
+    * lines, the matched positions (probed against v−1's snapshot, not
+    * the live table), and the vector subtraction — so an at-least-once
+    * foreachBatch replay recommits the IDENTICAL version and table
+    * state lands exactly-once. Each batch must be key-unique
+    * (pre-dedup a CDC batch keep-latest first — the engine's
+    * ReplacingMergeTree dedup is exactly that operator); duplicate
+    * keys are refused because which row wins would be
+    * nondeterministic across replays. Matched rows die by vector,
+    * batch rows land as new files: O(batch + matched rows) per
+    * micro-batch, never a rewrite — the upsert-stream-into-100 TB-
+    * table shape. */
+  def mergeBatchVectored(df: DataFrame, path: String, keys: Seq[String],
+                         batchId: Long): Int = {
+    import org.apache.spark.sql.functions.col
+    require(batchId >= 0 && batchId < Int.MaxValue,
+      s"batchId $batchId outside the supported version range")
+    val v = batchId.toInt + 1
+    val cur = currentVersion(path)
+    require(v == cur + 1 || v == cur,
+      s"batch $batchId would commit version $v but the table at $path is at " +
+        s"version $cur — a reset checkpoint or a concurrent batch writer; " +
+        "refusing to rewrite published history")
+    val prev = v - 1
+    require(prev == 0 || manifestFile(path, prev).exists(),
+      s"version $prev is not a flat commit — the vectored upsert sink " +
+        "targets flat tables")
+    val spark = df.sparkSession
+    val schema = evolvedSchema(spark, path, prev, df.schema,
+      allowEvolution = false)
+    require(keys.nonEmpty && keys.forall(df.columns.contains),
+      s"merge keys $keys must be batch columns")
+    val keyRows = df.select(keys.map(col): _*).distinct()
+    require(keyRows.count() == df.count(),
+      "micro-batch carries duplicate keys — pre-dedup each batch " +
+        "(keep-latest) before the upsert sink")
+    val dvParts: Seq[String] =
+      if (prev == 0) Nil
+      else {
+        val stamped = withMeta(readFiles(spark, path, filesAsOf(path, prev),
+          Some(effectiveSchema(spark, path, prev))))
+        val dvs = deleteVectorsAsOf(path, prev)
+        val applied =
+          if (dvs.isEmpty) stamped
+          else stamped.join(dvFrame(spark, path, dvs),
+            Seq("__dv_file", "__dv_pos"), "left_anti")
+        val matched = applied.join(keyRows, keys, "left_semi")
+          .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+          .repartition(col("file"))
+        val rel = writeSidecar(matched, path, v)
+        val parts = listParquet(path, rel)
+        if (parts.flatMap(p => footerRowCount(new File(path, p))).sum == 0L)
+          Nil
+        else parts
+      }
+    val aligned = df.select(schema.fieldNames.map(col).toSeq: _*)
+    val dataRel = s"data/commit-$v-${attemptId()}"
+    aligned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/$dataRel")
+    val dataParts = listParquet(path, dataRel)
+    recordSchema(path, v, schema)
+    publishManifest(path, v,
+      ((if (prev == 0) Nil else carriedLines(path, prev)) ++ dataParts ++
+        dvParts.map(DvPrefix + _)).sorted,
+      replayable = true)
+    v
+  }
+
   /** Write a delete-vector frame under an attempt-unique sidecar dir
     * (same invisibility-until-publish contract as data commits). */
   private def writeSidecar(dv: DataFrame, path: String, v: Int): String = {

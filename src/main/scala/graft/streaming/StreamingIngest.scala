@@ -122,4 +122,23 @@ object StreamingIngest {
           path, partCol, id): Unit
       }
       .start()
+
+  /** CDC-UPSERT sink: each micro-batch MERGES into the versioned
+    * table by key ([[graft.sources.VersionedStore.mergeBatchVectored]]
+    * — matched rows die by delete vector, batch rows land as new
+    * files, O(batch + matched) per batch, never a rewrite), with the
+    * same batchId-keyed versioning that makes replays recommit their
+    * own version — an at-least-once upsert stream lands exactly-once
+    * table STATE. Batches must be key-unique: dedup a raw CDC batch
+    * keep-latest first (the engine's ReplacingMergeTree operator). */
+  def sinkVersionedUpsert(stream: DataFrame, path: String,
+                          keys: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.VersionedStore.mergeBatchVectored(batch.toDF(),
+          path, keys, id): Unit
+      }
+      .start()
 }

@@ -1248,6 +1248,55 @@ class VersionedStoreSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == (50L until 100L).toSet - 60L)
   }
 
+  test("CDC-upsert stream: mergeBatchVectored lands exactly-once upserts " +
+    "under replay, end-to-end through the foreachBatch sink") {
+    import spark.implicits._
+    val path = freshDir()
+    // end-to-end: an upsert stream through the sink — batch 0 inserts,
+    // batch 1 updates a key and inserts another
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingIngest.sinkVersionedUpsert(
+      ms.toDF().toDF("id", "name"), path, Seq("id"), freshDir() + "/ckpt")
+    ms.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+    ms.addData((2L, "B2"), (3L, "c")); q.processAllAvailable()
+    q.stop()
+    def state() = VersionedStore.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(VersionedStore.currentVersion(path) == 2)
+    assert(state() == Set((1L, "a"), (2L, "B2"), (3L, "c")),
+      "matched key replaced, unmatched inserted")
+    assert(VersionedStore.filesAsOf(path, 2).toSet
+      .intersect(VersionedStore.filesAsOf(path, 1).toSet)
+      == VersionedStore.filesAsOf(path, 1).toSet,
+      "the upsert rewrote nothing — batch 1's matches died by vector")
+    // at-least-once replay of the LAST batch (post-crash foreachBatch):
+    // identical version, identical state — not a second copy, and the
+    // vector re-derives from v1, not from the replayed run's own output
+    VersionedStore.mergeBatchVectored(
+      Seq((2L, "B2"), (3L, "c")).toDF("id", "name"), path, Seq("id"),
+      batchId = 1L)
+    assert(VersionedStore.currentVersion(path) == 2)
+    assert(state() == Set((1L, "a"), (2L, "B2"), (3L, "c")),
+      "replay is idempotent")
+    // divergence guard and per-batch key uniqueness, same contracts
+    // as commitBatch / merge
+    intercept[IllegalArgumentException] {
+      VersionedStore.mergeBatchVectored(Seq((9L, "x")).toDF("id", "name"),
+        path, Seq("id"), batchId = 7L)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedStore.mergeBatchVectored(
+        Seq((9L, "x"), (9L, "y")).toDF("id", "name"), path, Seq("id"),
+        batchId = 2L)
+    }
+    // time travel still serves the pre-upsert snapshot
+    assert(VersionedStore.readAsOf(spark, path, 1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
   test("change feed derives deletes and updates from delete vectors " +
     "exactly like copy-on-write steps") {
     import spark.implicits._
