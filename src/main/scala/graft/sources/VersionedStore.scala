@@ -418,6 +418,36 @@ object VersionedStore {
       Seq.empty, schema = Some(cur.schema))
   }
 
+  /** Size-targeted small-file compaction (Delta's OPTIMIZE bin-pack,
+    * as opposed to [[compact]]'s full rewrite): only files smaller
+    * than `targetBytes` are rewritten — bin-packed into
+    * ⌈small bytes / targetBytes⌉ outputs — while every
+    * already-right-sized file is carried by reference, so the
+    * maintenance cost is O(small files), not O(table). This is the
+    * steady-state companion of the streaming sinks: a micro-batch
+    * commit lands one small file per batch, and a periodic
+    * `compactSmall` folds the accumulated tail without touching the
+    * compacted bulk. Inputs read vector-applied (their delete-vector
+    * rows fold away; vectors guarding carried files ride along).
+    * No-op (current version returned) when fewer than `minFiles`
+    * small files exist — below that the rewrite buys nothing. */
+  def compactSmall(spark: SparkSession, path: String, targetBytes: Long,
+                   minFiles: Int = 2): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val cur = flatCurrent(path, "compactSmall")
+    val small = filesAsOf(path, cur)
+      .filter(f => new File(path, f).length() < targetBytes)
+    if (small.size < minFiles) cur
+    else {
+      val totalBytes = small.map(f => new File(path, f).length()).sum
+      val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+      val rewritten = readFilesApplied(spark, path, small,
+        Some(effectiveSchema(spark, path, cur)), cur)
+        .repartition(nOut.toInt)
+      commitRewrite(spark, rewritten, path, cur, small)
+    }
+  }
+
   // ---- row-level operations (copy-on-write) --------------------------
 
   /** Delete the rows matching `predicate` as a new version, rewriting

@@ -1297,6 +1297,46 @@ class VersionedStoreSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("compactSmall bin-packs only sub-threshold files, carries the " +
+    "compacted bulk, and folds the smalls' delete vectors") {
+    import spark.implicits._
+    val path = freshDir()
+    // one BIG file (hash column defeats compression so its on-disk
+    // size clears the threshold), then a tail of per-batch smalls
+    // (the streaming sink's steady-state shape)
+    VersionedStore.append(spark.range(0, 50000).select(col("id"))
+      .withColumn("id", when(col("id") < 49000L,
+        xxhash64(col("id"))).otherwise(col("id"))).coalesce(1), path)
+    val big = VersionedStore.filesAsOf(path, 1).head
+    (0 until 6).foreach(i => VersionedStore.append(
+      Seq(100000L + i).toDF("id"), path))                      // v2..v7
+    // a vectored delete hitting one small file and the big file
+    VersionedStore.deleteVectored(spark, path,
+      col("id") === 100001L || col("id") === 49007L)           // v8
+    val before = VersionedStore.read(spark, path).collect()
+      .map(_.getLong(0)).toSet
+    val v9 = VersionedStore.compactSmall(spark, path,
+      targetBytes = 256 * 1024)
+    assert(v9 == 9)
+    val files9 = VersionedStore.filesAsOf(path, 9)
+    assert(files9.contains(big),
+      "the already-right-sized file is carried by reference, not rewritten")
+    assert(files9.size < VersionedStore.filesAsOf(path, 8).size,
+      "the small tail folded into fewer files")
+    assert(VersionedStore.read(spark, path).collect()
+      .map(_.getLong(0)).toSet == before, "row-preserving")
+    assert(!VersionedStore.read(spark, path)
+      .filter(col("id") === 100001L).collect().nonEmpty,
+      "the small file's vectored delete folded, not resurrected")
+    assert(VersionedStore.deleteVectorsAsOf(path, 9).nonEmpty,
+      "the big file's vector still guards it (carried, not rewritten)")
+    assert(VersionedStore.read(spark, path)
+      .filter(col("id") === 49007L).count() == 0,
+      "the carried file's vector still applies")
+    // nothing small left: no-op
+    assert(VersionedStore.compactSmall(spark, path, 16) == 9)
+  }
+
   test("change feed derives deletes and updates from delete vectors " +
     "exactly like copy-on-write steps") {
     import spark.implicits._
