@@ -1494,7 +1494,13 @@ object SparkEntry {
 
     "q_volume_ma7" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // one keyed exchange feeds BOTH the aggregate and the window:
+      // hash-partitioning on token_id alone satisfies the groupBy's
+      // ClusteredDistribution on (token_id, day) AND the window's
+      // partitionBy(token_id), so neither inserts its own shuffle —
+      // 2 exchanges total (this one + the output sort) instead of 3
       val daily = trades(s, d)
+        .repartition(col("token_id"))
         .groupBy(col("token_id"), date_trunc("day", col("ts")).as("day"))
         .agg(sum(col("usd")).as("vol_dec"))
         .withColumn("day_num", datediff(col("day"), lit("1990-01-01")))
