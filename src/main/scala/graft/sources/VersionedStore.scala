@@ -1378,7 +1378,8 @@ object VersionedStore {
   final case class CommitInfo(version: Int, timestampMs: Long, form: String,
                               partitionsTouched: Seq[String],
                               filesAdded: Int, filesRemoved: Int,
-                              rowsAdded: Option[Long])
+                              rowsAdded: Option[Long],
+                              dvFilesAdded: Int = 0)
 
   /** The table's commit history, oldest first — `DESCRIBE HISTORY`
     * for this store, derived (never stored): audit/debug surface for
@@ -1412,8 +1413,14 @@ object VersionedStore {
                 .flatMap(_.rows).sum)
             ("partitioned", t.map(_.value), r)
           }
+        // delete-vector sidecars added at this version: distinguishes
+        // a merge-on-read commit (rows retracted!) from a genuinely
+        // metadata-only one in the audit surface
+        val dvPrev = if (v == 1) Set.empty[String]
+                     else deleteVectorsAsOf(path, v - 1).toSet
+        val dvAdded = deleteVectorsAsOf(path, v).count(!dvPrev.contains(_))
         CommitInfo(v, f.lastModified(), form, touched,
-          added.size, (prev -- files).size, rows)
+          added.size, (prev -- files).size, rows, dvAdded)
       }
     }
   }

@@ -1160,6 +1160,10 @@ class VersionedStoreSpec extends SparkSpec {
       "O(1) metadata: every partition entry carried verbatim")
     assert(ml2.dvs.nonEmpty && ml2.statsCols == Seq("ts"),
       "vector lines land next to the inherited header")
+    val h2 = VersionedStore.history(path).find(_.version == 2).get
+    assert(h2.dvFilesAdded > 0 && h2.filesAdded == 0 && h2.filesRemoved == 0,
+      "the audit record distinguishes a vectored delete from a " +
+        "metadata-only commit")
     val live = (0L until 200L).filterNot(_ % 10 == 4).toSet
     def ids(v: Int) = VersionedStore.readAsOf(spark, path, v)
       .collect().map(_.getLong(0)).toSet
