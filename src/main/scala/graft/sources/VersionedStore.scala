@@ -1671,15 +1671,9 @@ object VersionedStore {
     v
   }
 
-  /** Per-file (rowCount, min, max) of `column`, harvested from the
-    * parquet FOOTER the writer already produced — metadata-only, no
-    * data read. None (= "no stats recorded, always keep the file")
-    * when the column is absent, non-numeric, all-null, or anything
-    * about the footer surprises us: stats can only ever PRUNE, so the
-    * safe failure mode is silence, not a failed commit. */
   /** Total row count from the parquet footer — sketch-sizing input
-    * for the bloom fingerprints; None on any surprise (the sketch
-    * then sizes from the other files, or the minimum). */
+    * for the bloom fingerprints and the dead-row denominator for
+    * [[reorgVectored]]; None on any surprise. */
   private def footerRowCount(file: File): Option[Long] =
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -1690,6 +1684,12 @@ object VersionedStore {
       finally r.close()
     } catch { case _: Throwable => None }
 
+  /** Per-file (rowCount, min, max) of `column`, harvested from the
+    * parquet FOOTER the writer already produced — metadata-only, no
+    * data read. None (= "no stats recorded, always keep the file")
+    * when the column is absent, non-numeric, all-null, or anything
+    * about the footer surprises us: stats can only ever PRUNE, so the
+    * safe failure mode is silence, not a failed commit. */
   private def footerStats(file: File,
                           column: String): Option[(Long, Double, Double)] =
     try {
