@@ -185,6 +185,48 @@ object SparkEntry {
         path
       })
 
+  // HIERARCHICAL merge-on-read fixture — q_versioned_mor_part: the
+  // customer dim partitioned by market segment, driven through the
+  // partitioned vectored ops:
+  //   v1 = appendPartitioned by segment;
+  //   v2 = deletePartitionedVectored custkey%7==3 (O(1) metadata:
+  //        every pmanifest carried verbatim, one table-level #dv);
+  //   v3 = mergePartitionedVectored moving every %10==0 key to the
+  //        AUTOMOBILE partition (PARTITION-MOVING upsert: source
+  //        partitions never rewritten) + a %100==1 echo insert into
+  //        BUILDING;
+  //   v4 = deletePartitionedVectored name='UPDATED' AND custkey%20==0
+  //        (vectors over the merge's own new files).
+  // The hash pins the hierarchical vector subtraction end-to-end:
+  // the anti-join above the Catalyst FileIndex scan, cross-partition
+  // moves, vector layering.
+  private def versionedMorPartDim(s: SparkSession, d: String): String =
+    versionedDone.computeIfAbsent(
+      (s.sparkContext.applicationId, d + "#morpart"), _ => {
+        val dir =
+          java.nio.file.Files.createTempDirectory("graft_vmorp").toFile
+        dir.deleteOnExit()
+        val path = dir.getAbsolutePath
+        val base = Tables.customer(s, d).select(
+          col("c_custkey").cast("long").as("c_custkey"),
+          col("c_name").as("name"),
+          col("c_mktsegment").as("segment"))
+        graft.sources.VersionedStore.appendPartitioned(base, path, "segment")
+        graft.sources.VersionedStore.deletePartitionedVectored(s, path,
+          col("c_custkey") % 7 === 3)
+        val updates = base.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), lit("UPDATED").as("name"),
+            lit("AUTOMOBILE").as("segment"))
+          .unionByName(base.filter(col("c_custkey") % 100 === 1)
+            .select((col("c_custkey") + 1000000L).as("c_custkey"),
+              lit("INSERTED").as("name"), lit("BUILDING").as("segment")))
+        graft.sources.VersionedStore.mergePartitionedVectored(s, path,
+          updates, Seq("c_custkey"))
+        graft.sources.VersionedStore.deletePartitionedVectored(s, path,
+          col("name") === "UPDATED" && col("c_custkey") % 20 === 0)
+        path
+      })
+
   // Shared bucketized quantile bases over wt⋈markets (VERDICT r9 #1):
   // q_trade_quantiles and q_quantile_gate together issue four
   // Rank.groupedQuantiles calls over this one input per pass. Each
@@ -618,6 +660,15 @@ object SparkEntry {
     // and replace-matched/insert-unmatched landing as DV + append.
     "q_versioned_mor" -> ((s, d) =>
       graft.sources.VersionedStore.read(s, versionedMorDim(s, d))
+        .orderBy(col("c_custkey"))),
+
+    // Hierarchical merge-on-read, driver-gated (fixture doc at
+    // versionedMorPartDim): vectors subtract ABOVE the FileIndex
+    // scan, matched keys MOVE partitions without a rewrite, and the
+    // final snapshot hash pins all of it against the oracle's
+    // relational recomputation.
+    "q_versioned_mor_part" -> ((s, d) =>
+      graft.sources.VersionedStore.read(s, versionedMorPartDim(s, d))
         .orderBy(col("c_custkey"))),
 
     "q_reorg_rewrite" -> ((s, d) => {
@@ -4745,6 +4796,26 @@ object SparkEntry {
         |  SELECT c_custkey + 1000000, 'INSERTED', 42.0 FROM base
         |  WHERE c_custkey % 100 = 1)
         |SELECT c_custkey, name, acctbal FROM merged
+        |WHERE NOT (name = 'UPDATED' AND c_custkey % 20 = 0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // the hierarchical fixture's recomputation — identical algebra,
+    // with the partition column moving on update
+    "q_versioned_mor_part" ->
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name AS name,
+        |         c_mktsegment AS segment
+        |  FROM customer),
+        |merged AS (
+        |  SELECT c_custkey, name, segment FROM base
+        |  WHERE c_custkey % 7 <> 3 AND c_custkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'UPDATED', 'AUTOMOBILE' FROM base
+        |  WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'INSERTED', 'BUILDING' FROM base
+        |  WHERE c_custkey % 100 = 1)
+        |SELECT c_custkey, name, segment FROM merged
         |WHERE NOT (name = 'UPDATED' AND c_custkey % 20 = 0)
         |ORDER BY c_custkey""".stripMargin,
 

@@ -178,20 +178,22 @@ object VersionedStore {
   //
   // A copy-on-write point delete in a 100 TB table rewrites every file
   // that holds one matching row — O(touched data). The merge-on-read
-  // form writes only a DELETE VECTOR sidecar: (data-file basename,
+  // form writes only a DELETE VECTOR sidecar: (table-relative file,
   // row position) pairs, published in the manifest as `D:<sidecar>`
   // lines next to the data-file lines (Delta's deletion vectors /
   // Iceberg v2 position deletes). Commit cost is O(deleted rows);
   // readers subtract the vector with ONE broadcast anti-join keyed on
-  // (_metadata file basename, _metadata.row_index) — zero-DV snapshots
+  // (_metadata-derived relative path, _metadata.row_index) — zero-DV snapshots
   // keep the plain scan plan with no join at all. Positions are the
   // file-physical row indexes Spark's parquet reader generates from
   // the row-group metadata, so they are stable across predicates and
-  // readers. Basenames (not full paths) key the vector because part
-  // file names embed a writer UUID — unique across commits, the same
-  // invariant touchedFiles relies on — which makes a vector row whose
+  // readers. TABLE-RELATIVE paths (the manifest lines themselves) key
+  // the vector — unique by construction, where a basename key would
+  // collide across a partitioned commit's dirs (one same-named file
+  // per task per partition value) — which makes a vector row whose
   // data file was later rewritten or compacted away INERT rather than
-  // wrong: invalidation is automatic. Copy-on-write rewrites read
+  // wrong: it names nothing in the new manifest, so invalidation is
+  // automatic. Copy-on-write rewrites read
   // their inputs vector-applied (no resurrection), compaction and
   // overwrite carry nothing and therefore fold vectors away, and
   // vacuum retains sidecars exactly like data files while any
@@ -201,7 +203,8 @@ object VersionedStore {
 
   /** The delete-vector sidecar files (table-relative) of version `v`
     * — `D:` lines in a flat manifest, `#dv` lines in a hierarchical
-    * manifest list (vector rows are basename-keyed, so one table-level
+    * manifest list (vector rows key on manifest-relative file paths,
+    * so one table-level
     * vector set serves every partition; a partition's rewrite leaves
     * its vector rows inert). */
   def deleteVectorsAsOf(path: String, v: Int): Seq[String] = {
@@ -219,7 +222,7 @@ object VersionedStore {
   private def carriedLines(path: String, v: Int): Seq[String] =
     filesAsOf(path, v) ++ deleteVectorsAsOf(path, v).map(DvPrefix + _)
 
-  /** The union of `dvs` as a broadcast (basename, position) frame,
+  /** The union of `dvs` as a broadcast (relative path, position) frame,
     * column-named to match [[withMeta]]'s stamp. */
   private def dvFrame(spark: SparkSession, path: String,
                       dvs: Seq[String]): DataFrame = {
@@ -229,13 +232,17 @@ object VersionedStore {
       .toDF("__dv_file", "__dv_pos"))
   }
 
-  /** Stamp each row with its file basename and physical row index
-    * from the parquet scan's metadata column — the delete-vector
-    * join key. Must be applied directly over a file-source read. */
+  /** Stamp each row with its TABLE-RELATIVE file path and physical
+    * row index from the parquet scan's metadata column — the
+    * delete-vector join key. The relative path (`data/commit-…`), not
+    * the basename: a partitioned write lands files with the SAME
+    * basename in different partition dirs (one per task per
+    * partition value), so only the full manifest-line path is unique.
+    * Must be applied directly over a file-source read. */
   private[sources] def withMeta(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, element_at, split}
+    import org.apache.spark.sql.functions.{col, regexp_extract}
     df.select(col("*"),
-      element_at(split(col("_metadata.file_path"), "/"), -1)
+      regexp_extract(col("_metadata.file_path"), "(data/commit-.*)$", 1)
         .as("__dv_file"),
       col("_metadata.row_index").as("__dv_pos"))
   }
@@ -262,7 +269,7 @@ object VersionedStore {
         "left_anti")
       .drop("__dv_file", "__dv_pos")
 
-  /** Version `v`'s live rows with the (basename, position) stamp
+  /** Version `v`'s live rows with the (relative path, position) stamp
     * still attached — the find-matches input for the row-level ops:
     * probes read THIS so matched positions (for vectors) and matched
     * files (for rewrites) fall out of the same scan, vector-applied
@@ -626,26 +633,23 @@ object VersionedStore {
     val dvs = deleteVectorsAsOf(path, cur)
     if (dvs.isEmpty) cur
     else {
-      val deadByBase = dvFrame(spark, path, dvs)
+      val deadByFile = dvFrame(spark, path, dvs)
         .groupBy("__dv_file").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val byBase = filesAsOf(path, cur)
-        .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
-      val touched = deadByBase.toSeq.flatMap { case (base, dead) =>
+      val live = filesAsOf(path, cur).toSet
+      val touched = deadByFile.toSeq.flatMap { case (rel, dead) =>
         // a vector row whose file is gone (earlier rewrite) is inert:
         // it names nothing in this version's manifest — skip it
-        byBase.get(base).filter { rel =>
-          footerRowCount(new File(path, rel))
+        Some(rel).filter(live.contains).filter { r =>
+          footerRowCount(new File(path, r))
             .exists(total => total > 0 &&
               dead.toDouble / total >= minDeadRatio)
         }
       }.sorted
       if (touched.isEmpty) cur
       else {
-        val touchedBases =
-          touched.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
-        val liveDeadBases = deadByBase.keySet.filter(byBase.contains)
-        val allFolded = liveDeadBases.subsetOf(touchedBases)
+        val liveDead = deadByFile.keySet.filter(live.contains)
+        val allFolded = liveDead.subsetOf(touched.toSet)
         val survivors = readFilesApplied(spark, path, touched,
           Some(effectiveSchema(spark, path, cur)), cur)
         val carried = filesAsOf(path, cur).filterNot(touched.toSet) ++
@@ -761,10 +765,11 @@ object VersionedStore {
     require(!isFlatVersion(path, cur),
       s"version $cur is flat — use delete()")
     val ml = readMlist(path, cur)
-    // basename -> (partition value, table-relative file)
-    val byBase: Map[String, (String, String)] = ml.parts.flatMap { p =>
-      readPmanifestEntries(path, p.pmanifest).map(e =>
-        e.file.substring(e.file.lastIndexOf('/') + 1) -> ((p.value, e.file)))
+    // table-relative file -> its partition value (relative paths are
+    // the manifest lines themselves — unique by construction, where a
+    // basename key would collide across partition dirs)
+    val valueOf: Map[String, String] = ml.parts.flatMap { p =>
+      readPmanifestEntries(path, p.pmanifest).map(e => e.file -> p.value)
     }.toMap
     // probe on the vector-applied snapshot, stamped from the scan's
     // _metadata (an already-dead row can never re-touch its file)
@@ -778,9 +783,9 @@ object VersionedStore {
     val hit = snap.filter(predicate)
       .select("__dv_file").distinct()
       .collect().map(_.getString(0))
-    val touched: Seq[(String, String)] = hit.map { base =>
-      byBase.getOrElse(base,
-        sys.error(s"scanned file $base not in version $cur's manifests"))
+    val touched: Seq[(String, String)] = hit.map { f =>
+      (valueOf.getOrElse(f,
+        sys.error(s"scanned file $f not in version $cur's manifests")), f)
     }.toSeq.sortBy(_._2)
     if (touched.isEmpty) cur
     else {
@@ -820,7 +825,7 @@ object VersionedStore {
     * O(matched rows) data cost and O(1) metadata cost (not even the
     * touched partitions' pmanifests re-mint; compare
     * [[deletePartitioned]]'s O(touched files) rewrite). Vector rows
-    * are basename-keyed, so one table-level set serves every
+    * key on manifest-relative paths, so one table-level set serves every
     * partition and a later partition rewrite leaves its rows inert.
     * Readers subtract above the FileIndex scan; [[compactPartition]]
     * folds a partition's dead rows into clean files. */
@@ -964,12 +969,14 @@ object VersionedStore {
       val dvNew = deleteVectorsAsOf(path, v).filterNot(dvPrev).sorted
       val deadRows = if (dvNew.isEmpty) None else {
         val dv = dvFrame(spark, path, dvNew)
-        val bases = dv.select("__dv_file").distinct()
+        val named = dv.select("__dv_file").distinct()
           .collect().map(_.getString(0)).toSet
-        val byBase = filesAsOf(path, v - 1)
-          .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
-        val files = bases.toSeq.sorted.map(b => byBase.getOrElse(b,
-          sys.error(s"delete vector names $b outside version ${v - 1}")))
+        val live = filesAsOf(path, v - 1).toSet
+        val files = named.toSeq.sorted.map { f =>
+          if (!live.contains(f))
+            sys.error(s"delete vector names $f outside version ${v - 1}")
+          f
+        }
         readVersionFiles(spark, path, v - 1, files, stepSchema,
             perScan = withMeta).map(df =>
           df.join(dv, Seq("__dv_file", "__dv_pos"), "left_semi")
@@ -1035,7 +1042,7 @@ object VersionedStore {
       : Option[DataFrame] =
     // `perScan` runs directly over each file scan BEFORE any union or
     // partition-column projection — the seam the change feed uses to
-    // stamp (_metadata basename, row_index) where a post-union stamp
+    // stamp (relative path, row_index) where a post-union stamp
     // would not resolve
     if (rel.isEmpty) None
     else if (v == 0 || isFlatVersion(path, v))
@@ -1069,23 +1076,23 @@ object VersionedStore {
 
   /** The table-relative names of version `v`'s data files that survive
     * `probe` (a filter or semi-join marking matched rows): scan with
-    * input_file_name(), distinct, map back through basenames — part
-    * file names embed a writer UUID, so they are unique across
-    * commits and the mapping is total. */
+    * the scan's _metadata-derived relative path, distinct — relative
+    * paths ARE the manifest lines, so the mapping is identity. */
   private def touchedFiles(spark: SparkSession, path: String, v: Int,
                            probe: DataFrame => DataFrame): Seq[String] = {
-    val byBase = filesAsOf(path, v)
-      .map(f => f.substring(f.lastIndexOf('/') + 1) -> f).toMap
-    // the file name is stamped BEFORE the probe runs (from the scan's
+    val live = filesAsOf(path, v).toSet
+    // the file path is stamped BEFORE the probe runs (from the scan's
     // _metadata, so it stays well-defined when the probe — or the
     // delete-vector subtraction — joins in another source, where
-    // input_file_name() would be ambiguous)
+    // input_file_name() would be ambiguous); the stamp IS the
+    // manifest-relative path, no basename mapping
     val hit = probe(snapshotWithMeta(spark, path, v))
       .select("__dv_file").distinct()
       .collect().map(_.getString(0))
-    hit.map { base =>
-      byBase.getOrElse(base,
-        sys.error(s"scanned file $base not in version $v's manifest"))
+    hit.map { f =>
+      if (!live.contains(f))
+        sys.error(s"scanned file $f not in version $v's manifest")
+      f
     }.toSeq.sorted
   }
 
@@ -1104,7 +1111,7 @@ object VersionedStore {
                             path: String, cur: Int,
                             touched: Seq[String]): Int = {
     // delete-vector lines ride along verbatim: vector rows whose data
-    // file was just rewritten are inert (basename-keyed, and the file
+    // file was just rewritten are inert (path-keyed, and the file
     // left the manifest), the rest still guard untouched files
     val carried = filesAsOf(path, cur).filterNot(touched.toSet) ++
       deleteVectorsAsOf(path, cur).map(DvPrefix + _)
@@ -1657,7 +1664,7 @@ object VersionedStore {
        else s"\t${effStats.mkString(",")}") +
       effBloom.fold("")(b => s"\t$b")
     // delete-vector lines are a table property carried verbatim: a
-    // partition rewrite leaves its vector rows inert (basename-keyed),
+    // partition rewrite leaves its vector rows inert (path-keyed),
     // other partitions' vectors must keep guarding their files
     val dvLines = (prevMl.map(_.dvs).getOrElse(Nil) ++ extraDvs)
       .map(d => s"#dv\t$d")
