@@ -916,6 +916,59 @@ object VersionedStore {
       extraDvs = if (anyDead) dvParts else Nil)
   }
 
+  /** [[reorgVectored]] on a HIERARCHICAL table: rewrite only the data
+    * files past the dead-ratio threshold, each inside its own
+    * partition (touched partitions' pmanifests re-mint with the
+    * surviving lines, untouched partitions carried by reference —
+    * the [[deletePartitioned]] metadata shape), folding their vector
+    * rows away; the `#dv` lines drop entirely once the rewrite covers
+    * every live file the vectors name. */
+  def reorgPartitionedVectored(spark: SparkSession, path: String,
+                               minDeadRatio: Double): Int = {
+    import org.apache.spark.sql.functions.lit
+    require(minDeadRatio >= 0.0 && minDeadRatio <= 1.0,
+      s"minDeadRatio must be in [0, 1]: $minDeadRatio")
+    val cur = currentVersion(path)
+    require(cur > 0, s"no committed version at $path")
+    require(!isFlatVersion(path, cur),
+      s"version $cur is flat — use reorgVectored()")
+    val dvs = deleteVectorsAsOf(path, cur)
+    if (dvs.isEmpty) cur
+    else {
+      val ml = readMlist(path, cur)
+      val valueOf: Map[String, String] = ml.parts.flatMap { p =>
+        readPmanifestEntries(path, p.pmanifest).map(e => e.file -> p.value)
+      }.toMap
+      val deadByFile = dvFrame(spark, path, dvs)
+        .groupBy("__dv_file").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val touched = deadByFile.toSeq.flatMap { case (rel, dead) =>
+        Some(rel).filter(valueOf.contains).filter { r =>
+          footerRowCount(new File(path, r))
+            .exists(total => total > 0 &&
+              dead.toDouble / total >= minDeadRatio)
+        }
+      }.sorted
+      if (touched.isEmpty) cur
+      else {
+        val liveDead = deadByFile.keySet.filter(valueOf.contains)
+        val allFolded = liveDead.subsetOf(touched.toSet)
+        val dataSchema = schemaAsOf(path, cur).map(s =>
+          org.apache.spark.sql.types.StructType(
+            s.fields.filterNot(_.name == ml.partCol)))
+        val unioned = touched.groupBy(valueOf).map { case (value, fs) =>
+          withMeta(readFiles(spark, path, fs, dataSchema))
+            .withColumn(ml.partCol, lit(value).cast(ml.partType))
+        }.reduce(_.unionByName(_))
+        val survivors = subtractStamped(spark, path, unioned, dvs)
+        commitPartitionedAt(survivors, path, ml.partCol, cur + 1,
+          replaceTouched = false, removedFiles = touched.toSet,
+          schemaOverride = Some(effectiveSchema(spark, path, cur)),
+          dropDvs = allFolded)
+      }
+    }
+  }
+
   /** Row-level change feed over (fromV, toV], DERIVED — never stored —
     * from the copy-on-write commits' file deltas (Delta's Change Data
     * Feed, derivation form: no per-commit _change_data files, because
@@ -1520,7 +1573,8 @@ object VersionedStore {
                                     org.apache.spark.sql.types.StructType]
                                     = None,
                                   bloomCol: Option[String] = None,
-                                  extraDvs: Seq[String] = Nil): Int = {
+                                  extraDvs: Seq[String] = Nil,
+                                  dropDvs: Boolean = false): Int = {
     val prev = v - 1
     require(prev == 0 || mlistFile(path, prev).exists(),
       s"version $prev is a flat commit — a table is flat or partitioned, not both")
@@ -1666,8 +1720,9 @@ object VersionedStore {
     // delete-vector lines are a table property carried verbatim: a
     // partition rewrite leaves its vector rows inert (path-keyed),
     // other partitions' vectors must keep guarding their files
-    val dvLines = (prevMl.map(_.dvs).getOrElse(Nil) ++ extraDvs)
-      .map(d => s"#dv\t$d")
+    val dvLines =
+      ((if (dropDvs) Nil else prevMl.map(_.dvs).getOrElse(Nil)) ++ extraDvs)
+        .map(d => s"#dv\t$d")
     val body = (header +:
       (entries.map(e => s"${e.value}\t${e.pmanifest}") ++ dvLines))
       .mkString("\n")

@@ -1207,6 +1207,48 @@ class VersionedStoreSpec extends SparkSpec {
       "vector deletes surface in the change feed with partition values")
   }
 
+  test("hierarchical surgical reorg: only dead-heavy files rewrite " +
+    "inside their partitions; #dv lines drop when fully folded") {
+    import spark.implicits._
+    val path = freshDir()
+    def month(m: String, ids: Range) =
+      ids.map(i => (i.toLong, m)).toDF("id", "month")
+    // one file per partition (coalesced by the single input partition)
+    VersionedStore.appendPartitioned(
+      month("1996-01", 0 until 1000).coalesce(1)
+        .unionByName(month("1996-02", 1000 until 2000).coalesce(1)),
+      path, "month")
+    // dense dead in 1996-01 (50%), sparse in 1996-02 (0.1%)
+    VersionedStore.deletePartitionedVectored(spark, path,
+      (col("id") < 500L) || (col("id") === 1500L))
+    val live = ((500L until 1000L) ++
+      (1000L until 2000L).filterNot(_ == 1500L)).toSet
+    def ids() = VersionedStore.read(spark, path)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids() == live)
+    val ml2 = VersionedStore.readMlist(path, 2)
+    val v3 = VersionedStore.reorgPartitionedVectored(spark, path,
+      minDeadRatio = 0.10)
+    assert(v3 == 3)
+    val ml3 = VersionedStore.readMlist(path, 3)
+    assert(ml3.parts.find(_.value == "1996-02") ==
+      ml2.parts.find(_.value == "1996-02"),
+      "the sparse-dead partition is untouched (carried by reference)")
+    assert(ml3.parts.find(_.value == "1996-01") !=
+      ml2.parts.find(_.value == "1996-01"),
+      "the dense-dead partition's pmanifest re-minted")
+    assert(ml3.dvs.nonEmpty, "the sparse file's vector still guards it")
+    assert(ids() == live, "reorg is row-preserving")
+    // full fold: vectors drop, reads go join-free
+    val v4 = VersionedStore.reorgPartitionedVectored(spark, path, 0.0)
+    assert(v4 == 4)
+    assert(VersionedStore.readMlist(path, 4).dvs.isEmpty,
+      "a full fold drops the #dv lines")
+    assert(ids() == live)
+    assert(VersionedStore.reorgPartitionedVectored(spark, path, 0.0) == 4,
+      "nothing left to reclaim: no new version")
+  }
+
   test("hierarchical vectored merge: partition-moving upserts with " +
     "untouched partitions carried by reference") {
     import spark.implicits._
