@@ -222,14 +222,27 @@ object VersionedStore {
   private def carriedLines(path: String, v: Int): Seq[String] =
     filesAsOf(path, v) ++ deleteVectorsAsOf(path, v).map(DvPrefix + _)
 
-  /** The union of `dvs` as a broadcast (relative path, position) frame,
-    * column-named to match [[withMeta]]'s stamp. */
+  /** Sidecar bytes above which the vector side stops being broadcast:
+    * past this the anti-join plans as a shuffled join instead of
+    * OOMing the driver/executors on a runaway vector set (a
+    * mass-delete that should have been copy-on-write). */
+  private val DvBroadcastMaxBytes = 64L << 20
+
+  /** The union of `dvs` as a (relative path, position) frame,
+    * column-named to match [[withMeta]]'s stamp. Broadcast-hinted
+    * only while the sidecars' ON-DISK size (known to the driver for
+    * free) stays under [[DvBroadcastMaxBytes]] — the normal
+    * point-delete regime; a huge accumulated vector set degrades to
+    * a shuffled anti-join rather than a driver OOM, and
+    * [[reorgVectored]]/[[compact]] restore the broadcast regime. */
   private def dvFrame(spark: SparkSession, path: String,
                       dvs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    broadcast(spark.read.schema("file STRING, pos BIGINT")
+    val df = spark.read.schema("file STRING, pos BIGINT")
       .parquet(dvs.map(d => s"$path/$d"): _*)
-      .toDF("__dv_file", "__dv_pos"))
+      .toDF("__dv_file", "__dv_pos")
+    val bytes = dvs.map(d => new File(path, d).length()).sum
+    if (bytes <= DvBroadcastMaxBytes) broadcast(df) else df
   }
 
   /** Stamp each row with its TABLE-RELATIVE file path and physical
