@@ -1207,6 +1207,52 @@ class VersionedStoreSpec extends SparkSpec {
       "vector deletes surface in the change feed with partition values")
   }
 
+  test("delete vectors across a schema evolution: old snapshots read " +
+    "under their own schema minus their dead rows; evolved-column " +
+    "predicates see null-filled pre-evolution files") {
+    import spark.implicits._
+    val path = freshDir()
+    VersionedStore.append((0L until 60L).map(i => (i, s"n$i"))
+      .toDF("id", "name").repartition(2), path)                 // v1
+    VersionedStore.deleteVectored(spark, path, col("id") % 5 === 0) // v2
+    // v3: evolved append — new `score` column; the carried D: lines
+    // must survive the evolution commit
+    VersionedStore.append(
+      (100L until 110L).map(i => (i, s"n$i", i * 0.5))
+        .toDF("id", "name", "score"), path,
+      allowSchemaEvolution = true)                              // v3
+    // v4: vectored delete whose predicate reads the EVOLVED column —
+    // pre-evolution files must evaluate it as NULL
+    VersionedStore.deleteVectored(spark, path,
+      col("score").isNull && col("id") % 7 === 1)               // v4
+    val dead5 = (0L until 60L).filter(_ % 5 == 0).toSet
+    val dead7 = (0L until 60L).filter(i => i % 5 != 0 && i % 7 == 1).toSet
+    val got = VersionedStore.read(spark, path).collect()
+      .map(r => (r.getAs[Long]("id"), r.isNullAt(2)))
+    assert(got.map(_._1).toSet ==
+      ((0L until 60L).toSet -- dead5 -- dead7) ++ (100L until 110L),
+      "evolved-column predicate evaluated over null-filled old files")
+    assert(got.filter(_._1 < 60L).forall(_._2),
+      "pre-evolution rows null-fill the evolved column")
+    // time travel to v2: the OLD schema (no score), minus v2's dead
+    val snap2 = VersionedStore.readAsOf(spark, path, 2)
+    assert(snap2.columns.toSeq == Seq("id", "name"),
+      "the pre-evolution snapshot reads under its own recorded schema")
+    assert(snap2.collect().map(_.getLong(0)).toSet ==
+      (0L until 60L).toSet -- dead5)
+    // COW merge across both boundaries: no resurrection of either
+    // vector generation, update lands on the evolved schema
+    VersionedStore.merge(spark, path,
+      Seq((2L, "MERGED", 9.9)).toDF("id", "name", "score"), Seq("id"))
+    val after = VersionedStore.read(spark, path).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name")))
+    assert(after.count(_._1 == 2L) == 1 &&
+      after.find(_._1 == 2L).get._2 == "MERGED")
+    assert(after.map(_._1).toSet ==
+      ((0L until 60L).toSet -- dead5 -- dead7) ++ (100L until 110L),
+      "the cross-boundary rewrite resurrects neither vector generation")
+  }
+
   test("hierarchical surgical reorg: only dead-heavy files rewrite " +
     "inside their partitions; #dv lines drop when fully folded") {
     import spark.implicits._
