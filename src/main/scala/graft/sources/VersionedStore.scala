@@ -892,13 +892,61 @@ object VersionedStore {
   def mergePartitionedVectored(spark: SparkSession, path: String,
                                updates: DataFrame,
                                keys: Seq[String]): Int = {
-    import org.apache.spark.sql.functions.col
     val cur = currentVersion(path)
     require(cur > 0, s"cannot merge: no committed version at $path")
     require(!isFlatVersion(path, cur),
       s"version $cur is flat — use mergeVectored()")
-    val ml = readMlist(path, cur)
-    val table = readAsOf(spark, path, cur)
+    mergePartitionedVectoredAt(spark, path, updates, keys, cur + 1,
+      replayable = false)
+  }
+
+  /** [[mergePartitionedVectored]] keyed by micro-batch id — the
+    * CDC-upsert streaming seam on the HIERARCHICAL store, the full
+    * 100 TB warehouse shape: an at-least-once upsert stream into a
+    * month-partitioned table lands exactly-once (version = batchId+1;
+    * carried manifest list, matched positions and vector subtraction
+    * all derive from v−1, so a replay recommits the identical
+    * version), each batch costing O(batch + matched rows) with
+    * O(touched partitions) metadata and ZERO rewrites — partition
+    * moves included. `partCol` declares the layout on the very first
+    * batch (an empty table); afterwards the table's own column rules.
+    * Same key-uniqueness contract as [[mergeBatchVectored]]. */
+  def mergeBatchPartitionedVectored(df: DataFrame, path: String,
+                                    partCol: String, keys: Seq[String],
+                                    batchId: Long): Int = {
+    require(batchId >= 0 && batchId < Int.MaxValue,
+      s"batchId $batchId outside the supported version range")
+    val v = batchId.toInt + 1
+    val cur = currentVersion(path)
+    require(v == cur + 1 || v == cur,
+      s"batch $batchId would commit version $v but the table at $path is at " +
+        s"version $cur — a reset checkpoint or a concurrent batch writer; " +
+        "refusing to rewrite published history")
+    if (v == 1)
+      // bootstrap batch: a plain partitioned commit (nothing to match)
+      commitPartitionedAt(df, path, partCol, v, replaceTouched = false,
+        replayable = true)
+    else {
+      require(!isFlatVersion(path, v - 1),
+        s"version ${v - 1} is flat — the partitioned upsert sink targets " +
+          "hierarchical tables (use sinkVersionedUpsert)")
+      mergePartitionedVectoredAt(df.sparkSession, path, df, keys, v,
+        replayable = true)
+    }
+  }
+
+  /** The vectored-merge commit at an EXPLICIT version: every input
+    * derives from v−1 (snapshot probe, vector subtraction, carried
+    * manifest list), which is what makes the batch-replay seam
+    * idempotent. */
+  private def mergePartitionedVectoredAt(spark: SparkSession, path: String,
+                                         updates: DataFrame,
+                                         keys: Seq[String], v: Int,
+                                         replayable: Boolean): Int = {
+    import org.apache.spark.sql.functions.col
+    val prev = v - 1
+    val ml = readMlist(path, prev)
+    val table = readAsOf(spark, path, prev)
     require(updates.columns.toSet == table.columns.toSet,
       s"merge schema mismatch: table has ${table.columns.sorted.mkString(",")}" +
         s" but updates carry ${updates.columns.sorted.mkString(",")}")
@@ -907,10 +955,9 @@ object VersionedStore {
     val keyRows = updates.select(keys.map(col): _*).distinct()
     require(keyRows.count() == updates.count(),
       "updates carry duplicate keys — which row wins would be nondeterministic")
-    val v = cur + 1
     val stamped = withMeta(
-      spark.baseRelationToDataFrame(snapshotRelation(spark, path, cur)))
-    val dvs = deleteVectorsAsOf(path, cur)
+      spark.baseRelationToDataFrame(snapshotRelation(spark, path, prev)))
+    val dvs = deleteVectorsAsOf(path, prev)
     val applied =
       if (dvs.isEmpty) stamped
       else stamped.join(dvFrame(spark, path, dvs),
@@ -924,8 +971,8 @@ object VersionedStore {
       dvParts.flatMap(p => footerRowCount(new File(path, p))).sum > 0L
     val aligned = updates.select(table.columns.map(col): _*)
     commitPartitionedAt(aligned, path, ml.partCol, v,
-      replaceTouched = false,
-      schemaOverride = Some(effectiveSchema(spark, path, cur)),
+      replaceTouched = false, replayable = replayable,
+      schemaOverride = Some(effectiveSchema(spark, path, prev)),
       extraDvs = if (anyDead) dvParts else Nil)
   }
 

@@ -141,4 +141,21 @@ object StreamingIngest {
           path, keys, id): Unit
       }
       .start()
+
+  /** [[sinkVersionedUpsert]] onto the HIERARCHICAL store — the full
+    * 100 TB shape: a CDC-upsert stream into a month-partitioned
+    * warehouse table, O(batch + matched rows) data and O(touched
+    * partitions) metadata per micro-batch, partition-moving updates
+    * included, exactly-once under replay. */
+  def sinkVersionedUpsertPartitioned(stream: DataFrame, path: String,
+                                     partCol: String, keys: Seq[String],
+                                     checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.VersionedStore.mergeBatchPartitionedVectored(
+          batch.toDF(), path, partCol, keys, id): Unit
+      }
+      .start()
 }

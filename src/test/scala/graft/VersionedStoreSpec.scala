@@ -1207,6 +1207,51 @@ class VersionedStoreSpec extends SparkSpec {
       "vector deletes surface in the change feed with partition values")
   }
 
+  test("partitioned CDC-upsert stream: exactly-once upserts with " +
+    "partition moves, replay recommits identically") {
+    import spark.implicits._
+    val path = freshDir()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamingIngest.sinkVersionedUpsertPartitioned(
+      ms.toDF().toDF("id", "name", "month"), path, "month", Seq("id"),
+      freshDir() + "/ckpt")
+    // batch 0 bootstraps two partitions
+    ms.addData((1L, "a", "1996-01"), (2L, "b", "1996-02"))
+    q.processAllAvailable()
+    // batch 1: in-place update, a PARTITION MOVE, an insert
+    ms.addData((2L, "B2", "1996-01"), (3L, "c", "1996-03"))
+    q.processAllAvailable()
+    q.stop()
+    def state() = VersionedStore.read(spark, path).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"),
+        r.getAs[String]("month"))).toSet
+    assert(VersionedStore.currentVersion(path) == 2)
+    assert(state() == Set((1L, "a", "1996-01"), (2L, "B2", "1996-01"),
+      (3L, "c", "1996-03")),
+      "update applied, key moved partitions, insert landed")
+    val ml2 = VersionedStore.readMlist(path, 2)
+    assert(ml2.dvs.nonEmpty, "the moved key's old row died by vector")
+    // replay of the last batch (post-crash foreachBatch): identical
+    VersionedStore.mergeBatchPartitionedVectored(
+      Seq((2L, "B2", "1996-01"), (3L, "c", "1996-03"))
+        .toDF("id", "name", "month"), path, "month", Seq("id"),
+      batchId = 1L)
+    assert(VersionedStore.currentVersion(path) == 2)
+    assert(state() == Set((1L, "a", "1996-01"), (2L, "B2", "1996-01"),
+      (3L, "c", "1996-03")), "replay is idempotent")
+    // divergence guard
+    intercept[IllegalArgumentException] {
+      VersionedStore.mergeBatchPartitionedVectored(
+        Seq((9L, "x", "1996-01")).toDF("id", "name", "month"), path,
+        "month", Seq("id"), batchId = 7L)
+    }
+    // time travel: batch 0's snapshot is intact
+    assert(VersionedStore.readAsOf(spark, path, 1).collect()
+      .map(_.getAs[Long]("id")).toSet == Set(1L, 2L))
+  }
+
   test("delete vectors across a schema evolution: old snapshots read " +
     "under their own schema minus their dead rows; evolved-column " +
     "predicates see null-filled pre-evolution files") {
