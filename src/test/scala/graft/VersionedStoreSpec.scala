@@ -1207,6 +1207,52 @@ class VersionedStoreSpec extends SparkSpec {
       "vector deletes surface in the change feed with partition values")
   }
 
+  test("bloom skip index and delete vectors compose: pruning keeps " +
+    "planning-time file drops, the vector subtracts inside kept files") {
+    import spark.implicits._
+    val path = freshDir()
+    // four one-file commits with disjoint token sets (the bloom shape)
+    val all = (0L until 4096L).map(i => (i, i % 997, "p"))
+      .toDF("tok", "ts", "month")
+    (0L until 4L).foreach(r => VersionedStore.appendPartitioned(
+      all.filter(col("tok") % 4 === r).coalesce(1), path, "month",
+      statsCol = if (r == 0) Some("ts") else None,
+      bloomCol = if (r == 0) Some("tok") else None))
+    // vector-delete tok=5 (lives in residue file 1)
+    VersionedStore.deletePartitionedVectored(spark, path, col("tok") === 5L)
+    def probe(t: Long): (Long, Long) = {
+      val q = VersionedStore.read(spark, path)
+        .where(col("month") === "p" && col("tok") === t)
+      val n = q.collect().length.toLong
+      // traverse through AQE/stage wrappers (the vectored read plans a
+      // join, which AQE adapts); pick the DATA scan, not the sidecar's
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case qs: QueryStageExec => scans(qs.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+      val dataScan = scans(q.queryExecution.executedPlan)
+        .find(_.schema.fieldNames.contains("tok"))
+      (dataScan.map(_.metrics("numFiles").value).getOrElse(-1L), n)
+    }
+    // the deleted value: bloom still prunes to ITS one file (the file
+    // physically contains the bytes), the vector then yields zero rows
+    assert(probe(5L) == ((1L, 0L)),
+      "bloom prunes to the containing file; the vector empties it")
+    // a live value in the same file: pruned to one file, one row
+    assert(probe(9L) == ((1L, 1L)))
+    // a live value in another file: untouched by the vector
+    assert(probe(6L) == ((1L, 1L)))
+    // fold the vector; the probe shape is unchanged, row resurrection
+    // impossible by parity with the pre-fold answers
+    VersionedStore.reorgPartitionedVectored(spark, path, 0.0)
+    assert(probe(5L)._2 == 0L && probe(9L)._2 == 1L,
+      "post-fold answers identical")
+  }
+
   test("partitioned CDC-upsert stream: exactly-once upserts with " +
     "partition moves, replay recommits identically") {
     import spark.implicits._
