@@ -45,6 +45,18 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_BUCKETED")
       .orElse(sys.props.get("spark.graft.bucketed")).contains("1")) "bucketed"
     else "flat"
+  // a SPARK_GRAFT_ONLY run covers a subset of the registry: its dump
+  // must not clobber the committed full-registry artifact (it silently
+  // did during r13 — VERDICT r13 #3)
+  private def scopedV: Boolean =
+    sys.env.get("SPARK_GRAFT_ONLY").exists(_.trim.nonEmpty)
+  /** Artifact the per-query dump writes to — scoped (partial) runs and
+    * bucketed-mode runs land in their own files; only a full
+    * flat-registry sweep may overwrite BENCH_LOCAL.json. */
+  private[graft] def localDumpTarget(mode: String, scoped: Boolean): String =
+    if (mode == "bucketed") "BENCH_BUCKETED.json"
+    else if (scoped) "BENCH_SCOPED.json"
+    else "BENCH_LOCAL.json"
   // mv_warmup phase (VERDICT r10 #1): (label, seconds, ok) per session
   // MV materialized BEFORE the cold sweep, so each query's cold time is
   // its own work and the shared-MV build cost is its own labeled line
@@ -236,8 +248,9 @@ object Bench {
     try {
       // bucketed-mode sweeps land in their own artifact so the
       // zero-exchange layout gets a longitudinal signal (VERDICT r9
-      // #3) without clobbering the flat-layout baseline
-      val out = if (modeV == "bucketed") "BENCH_BUCKETED.json" else "BENCH_LOCAL.json"
+      // #3) without clobbering the flat-layout baseline; scoped
+      // (SPARK_GRAFT_ONLY) runs likewise — BENCH_SCOPED.json
+      val out = localDumpTarget(modeV, scopedV)
       val tmp = java.nio.file.Paths.get(out + ".tmp")
       java.nio.file.Files.writeString(tmp, full)
       java.nio.file.Files.move(tmp, java.nio.file.Paths.get(out),

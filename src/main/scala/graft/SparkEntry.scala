@@ -255,7 +255,7 @@ object SparkEntry {
     wt(s, d).select(
       col("wallet"), col("ts"), col("trade_id"), col("token_id"), col("side"),
       lit(1.0).as("qty"),
-      (col("usd") * 10000).cast("long").cast("double").as("usd"),
+      round(col("usd") * 10000).cast("long").cast("double").as("usd"),
       lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)").as("fee"))
 
   // One named builder per session MV (Views.cached name), shared by the
@@ -290,7 +290,7 @@ object SparkEntry {
             LogDecode.decodeOrderFilled(logsOrderFilledUnit(s, d)))).select(
           col("wallet"), col("ts"), col("trade_id"), col("token_id"),
           col("side"), lit(1.0).as("qty"),
-          (col("usd") * 10000).cast("long").cast("double").as("usd"),
+          round(col("usd") * 10000).cast("long").cast("double").as("usd"),
           lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)").as("fee")))
         .toDF())
 
@@ -1192,7 +1192,7 @@ object SparkEntry {
     // basis, pair-burn realization and oversell/overmerge handling.
     "q_ledger_events_exact" -> ((s, d) => {
       val taker = wt(s, d).filter(col("role") === "taker")
-      val usdI = (col("usd") * 10000).cast("long")
+      val usdI = round(col("usd") * 10000).cast("long")
       val evenI = (usdI - pmod(usdI, lit(2L))).cast("double")
       val triI = (usdI - pmod(usdI, lit(3L)))
       val noLegs = Seq(lit(null).cast("array<long>").as("leg_tokens"),
@@ -1267,7 +1267,7 @@ object SparkEntry {
       val f = wt(s, d).select(
         col("wallet"), col("ts"), col("trade_id"), col("token_id"), col("side"),
         lit(1.0).as("qty"),
-        (col("usd") * 10000).cast("long").cast("double").as("usd"),
+        round(col("usd") * 10000).cast("long").cast("double").as("usd"),
         lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)").as("fee"))
       Ledger.build(s, f).toDF()
         .groupBy(col("wallet"), col("token_id"))
@@ -1517,8 +1517,8 @@ object SparkEntry {
     "q_vwap" -> ((s, d) =>
       trades(s, d)
         .groupBy(col("token_id"), date_trunc("day", col("ts")).as("day"))
-        .agg(sum((col("usd") * 10000).cast("long")).as("ui"),
-          sum((col("qty") * 10000).cast("long")).as("qi"),
+        .agg(sum(round(col("usd") * 10000).cast("long")).as("ui"),
+          sum(round(col("qty") * 10000).cast("long")).as("qi"),
           count(lit(1)).as("trades"))
         .select(col("token_id"), col("day"),
           ((col("ui") / 10000.0) / (col("qi") / 10000.0)).as("vwap"),

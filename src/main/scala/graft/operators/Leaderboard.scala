@@ -214,7 +214,7 @@ object Leaderboard {
     // (integer partial aggregation, ~30% faster than decimal sums at
     // equal exactness — measured sf0.1) and divide back to double
     // once per group; net = sell − buy needs no third sum
-    val ui = (col("usd") * 10000).cast("long")
+    val ui = round(col("usd") * 10000).cast("long")
     walletTrades
       .join(broadcast(markets), Seq("token_id"))
       .groupBy(col("wallet"), col("market"))

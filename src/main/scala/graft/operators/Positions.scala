@@ -27,8 +27,8 @@ object Positions {
     // values as decimal sums, measurably cheaper at equal exactness
     val buys = walletTrades.filter(col("side") === "buy")
       .groupBy(col("wallet"), col("token_id"))
-      .agg(sum((col("usd") * 10000).cast("long")).as("ui"),
-           sum((col("qty") * 10000).cast("long")).as("qi"))
+      .agg(sum(round(col("usd") * 10000).cast("long")).as("ui"),
+           sum(round(col("qty") * 10000).cast("long")).as("qi"))
       .select(col("wallet"), col("token_id"),
         (col("ui") / 10000.0).as("buy_usd"),
         (col("qi") / 10000.0).as("buy_qty"))

@@ -95,7 +95,7 @@ object Snapshots {
       .groupBy(col("wallet"), col("day"))
       // cashflow_dec is DECIMAL(18,4): ×1e4 is exact — integer sums
       // from here on (PLANS r13)
-      .agg(sum((col("cashflow_dec") * 10000).cast("long")).as("day_cash_s"),
+      .agg(sum(round(col("cashflow_dec") * 10000).cast("long")).as("day_cash_s"),
            sum(col("value_delta_s")).as("day_value_s"))
 
     runningTotals(perDay)
@@ -121,8 +121,8 @@ object Snapshots {
       // 1e-4-scaled LONG cash sum (usd ≤4-decimals-exact): integer
       // partial agg, one /1e4 per output row — same exact value as
       // the decimal sum (PLANS r13)
-      .agg(sum(when(col("side") === "sell", (col("usd") * 10000).cast("long"))
-          .otherwise(-(col("usd") * 10000).cast("long"))).as("day_cash_s"),
+      .agg(sum(when(col("side") === "sell", round(col("usd") * 10000).cast("long"))
+          .otherwise(-round(col("usd") * 10000).cast("long"))).as("day_cash_s"),
         sum(col("value_delta_s")).as("day_value_s"))
 
     runningTotals(perDay)

@@ -138,7 +138,7 @@ object LogLedger {
         col("token_id").cast("long").as("token_id"),
         col("side").as("kind"),
         col("qty").cast("double").as("qty"),
-        (col("usd") * 10000).cast("long").cast("double").as("usd"),
+        round(col("usd") * 10000).cast("long").cast("double").as("usd"),
         lit(0.0).as("fee"), lit(0L).as("token_id2")) ++ noLegs: _*)
 
   /** Decoded ConditionalTokens split/merge/redeem rows → ledger events
@@ -325,7 +325,7 @@ object LogLedger {
   def encodeTopologyLogs(takerFills: DataFrame): DataFrame = {
     val f = takerFills.select(col("trade_id"), col("ts"), col("wallet"),
       col("token_id"), col("usd"),
-      (col("usd") * 10000).cast("long").as("ui"))
+      round(col("usd") * 10000).cast("long").as("ui"))
     def fam(m: Int): DataFrame = f.filter(pmod(col("trade_id"), lit(m)) === 0)
     def seq(off: Int): Column = (col("trade_id") * 10 + off).as("log_index")
 

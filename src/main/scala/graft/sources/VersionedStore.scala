@@ -532,7 +532,7 @@ object VersionedStore {
       s"merge keys $keys must be update columns")
     val keyRows = updates.select(keys.map(org.apache.spark.sql.functions.col): _*)
       .distinct()
-    require(keyRows.count() == updates.count(),
+    requireUniqueKeys(updates, keys,
       "updates carry duplicate keys — which row wins would be nondeterministic")
     val touched = touchedFiles(spark, path, cur,
       _.join(keyRows, keys, "left_semi"))
@@ -574,7 +574,7 @@ object VersionedStore {
       .repartition(col("file"))
     val dvRel = writeSidecar(matched, path, v)
     val parts = listParquet(path, dvRel)
-    if (parts.flatMap(p => footerRowCount(new File(path, p))).sum == 0L)
+    if (sidecarRowCount(path, parts) == 0L)
       cur // nothing matched — the empty attempt dir is invisible debris
     else {
       recordSchema(path, v, effectiveSchema(spark, path, cur))
@@ -602,7 +602,7 @@ object VersionedStore {
     require(keys.nonEmpty && keys.forall(updates.columns.contains),
       s"merge keys $keys must be update columns")
     val keyRows = updates.select(keys.map(col): _*).distinct()
-    require(keyRows.count() == updates.count(),
+    requireUniqueKeys(updates, keys,
       "updates carry duplicate keys — which row wins would be nondeterministic")
     val v = cur + 1
     val matched = snapshotWithMeta(spark, path, cur)
@@ -612,7 +612,7 @@ object VersionedStore {
     val dvRel = writeSidecar(matched, path, v)
     val dvParts = listParquet(path, dvRel)
     val anyDead =
-      dvParts.flatMap(p => footerRowCount(new File(path, p))).sum > 0L
+      sidecarRowCount(path, dvParts) > 0L
     val aligned = updates.select(table.columns.map(col): _*)
     val dataRel = s"data/commit-$v-${attemptId()}"
     aligned.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -710,7 +710,7 @@ object VersionedStore {
     require(keys.nonEmpty && keys.forall(df.columns.contains),
       s"merge keys $keys must be batch columns")
     val keyRows = df.select(keys.map(col): _*).distinct()
-    require(keyRows.count() == df.count(),
+    requireUniqueKeys(df, keys,
       "micro-batch carries duplicate keys — pre-dedup each batch " +
         "(keep-latest) before the upsert sink")
     val dvParts: Seq[String] =
@@ -728,7 +728,7 @@ object VersionedStore {
           .repartition(col("file"))
         val rel = writeSidecar(matched, path, v)
         val parts = listParquet(path, rel)
-        if (parts.flatMap(p => footerRowCount(new File(path, p))).sum == 0L)
+        if (sidecarRowCount(path, parts) == 0L)
           Nil
         else parts
       }
@@ -863,7 +863,7 @@ object VersionedStore {
       .repartition(col("file"))
     val dvRel = writeSidecar(matched, path, v)
     val parts = listParquet(path, dvRel)
-    if (parts.flatMap(p => footerRowCount(new File(path, p))).sum == 0L)
+    if (sidecarRowCount(path, parts) == 0L)
       cur // nothing matched — the empty attempt dir is invisible debris
     else {
       val prevLines = Files.readAllLines(mlistFile(path, cur).toPath)
@@ -953,7 +953,7 @@ object VersionedStore {
     require(keys.nonEmpty && keys.forall(updates.columns.contains),
       s"merge keys $keys must be update columns")
     val keyRows = updates.select(keys.map(col): _*).distinct()
-    require(keyRows.count() == updates.count(),
+    requireUniqueKeys(updates, keys,
       "updates carry duplicate keys — which row wins would be nondeterministic")
     val stamped = withMeta(
       spark.baseRelationToDataFrame(snapshotRelation(spark, path, prev)))
@@ -968,7 +968,7 @@ object VersionedStore {
     val dvRel = writeSidecar(matched, path, v)
     val dvParts = listParquet(path, dvRel)
     val anyDead =
-      dvParts.flatMap(p => footerRowCount(new File(path, p))).sum > 0L
+      sidecarRowCount(path, dvParts) > 0L
     val aligned = updates.select(table.columns.map(col): _*)
     commitPartitionedAt(aligned, path, ml.partCol, v,
       replaceTouched = false, replayable = replayable,
@@ -1075,10 +1075,24 @@ object VersionedStore {
       // is shape-blind: a vectored merge step pairs its dead rows with
       // its inserted files into the same update_pre/postimage rows a
       // copy-on-write merge yields.
-      val removedRows = readVersionFiles(spark, path, v - 1, removed,
-        stepSchema)
       val dvPrev = if (v == 1) Set.empty[String]
                    else deleteVectorsAsOf(path, v - 1).toSet
+      // removed files read MINUS v−1's pre-existing vectors: a rewrite
+      // step (compact / copy-on-write delete / reorg) over a
+      // previously-vectored table must not resurrect vector-dead rows
+      // on the old side — they were already retracted when their
+      // vector was published, and re-emitting them here would
+      // double-report the delete (or fabricate update pairs when the
+      // key was re-inserted later). Same protection readFilesApplied
+      // gives the rewrites themselves.
+      val removedRows =
+        if (removed.isEmpty) None
+        else if (dvPrev.isEmpty)
+          readVersionFiles(spark, path, v - 1, removed, stepSchema)
+        else
+          readVersionFiles(spark, path, v - 1, removed, stepSchema,
+              perScan = withMeta)
+            .map(subtractStamped(spark, path, _, dvPrev.toSeq.sorted))
       val dvNew = deleteVectorsAsOf(path, v).filterNot(dvPrev).sorted
       val deadRows = if (dvNew.isEmpty) None else {
         val dv = dvFrame(spark, path, dvNew)
@@ -1805,6 +1819,35 @@ object VersionedStore {
       try Some(r.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
       finally r.close()
     } catch { case _: Throwable => None }
+
+  /** Row count summed over a commit's OWN freshly-written sidecar
+    * parts. Unlike the advisory [[footerRowCount]] uses (sketch
+    * sizing, fold ratios), this one decides whether a delete/merge
+    * matched anything — so a footer read failure fails LOUDLY: the
+    * graceful `None → 0` degradation would silently turn a real
+    * delete into a no-op commit. */
+  private def sidecarRowCount(path: String, parts: Seq[String]): Long =
+    parts.map { p =>
+      footerRowCount(new File(path, p)).getOrElse(sys.error(
+        s"cannot read footer of freshly-written sidecar $p — refusing " +
+          "to treat the mutation as a no-op"))
+    }.sum
+
+  /** Refuse updates whose NON-NULL key tuples repeat — which row wins
+    * would be nondeterministic. NULL-keyed rows are exempt: the
+    * documented merge contract says a NULL key never matches and is
+    * inserted as-is, so two NULL-keyed rows are two inserts, not a
+    * conflict (a `distinct().count()` comparison would wrongly
+    * collapse them). One Spark job, not two. */
+  private def requireUniqueKeys(updates: DataFrame, keys: Seq[String],
+                                msg: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dups = updates
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count()
+    require(dups == 0L, msg)
+  }
 
   /** Per-file (rowCount, min, max) of `column`, harvested from the
     * parquet FOOTER the writer already produced — metadata-only, no

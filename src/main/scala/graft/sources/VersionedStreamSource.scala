@@ -118,9 +118,18 @@ class VersionedStreamSource(spark: SparkSession, path: String,
             "(compaction/overwrite) or published delete vectors — not an " +
             "append-only range; set skipRewrites=true to stream past them " +
             "or restart from a snapshot")
-      val added = perV.collect { case (_, add, rw) if !rw => add }.flatten
-      if (added.isEmpty) StreamShim.emptyStreaming(spark, schema)
-      else grouped(endV, added)
+      // each version's files resolve through ITS OWN mlist: with
+      // skipRewrites a file added at v1 and removed by a skipped
+      // rewrite later in the same batch range is absent from endV's
+      // manifests, but must still be delivered from its original
+      // file — the rewrite only re-homed rows this stream already
+      // carries from the append version
+      val addedPerV = perV.collect {
+        case (v, add, rw) if !rw && add.nonEmpty => (v, add)
+      }
+      if (addedPerV.isEmpty) StreamShim.emptyStreaming(spark, schema)
+      else addedPerV.map { case (v, add) => grouped(v, add) }
+        .reduce(_.unionByName(_))
     }
   }
 

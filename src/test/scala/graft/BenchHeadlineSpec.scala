@@ -132,4 +132,19 @@ class BenchHeadlineSpec extends AnyFunSuite {
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(line.endsWith("""}"""))
   }
+
+  test("scoped and bucketed runs never target the committed " +
+    "BENCH_LOCAL.json (VERDICT r13 #3)") {
+    assert(Bench.localDumpTarget("flat", scoped = false) ==
+      "BENCH_LOCAL.json")
+    assert(Bench.localDumpTarget("flat", scoped = true) ==
+      "BENCH_SCOPED.json",
+      "a SPARK_GRAFT_ONLY run holds a partial map - it must not " +
+        "overwrite the full-registry artifact")
+    assert(Bench.localDumpTarget("bucketed", scoped = false) ==
+      "BENCH_BUCKETED.json")
+    assert(Bench.localDumpTarget("bucketed", scoped = true) ==
+      "BENCH_BUCKETED.json",
+      "bucketed artifacts are already mode-scoped")
+  }
 }

@@ -1543,4 +1543,65 @@ class VersionedStoreSpec extends SparkSpec {
       (4L, "d", "insert", 3)),
       "a vectored merge step pairs dead rows with inserts into updates")
   }
+
+  test("change feed never resurrects vector-dead rows when a rewrite " +
+    "replaces a previously-vectored file") {
+    import spark.implicits._
+    def feed(path: String, from: Int, to: Int) =
+      VersionedStore.readChangeFeed(spark, path, from, to, Seq("id"))
+        .collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"),
+          r.getAs[String]("_change_type"), r.getAs[Int]("_commit_version")))
+        .toSet
+    // 1. compaction after a vectored delete: the rewrite folds the
+    //    vector; the dead row must NOT be re-reported as a v3 delete
+    val p1 = freshDir()
+    VersionedStore.append(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "name").coalesce(1), p1)                          // v1
+    VersionedStore.deleteVectored(spark, p1, col("id") === 2L)      // v2
+    VersionedStore.compact(spark, p1, nFiles = 1)                   // v3
+    assert(feed(p1, 1, 3) == Set((2L, "b", "delete", 2)),
+      "the delete is reported once, at the vector's own version")
+    assert(feed(p1, 2, 3) == Set.empty,
+      "a compaction of the vectored file is CDF-silent")
+    // 2. copy-on-write merge rewriting the vectored file, with the
+    //    dead KEY re-inserted: the old side must exclude the dead row,
+    //    so the re-insert is an insert — not a fabricated update pair
+    //    against a retracted preimage
+    val p2 = freshDir()
+    VersionedStore.append(Seq((1L, "a"), (2L, "b"))
+      .toDF("id", "name").coalesce(1), p2)                          // v1
+    VersionedStore.deleteVectored(spark, p2, col("id") === 2L)      // v2
+    VersionedStore.merge(spark, p2,
+      Seq((1L, "A2"), (2L, "b2")).toDF("id", "name"), Seq("id"))    // v3
+    assert(feed(p2, 2, 3) == Set(
+      (1L, "a", "update_preimage", 3), (1L, "A2", "update_postimage", 3),
+      (2L, "b2", "insert", 3)),
+      "id=2's retracted preimage stays retracted; its return is an insert")
+  }
+
+  test("merge accepts multiple NULL-keyed update rows as inserts; " +
+    "only repeated non-null keys are refused") {
+    import spark.implicits._
+    val path = freshDir()
+    VersionedStore.append(Seq((Some(1L), "a"), (Some(2L), "b"))
+      .toDF("id", "name"), path)                                    // v1
+    // two NULL-keyed rows: per the contract NULL never matches and is
+    // inserted as-is — they are two inserts, not a duplicate-key error
+    val v2 = VersionedStore.merge(spark, path,
+      Seq((None: Option[Long], "n1"), (None: Option[Long], "n2"),
+        (Some(2L), "B2")).toDF("id", "name"), Seq("id"))
+    val got = VersionedStore.readAsOf(spark, path, v2).collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getString(1))).toSet
+    assert(got == Set((Some(1L), "a"), (Some(2L), "B2"),
+      (None, "n1"), (None, "n2")),
+      s"NULL-keyed rows insert, non-null key updates, got $got")
+    // repeated NON-null keys still refused
+    intercept[IllegalArgumentException] {
+      VersionedStore.merge(spark, path,
+        Seq((Some(1L), "p"), (Some(1L), "q")).toDF("id", "name"),
+        Seq("id"))
+    }
+  }
 }

@@ -133,6 +133,27 @@ class VersionedStreamSourceSpec extends SparkSpec {
       "compaction emits nothing; the append after it arrives")
   }
 
+  test("skipRewrites delivers files a skipped rewrite removed mid-range " +
+    "(each delta resolves through its own version's manifests)") {
+    import spark.implicits._
+    val path = freshDir("vss-midrw")
+    VersionedStore.appendPartitioned(
+      Seq(1L -> "1997-01", 2L -> "1997-02").toDF("id", "month"),
+      path, "month")                                              // v1
+    VersionedStore.appendPartitioned(
+      Seq(3L -> "1997-02").toDF("id", "month"), path, "month")    // v2
+    VersionedStore.compactPartition(spark, path, "1997-02", 1)    // v3 rewrite
+    // ONE batch covers (0, 3]: v2's file is absent from v3's manifests
+    // (the skipped compaction re-homed its rows), but the append's rows
+    // must still arrive — from the file as v2's own mlist lists it
+    val q = startTail(path, "vss_midrw", freshDir("vss-ckpt"),
+      Map("startingVersion" -> "0", "skipRewrites" -> "true"))
+    q.processAllAvailable(); q.stop()
+    assert(sunk("vss_midrw") == Set(1L, 2L, 3L),
+      "files removed by a skipped rewrite later in the batch range are " +
+        "still delivered from their original manifests")
+  }
+
   test("hierarchical tables stream with the partition column reattached") {
     import spark.implicits._
     val path = freshDir("vss-part")
