@@ -322,6 +322,12 @@ object SparkEntry {
         wt(s, d).filter(col("role") === "taker")
           .select(col("trade_id"), col("ts"), col("wallet"), col("token_id"),
             col("usd"))))
+  // decoded OrderFilled over the topology logs: two consumers inside
+  // the full-topology fold (aux trade events + the holders dim), so
+  // the ABI decode runs once per session, not once per consumer
+  private def decodedTopoFills(s: SparkSession, d: String) =
+    fixture(s, d, "decoded_topo_fills")(
+      LogDecode.decodeOrderFilled(logsLedgerTopology(s, d)))
   // ExactSubstr span find is shared by the report (q_repeated_spans)
   // and the apply (q_exactsub_dedup) — one session MV, like every
   // other shared intermediate
@@ -382,6 +388,7 @@ object SparkEntry {
     "logs_fees" -> ((s, d) => logsFees(s, d)),
     "logs_order_filled_unit" -> ((s, d) => logsOrderFilledUnit(s, d)),
     "logs_ledger_topology" -> ((s, d) => logsLedgerTopology(s, d)),
+    "decoded_topo_fills" -> ((s, d) => decodedTopoFills(s, d)),
     "ledger_from_logs_full" -> ((s, d) => queries("q_ledger_from_logs_full")(s, d)),
     "repeated_spans_8" -> ((s, d) => repeatedSpans8(s, d)),
     "ann_clustered_corpus" -> ((s, d) => annClusteredCorpus(s, d)))
@@ -2446,40 +2453,51 @@ object SparkEntry {
     // for the layout). main.ts:254-633 → ledger-engine.buildEvents is
     // exactly this topology.
     "q_ledger_from_logs_full" -> ((s, d) => {
-      import graft.sources.LogLedger
-      val logs = logsLedgerTopology(s, d)
-      val base = LogLedger.tradeEvents(
-        LogDecode.decodeOrderFilled(logsOrderFilledUnit(s, d)), _ * 10)
-      val aux = LogLedger.tradeEvents(
-        LogDecode.decodeOrderFilled(logs), identity)
-      // the position-token registry rides an injected dim (the
-      // formula as fixture data; a deployment swaps in the CTF
-      // registry table) — every leg token below resolves through the
-      // broadcast map join, not inline arithmetic
-      val decCond = LogDecode.decodeConditionEvents(logs)
-      val decLife = LogDecode.decodeConditionLifecycle(logs)
-      val decNr = LogDecode.decodeNegRiskEvents(logs)
-      def condWords(df: DataFrame, hexCol: String) =
-        df.select(LogDecode.wordLong(col(hexCol)).as("condition"))
-      val registry = Some(LogLedger.formulaRegistry(
-        condWords(decCond, "condition_hex")
-          .unionByName(condWords(decLife, "condition_hex"))
-          .unionByName(condWords(decNr.filter(col("kind") === "convert"),
-            "market_hex"))))
-      val cond = LogLedger.conditionEvents(decCond, registry = registry)
-      val holders = LogDecode.decodeOrderFilled(logs)
-        .select(col("taker").as("wallet"),
-          (col("token_id") - LogDecode.TokenIdBase).as("token_id"))
-      val res = LogLedger.resolutionEventsPerWallet(
-        LogLedger.resolutionEvents(decLife, registry), holders)
-      val xfer = LogLedger.transferEvents(
-        LogDecode.decodeTransferSingle(logs))
-      val conv = LogLedger.convertEvents(decNr, registry)
-      val fees = LogLedger.feeEvents(LogDecode.decodeFeeEvents(logs))
-      val events = base.unionByName(aux).unionByName(cond).unionByName(res)
-        .unionByName(xfer).unionByName(conv).unionByName(fees)
-      graft.model.Views.cached(s, d, "ledger_from_logs_full")(
-          Ledger.buildEvents(s, events).toDF())
+      // the ENTIRE assembly — seven decoder families, the registry
+      // dim, the union, the fold — lives inside the lazy MV builder:
+      // a warm invocation constructs nothing (r13's regression was
+      // ~2.5 s of eager per-invocation plan construction + analysis
+      // of the seven-family union re-paid on every pass even though
+      // the fold itself was cached)
+      graft.model.Views.cached(s, d, "ledger_from_logs_full") {
+        import graft.sources.LogLedger
+        val logs = logsLedgerTopology(s, d)
+        val base = LogLedger.tradeEvents(
+          LogDecode.decodeOrderFilled(logsOrderFilledUnit(s, d)), _ * 10)
+        // the decoded topology fills are an MV of their own: aux
+        // events AND the holders dim read them, so the decode runs
+        // once per session instead of twice per cold build
+        val fills = decodedTopoFills(s, d)
+        val aux = LogLedger.tradeEvents(fills, identity)
+        // the position-token registry rides an injected dim (the
+        // formula as fixture data; a deployment swaps in the CTF
+        // registry table) — every leg token below resolves through the
+        // broadcast map join, not inline arithmetic
+        val decCond = LogDecode.decodeConditionEvents(logs)
+        val decLife = LogDecode.decodeConditionLifecycle(logs)
+        val decNr = LogDecode.decodeNegRiskEvents(logs)
+        def condWords(df: DataFrame, hexCol: String) =
+          df.select(LogDecode.wordLong(col(hexCol)).as("condition"))
+        val registry = Some(LogLedger.formulaRegistry(
+          condWords(decCond, "condition_hex")
+            .unionByName(condWords(decLife, "condition_hex"))
+            .unionByName(condWords(decNr.filter(col("kind") === "convert"),
+              "market_hex"))))
+        val cond = LogLedger.conditionEvents(decCond, registry = registry)
+        val holders = fills
+          .select(col("taker").as("wallet"),
+            (col("token_id") - LogDecode.TokenIdBase).as("token_id"))
+        val res = LogLedger.resolutionEventsPerWallet(
+          LogLedger.resolutionEvents(decLife, registry), holders)
+        val xfer = LogLedger.transferEvents(
+          LogDecode.decodeTransferSingle(logs))
+        val conv = LogLedger.convertEvents(decNr, registry)
+        val fees = LogLedger.feeEvents(LogDecode.decodeFeeEvents(logs))
+        val events = base.unionByName(aux).unionByName(cond)
+          .unionByName(res).unionByName(xfer).unionByName(conv)
+          .unionByName(fees)
+        Ledger.buildEvents(s, events).toDF()
+      }
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("qty")).cast("long").as("qty_i"),
