@@ -243,8 +243,17 @@ object Bench {
     val vsbJson = vsbFull.toSeq.sortBy(_._1)
       .map { case (n, (s, b)) => s""""$n":${fmt2(s / b)}""" }
       .mkString("{", ",", "}")
+    // the >2x SUBSTANTIVE set by name (VERDICT r13 nit): queries whose
+    // DuckDB oracle takes >=0.5s and whose ratio exceeds the 2x gate —
+    // explicit here so an outlier can never hide outside the headline's
+    // worst-10 window
+    val over2x = vsbFull.toSeq
+      .collect { case (n, (s, b)) if b >= 0.5 && s / b > 2.0 => (n, s / b) }
+      .sortBy(-_._2)
+      .map { case (n, r) => s""""$n":${fmt2(r)}""" }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":${passes.length},"mv_warmup":${mapJson(mvWarmup)},"queries":${mapJson(rs)},$passJson,"failed":${failedJson(rs)},"vs_baseline":$vsbJson,"steady_scope":"all","mode":"$modeV","sf":"$sfDirV"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":${passes.length},"mv_warmup":${mapJson(mvWarmup)},"queries":${mapJson(rs)},$passJson,"failed":${failedJson(rs)},"vs_baseline":$vsbJson,"over2x_substantive":$over2x,"steady_scope":"all","mode":"$modeV","sf":"$sfDirV"}"""
     try {
       // bucketed-mode sweeps land in their own artifact so the
       // zero-exchange layout gets a longitudinal signal (VERDICT r9

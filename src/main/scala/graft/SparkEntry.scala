@@ -48,6 +48,13 @@ object SparkEntry {
   private def markets(s: SparkSession, d: String) =
     Tables.part(s, d).select(col("p_partkey").cast("long").as("token_id"),
       col("p_brand").as("market"))
+  // (wallet, token_id) flow partials as a session MV — the rollup
+  // q_lb_explain and q_win_rate re-aggregate (the wt explode and its
+  // full shuffle run once per session; the reference maintains the
+  // equivalent SummingMergeTree table at ingest)
+  private def walletTokenFlows(s: SparkSession, d: String): DataFrame =
+    graft.model.Views.cached(s, d, "wallet_token_flows")(
+      Leaderboard.walletTokenFlows(wt(s, d)))
 
   // Month-partitioned manifest-versioned trades table, built once per
   // (session, sfDir) in two commits split at 1997-01-01 — the driver
@@ -367,6 +374,7 @@ object SparkEntry {
     "balances" -> ((s, d) => balances(s, d)),
     "last_price" -> ((s, d) => lastPrice(s, d)),
     "daily_flows" -> ((s, d) => dailyFlows(s, d)),
+    "wallet_token_flows" -> ((s, d) => walletTokenFlows(s, d)),
     "ledger" -> ((s, d) => graft.model.Views.ledger(s, d)),
     "ledger_open" -> ((s, d) => graft.model.Views.ledgerOpen(s, d)),
     "quant_base_qty" -> ((s, d) => quantBase(s, d, "qty")),
@@ -510,7 +518,7 @@ object SparkEntry {
       Leaderboard.leaderboardWindow(wt(s, d), "1996-01-01", "1997-01-01", 100)),
 
     "q_lb_explain" -> ((s, d) =>
-      Leaderboard.explain(wt(s, d), markets(s, d))
+      Leaderboard.explainFromFlows(walletTokenFlows(s, d), markets(s, d))
         .orderBy(col("wallet"), col("market"))),
 
     "q_positions" -> ((s, d) =>
@@ -1431,20 +1439,18 @@ object SparkEntry {
     // net qty 0 — is a win when its cash flow is positive). Decimal
     // sums stay exact until the final cast.
     "q_win_rate" -> ((s, d) => {
-      val signed = when(col("side") === "sell", col("usd"))
-        .otherwise(-col("usd"))
-      val pos = wt(s, d)
-        .groupBy(col("wallet"), col("token_id"))
-        .agg(sum(when(col("side") === "buy", col("qty"))
-            .otherwise(-col("qty"))).as("net_qty"),
-          sum(signed).as("realized"))
-        .filter(col("net_qty") === 0)
-      pos.groupBy(col("wallet"))
+      // re-agg over the wallet_token_flows rollup MV: a closed
+      // position is buy_qty == sell_qty (exact — qty values are
+      // integral), realized rides the exact 1e-4-scaled long delta
+      walletTokenFlows(s, d)
+        .filter(col("buy_qty") === col("sell_qty"))
+        .select(col("wallet"), (col("si") - col("bi")).as("ri"))
+        .groupBy(col("wallet"))
         .agg(count(lit(1)).as("closed_positions"),
-          sum(when(col("realized") > 0, 1L).otherwise(0L)).as("wins"),
-          sum(when(col("realized") < 0, 1L).otherwise(0L)).as("losses"),
-          max(col("realized")).cast("double").as("best_position_usd"),
-          min(col("realized")).cast("double").as("worst_position_usd"))
+          sum(when(col("ri") > 0, 1L).otherwise(0L)).as("wins"),
+          sum(when(col("ri") < 0, 1L).otherwise(0L)).as("losses"),
+          (max(col("ri")) / 10000.0).as("best_position_usd"),
+          (min(col("ri")) / 10000.0).as("worst_position_usd"))
         .withColumn("win_rate",
           when(col("wins") + col("losses") > 0,
             round(col("wins").cast("double") /

@@ -47,11 +47,18 @@ object GraftFunctions {
   }
 }
 
-/** `SparkSessionExtensions` hook (spark.sql.extensions config). */
+/** `SparkSessionExtensions` hook (spark.sql.extensions config):
+  * native expressions as SQL functions, plus the DML parser shim for
+  * graft-versioned tables (`DELETE FROM` / `MERGE INTO` on names
+  * registered via [[graft.sources.VersionedSqlTables.register]];
+  * everything else delegates to Spark's parser verbatim). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    ext.injectParser((session, delegate) =>
+      new graft.sources.GraftSqlParser(session, delegate))
+  }
 }

@@ -227,4 +227,35 @@ object Leaderboard {
         (col("si") / 10000.0).as("sell_usd"),
         ((col("si") - col("bi")) / 10000.0).as("net_cashflow_usd"))
   }
+
+  /** (wallet, token_id) flow partials — the SummingMergeTree-style
+    * rollup the reference maintains at ingest; [[explainFromFlows]]
+    * and the win/loss record re-aggregate THIS (one cached ~halved
+    * frame) instead of re-shuffling the two-sided explode per query.
+    * All sums are exact: qty values are integral (double sums of
+    * integers commute), usd rides 1e-4-scaled longs. */
+  def walletTokenFlows(walletTrades: DataFrame): DataFrame = {
+    val ui = round(col("usd") * 10000).cast("long")
+    walletTrades.groupBy(col("wallet"), col("token_id"))
+      .agg(count(lit(1)).as("trades"),
+        sum(when(col("side") === "buy", col("qty")).otherwise(lit(0.0)))
+          .as("buy_qty"),
+        sum(when(col("side") === "sell", col("qty")).otherwise(lit(0.0)))
+          .as("sell_qty"),
+        sum(when(col("side") === "buy", ui).otherwise(0L)).as("bi"),
+        sum(when(col("side") === "sell", ui).otherwise(0L)).as("si"))
+  }
+
+  /** [[explain]] re-aggregated from [[walletTokenFlows]] partials —
+    * identical output, but the per-query work is a broadcast join and
+    * a group-by over the rollup instead of the raw explode. */
+  def explainFromFlows(flows: DataFrame, markets: DataFrame): DataFrame =
+    flows.join(broadcast(markets), Seq("token_id"))
+      .groupBy(col("wallet"), col("market"))
+      .agg(sum(col("trades")).as("trades"),
+        sum(col("bi")).as("bi"), sum(col("si")).as("si"))
+      .select(col("wallet"), col("market"), col("trades"),
+        (col("bi") / 10000.0).as("buy_usd"),
+        (col("si") / 10000.0).as("sell_usd"),
+        ((col("si") - col("bi")) / 10000.0).as("net_cashflow_usd"))
 }

@@ -1363,8 +1363,22 @@ object VersionedStore {
                         statsCol: Option[String] = None,
                         allowSchemaEvolution: Boolean = false,
                         bloomCol: Option[String] = None): Int =
+    // pure appends auto-rebase when a concurrent writer committed
+    // DISJOINT partitions first (Iceberg's optimistic retry) — the
+    // realistic multi-writer topology (backfill + live stream) stops
+    // serializing through a loud loser; same-partition conflicts and
+    // schema evolution by the winner still lose loudly
     commitPartitioned(df, path, partCol, replaceTouched = false, statsCol,
-      allowSchemaEvolution, bloomCol)
+      allowSchemaEvolution, bloomCol, retryDisjoint = true)
+
+  /** Test seam: [[appendPartitioned]] with an EXPLICIT (stale) target
+    * version — deterministic exercise of the optimistic-commit
+    * re-base without relying on a thread race. */
+  private[graft] def appendPartitionedStale(df: DataFrame, path: String,
+                                            partCol: String,
+                                            targetV: Int): Int =
+    commitPartitionedAt(df, path, partCol, targetV,
+      replaceTouched = false, retryDisjoint = true)
 
   /** Dynamic-partition overwrite: the partitions present in `df` are
     * REPLACED in the new version, untouched partitions carried by
@@ -1629,10 +1643,11 @@ object VersionedStore {
                                 replaceTouched: Boolean,
                                 statsCol: Option[String] = None,
                                 allowSchemaEvolution: Boolean = false,
-                                bloomCol: Option[String] = None): Int =
+                                bloomCol: Option[String] = None,
+                                retryDisjoint: Boolean = false): Int =
     commitPartitionedAt(df, path, partCol, currentVersion(path) + 1,
       replaceTouched, statsCol, allowEvolution = allowSchemaEvolution,
-      bloomCol = bloomCol)
+      bloomCol = bloomCol, retryDisjoint = retryDisjoint)
 
   /** Commit at an EXPLICIT version: carried state derives from v−1
     * (deterministic, replay-independent), which is what makes the
@@ -1648,19 +1663,24 @@ object VersionedStore {
                                     = None,
                                   bloomCol: Option[String] = None,
                                   extraDvs: Seq[String] = Nil,
-                                  dropDvs: Boolean = false): Int = {
+                                  dropDvs: Boolean = false,
+                                  retryDisjoint: Boolean = false): Int = {
     val prev = v - 1
+    require(!retryDisjoint || (removedFiles.isEmpty && extraDvs.isEmpty &&
+      !dropDvs && !replayable && schemaOverride.isEmpty),
+      "auto-rebase retry is sound only for pure appends")
     require(prev == 0 || mlistFile(path, prev).exists(),
       s"version $prev is a flat commit — a table is flat or partitioned, not both")
     // logical schema (partition column included) enforced/evolved
     // against v−1; the rewrite paths pass the current schema through
     val schema = schemaOverride.getOrElse(
       evolvedSchema(df.sparkSession, path, prev, df.schema, allowEvolution))
-    if (!replayable)
+    if (!replayable && !retryDisjoint)
       require(!manifestFile(path, v).exists() && !mlistFile(path, v).exists(),
         s"version $v already published — concurrent writer? (the exclusive " +
           "mlist rename below is the authoritative check; this is the " +
-          "cheap fail-fast before the data write)")
+          "cheap fail-fast before the data write; retryDisjoint commits " +
+          "skip it — their publish loop re-bases instead)")
     val partType = df.schema(partCol).dataType.catalogString
     val attempt = attemptId()
     // attempt-unique dir (same argument as commitData); partitionBy
@@ -1678,7 +1698,22 @@ object VersionedStore {
             .map(f => s"$commitRel/${dir.getName}/${f.getName}")
             .toSeq.sorted
         }.toMap
-    val prevMl = if (prev == 0) None else Some(readMlist(path, prev))
+    // ---- metadata assembly + publish, parameterized on the BASE
+    // version so the optimistic-commit retry can re-base: everything
+    // below derives from (prevV, targetV) only — the data files and
+    // their `touched` layout are already on disk and base-independent
+    def publish(prevV: Int, targetV: Int): Int = {
+    if (!replayable &&
+        (manifestFile(path, targetV).exists() ||
+          mlistFile(path, targetV).exists()))
+      throw new java.util.ConcurrentModificationException(
+        s"version $targetV already published — a concurrent writer won " +
+          "this version; this attempt's files are unreferenced debris")
+    val pubSchema =
+      if (prevV == prev) schema
+      else schemaOverride.getOrElse(evolvedSchema(df.sparkSession, path,
+        prevV, df.schema, allowEvolution))
+    val prevMl = if (prevV == 0) None else Some(readMlist(path, prevV))
     val prevParts: Map[String, PartEntry] =
       prevMl.map(_.parts.map(p => p.value -> p).toMap).getOrElse(Map.empty)
     for (pm <- prevMl)
@@ -1753,7 +1788,7 @@ object VersionedStore {
           else {
             // files struck but no new data for this partition: re-mint
             // the pmanifest with the surviving lines
-            val name = s"p-${enc(value)}-v$v-$attempt.pmanifest"
+            val name = s"p-${enc(value)}-v$targetV-$attempt.pmanifest"
             writeAtomic(new File(manifestDir(path), name),
               kept.sorted.mkString("\n"))
             Some(PartEntry(value, name))
@@ -1781,7 +1816,7 @@ object VersionedStore {
           // attempt-unique name: racing writers (or a retry over torn
           // debris) mint disjoint pmanifests, so nothing a published
           // mlist references can ever be overwritten
-          val name = s"p-${enc(value)}-v$v-$attempt.pmanifest"
+          val name = s"p-${enc(value)}-v$targetV-$attempt.pmanifest"
           writeAtomic(new File(manifestDir(path), name),
             (carried ++ addedLines).sorted.mkString("\n"))
           Some(PartEntry(value, name))
@@ -1801,11 +1836,61 @@ object VersionedStore {
       (entries.map(e => s"${e.value}\t${e.pmanifest}") ++ dvLines))
       .mkString("\n")
     // schema before the pointer (same ordering argument as commitData)
-    recordSchema(path, v, schema)
+    recordSchema(path, targetV, pubSchema)
     // the one contended write: create-exclusive unless a batch replay
-    writeAtomic(mlistFile(path, v), body, replace = replayable)
-    v
+    writeAtomic(mlistFile(path, targetV), body, replace = replayable)
+    targetV
+    } // publish
+
+    if (!retryDisjoint) publish(prev, v)
+    else {
+      // optimistic-commit auto-retry (Iceberg's re-base): a loser
+      // whose partitions are DISJOINT from every winner's re-bases
+      // its manifest list on the new head and publishes the next
+      // version — data files and pmanifest content are already on
+      // disk and base-independent, so the retry is metadata-only
+      // (plus the bloom read-back, re-run per attempt; retries are
+      // rare). A winner that touched one of OUR partitions stays a
+      // loud loser: merging two appends into one partition would need
+      // line-level union this protocol reserves for single writers.
+      var basePrev = prev
+      var target = v
+      var tries = 0
+      var done = -1
+      while (done < 0) {
+        try done = publish(basePrev, target)
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            tries += 1
+            if (tries > MaxCommitRetries) throw e
+            val cur = currentVersion(path)
+            if (cur < target || isFlatVersion(path, cur)) throw e
+            val newParts = readMlist(path, cur).parts
+              .map(p => p.value -> p.pmanifest).toMap
+            val oldParts =
+              if (basePrev == 0) Map.empty[String, String]
+              else readMlist(path, basePrev).parts
+                .map(p => p.value -> p.pmanifest).toMap
+            val conflicted = touched.keySet
+              .filter(vl => oldParts.get(vl) != newParts.get(vl))
+            if (conflicted.nonEmpty)
+              throw new java.util.ConcurrentModificationException(
+                "concurrent commit touched partition(s) " +
+                  s"${conflicted.toSeq.sorted.mkString(", ")} of this " +
+                  "append — same-partition conflicts cannot auto-rebase; " +
+                  "re-read the table and retry")
+            basePrev = cur
+            target = cur + 1
+        }
+      }
+      done
+    }
   }
+
+  /** Bounded re-base attempts for [[commitPartitionedAt]]'s
+    * disjoint-append retry — past this, contention is pathological
+    * and the loud loser is the right answer. */
+  private val MaxCommitRetries = 5
 
   /** Total row count from the parquet footer — sketch-sizing input
     * for the bloom fingerprints and the dead-row denominator for

@@ -158,4 +158,37 @@ object StreamingIngest {
           batch.toDF(), path, partCol, keys, id): Unit
       }
       .start()
+
+  /** [[sinkVersionedUpsert]] with the per-batch keep-latest dedup
+    * BUILT IN — the raw-CDC shape: a micro-batch may carry several
+    * versions of one key, and the latest by `ord` (descending; ties
+    * broken by the ordering columns themselves) wins before the
+    * merge. This is the ReplacingMergeTree keep-latest operator
+    * composed with the vectored MERGE, per batch. `partCol = Some(c)`
+    * lands on the hierarchical store (partition-moving updates
+    * included). */
+  def sinkVersionedUpsertLatest(stream: DataFrame, path: String,
+                                keys: Seq[String], ord: Seq[String],
+                                checkpoint: String,
+                                partCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)
+          .orderBy(ord.map(c => col(c).desc): _*)
+        val latest = batch.toDF()
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        partCol match {
+          case None =>
+            graft.sources.VersionedStore.mergeBatchVectored(latest, path,
+              keys, id): Unit
+          case Some(pc) =>
+            graft.sources.VersionedStore.mergeBatchPartitionedVectored(
+              latest, path, pc, keys, id): Unit
+        }
+      }
+      .start()
 }

@@ -1,0 +1,160 @@
+package graft
+
+import graft.sources.{GraftDeleteCommand, GraftMergeCommand, GraftSqlParser, VersionedSqlTables, VersionedStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SQL DML surface for the versioned store (§2 follow-up to #156/#160):
+  * `DELETE FROM` / `MERGE INTO` parse to graft commands on registered
+  * names (everything else delegates), and the SQL path commits
+  * row-for-row exactly what the Scala API commits — on a partitioned
+  * table, in both copy-on-write and vectored modes. */
+class VersionedSqlSpec extends SparkSpec {
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("vsql").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private lazy val parser =
+    new GraftSqlParser(spark, spark.sessionState.sqlParser)
+
+  private def partTable(): String = {
+    import spark.implicits._
+    val path = freshDir()
+    val df = (1L to 100L).map(i =>
+      (i, s"n$i", if (i <= 50) "1996-01" else "1996-02"))
+      .toDF("id", "name", "month")
+    VersionedStore.appendPartitioned(df, path, "month")
+    path
+  }
+
+  private def rowsOf(path: String): Set[(Long, String, String)] =
+    VersionedStore.read(spark, path).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("name"),
+        r.getAs[String]("month"))).toSet
+
+  test("the parser intercepts DML on REGISTERED names only; the rest " +
+    "of the SQL surface delegates verbatim") {
+    val path = partTable()
+    VersionedSqlTables.register(spark, "vsql_t1", path)
+    assert(parser.parsePlan("DELETE FROM vsql_t1 WHERE id = 3")
+      == GraftDeleteCommand("vsql_t1", Some("id = 3")))
+    assert(parser.parsePlan("DELETE FROM vsql_t1")
+      == GraftDeleteCommand("vsql_t1", None))
+    assert(parser.parsePlan(
+      """MERGE INTO vsql_t1 USING ups ON vsql_t1.id = ups.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      == GraftMergeCommand("vsql_t1", "ups", Seq("id")))
+    // unregistered target: falls through to Spark's parser (whose own
+    // plan shapes are not graft commands)
+    val notOurs = parser.parsePlan("DELETE FROM unregistered_t WHERE id = 3")
+    assert(!notOurs.isInstanceOf[GraftDeleteCommand])
+    // ordinary queries untouched
+    assert(parser.parsePlan("SELECT 1").resolved ||
+      !parser.parsePlan("SELECT 1").isInstanceOf[GraftDeleteCommand])
+    // non-equi ON refuses loudly instead of guessing keys
+    intercept[RuntimeException] {
+      parser.parsePlan(
+        """MERGE INTO vsql_t1 USING ups ON vsql_t1.id > ups.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+  }
+
+  test("SQL DELETE commits row-for-row what the API commits, COW and " +
+    "vectored, on a partitioned table") {
+    for (mode <- Seq("cow", "vectored")) {
+      spark.conf.set("spark.graft.mutation.mode", mode)
+      try {
+        val sqlPath = partTable()
+        val apiPath = partTable()
+        VersionedSqlTables.register(spark, "vsql_del", sqlPath)
+        val got = parser.parsePlan(
+          "DELETE FROM vsql_del WHERE id % 7 = 0 AND month = '1996-01'")
+          .asInstanceOf[GraftDeleteCommand].run(spark)
+        val vApi =
+          if (mode == "vectored")
+            VersionedStore.deletePartitionedVectored(spark, apiPath,
+              expr("id % 7 = 0 AND month = '1996-01'"))
+          else VersionedStore.deletePartitioned(spark, apiPath,
+            expr("id % 7 = 0 AND month = '1996-01'"))
+        assert(got.head.getInt(0) == 2 && vApi == 2,
+          s"[$mode] both paths mint version 2")
+        assert(rowsOf(sqlPath) == rowsOf(apiPath),
+          s"[$mode] SQL path == API path row-for-row")
+        assert(rowsOf(sqlPath).forall { case (id, _, m) =>
+          !(id % 7 == 0 && m == "1996-01") },
+          s"[$mode] the matched rows are gone")
+        if (mode == "vectored")
+          assert(VersionedStore.deleteVectorsAsOf(sqlPath, 2).nonEmpty,
+            "vectored mode published a delete vector, not a rewrite")
+      } finally spark.conf.unset("spark.graft.mutation.mode")
+    }
+  }
+
+  test("SQL MERGE commits row-for-row what the API commits on a " +
+    "partitioned table (vectored, partition moves included)") {
+    import spark.implicits._
+    val sqlPath = partTable()
+    val apiPath = partTable()
+    VersionedSqlTables.register(spark, "vsql_mrg", sqlPath)
+    // update id=10 in place, MOVE id=60 to another month, insert 999
+    val ups = Seq((10L, "TEN", "1996-01"), (60L, "MOVED", "1996-03"),
+      (999L, "NEW", "1996-03")).toDF("id", "name", "month")
+    ups.createOrReplaceTempView("vsql_ups")
+    val got = parser.parsePlan(
+      """MERGE INTO vsql_mrg USING vsql_ups ON vsql_mrg.id = vsql_ups.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .asInstanceOf[GraftMergeCommand].run(spark)
+    val vApi = VersionedStore.mergePartitionedVectored(spark, apiPath,
+      ups, Seq("id"))
+    assert(got.head.getInt(0) == 2 && vApi == 2)
+    assert(rowsOf(sqlPath) == rowsOf(apiPath),
+      "SQL path == API path row-for-row")
+    val byId = rowsOf(sqlPath).map(r => r._1 -> r).toMap
+    assert(byId(10L) == ((10L, "TEN", "1996-01")))
+    assert(byId(60L) == ((60L, "MOVED", "1996-03")), "partition move")
+    assert(byId(999L) == ((999L, "NEW", "1996-03")), "insert")
+  }
+
+  test("SQL DELETE and MERGE on a FLAT table honor the mode and match " +
+    "the flat API") {
+    import spark.implicits._
+    for (mode <- Seq("cow", "vectored")) {
+      spark.conf.set("spark.graft.mutation.mode", mode)
+      try {
+        val sqlPath = freshDir(); val apiPath = freshDir()
+        val df = (1L to 40L).map(i => (i, s"n$i")).toDF("id", "name")
+        VersionedStore.append(df, sqlPath)
+        VersionedStore.append(df, apiPath)
+        VersionedSqlTables.register(spark, "vsql_flat", sqlPath)
+        parser.parsePlan("DELETE FROM vsql_flat WHERE id > 35")
+          .asInstanceOf[GraftDeleteCommand].run(spark)
+        if (mode == "vectored")
+          VersionedStore.deleteVectored(spark, apiPath, expr("id > 35"))
+        else VersionedStore.delete(spark, apiPath, expr("id > 35"))
+        val ups = Seq((1L, "ONE"), (50L, "FIFTY")).toDF("id", "name")
+        ups.createOrReplaceTempView("vsql_flat_ups")
+        parser.parsePlan(
+          """MERGE INTO vsql_flat USING vsql_flat_ups
+            |ON vsql_flat.id = vsql_flat_ups.id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          .asInstanceOf[GraftMergeCommand].run(spark)
+        if (mode == "vectored")
+          VersionedStore.mergeVectored(spark, apiPath, ups, Seq("id"))
+        else VersionedStore.merge(spark, apiPath, ups, Seq("id"))
+        def all(p: String) = VersionedStore.read(spark, p).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(all(sqlPath) == all(apiPath), s"[$mode] SQL == API")
+        val want = Set((1L, "ONE"), (50L, "FIFTY")) ++
+          (2L to 35L).map(i => (i, s"n$i"))
+        assert(all(sqlPath) == want, s"[$mode] delete then merge exact")
+      } finally spark.conf.unset("spark.graft.mutation.mode")
+    }
+  }
+}

@@ -1431,6 +1431,80 @@ class VersionedStoreSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == (50L until 100L).toSet - 60L)
   }
 
+  test("concurrent disjoint-partition appends auto-rebase (Iceberg's " +
+    "optimistic retry); same-partition conflicts stay one-winner") {
+    import spark.implicits._
+    def batch(month: String, ids: Long*): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i, month)).toDF("id", "month")
+    val path = freshDir()
+    VersionedStore.appendPartitioned(batch("1996-01", 1L), path, "month") // v1
+    VersionedStore.appendPartitioned(batch("1996-02", 2L), path, "month") // v2
+    // LOSER with a stale base: targets v2 (already taken) carrying a
+    // DISJOINT partition — the publish CAS fails, the retry re-bases
+    // on v2 and commits v3; nothing serializes through a loud loser
+    val v = VersionedStore.appendPartitionedStale(
+      batch("1996-03", 3L), path, "month", targetV = 2)
+    assert(v == 3, "the re-based append minted the next version")
+    assert(VersionedStore.currentVersion(path) == 3)
+    val got = VersionedStore.read(spark, path).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("month"))).toSet
+    assert(got == Set((1L, "1996-01"), (2L, "1996-02"), (3L, "1996-03")),
+      "both the winner's and the re-based loser's rows are present")
+    // SAME-partition conflict: a stale append into 1996-03 (which the
+    // re-based commit just touched) must stay a loud loser — merging
+    // two appends' lines into one partition is reserved for a single
+    // writer
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedStore.appendPartitionedStale(
+        batch("1996-03", 99L), path, "month", targetV = 3)
+    }
+    assert(VersionedStore.currentVersion(path) == 3 &&
+      VersionedStore.read(spark, path).count() == 3,
+      "the conflicting append committed nothing")
+    // genuinely concurrent writers, disjoint partitions: both commit
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = VersionedStore.appendPartitioned(
+          batch("1996-04", (10L to 500L): _*), path, "month")
+      })
+      val f2 = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = VersionedStore.appendPartitioned(
+          batch("1996-05", 6L), path, "month")
+      })
+      val (r1, r2) = (f1.get(), f2.get())
+      assert(Set(r1, r2) == Set(4, 5),
+        s"both writers committed, versions serialized: $r1, $r2")
+      val all = VersionedStore.read(spark, path)
+      assert(all.filter(col("month") === "1996-04").count() == 491)
+      assert(all.filter(col("month") === "1996-05").count() == 1)
+    } finally pool.shutdown()
+  }
+
+  test("sinkVersionedUpsertLatest keep-latest dedups each batch before " +
+    "the vectored merge (raw-CDC shape)") {
+    import spark.implicits._
+    val path = freshDir()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, String)] // (id, ver, name)
+    val q = graft.streaming.StreamingIngest.sinkVersionedUpsertLatest(
+      ms.toDF().toDF("id", "ver", "name"), path, Seq("id"), Seq("ver"),
+      freshDir() + "/ckpt")
+    // batch 0 carries TWO versions of id=1 — the raw merge would
+    // refuse the duplicate key; keep-latest picks ver=2
+    ms.addData((1L, 1L, "a1"), (1L, 2L, "a2"), (2L, 1L, "b"))
+    q.processAllAvailable()
+    // batch 1: id=2 again twice (ver 3 wins over 2), id=3 inserts
+    ms.addData((2L, 3L, "B3"), (2L, 2L, "b2"), (3L, 1L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val got = VersionedStore.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == Set((1L, "a2"), (2L, "B3"), (3L, "c")),
+      s"latest-by-ord wins within each batch, merges chain, got $got")
+  }
+
   test("CDC-upsert stream: mergeBatchVectored lands exactly-once upserts " +
     "under replay, end-to-end through the foreachBatch sink") {
     import spark.implicits._
