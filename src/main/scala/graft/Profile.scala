@@ -20,7 +20,7 @@ object Profile {
       .appName("graft-profile")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = sys.env.getOrElse("SPARK_GRAFT_PROFILE", "")

@@ -91,6 +91,10 @@ object ScaleBench {
     "q_sessions",         // gap sessionization windows
     "q_dedup_minhash",    // LSH banded explode + bucket self-join
     "q_ann_topk",         // broadcast-query brute-force scan + topK
+    "q_ann_ivf2",         // two-level residual IVF: codebooks sized
+                          // nlistFor(n) split √×√, sampled fits —
+                          // assignment O(n·√nlist·dim), the >16M
+                          // shape; density exponent measured r14
     "q_bloom_prune",      // runtime bloom build + semi-prune join
     "q_skew_join",        // salted join equivalence
     "q_doc_chunks",       // scan-stage explode, zero shuffles

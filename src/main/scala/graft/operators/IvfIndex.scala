@@ -83,6 +83,11 @@ object IvfIndex {
       val e = it.next()
       if (e.getKey._1 == app) { e.getValue.assigned.unpersist(); it.remove() }
     }
+    val ith = hierCache.entrySet().iterator()
+    while (ith.hasNext) {
+      val e = ith.next()
+      if (e.getKey._1 == app) { e.getValue.assigned.unpersist(); ith.remove() }
+    }
   }
 
   /** (query_id, qu, cell): each query exploded to its nprobe nearest
@@ -133,6 +138,112 @@ object IvfIndex {
     rankJoined(model.assigned
       .select(col("cell"), col("id").as("corpus_id"), col("unit").as("cu"))
       .join(probes(model, queries, nprobe), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(Similarity.dot(col("cu"), col("qu")), 6).as("cosine"))
+      .distinct(), k)
+
+  // ---------------------------------------------------------------
+  // two-level (hierarchical) coarse quantization — the >16M step
+  // ---------------------------------------------------------------
+
+  /** Two-level residual model: fine cell `c1 * l2 + c2` where c1
+    * indexes the COARSE codebook and c2 the shared RESIDUAL codebook
+    * (fine centroid ≈ coarse(c1) + residual(c2)). */
+  final case class HierModel(coarse: Array[Array[Double]],
+                             residual: Array[Array[Double]],
+                             l2: Int, assigned: DataFrame)
+
+  private val hierCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Long, Long), HierModel]()
+
+  /** The documented past-~16M-vectors step ([[nlistFor]]'s ceiling):
+    * a flat codebook of n/256 cells outgrows both the centroid
+    * broadcast and the O(n·nlist·dim) assignment scan. Two codebooks
+    * of ~√nlist each give the same effective cell count with
+    * O(n·(l1+l2)·dim) assignment and TWO k-means fits total (never
+    * one fit per coarse cell): level 1 clusters the vectors, level 2
+    * clusters the RESIDUALS x − coarse(x) — Faiss's IVF with a
+    * residual coarse quantizer, the standard recipe. Everything runs
+    * through the codegen [[graft.functions.NearestCells]] (squared-L2
+    * ranking — exactly right for residuals) + `slice`/`zip_with`
+    * arithmetic: no Scala UDF, no per-cell driver loop. */
+  def buildHierarchical(spark: SparkSession, corpus: DataFrame,
+                        nlistTotal: Int, seed: Long = 42L,
+                        fitCap: Long = 0L): HierModel = {
+    import graft.functions.NearestCells.nearest_cells
+    val l1 = math.max(2, math.ceil(math.sqrt(nlistTotal.toDouble)).toInt)
+    val l2 = math.max(2, (nlistTotal + l1 - 1) / l1)
+    def sampled(vecs: DataFrame): DataFrame =
+      if (fitCap <= 0) vecs
+      else {
+        val n = vecs.count()
+        if (n <= fitCap) vecs
+        else vecs.filter(pmod(xxhash64(col("id").cast("string")), lit(n)) <
+          lit(fitCap))
+      }
+    val vecs = corpus.withColumn("fv", array_to_vector(col("unit")))
+    val km1 = new KMeans().setK(l1).setSeed(seed).setFeaturesCol("fv")
+      .setPredictionCol("cell").fit(sampled(vecs))
+    val coarse = km1.clusterCenters.map(_.toArray)
+    val dim = coarse.head.length
+    val flat1 = typedLit(coarse.flatten.toSeq)
+    // coarse assignment + residual in ONE pass of scan-stage codegen
+    val withRes = corpus.select(col("id"), col("unit"),
+        element_at(nearest_cells(col("unit"), flat1, 1), 1).as("c1"))
+      .withColumn("res", zip_with(col("unit"),
+        slice(flat1, col("c1") * dim + 1, lit(dim)), (a, b) => a - b))
+    val km2 = new KMeans().setK(l2).setSeed(seed + 1).setFeaturesCol("fv")
+      .setPredictionCol("cell")
+      .fit(sampled(withRes.withColumn("fv", array_to_vector(col("res")))))
+    val residual = km2.clusterCenters.map(_.toArray)
+    val flat2 = typedLit(residual.flatten.toSeq)
+    val assigned = withRes.select(col("id"), col("unit"),
+        (col("c1") * l2 +
+          element_at(nearest_cells(col("res"), flat2, 1), 1)).as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    HierModel(coarse, residual, l2, assigned)
+  }
+
+  /** Session-cached [[buildHierarchical]] — same ingest-time-index
+    * policy as [[buildCached]]. */
+  def buildHierarchicalCached(spark: SparkSession, corpus: DataFrame,
+                              corpusKey: String, nlistTotal: Int,
+                              seed: Long = 42L, fitCap: Long = 0L)
+      : HierModel =
+    hierCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, corpusKey, nlistTotal, seed, fitCap),
+      _ => buildHierarchical(spark, corpus, nlistTotal, seed, fitCap))
+
+  /** Each query exploded to nprobe1 coarse cells, then within each to
+    * the nprobe2 nearest residual cells of q − coarse(c1) — pair
+    * ranking by the decomposed distance, nprobe1·l2 extra dot
+    * products per query instead of a flat nlist scan. */
+  private def probesHier(model: HierModel, queries: DataFrame,
+                         nprobe1: Int, nprobe2: Int): DataFrame = {
+    import graft.functions.NearestCells.nearest_cells
+    val flat1 = typedLit(model.coarse.flatten.toSeq)
+    val flat2 = typedLit(model.residual.flatten.toSeq)
+    val dim = model.coarse.head.length
+    queries.select(col("id").as("query_id"), col("unit").as("qu"),
+        explode(nearest_cells(col("unit"), flat1, nprobe1)).as("c1"))
+      .withColumn("res", zip_with(col("qu"),
+        slice(flat1, col("c1") * dim + 1, lit(dim)), (a, b) => a - b))
+      .select(col("query_id"), col("qu"), col("c1"),
+        explode(nearest_cells(col("res"), flat2, nprobe2)).as("c2"))
+      .select(col("query_id"), col("qu"),
+        (col("c1") * model.l2 + col("c2")).as("cell"))
+  }
+
+  /** [[topK]] over the two-level index: identical serving plan (the
+    * probe side broadcasts, the assignment streams), only the cell
+    * addressing is hierarchical. */
+  def topKHier(spark: SparkSession, model: HierModel, queries: DataFrame,
+               k: Int, nprobe1: Int, nprobe2: Int): DataFrame =
+    rankJoined(model.assigned
+      .select(col("cell"), col("id").as("corpus_id"), col("unit").as("cu"))
+      .join(broadcast(probesHier(model, queries, nprobe1, nprobe2)),
+        Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         round(Similarity.dot(col("cu"), col("qu")), 6).as("cosine"))

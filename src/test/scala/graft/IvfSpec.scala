@@ -32,6 +32,35 @@ class IvfSpec extends SparkSpec {
     assert(batch == serving)
   }
 
+  test("two-level residual IVF: full probe reproduces brute force " +
+    "exactly; partial probe holds recall; cells address as c1*l2+c2") {
+    val nrm = Similarity.normalized(Tables.embeddings(spark, sf),
+      "vec_id", "embedding")
+    nrm.cache()
+    val q = nrm.filter(col("id") < 10)
+    val exact = Similarity.bruteForceTopK(nrm, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hier = IvfIndex.buildHierarchical(spark, nrm, nlistTotal = 16)
+    assert(hier.coarse.length == 4 && hier.residual.length == 4 &&
+      hier.l2 == 4, "16 effective cells as 4 coarse x 4 residual")
+    // every corpus row lands in a valid pair cell
+    val cells = hier.assigned.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < 16), s"cells ${cells.toSeq}")
+    // probing EVERY pair cell must reproduce brute force exactly —
+    // the hierarchy changes addressing, never membership
+    val full = IvfIndex.topKHier(spark, hier, q, k = 5,
+      nprobe1 = 4, nprobe2 = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(full == exact, "full probe == brute force")
+    // the documented operating point keeps useful recall
+    val approx = IvfIndex.topKHier(spark, hier, q, k = 5,
+      nprobe1 = 3, nprobe2 = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.5, s"recall=$recall")
+  }
+
   test("NearestCells expression ranks cells by squared L2 distance") {
     import spark.implicits._
     val df = Seq((1L, Seq(0.0, 0.9)), (2L, Seq(1.0, 0.1))).toDF("id", "unit")
