@@ -32,6 +32,25 @@ object Positions {
       .select(col("wallet"), col("token_id"),
         (col("ui") / 10000.0).as("buy_usd"),
         (col("qi") / 10000.0).as("buy_qty"))
+    joined(balances, buys, lastPrice)
+  }
+
+  /** [[positions]] from the (wallet, token_id) flow-partials rollup
+    * ([[Leaderboard.walletTokenFlows]]) — identical values: bi/1e4 is
+    * the same scaled-long buy_usd, and buy_qty's double sum of
+    * integral qtys equals the scaled-long sum exactly. A pair with no
+    * buys (buy_qty 0) drops, matching the buy-filtered aggregate's
+    * missing row (left-join null, never 0/0). */
+  def positionsFromFlows(balances: DataFrame, flows: DataFrame,
+                         lastPrice: DataFrame): DataFrame =
+    joined(balances,
+      flows.filter(col("buy_qty") > 0)
+        .select(col("wallet"), col("token_id"),
+          (col("bi") / 10000.0).as("buy_usd"), col("buy_qty")),
+      lastPrice)
+
+  private def joined(balances: DataFrame, buys: DataFrame,
+                     lastPrice: DataFrame): DataFrame =
     balances.filter(col("balance") > 0)
       .join(buys, Seq("wallet", "token_id"), "left")
       .join(broadcast(lastPrice.select(col("token_id"), col("last_price"))),
@@ -43,5 +62,4 @@ object Positions {
         (col("balance") * col("last_price")).as("current_value"),
         (col("balance") * (col("last_price") - col("buy_usd") / col("buy_qty")))
           .as("unrealized_pnl"))
-  }
 }
