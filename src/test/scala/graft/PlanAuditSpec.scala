@@ -102,4 +102,27 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  test("the r14 rollup/fusion rewrites keep their pinned shuffle budgets") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(name: String): Int =
+      plans.find(_._1 == name).get._2
+        .collect { case e: ShuffleExchangeLike => e }.size
+    // q_vwap: ONE range exchange serves the aggregate's clustering AND
+    // the output order (repartitionByRange + complete agg + in-
+    // partition sort) — a second exchange means the fusion regressed
+    assert(shuffles("q_vwap") <= 1, s"q_vwap: ${shuffles("q_vwap")}")
+    // q_positions: both fact inputs are (wallet, token_id)-partitioned
+    // MVs, the dim is broadcast — only the output sort may exchange
+    assert(shuffles("q_positions") <= 1,
+      s"q_positions: ${shuffles("q_positions")}")
+    // q_ledger_from_logs: an output sort over the cached settlement MV
+    assert(shuffles("q_ledger_from_logs") <= 1,
+      s"q_ledger_from_logs: ${shuffles("q_ledger_from_logs")}")
+    // rollup re-aggregations: one keyed exchange + the output sort
+    assert(shuffles("q_win_rate") <= 2,
+      s"q_win_rate: ${shuffles("q_win_rate")}")
+    assert(shuffles("q_lb_explain") <= 2,
+      s"q_lb_explain: ${shuffles("q_lb_explain")}")
+  }
 }
