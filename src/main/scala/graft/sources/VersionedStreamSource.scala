@@ -144,6 +144,17 @@ class VersionedStreamSource(spark: SparkSession, path: String,
         spark, fs.map(f => s"$path/$f"), dataSchema)
       if (stamp) VersionedStore.withMeta(s) else s
     }
+    // a file removed by a SKIPPED rewrite and then vacuumed is gone
+    // for good — its rows were re-homed into files this stream
+    // deliberately skips. Fail with the actionable remedy instead of
+    // a deep FileNotFoundException from the parquet reader.
+    val vacuumed = files.filterNot(f => new java.io.File(path, f).exists())
+    if (vacuumed.nonEmpty)
+      throw new IllegalStateException(
+        s"batch file(s) of $path no longer exist (vacuumed after a " +
+          s"skipped rewrite): ${vacuumed.take(3).mkString(", ")}" +
+          (if (vacuumed.size > 3) s" (+${vacuumed.size - 3} more)" else "") +
+          " — restart the stream from startingVersion=snapshot")
     partCol match {
       case None => scan(files)
       case Some((pc, pt)) =>

@@ -154,6 +154,32 @@ class VersionedStreamSourceSpec extends SparkSpec {
         "still delivered from their original manifests")
   }
 
+  test("a batch file vacuumed after a skipped rewrite fails with the " +
+    "actionable remedy, not a raw reader error") {
+    import spark.implicits._
+    val path = freshDir("vss-vac")
+    VersionedStore.append(Seq(1L).toDF("id"), path)                  // v1
+    VersionedStore.append(Seq(2L).toDF("id"), path)                  // v2
+    VersionedStore.compact(spark, path, nFiles = 1)                  // v3
+    // simulate vacuum taking v2's original file (the compaction
+    // re-homed its rows into files a skipRewrites stream skips)
+    val v2file = (VersionedStore.filesAsOf(path, 2).toSet --
+      VersionedStore.filesAsOf(path, 1).toSet).head
+    assert(new java.io.File(path, v2file).delete())
+    val q = startTail(path, "vss_vac", freshDir("vss-ckpt"),
+      Map("startingVersion" -> "0", "skipRewrites" -> "true"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("vacuumed") &&
+      m.contains("startingVersion=snapshot")),
+      s"expected the vacuumed-file remedy, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("hierarchical tables stream with the partition column reattached") {
     import spark.implicits._
     val path = freshDir("vss-part")
