@@ -2014,6 +2014,23 @@ object VersionedStore {
     * data file no retained manifest references. Never touches files a
     * retained snapshot can still resolve. Returns deleted paths
     * (table-relative). */
+  /** [[vacuum]] with a TIME-based retention bound (Iceberg's
+    * `expireSnapshots(olderThan)` / Delta's retention window):
+    * retain every version committed AT OR AFTER `cutoffMillis` — and
+    * always the current one — then vacuum the rest. Commit times are
+    * [[history]]'s manifest mtimes, the same clock `timestampAsOf`
+    * time travel resolves against, so "what vacuum keeps" and "what
+    * time travel can still reach" agree by construction. */
+  def vacuumOlderThan(path: String, cutoffMillis: Long): Seq[String] = {
+    val cur = currentVersion(path)
+    require(cur > 0, s"nothing to vacuum at $path")
+    val firstKept = history(path)
+      .filter(_.timestampMs >= cutoffMillis)
+      .map(_.version).minOption
+      .getOrElse(cur)
+    vacuum(path, keepVersions = cur - firstKept + 1)
+  }
+
   def vacuum(path: String, keepVersions: Int): Seq[String] = {
     require(keepVersions >= 1, "must retain at least the current version")
     val cur = currentVersion(path)

@@ -62,6 +62,30 @@ class VersionedStoreSpec extends SparkSpec {
     }
   }
 
+  test("vacuumOlderThan retains exactly what timestamp time travel can " +
+    "still reach") {
+    import spark.implicits._
+    val path = freshDir()
+    VersionedStore.append(Seq(1L).toDF("id"), path)      // v1
+    VersionedStore.overwrite(Seq(2L).toDF("id"), path)   // v2 (v1 orphan)
+    VersionedStore.append(Seq(3L).toDF("id"), path)      // v3 carries v2
+    // age v1's commit a day into the past (history reads manifest
+    // mtimes — the same clock timestampAsOf resolves against)
+    val cutoff = System.currentTimeMillis() - 3600 * 1000L
+    val m1 = new java.io.File(path, "manifests/v1.manifest")
+    assert(m1.exists() && m1.setLastModified(cutoff - 86400000L))
+    val deleted = VersionedStore.vacuumOlderThan(path, cutoff)
+    assert(deleted.nonEmpty && deleted.forall(_.contains("commit-1")),
+      s"only the pre-cutoff version's orphans go, got $deleted")
+    assert(rows(path, 2) == Set(2L) && rows(path, 3) == Set(2L, 3L),
+      "post-cutoff snapshots unaffected")
+    intercept[IllegalArgumentException] {
+      VersionedStore.readAsOf(spark, path, 1)
+    }
+    // a cutoff before every retained commit is a no-op
+    assert(VersionedStore.vacuumOlderThan(path, cutoff - 172800000L).isEmpty)
+  }
+
   test("row-level delete rewrites only the files containing matches") {
     import spark.implicits._
     val path = freshDir()
