@@ -30,11 +30,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
   * snapshot version, like the API calls they delegate to. The
   * copy-on-write / merge-on-read choice is a session conf,
   * `spark.graft.mutation.mode = cow | vectored` (DML text stays
-  * ANSI): DELETE honors it on flat and partitioned tables; MERGE
-  * honors it on flat tables and is always vectored on partitioned
-  * ones (the only partitioned merge the store offers — the O(batch +
-  * matched) 100 TB shape). Unregistered table names fall through to
-  * Spark's own parser untouched, as does every other statement.
+  * ANSI): both DELETE and MERGE honor it on flat AND partitioned
+  * tables — the vectored forms are the O(batch + matched) 100 TB
+  * shape, the copy-on-write forms keep the table vector-free.
+  * Unregistered table names fall through to Spark's own parser
+  * untouched, as does every other statement.
   *
   * The MERGE grammar is exactly the shape the store implements
   * (whenMatched-update-all / whenNotMatched-insert-all, equi-key ON):
@@ -104,15 +104,14 @@ case class GraftMergeCommand(table: String, source: String,
     val updates = spark.table(source)
     val cur = VersionedStore.currentVersion(path)
     require(cur > 0, s"cannot MERGE: no committed version at $path")
+    val vectored = VersionedSqlTables.modeVectored(spark)
     val v =
       if (VersionedStore.isFlatVersion(path, cur))
-        if (VersionedSqlTables.modeVectored(spark))
-          VersionedStore.mergeVectored(spark, path, updates, keys)
+        if (vectored) VersionedStore.mergeVectored(spark, path, updates, keys)
         else VersionedStore.merge(spark, path, updates, keys)
-      else
-        // the one partitioned merge the store offers (vectored —
-        // O(batch + matched), zero rewrites); mode applies to flat
+      else if (vectored)
         VersionedStore.mergePartitionedVectored(spark, path, updates, keys)
+      else VersionedStore.mergePartitioned(spark, path, updates, keys)
     Seq(Row(v))
   }
 }

@@ -829,6 +829,78 @@ object VersionedStore {
     }
   }
 
+  /** [[merge]] on a HIERARCHICAL table — the COPY-ON-WRITE upsert:
+    * files holding a matched key rewrite inside their partitions
+    * (matched rows drop from the rewrite; the update rows land
+    * through the same commit into THEIR OWN partitions, so a
+    * partition-moving update rewrites both sides), untouched files
+    * and partitions carried by reference. [[mergePartitionedVectored]]
+    * is the O(batch + matched) merge-on-read twin; this form keeps
+    * the table vector-free (e.g. to stay servable through the
+    * relation-based reader). Same probe discipline as
+    * [[deletePartitioned]]: find-matches runs on the vector-applied
+    * FileIndex snapshot, rewrite inputs read vector-applied. */
+  def mergePartitioned(spark: SparkSession, path: String,
+                       updates: DataFrame, keys: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cur = currentVersion(path)
+    require(cur > 0, s"cannot merge: no committed version at $path")
+    require(!isFlatVersion(path, cur),
+      s"version $cur is flat — use merge()")
+    val ml = readMlist(path, cur)
+    val table = readAsOf(spark, path, cur)
+    require(updates.columns.toSet == table.columns.toSet,
+      s"merge schema mismatch: table has ${table.columns.sorted.mkString(",")}" +
+        s" but updates carry ${updates.columns.sorted.mkString(",")}")
+    require(keys.nonEmpty && keys.forall(updates.columns.contains),
+      s"merge keys $keys must be update columns")
+    val keyRows = updates.select(keys.map(col): _*).distinct()
+    requireUniqueKeys(updates, keys,
+      "updates carry duplicate keys — which row wins would be nondeterministic")
+    val valueOf: Map[String, String] = ml.parts.flatMap { p =>
+      readPmanifestEntries(path, p.pmanifest).map(e => e.file -> p.value)
+    }.toMap
+    val dvsCur = deleteVectorsAsOf(path, cur)
+    val stamped = withMeta(
+      spark.baseRelationToDataFrame(snapshotRelation(spark, path, cur)))
+    val snap =
+      if (dvsCur.isEmpty) stamped
+      else stamped.join(dvFrame(spark, path, dvsCur),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    val hit = snap.join(keyRows, keys, "left_semi")
+      .select("__dv_file").distinct()
+      .collect().map(_.getString(0))
+    val touched: Seq[(String, String)] = hit.map { f =>
+      (valueOf.getOrElse(f,
+        sys.error(s"scanned file $f not in version $cur's manifests")), f)
+    }.toSeq.sortBy(_._2)
+    val aligned = updates.select(table.columns.map(col): _*)
+    if (touched.isEmpty)
+      // pure insert: every existing file carried, update rows land in
+      // their partitions
+      commitPartitionedAt(aligned, path, ml.partCol, cur + 1,
+        replaceTouched = false,
+        schemaOverride = Some(effectiveSchema(spark, path, cur)))
+    else {
+      val dataSchema = schemaAsOf(path, cur).map(s =>
+        org.apache.spark.sql.types.StructType(
+          s.fields.filterNot(_.name == ml.partCol)))
+      val unioned = touched.groupBy(_._1).map { case (value, fs) =>
+        val raw = readFiles(spark, path, fs.map(_._2), dataSchema)
+        (if (dvsCur.isEmpty) raw else withMeta(raw))
+          .withColumn(ml.partCol, lit(value).cast(ml.partType))
+      }.reduce(_.unionByName(_))
+      val applied =
+        if (dvsCur.isEmpty) unioned
+        else subtractStamped(spark, path, unioned, dvsCur)
+      val survivors = applied.join(keyRows, keys, "left_anti")
+      commitPartitionedAt(survivors.unionByName(aligned), path,
+        ml.partCol, cur + 1, replaceTouched = false,
+        removedFiles = touched.map(_._2).toSet,
+        schemaOverride = Some(effectiveSchema(spark, path, cur)))
+    }
+  }
+
   /** [[deleteVectored]] on a HIERARCHICAL table — the merge-on-read
     * delete at the 100 TB form: the find-matches probe runs through
     * the Catalyst FileIndex (partition + stats + bloom predicates

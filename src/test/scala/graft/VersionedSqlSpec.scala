@@ -96,29 +96,42 @@ class VersionedSqlSpec extends SparkSpec {
   }
 
   test("SQL MERGE commits row-for-row what the API commits on a " +
-    "partitioned table (vectored, partition moves included)") {
+    "partitioned table, COW and vectored, partition moves included") {
     import spark.implicits._
-    val sqlPath = partTable()
-    val apiPath = partTable()
-    VersionedSqlTables.register(spark, "vsql_mrg", sqlPath)
-    // update id=10 in place, MOVE id=60 to another month, insert 999
-    val ups = Seq((10L, "TEN", "1996-01"), (60L, "MOVED", "1996-03"),
-      (999L, "NEW", "1996-03")).toDF("id", "name", "month")
-    ups.createOrReplaceTempView("vsql_ups")
-    val got = parser.parsePlan(
-      """MERGE INTO vsql_mrg USING vsql_ups ON vsql_mrg.id = vsql_ups.id
-        |WHEN MATCHED THEN UPDATE SET *
-        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      .asInstanceOf[GraftMergeCommand].run(spark)
-    val vApi = VersionedStore.mergePartitionedVectored(spark, apiPath,
-      ups, Seq("id"))
-    assert(got.head.getInt(0) == 2 && vApi == 2)
-    assert(rowsOf(sqlPath) == rowsOf(apiPath),
-      "SQL path == API path row-for-row")
-    val byId = rowsOf(sqlPath).map(r => r._1 -> r).toMap
-    assert(byId(10L) == ((10L, "TEN", "1996-01")))
-    assert(byId(60L) == ((60L, "MOVED", "1996-03")), "partition move")
-    assert(byId(999L) == ((999L, "NEW", "1996-03")), "insert")
+    for (mode <- Seq("cow", "vectored")) {
+      spark.conf.set("spark.graft.mutation.mode", mode)
+      try {
+        val sqlPath = partTable()
+        val apiPath = partTable()
+        VersionedSqlTables.register(spark, "vsql_mrg", sqlPath)
+        // update id=10 in place, MOVE id=60 to another month, insert 999
+        val ups = Seq((10L, "TEN", "1996-01"), (60L, "MOVED", "1996-03"),
+          (999L, "NEW", "1996-03")).toDF("id", "name", "month")
+        ups.createOrReplaceTempView("vsql_ups")
+        val got = parser.parsePlan(
+          """MERGE INTO vsql_mrg USING vsql_ups ON vsql_mrg.id = vsql_ups.id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          .asInstanceOf[GraftMergeCommand].run(spark)
+        val vApi =
+          if (mode == "vectored")
+            VersionedStore.mergePartitionedVectored(spark, apiPath,
+              ups, Seq("id"))
+          else VersionedStore.mergePartitioned(spark, apiPath, ups,
+            Seq("id"))
+        assert(got.head.getInt(0) == 2 && vApi == 2, s"[$mode]")
+        assert(rowsOf(sqlPath) == rowsOf(apiPath),
+          s"[$mode] SQL path == API path row-for-row")
+        val byId = rowsOf(sqlPath).map(r => r._1 -> r).toMap
+        assert(byId(10L) == ((10L, "TEN", "1996-01")), s"[$mode]")
+        assert(byId(60L) == ((60L, "MOVED", "1996-03")),
+          s"[$mode] partition move")
+        assert(byId(999L) == ((999L, "NEW", "1996-03")), s"[$mode] insert")
+        if (mode == "cow")
+          assert(VersionedStore.deleteVectorsAsOf(sqlPath, 2).isEmpty,
+            "COW merge publishes no delete vectors")
+      } finally spark.conf.unset("spark.graft.mutation.mode")
+    }
   }
 
   test("SQL DELETE and MERGE on a FLAT table honor the mode and match " +

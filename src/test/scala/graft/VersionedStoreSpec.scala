@@ -1455,6 +1455,48 @@ class VersionedStoreSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == (50L until 100L).toSet - 60L)
   }
 
+  test("mergePartitioned (copy-on-write) is row-identical to the " +
+    "vectored twin; untouched partitions carry by reference, no " +
+    "vectors published") {
+    import spark.implicits._
+    def freshTable(): String = {
+      val p = freshDir()
+      VersionedStore.appendPartitioned((1L to 90L).map(i =>
+          (i, s"n$i", if (i <= 30) "1996-01"
+            else if (i <= 60) "1996-02" else "1996-03"))
+        .toDF("id", "name", "month"), p, "month")
+      p
+    }
+    val cow = freshTable(); val mor = freshTable()
+    // update in 1996-01, MOVE id=40 from 1996-02 to 1996-03, insert
+    val ups = Seq((5L, "FIVE", "1996-01"), (40L, "MOVED", "1996-03"),
+      (999L, "NEW", "1996-03")).toDF("id", "name", "month")
+    val v1 = VersionedStore.mergePartitioned(spark, cow, ups, Seq("id"))
+    val v2 = VersionedStore.mergePartitionedVectored(spark, mor, ups,
+      Seq("id"))
+    assert(v1 == 2 && v2 == 2)
+    def all(p: String) = VersionedStore.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(all(cow) == all(mor), "COW == vectored row-for-row")
+    assert(all(cow).contains((40L, "MOVED", "1996-03")) &&
+      !all(cow).exists(r => r._1 == 40L && r._3 == "1996-02"),
+      "partition-moving update")
+    assert(VersionedStore.deleteVectorsAsOf(cow, 2).isEmpty,
+      "the COW form keeps the table vector-free")
+    // untouched partition 1996-03's ORIGINAL file is... touched (the
+    // move's target) — but partition 1996-02's survivors rewrote and
+    // 1996-01's matched file rewrote; a partition with NO matched key
+    // and NO update row must carry: build one more merge touching
+    // only 1996-01 and check 1996-02/03 files carry verbatim
+    val before = VersionedStore.filesAsOf(cow, 2).toSet
+    VersionedStore.mergePartitioned(spark, cow,
+      Seq((6L, "SIX", "1996-01")).toDF("id", "name", "month"), Seq("id"))
+    val after = VersionedStore.filesAsOf(cow, 3).toSet
+    val untouched = before.filterNot(_.contains("month=1996-01"))
+    assert(untouched.subsetOf(after),
+      "partitions without a matched key or update row carry by reference")
+  }
+
   test("concurrent disjoint-partition appends auto-rebase (Iceberg's " +
     "optimistic retry); same-partition conflicts stay one-winner") {
     import spark.implicits._
