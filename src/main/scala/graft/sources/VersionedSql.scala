@@ -116,13 +116,41 @@ case class GraftMergeCommand(table: String, source: String,
   }
 }
 
-/** Parser shim: intercepts the two DML statements on REGISTERED
-  * names, delegates everything else verbatim. */
+/** `DESCRIBE HISTORY <registered>` — the commit audit surface
+  * (Delta's DESCRIBE HISTORY): one row per retained version from
+  * [[VersionedStore.history]], newest first. Read-only. */
+case class GraftHistoryCommand(table: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("timestamp_ms", LongType, nullable = false)(),
+    AttributeReference("form", StringType, nullable = false)(),
+    AttributeReference("partitions_touched", StringType, nullable = false)(),
+    AttributeReference("files_added", IntegerType, nullable = false)(),
+    AttributeReference("files_removed", IntegerType, nullable = false)(),
+    AttributeReference("rows_added", LongType, nullable = true)(),
+    AttributeReference("dv_files_added", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = VersionedSqlTables.pathOf(spark, table).getOrElse(
+      sys.error(s"$table is not a registered graft-versioned table"))
+    VersionedStore.history(path).reverse.map(c =>
+      Row(c.version, c.timestampMs, c.form,
+        c.partitionsTouched.mkString(","), c.filesAdded, c.filesRemoved,
+        c.rowsAdded.orNull, c.dvFilesAdded))
+  }
+}
+
+/** Parser shim: intercepts the two DML statements (plus DESCRIBE
+  * HISTORY) on REGISTERED names, delegates everything else
+  * verbatim. */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+([A-Za-z_]\w*)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*""".r
   private val MergeRe =
     ("""(?is)\s*MERGE\s+INTO\s+([A-Za-z_]\w*)\s+USING\s+([A-Za-z_]\w*)""" +
       """\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
@@ -154,6 +182,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftDeleteCommand(name, Option(where))
     case MergeRe(target, source, on) if registered(target) =>
       GraftMergeCommand(target, source, keysOf(on, target, source))
+    case HistoryRe(name) if registered(name) =>
+      GraftHistoryCommand(name)
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -134,6 +134,22 @@ class VersionedSqlSpec extends SparkSpec {
     }
   }
 
+  test("DESCRIBE HISTORY returns the commit audit rows, newest first") {
+    import graft.sources.GraftHistoryCommand
+    val path = partTable()                                     // v1
+    VersionedStore.deletePartitioned(spark, path,
+      expr("id = 3"))                                          // v2
+    VersionedSqlTables.register(spark, "vsql_hist", path)
+    val plan = parser.parsePlan("DESCRIBE HISTORY vsql_hist")
+    assert(plan == GraftHistoryCommand("vsql_hist"))
+    val rows = plan.asInstanceOf[GraftHistoryCommand].run(spark)
+    assert(rows.map(_.getInt(0)) == Seq(2, 1), "newest first")
+    assert(rows.forall(_.getLong(1) > 0), "timestamps present")
+    // unregistered name falls through to Spark's parser untouched
+    assert(!parser.parsePlan("DESCRIBE HISTORY not_registered")
+      .isInstanceOf[GraftHistoryCommand])
+  }
+
   test("SQL DELETE and MERGE on a FLAT table honor the mode and match " +
     "the flat API") {
     import spark.implicits._
