@@ -161,9 +161,10 @@ object StreamingIngest {
 
   /** [[sinkVersionedUpsert]] with the per-batch keep-latest dedup
     * BUILT IN — the raw-CDC shape: a micro-batch may carry several
-    * versions of one key, and the latest by `ord` (descending; ties
-    * broken by the ordering columns themselves) wins before the
-    * merge. This is the ReplacingMergeTree keep-latest operator
+    * versions of one key, and the latest by `ord` (descending) wins
+    * before the merge — pass ordering columns that TOTALLY order a
+    * key's versions (e.g. ts + event id); rows tied on all of `ord`
+    * pick arbitrarily, the ReplacingMergeTree contract. This is the ReplacingMergeTree keep-latest operator
     * composed with the vectored MERGE, per batch. `partCol = Some(c)`
     * lands on the hierarchical store (partition-moving updates
     * included). */
