@@ -136,13 +136,33 @@ object VersionedStore {
   }
 
   private def recordSchema(path: String, v: Int,
-                           schema: org.apache.spark.sql.types.StructType): Unit =
+                           schema: org.apache.spark.sql.types.StructType): Unit = {
     // all-nullable: parquet-backed tables are nullable-on-read anyway,
     // and a non-nullable (required) field would make the vectorized
-    // reader REFUSE pre-evolution files instead of null-filling them
-    writeAtomic(schemaFile(path, v),
-      org.apache.spark.sql.types.StructType(
-        schema.fields.map(_.copy(nullable = true))).toDDL)
+    // reader REFUSE pre-evolution files instead of null-filling them.
+    // WRITE-ONCE per version: an equal-content re-record (a batch
+    // replay, a publish retry over torn debris) is a no-op; different
+    // content means a concurrent writer owns this version number —
+    // without this, a racing loser's recordSchema (which runs before
+    // the mlist CAS decides the race) could clobber the winner's
+    // schema record when the winner evolved the schema.
+    val body = org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(nullable = true))).toDDL
+    val f = schemaFile(path, v)
+    def sameAsExisting(): Boolean =
+      f.exists() &&
+        new String(Files.readAllBytes(f.toPath), "UTF-8") == body
+    if (sameAsExisting()) return
+    try writeAtomic(f, body, replace = false)
+    catch {
+      case _: java.util.ConcurrentModificationException =>
+        if (!sameAsExisting())
+          throw new java.util.ConcurrentModificationException(
+            s"schema for version $v already recorded with DIFFERENT " +
+              "content — a concurrent writer owns this version; " +
+              "re-read the table and retry")
+    }
+  }
 
   /** Whether version `v` is a flat (non-partitioned) commit. */
   private[sources] def isFlatVersion(path: String, v: Int): Boolean =

@@ -1455,6 +1455,28 @@ class VersionedStoreSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == (50L until 100L).toSet - 60L)
   }
 
+  test("schema records are write-once: a squatted version slot with " +
+    "different content refuses the commit (no silent clobber)") {
+    import spark.implicits._
+    val path = freshDir()
+    VersionedStore.append(Seq((1L, "a")).toDF("id", "name"), path) // v1
+    // a foreign writer's schema already sits at v2's slot
+    val squatted = new java.io.File(path, "manifests/v2.schema")
+    java.nio.file.Files.writeString(squatted.toPath, "completely TEXT")
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedStore.append(Seq((2L, "b")).toDF("id", "name"), path)
+    }
+    assert(new String(java.nio.file.Files.readAllBytes(squatted.toPath))
+      == "completely TEXT", "the existing record was not clobbered")
+    assert(VersionedStore.currentVersion(path) == 1,
+      "the refused commit published nothing")
+    // with the squatter gone, the same append commits — and an
+    // EQUAL-content re-record (replay/retry) is a silent no-op
+    assert(squatted.delete())
+    assert(VersionedStore.append(Seq((2L, "b")).toDF("id", "name"), path)
+      == 2)
+  }
+
   test("mergePartitioned (copy-on-write) is row-identical to the " +
     "vectored twin; untouched partitions carry by reference, no " +
     "vectors published") {
