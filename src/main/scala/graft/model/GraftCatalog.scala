@@ -31,6 +31,12 @@ object GraftCatalog {
     graft.operators.Leaderboard.walletTrades(Views.trades(spark, dir))
       .transform(wt => graft.operators.Leaderboard.rollupState(wt, "day"))
       .createOrReplaceTempView("leaderboard_rollup_1d")
+    // the (wallet, token_id) flow-partials rollup (r14): the
+    // SummingMergeTree-style table lb-explain / win-rate / positions
+    // re-aggregate
+    graft.operators.Leaderboard.walletTokenFlows(
+        graft.operators.Leaderboard.walletTrades(Views.trades(spark, dir)))
+      .createOrReplaceTempView("wallet_token_flows")
     graft.functions.GraftFunctions.register(spark)
   }
 }
