@@ -2328,6 +2328,20 @@ object SparkEntry {
               |ORDER BY event_type""".stripMargin)
     }),
 
+    // Pure-SQL surface over the wallet_token_flows rollup view (the
+    // r14 SummingMergeTree-style table): top net-flow positions, tie-
+    // broken fully so the LIMIT boundary is deterministic.
+    "q_sql_wallet_flows" -> ((s, d) => {
+      graft.model.GraftCatalog.register(s, d)
+      s.sql("""SELECT wallet, token_id, trades,
+              |  CAST(bi AS DOUBLE) / 10000.0 AS buy_usd,
+              |  CAST(si AS DOUBLE) / 10000.0 AS sell_usd,
+              |  CAST(si - bi AS DOUBLE) / 10000.0 AS net_usd
+              |FROM wallet_token_flows
+              |ORDER BY net_usd DESC, wallet, token_id
+              |LIMIT 50""".stripMargin)
+    }),
+
     "q_sql_market_volume" -> ((s, d) => {
       graft.model.GraftCatalog.register(s, d)
       s.sql("""SELECT m.market, COUNT(*) AS trades,
@@ -5119,6 +5133,23 @@ object SparkEntry {
         |    ELSE CAST(usd AS DECIMAL(18,4)) END) AS DOUBLE) AS cash_delta,
         |  COUNT(DISTINCT wallet) AS wallets
         |FROM wt GROUP BY side ORDER BY event_type""".stripMargin,
+
+    "q_sql_wallet_flows" ->
+      s"""WITH $WT,
+        |f AS (
+        |  SELECT wallet, token_id, CAST(COUNT(*) AS BIGINT) AS trades,
+        |    CAST(SUM(CASE WHEN side = 'buy'
+        |      THEN CAST(usd * 10000 AS BIGINT) ELSE 0 END) AS BIGINT) AS bi,
+        |    CAST(SUM(CASE WHEN side = 'sell'
+        |      THEN CAST(usd * 10000 AS BIGINT) ELSE 0 END) AS BIGINT) AS si
+        |  FROM wt GROUP BY 1, 2)
+        |SELECT wallet, token_id, trades,
+        |  CAST(bi AS DOUBLE) / 10000.0 AS buy_usd,
+        |  CAST(si AS DOUBLE) / 10000.0 AS sell_usd,
+        |  CAST(si - bi AS DOUBLE) / 10000.0 AS net_usd
+        |FROM f
+        |ORDER BY net_usd DESC, wallet, token_id
+        |LIMIT 50""".stripMargin,
 
     "q_sql_market_volume" ->
       s"""WITH $WT
