@@ -1670,6 +1670,20 @@ object SparkEntry {
         .orderBy(col("token_id"), col("pts"))
     }),
 
+    // As-of with a staleness bound: a price older than 3 days at the
+    // probe instant is no price (CH ASOF + bounded lookback; pandas
+    // merge_asof tolerance). Same single-shuffle plan as q_price_asof.
+    "q_price_asof_tol" -> ((s, d) => {
+      val t = trades(s, d)
+      val quotes = t.groupBy(col("token_id"), col("ts"))
+        .agg(max_by(col("price"), col("trade_id")).as("price"))
+      val probes = t.select(col("token_id"),
+        date_trunc("month", col("ts")).as("pts")).distinct()
+      AsOf.joinAsOfTolerance(quotes, probes, "token_id", "ts", "price",
+          "pts", toleranceSec = 259200L)
+        .orderBy(col("token_id"), col("pts"))
+    }),
+
     "q_dormant_wallets" -> ((s, d) => {
       val active = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1997-01-01"))
@@ -1783,6 +1797,23 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("text_hash"))),
+
+    // Incremental ingest dedup: today's batch (fresh docs + a slice of
+    // re-fetched corpus docs under new ids — the re-crawl shape) vs the
+    // historical corpus. Bloom-negative rows never join; only the
+    // positive sliver shuffles into the exact confirm.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val refetched = corpus.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val batch = docs.filter(col("doc_id") % 5 === 0).unionByName(refetched)
+      Dedup.incremental(batch, corpus, "text",
+          expectedCorpusKeys = BloomPrune.dimKeyCount(
+            corpus.select(col("doc_id")), "doc_id"))
+        .select(col("doc_id"), col("source"), col("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
 
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
@@ -3865,6 +3896,20 @@ object SparkEntry {
         |  ON probes.token_id = quotes.token_id AND probes.pts >= quotes.ts
         |ORDER BY token_id, pts""".stripMargin,
 
+    "q_price_asof_tol" ->
+      s"""WITH $TRADES,
+        |quotes AS (
+        |  SELECT token_id, ts, arg_max(price, trade_id) AS price
+        |  FROM trades GROUP BY token_id, ts),
+        |probes AS (
+        |  SELECT DISTINCT token_id, date_trunc('month', ts) AS pts FROM trades)
+        |SELECT probes.token_id AS token_id, pts,
+        |  CASE WHEN epoch(pts) - epoch(quotes.ts) <= 259200
+        |       THEN quotes.price END AS value_asof
+        |FROM probes ASOF LEFT JOIN quotes
+        |  ON probes.token_id = quotes.token_id AND probes.pts >= quotes.ts
+        |ORDER BY token_id, pts""".stripMargin,
+
     "q_dormant_wallets" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (
@@ -3877,6 +3922,19 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, COUNT(*) AS copies,
         |  MIN(doc_id) AS canonical_id
         |FROM documents GROUP BY text_hash ORDER BY text_hash""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        |batch AS (
+        |  SELECT doc_id, text, source FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text, source
+        |  FROM corpus WHERE doc_id % 7 = 0),
+        |ch AS (SELECT DISTINCT md5(text) AS h FROM corpus)
+        |SELECT b.doc_id AS doc_id, b.source AS source,
+        |  CASE WHEN ch.h IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        |FROM batch b LEFT JOIN ch ON md5(b.text) = ch.h
+        |ORDER BY doc_id""".stripMargin,
 
     "q_sessions" ->
       """WITH ev AS (

@@ -40,4 +40,33 @@ object AsOf {
       .filter(col("kind") === 1)
       .select(col("k").as(key), col("t").as(probeTs), col("value_asof"))
   }
+
+  /** [[joinAsOf]] with a staleness bound (ClickHouse ASOF with a
+    * bounded lookback; pandas merge_asof `tolerance`): the matched
+    * quote only counts when it is at most `toleranceSec` seconds
+    * before the probe, else `value_asof` is null ("no fresh-enough
+    * price"). Same single keyed shuffle + one ordered pass — the
+    * window additionally carries the matched quote's own timestamp
+    * forward, and one scalar comparison applies the bound. */
+  def joinAsOfTolerance(quotes: DataFrame, probes: DataFrame,
+                        key: String, quoteTs: String, value: String,
+                        probeTs: String, toleranceSec: Long): DataFrame = {
+    val q = quotes.select(col(key).as("k"), col(quoteTs).as("t"),
+      lit(0).as("kind"), col(value).as("v"), col(quoteTs).as("qt"))
+    val p = probes.select(col(key).as("k"), col(probeTs).as("t"),
+      lit(1).as("kind"), lit(null).cast(q.schema("v").dataType).as("v"),
+      lit(null).cast(q.schema("qt").dataType).as("qt"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    q.unionAll(p)
+      .withColumn("v_last", last(col("v"), ignoreNulls = true).over(w))
+      .withColumn("qt_last", last(col("qt"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      // timestampdiff handles TIMESTAMP and TIMESTAMP_NTZ alike (a
+      // straight long cast refuses NTZ, the parquet timestamp type)
+      .withColumn("value_asof",
+        when(expr("timestampdiff(SECOND, qt_last, t)") <= toleranceSec,
+          col("v_last")))
+      .select(col("k").as(key), col("t").as(probeTs), col("value_asof"))
+  }
 }

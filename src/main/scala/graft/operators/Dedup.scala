@@ -16,6 +16,45 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("copies"), min(col(idCol)).as("canonical_id"))
 
+  /** Incremental ingest dedup: flag each row of today's `batch` whose
+    * text already exists in the historical `corpus` (the daily-crawl-
+    * into-100 TB-corpus shape; reference analogue: the indexer's
+    * idempotent re-ingest dedup, main.ts keep-latest, applied to
+    * document text instead of row keys).
+    *
+    * Exact semantics, bloom-accelerated: a bloom sketch of the corpus
+    * text-hashes (one aggregate row, scalar subquery — ~10 bits/doc)
+    * reaches the batch scan first, so bloom-negative rows (the vast
+    * majority of a mostly-fresh crawl) are flagged `is_dup = 0`
+    * WITHOUT ever joining against the corpus; only bloom-positive
+    * rows (true dups ∪ ~1% fp) shuffle into the exact confirm join,
+    * where a left join against the distinct corpus hashes settles
+    * them. False negatives are impossible, so the result is exactly
+    * the unaccelerated anti/semi split. At 100 TB the corpus hash
+    * column is the thing maintained incrementally (16 B/doc, bucketed
+    * by hash in the versioned store with a bloom skip index), so the
+    * confirm join prunes corpus FILES at planning time too.
+    *
+    * @return batch rows + `is_dup` (1 = text already in corpus) */
+  def incremental(batch: DataFrame, corpus: DataFrame, textCol: String,
+                  expectedCorpusKeys: Long): DataFrame = {
+    val corpusH = corpus.select(md5(col(textCol)).as("text_hash")).distinct()
+    val sketch = corpusH.agg(
+        graft.functions.BloomExprs.bloom_agg(xxhash64(col("text_hash")),
+          BloomPrune.sizeBits(expectedCorpusKeys), 7).as("bf"))
+      .scalar()
+    val probed = batch
+      .withColumn("text_hash", md5(col(textCol)))
+      .withColumn("maybe", graft.functions.BloomExprs.might_contain(
+        sketch, xxhash64(col("text_hash"))))
+    val fresh = probed.filter(!col("maybe")).withColumn("is_dup", lit(0L))
+    val confirm = probed.filter(col("maybe"))
+      .join(corpusH.withColumn("hit", lit(1L)), Seq("text_hash"), "left")
+      .withColumn("is_dup", coalesce(col("hit"), lit(0L)))
+      .drop("hit")
+    fresh.unionByName(confirm).drop("maybe", "text_hash")
+  }
+
   /** Character shingles of length n, distinct, as a column. */
   def shingles(text: Column, n: Int): Column =
     array_distinct(transform(

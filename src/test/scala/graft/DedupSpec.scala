@@ -21,6 +21,25 @@ class DedupSpec extends SparkSpec {
     assert(d(0).getAs[Long]("canonical_id") == 1L)
   }
 
+  test("incremental dedup flags exactly the batch texts present in the corpus") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma"),
+      (11L, "delta epsilon zeta"),
+      (12L, "eta theta iota")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "alpha beta gamma"),    // dup of 10
+      (21L, "brand new document"),  // fresh
+      (22L, "eta theta iota"),      // dup of 12
+      (23L, "another fresh one")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incremental(batch, corpus, "text", expectedCorpusKeys = 3L)
+      .select($"doc_id", $"is_dup").as[(Long, Long)].collect().toMap
+    assert(got == Map(20L -> 1L, 21L -> 0L, 22L -> 1L, 23L -> 0L))
+    // bloom acceleration must not change schema or row count vs the batch
+    assert(Dedup.incremental(batch, corpus, "text", 3L).count() == 4)
+  }
+
   test("minhash LSH finds the planted near-dup pair") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
         ngramN = 2, bands = 8, rowsPerBand = 2, jaccardThreshold = 0.4)
