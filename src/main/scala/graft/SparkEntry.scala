@@ -2095,6 +2095,44 @@ object SparkEntry {
         .orderBy(col("check_name"))
     }),
 
+    // Theta-sketch set algebra (CH uniqTheta*): HLL states union but
+    // cannot intersect — "wallets active in BOTH years" from sketches
+    // alone needs theta. One O(k) sketch per cohort, then ∩/∪/\
+    // estimates from the states; gated against the exact set joins.
+    "q_cohort_overlap" -> ((s, d) => {
+      import graft.functions.ThetaExprs
+      val w = wt(s, d)
+      def cohort(y: Int) =
+        w.filter(year(col("ts")) === y).select(col("wallet"))
+      def sk(y: Int, as: String) = cohort(y)
+        .agg(ThetaExprs.theta_agg(col("wallet"), lgK = 14).as(as))
+      def exact(df: DataFrame, as: String) =
+        df.agg(count(lit(1)).as(as))
+      val a = cohort(1996).distinct()
+      val b = cohort(1997).distinct()
+      val one = sk(1996, "ska").crossJoin(sk(1997, "skb"))
+        .crossJoin(exact(a.join(b, "wallet"), "ex_i"))
+        .crossJoin(exact(a.unionByName(b).distinct(), "ex_u"))
+        .crossJoin(exact(a.join(b, Seq("wallet"), "left_anti"), "ex_d"))
+        .select(
+          ThetaExprs.theta_intersect_est(col("ska"), col("skb")).as("est_i"),
+          ThetaExprs.theta_union_est(col("ska"), col("skb")).as("est_u"),
+          ThetaExprs.theta_diff_est(col("ska"), col("skb")).as("est_d"),
+          col("ex_i"), col("ex_u"), col("ex_d"))
+      def within(est: Column, ex: Column) =
+        abs(est - ex) / greatest(ex.cast("double"), lit(1.0)) <= 0.05
+      one.select(explode(array(
+          struct(lit("theta_diff").as("check_name"), col("ex_d").as("n"),
+            within(col("est_d"), col("ex_d")).as("ok")),
+          struct(lit("theta_intersect").as("check_name"),
+            col("ex_i").as("n"), within(col("est_i"), col("ex_i")).as("ok")),
+          struct(lit("theta_union").as("check_name"), col("ex_u").as("n"),
+            within(col("est_u"), col("ex_u")).as("ok")))).as("r"))
+        .select(col("r.check_name").as("check_name"), col("r.n").as("n"),
+          col("r.ok").as("ok"))
+        .orderBy(col("check_name"))
+    }),
+
     "q_hll_gate" -> ((s, d) => {
       val w = wt(s, d)
       val per = w.groupBy(col("wallet"))
@@ -4292,6 +4330,25 @@ object SparkEntry {
         |FROM n CROSS JOIN (VALUES
         |  ('hll_state_accuracy', true), ('hll_state_merge_consistent', true))
         |  v(check_name, ok)
+        |ORDER BY check_name""".stripMargin,
+
+    "q_cohort_overlap" ->
+      s"""WITH $WT,
+        |a AS (SELECT DISTINCT wallet FROM wt
+        |      WHERE ts >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND ts <  TIMESTAMP '1997-01-01 00:00:00'),
+        |b AS (SELECT DISTINCT wallet FROM wt
+        |      WHERE ts >= TIMESTAMP '1997-01-01 00:00:00'
+        |        AND ts <  TIMESTAMP '1998-01-01 00:00:00'),
+        |i AS (SELECT COUNT(*) AS n FROM a JOIN b USING (wallet)),
+        |u AS (SELECT COUNT(*) AS n FROM
+        |        (SELECT wallet FROM a UNION SELECT wallet FROM b)),
+        |dd AS (SELECT COUNT(*) AS n FROM a
+        |       WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.wallet = a.wallet))
+        |SELECT * FROM (
+        |  SELECT 'theta_diff' AS check_name, n, true AS ok FROM dd
+        |  UNION ALL SELECT 'theta_intersect', n, true FROM i
+        |  UNION ALL SELECT 'theta_union', n, true FROM u)
         |ORDER BY check_name""".stripMargin,
 
     "q_hll_gate" ->

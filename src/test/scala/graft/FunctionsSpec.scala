@@ -70,6 +70,43 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("theta sketches: exact set algebra below k, partitioning-invariant") {
+    import graft.functions.ThetaExprs
+    // A = 0..999, B = 500..1499 → |A∩B| = 500, |A∪B| = 1500,
+    // |A\B| = 500. lgK 12 (k = 4096) ≫ 1500 distinct keys, so the
+    // sketches are in EXACT mode and every estimate is the true count.
+    for (parts <- Seq(1, 8)) {
+      val a = spark.sparkContext.parallelize(0L until 1000L, parts).toDF("k")
+        .agg(ThetaExprs.theta_agg(col("k"), 12).as("sk"))
+      val b = spark.sparkContext.parallelize(500L until 1500L, parts).toDF("k")
+        .agg(ThetaExprs.theta_agg(col("k"), 12).as("sk"))
+      val r = a.select(col("sk").as("ska")).crossJoin(b.select(col("sk").as("skb")))
+        .select(
+          ThetaExprs.theta_intersect_est(col("ska"), col("skb")).as("i"),
+          ThetaExprs.theta_union_est(col("ska"), col("skb")).as("u"),
+          ThetaExprs.theta_diff_est(col("ska"), col("skb")).as("d"))
+        .head()
+      assert(r.getDouble(0) == 500.0, s"intersect, parts=$parts")
+      assert(r.getDouble(1) == 1500.0, s"union, parts=$parts")
+      assert(r.getDouble(2) == 500.0, s"diff, parts=$parts")
+    }
+  }
+
+  test("theta SQL functions match the Column API") {
+    GraftFunctions.register(spark)
+    spark.sparkContext.parallelize(0L until 100L, 4).toDF("k")
+      .createOrReplaceTempView("fx_theta")
+    val viaSql = spark.sql(
+      """SELECT graft_theta_intersect(sk, sk) AS i,
+        |       graft_theta_union(sk, sk) AS u,
+        |       graft_theta_diff(sk, sk) AS d
+        |FROM (SELECT graft_theta_agg(k, 12) AS sk FROM fx_theta)""".stripMargin)
+      .head()
+    assert(viaSql.getDouble(0) == 100.0)
+    assert(viaSql.getDouble(1) == 100.0)
+    assert(viaSql.getDouble(2) == 0.0)
+  }
+
   test("uniqUpTo: exact below N, saturates at N+1, sticky across merges") {
     import graft.functions.UniqUpTo.uniq_up_to
     // group a: 30 distinct ids (> N=10 → 11); group b: 4 distinct (< N → 4);
