@@ -2199,6 +2199,39 @@ object SparkEntry {
         .orderBy(col("check_name"))
     }),
 
+    // Weighted SpaceSaving gate (CH topKWeighted): items ranked by
+    // TOTAL WEIGHT (here: characters contributed per word — a
+    // cost-weighted token census), same bound theorems with total
+    // weight W in place of n.
+    "q_topk_weighted_gate" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), " +")).as("word"))
+        .filter(length(col("word")) > 0)
+        .withColumn("w", length(col("word")).cast("long"))
+      val approx = HeavyHitters.topKWeightedApprox(s, words, "word", "w",
+        50, 2000)
+      val exact = words.groupBy(col("word")).agg(sum(col("w")).as("wt"))
+      val bounds = approx
+        .join(exact, approx("item") === exact("word"))
+        .agg(min(col("weight_est") - col("err") <= col("wt") &&
+          col("weight_est") <= col("wt") + col("err")).as("ok"))
+      val covered = exact.orderBy(col("wt").desc, col("word")).limit(10)
+        .join(approx, exact("word") === approx("item"), "left_semi")
+        .agg((count(lit(1)) === 10).as("ok"))
+      val n = words.agg(sum(col("w")).as("n"))
+      n.crossJoin(broadcast(bounds.withColumnRenamed("ok", "bounds_ok")))
+        .crossJoin(broadcast(covered.withColumnRenamed("ok", "cover_ok")))
+        .select(array(
+            struct(lit("ssw_weight_bounds").as("check_name"), col("n"),
+              col("bounds_ok").as("ok")),
+            struct(lit("ssw_top10_in_top50").as("check_name"), col("n"),
+              col("cover_ok").as("ok"))).as("rows"))
+        .select(explode(col("rows")).as("r"))
+        .select(col("r.check_name").as("check_name"), col("r.n").as("n"),
+          col("r.ok").as("ok"))
+        .orderBy(col("check_name"))
+    }),
+
     // Count-Min gate. Never-undercount IS a theorem of the structure
     // (row counters only ever add; element-wise-add merge is
     // partitioning-invariant), checked over the ENTIRE vocab. The
@@ -4373,6 +4406,20 @@ object SparkEntry {
         |SELECT v.check_name, n.n, v.ok
         |FROM n CROSS JOIN (VALUES
         |  ('ss_count_bounds', true), ('ss_top10_in_top50', true))
+        |  v(check_name, ok)
+        |ORDER BY check_name""".stripMargin,
+
+    // n = total character weight W (the weighted analogue of the
+    // W/capacity survival guarantee's denominator)
+    "q_topk_weighted_gate" ->
+      """WITH n AS (
+        |  SELECT CAST(SUM(len(word)) AS BIGINT) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word
+        |    FROM documents) t
+        |  WHERE len(word) > 0)
+        |SELECT v.check_name, n.n, v.ok
+        |FROM n CROSS JOIN (VALUES
+        |  ('ssw_top10_in_top50', true), ('ssw_weight_bounds', true))
         |  v(check_name, ok)
         |ORDER BY check_name""".stripMargin,
 

@@ -50,4 +50,41 @@ object HeavyHitters {
       .orderBy(col("count_est").desc, col("item"))
       .limit(k)
   }
+
+  /** ClickHouse `topKWeighted()`: SpaceSaving where each occurrence
+    * increments by a caller-supplied positive weight (volume, bytes,
+    * cost) instead of 1 — heaviest items by TOTAL WEIGHT, same
+    * fixed-capacity state and the same bound with total weight W in
+    * place of n: eviction inherits the minimum counter, so
+    * `weight_est − err ≤ true ≤ weight_est`, and any item whose
+    * weight exceeds W/capacity is guaranteed to survive its
+    * partition's sketch. Shuffle stays O(partitions × capacity),
+    * independent of item cardinality. */
+  def topKWeightedApprox(spark: SparkSession, items: DataFrame,
+                         itemCol: String, weightCol: String,
+                         k: Int, capacity: Int): DataFrame = {
+    import spark.implicits._
+    val sketched = items
+      .select(col(itemCol).cast("string"), col(weightCol).cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val counts = mutable.Map.empty[String, (Long, Long)] // item -> (weight, err)
+        it.foreach { case (item, w) =>
+          if (w > 0) counts.get(item) match {
+            case Some((c, e)) => counts(item) = (c + w, e)
+            case None if counts.size < capacity => counts(item) = (w, 0L)
+            case None =>
+              val (minItem, (minC, _)) = counts.minBy(_._2._1)
+              counts.remove(minItem)
+              counts(item) = (minC + w, minC)
+          }
+        }
+        counts.iterator.map { case (i, (c, e)) => (i, c, e) }
+      }
+      .toDF("item", "wt", "err")
+    sketched.groupBy(col("item"))
+      .agg(sum(col("wt")).as("weight_est"), sum(col("err")).as("err"))
+      .orderBy(col("weight_est").desc, col("item"))
+      .limit(k)
+  }
 }

@@ -36,6 +36,26 @@ class GatesSpec extends SparkSpec {
     }
   }
 
+  test("weighted spacesaving ranks by total weight, bounds hold across layouts") {
+    import spark.implicits._
+    // "heavy" occurs once with weight 1000; "light" 100 times with
+    // weight 1 — count order and weight order are OPPOSITE, so a
+    // weighted sketch must put heavy first
+    val items = (Seq(("heavy", 1000L)) ++ Seq.fill(100)(("light", 1L)) ++
+      (0 until 300).map(i => (s"noise$i", 2L))).toDF("item", "w")
+    val exact = items.groupBy(col("item")).agg(sum(col("w")).as("wt"))
+    for (parts <- Seq(1, 7)) {
+      val approx = HeavyHitters.topKWeightedApprox(
+        spark, items.repartition(parts), "item", "w", 10, 50)
+      val top = approx.orderBy(col("weight_est").desc).head()
+      assert(top.getString(0) == "heavy", s"top item at $parts partitions")
+      val bad = approx.join(exact, approx("item") === exact("item"))
+        .filter(!(col("weight_est") - col("err") <= col("wt") &&
+          col("weight_est") <= col("wt") + col("err")))
+      assert(bad.isEmpty, s"weight bounds violated at $parts partitions")
+    }
+  }
+
   test("gk sketch p50/p90 land in the exact rank envelopes per market") {
     val out = SparkEntry.queries("q_quantile_gate")(spark, sf).collect()
     assert(out.length == 2 && out.forall(_.getBoolean(2)),
