@@ -14,7 +14,7 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "q_discover", "q_price_change", "q_reorg_rewrite", "q_data_mix",
     "q_lm_score", "q_bm25", "q_ann_topk", "q_ann_sq", "q_ann_recall",
-    "q_hll_gate", "q_topk_gate", "q_quality_gate",
+    "q_hll_gate", "q_topk_gate", "q_topk_weighted_gate", "q_quality_gate",
     // theta gate: 1-row sketch frames crossed with 1-row exact counts
     "q_cohort_overlap",
     // Rank.globalRowNumber's 1-row broadcast total (ntile arithmetic)
