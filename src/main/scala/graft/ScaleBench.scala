@@ -111,7 +111,13 @@ object ScaleBench {
                           // one partial-agg groupBy on window text +
                           // island merge — claimed linear in corpus
                           // words; measured on both axes since r12
-    "q_corpus_e2e")       // clean → chunk → pack composition
+    "q_corpus_e2e",       // clean → chunk → pack composition
+    "q_dedup_incremental", // bloom prefilter + exact confirm join:
+                           // both sides of the sketch/join grow with
+                           // the corpus — the re-crawl shape's axis
+    "q_cohort_overlap")    // theta set algebra: sketch build ∝ rows,
+                           // set ops O(k) — wall should track the
+                           // cohort scan, not the overlap math
 
   private def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRecursively)
