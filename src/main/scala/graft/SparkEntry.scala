@@ -908,6 +908,25 @@ object SparkEntry {
             "event_type", Seq("view", "click", "purchase"), 24))
         .orderBy(col("level"))),
 
+    // CH retention(): UNORDERED per-user co-occurrence against an
+    // anchor condition (did signup AND also did X, any order/time) —
+    // the companion shape to windowFunnel's ordered-within-horizon
+    // chain. One keyed shuffle with partial-agg bools per user, then
+    // a 1-row global sum.
+    "q_retention_steps" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def did(t: String) =
+        max((col("event_type") === t).cast("long"))
+      val per = ev.groupBy(col("user_id")).agg(
+        did("signup").as("c1"), did("view").as("c2"),
+        did("click").as("c3"), did("purchase").as("c4"))
+      per.agg(
+        sum(col("c1")).as("did_signup"),
+        sum(col("c1") * col("c2")).as("signup_and_view"),
+        sum(col("c1") * col("c3")).as("signup_and_click"),
+        sum(col("c1") * col("c4")).as("signup_and_purchase"))
+    }),
+
     // Daily active / new wallets over the event stream.
     "q_active_wallets" -> ((s, d) => {
       val daily = Tables.eventStream(s, d)
@@ -4757,6 +4776,19 @@ object SparkEntry {
         |       ELSE 1 END AS level_strict
         |FROM chain c LEFT JOIN x USING (u)
         |ORDER BY wallet""".stripMargin,
+
+    "q_retention_steps" ->
+      """SELECT CAST(SUM(c1) AS BIGINT) AS did_signup,
+        |  CAST(SUM(c1*c2) AS BIGINT) AS signup_and_view,
+        |  CAST(SUM(c1*c3) AS BIGINT) AS signup_and_click,
+        |  CAST(SUM(c1*c4) AS BIGINT) AS signup_and_purchase
+        |FROM (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c1,
+        |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c3,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c4
+        |  FROM events GROUP BY user_id) t""".stripMargin,
 
     "q_funnel_summary" ->
       s"""WITH $EV,
