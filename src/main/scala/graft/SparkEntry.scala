@@ -927,6 +927,23 @@ object SparkEntry {
         sum(col("c1") * col("c4")).as("signup_and_purchase"))
     }),
 
+    // CH entropy(): Shannon entropy of each user's event-type
+    // distribution (behavioral diversity — bots score ~0, organic
+    // users near log2(#types)). Two keyed partial-agg shuffles; the
+    // value ships as floor(H·1e4) so libm rounding differences can't
+    // flip the driver hash (the r9 q_lm_score recipe).
+    "q_event_entropy" -> ((s, d) => {
+      val c = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      c.groupBy(col("user_id")).agg(
+          sum(col("c")).as("n"),
+          floor((log2(sum(col("c"))) -
+            sum(col("c") * log2(col("c"))) / sum(col("c"))) * 1e4)
+            .cast("long").as("entropy_e4"))
+        .orderBy(col("user_id"))
+    }),
+
     // Daily active / new wallets over the event stream.
     "q_active_wallets" -> ((s, d) => {
       val daily = Tables.eventStream(s, d)
@@ -4776,6 +4793,15 @@ object SparkEntry {
         |       ELSE 1 END AS level_strict
         |FROM chain c LEFT JOIN x USING (u)
         |ORDER BY wallet""".stripMargin,
+
+    "q_event_entropy" ->
+      """SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+        |  CAST(FLOOR((log2(SUM(c)) - SUM(c*log2(c))/SUM(c)) * 10000)
+        |       AS BIGINT) AS entropy_e4
+        |FROM (
+        |  SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_retention_steps" ->
       """SELECT CAST(SUM(c1) AS BIGINT) AS did_signup,
