@@ -927,6 +927,20 @@ object SparkEntry {
         sum(col("c1") * col("c4")).as("signup_and_purchase"))
     }),
 
+    // CH corr(): per-token Pearson correlation of price vs fill size
+    // (microstructure signal: does size move price?). One partial-agg
+    // shuffle — corr folds to six streaming sums; floor(r·1e4) pins
+    // the hash against libm/association differences.
+    "q_price_qty_corr" -> ((s, d) => {
+      trades(s, d)
+        .groupBy(col("token_id"))
+        .agg(count(lit(1)).as("n"),
+          floor(corr(col("price"), col("qty")) * 1e4).cast("long")
+            .as("corr_e4"))
+        .filter(col("n") >= 30)
+        .orderBy(col("token_id"))
+    }),
+
     // CH entropy(): Shannon entropy of each user's event-type
     // distribution (behavioral diversity — bots score ~0, organic
     // users near log2(#types)). Two keyed partial-agg shuffles; the
@@ -4793,6 +4807,14 @@ object SparkEntry {
         |       ELSE 1 END AS level_strict
         |FROM chain c LEFT JOIN x USING (u)
         |ORDER BY wallet""".stripMargin,
+
+    "q_price_qty_corr" ->
+      s"""WITH $TRADES
+        |SELECT token_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(FLOOR(corr(price, qty) * 10000) AS BIGINT) AS corr_e4
+        |FROM trades GROUP BY token_id
+        |HAVING COUNT(*) >= 30
+        |ORDER BY token_id""".stripMargin,
 
     "q_event_entropy" ->
       """SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
