@@ -927,6 +927,27 @@ object SparkEntry {
         sum(col("c1") * col("c4")).as("signup_and_purchase"))
     }),
 
+    // CH welchTTest(): unequal-variance t statistic between two
+    // cohorts from streaming moments only (n, mean, var_samp per
+    // side) — A/B significance with no row retention. Here: do
+    // taker-buy fills differ in size from taker-sell fills, per
+    // token. floor(t·1e4) pins the hash.
+    "q_welch_ttest" -> ((s, d) => {
+      val t = trades(s, d)
+      def side(buy: Boolean, p: String) = t
+        .filter(col("is_taker_buy") === buy)
+        .groupBy(col("token_id"))
+        .agg(count(lit(1)).as(s"n$p"), avg(col("qty")).as(s"m$p"),
+          var_samp(col("qty")).as(s"v$p"))
+      side(buy = true, "1").join(side(buy = false, "2"), "token_id")
+        .filter(col("n1") >= 20 && col("n2") >= 20)
+        .select(col("token_id"), col("n1"), col("n2"),
+          floor((col("m1") - col("m2")) /
+            sqrt(col("v1") / col("n1") + col("v2") / col("n2")) * 1e4)
+            .cast("long").as("t_e4"))
+        .orderBy(col("token_id"))
+    }),
+
     // CH corr(): per-token Pearson correlation of price vs fill size
     // (microstructure signal: does size move price?). One partial-agg
     // shuffle — corr folds to six streaming sums; floor(r·1e4) pins
@@ -4807,6 +4828,21 @@ object SparkEntry {
         |       ELSE 1 END AS level_strict
         |FROM chain c LEFT JOIN x USING (u)
         |ORDER BY wallet""".stripMargin,
+
+    "q_welch_ttest" ->
+      s"""WITH $TRADES,
+        |s1 AS (SELECT token_id, CAST(COUNT(*) AS BIGINT) AS n1,
+        |         AVG(qty) AS m1, var_samp(qty) AS v1
+        |       FROM trades WHERE is_taker_buy GROUP BY token_id),
+        |s2 AS (SELECT token_id, CAST(COUNT(*) AS BIGINT) AS n2,
+        |         AVG(qty) AS m2, var_samp(qty) AS v2
+        |       FROM trades WHERE NOT is_taker_buy GROUP BY token_id)
+        |SELECT s1.token_id AS token_id, n1, n2,
+        |  CAST(FLOOR((m1 - m2) / sqrt(v1/n1 + v2/n2) * 10000) AS BIGINT)
+        |    AS t_e4
+        |FROM s1 JOIN s2 ON s1.token_id = s2.token_id
+        |WHERE n1 >= 20 AND n2 >= 20
+        |ORDER BY token_id""".stripMargin,
 
     "q_price_qty_corr" ->
       s"""WITH $TRADES
