@@ -979,6 +979,83 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // CH maxIntersections()/intervalLengthSum(): classic +1/-1 interval
+    // sweep. Each trade contributes an activity window
+    // [least(order, ship), greatest(order, ship)] for its supplier; per
+    // supplier we report the max number of simultaneously-open windows
+    // (closed-interval semantics: starts process before ends at equal
+    // times) and the union-covered day count (segments between sweep
+    // points where the running count is positive). Everything — both
+    // window passes and the final aggregate — clusters on the supplier
+    // key, so one keyed shuffle drives the whole sweep and per-key
+    // state stays bounded by that supplier's distinct endpoints.
+    "q_interval_sweep" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+      val iv = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("supplier"),
+          least(col("o_orderdate"), col("l_shipdate")).as("t0"),
+          greatest(col("o_orderdate"), col("l_shipdate")).as("t1"))
+      val ev = iv.select(col("supplier"), col("t0").as("t"), lit(1).as("delta"))
+        .unionAll(iv.select(col("supplier"), col("t1").as("t"), lit(-1).as("delta")))
+      // collapse duplicate sweep points before the window pass (partial
+      // aggregation shrinks the per-key sweep to distinct endpoints)
+      val g = ev.groupBy(col("supplier"), col("t"), col("delta"))
+        .agg(sum(col("delta")).as("d"))
+      val w = Window.partitionBy(col("supplier"))
+        .orderBy(col("t"), col("delta").desc)
+      g.withColumn("cum", sum(col("d")).over(w))
+        .withColumn("seg", when(col("cum") > 0,
+          datediff(lead(col("t"), 1).over(w), col("t"))).otherwise(lit(0)))
+        .groupBy(col("supplier"))
+        .agg(max(col("cum")).cast("long").as("max_open"),
+          sum(col("seg")).cast("long").as("covered_days"))
+        .orderBy(col("supplier"))
+    }),
+
+    // CH simpleLinearRegression(x, y): per-token OLS price trend vs
+    // time (x = days since 1995-01-01). regr_* fold to the same six
+    // streaming sums as corr — one partial-agg shuffle, no row
+    // retention. Slope/r² ship as floor(·1e4) (the corr recipe);
+    // the intercept — price-magnitude, so an e4 scale would push the
+    // value into float-ulp flip territory — pins at whole units.
+    "q_trend_ols" -> ((s, d) => {
+      trades(s, d)
+        .select(col("token_id"),
+          datediff(col("ts"), lit("1995-01-01")).cast("double").as("x"),
+          col("price").as("y"))
+        .groupBy(col("token_id"))
+        .agg(count(lit(1)).as("n"),
+          floor(regr_slope(col("y"), col("x")) * 1e4).cast("long")
+            .as("slope_e4"),
+          floor(regr_intercept(col("y"), col("x"))).cast("long")
+            .as("intercept_fl"),
+          floor(regr_r2(col("y"), col("x")) * 1e4).cast("long").as("r2_e4"))
+        .filter(col("n") >= 30)
+        .orderBy(col("token_id"))
+    }),
+
+    // CH sequenceCount('(?1)(?2)')(view, click): non-overlapping
+    // greedy count of view-then-click per user. For a two-step
+    // pattern the greedy scan collapses to a lag() test on the
+    // stream filtered to the two condition types: each match is
+    // exactly a view→click transition in that filtered order (a
+    // view run stays "armed" until the first click consumes it) —
+    // so one keyed window pass replaces the sequential automaton.
+    "q_sequence_count" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      f.withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("event_type") === "click" && col("prev") === "view")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"))
+        .orderBy(col("user_id"))
+    }),
+
     // Daily active / new wallets over the event stream.
     "q_active_wallets" -> ((s, d) => {
       val daily = Tables.eventStream(s, d)
@@ -4873,6 +4950,60 @@ object SparkEntry {
         |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c3,
         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c4
         |  FROM events GROUP BY user_id) t""".stripMargin,
+
+    "q_interval_sweep" ->
+      """WITH iv AS (
+        |  SELECT CAST(l_suppkey AS BIGINT) AS supplier,
+        |         least(o_orderdate, l_shipdate) AS t0,
+        |         greatest(o_orderdate, l_shipdate) AS t1
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |ev AS (
+        |  SELECT supplier, t0 AS t, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT supplier, t1 AS t, -1 AS delta FROM iv),
+        |g AS (
+        |  SELECT supplier, t, delta, SUM(delta) AS d
+        |  FROM ev GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT supplier, t, d,
+        |    SUM(d) OVER (PARTITION BY supplier
+        |                 ORDER BY t, delta DESC) AS cum,
+        |    LEAD(t) OVER (PARTITION BY supplier
+        |                  ORDER BY t, delta DESC) AS nt
+        |  FROM g)
+        |SELECT supplier, CAST(MAX(cum) AS BIGINT) AS max_open,
+        |  CAST(SUM(CASE WHEN cum > 0 THEN date_diff('day', t, nt)
+        |           ELSE 0 END) AS BIGINT) AS covered_days
+        |FROM s GROUP BY supplier ORDER BY supplier""".stripMargin,
+
+    "q_trend_ols" ->
+      s"""WITH $TRADES
+        |SELECT token_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(FLOOR(regr_slope(price,
+        |    date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))) * 10000)
+        |    AS BIGINT) AS slope_e4,
+        |  CAST(FLOOR(regr_intercept(price,
+        |    date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))))
+        |    AS BIGINT) AS intercept_fl,
+        |  CAST(FLOOR(regr_r2(price,
+        |    date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))) * 10000)
+        |    AS BIGINT) AS r2_e4
+        |FROM trades GROUP BY token_id
+        |HAVING COUNT(*) >= 30
+        |ORDER BY token_id""".stripMargin,
+
+    "q_sequence_count" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |l AS (
+        |  SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM f)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+        |FROM l WHERE event_type = 'click' AND prev = 'view'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_funnel_summary" ->
       s"""WITH $EV,
