@@ -1056,6 +1056,98 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // CH categorical-association family: cramersV() + contingency() +
+    // theilsU() between event_type and hour-of-day, all derived from
+    // ONE contingency-cell aggregation (≤ types×24 rows after the
+    // partial-agg shuffle — the only pass that touches data). The
+    // marginals come back via two broadcast joins on the tiny cell
+    // frame, and every coefficient folds to sums over cells:
+    // chi² = n·(Σc²/(ri·cj) − 1), Σri·log2(ri) = Σcells c·log2(ri),
+    // H(X|Y) = (Σc·log2(cj) − Σc·log2(c))/n. floor(·1e4) pins.
+    "q_association" -> ((s, d) => {
+      val cells = Tables.events(s, d)
+        .select(col("event_type"), hour(col("ts")).as("h"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).cast("double").as("c"))
+      val ri = cells.groupBy(col("event_type")).agg(sum(col("c")).as("ri"))
+      val cj = cells.groupBy(col("h")).agg(sum(col("c")).as("cj"))
+      val j = cells.join(broadcast(ri), "event_type")
+        .join(broadcast(cj), "h")
+      val a = j.agg(
+        sum(col("c")).as("n"),
+        sum(col("c") * col("c") / (col("ri") * col("cj"))).as("s2"),
+        countDistinct(col("event_type")).cast("double").as("r"),
+        countDistinct(col("h")).cast("double").as("k"),
+        sum(col("c") * log2(col("ri"))).as("slr"),
+        sum(col("c") * log2(col("cj"))).as("slc"),
+        sum(col("c") * log2(col("c"))).as("slcell"))
+      val chi2 = col("n") * (col("s2") - lit(1.0))
+      val hx   = log2(col("n")) - col("slr") / col("n")
+      val hxy  = (col("slc") - col("slcell")) / col("n")
+      a.select(col("n").cast("long").as("n"),
+        floor(chi2 * 1e4).cast("long").as("chi2_e4"),
+        floor(sqrt(chi2 / (col("n") * (least(col("r"), col("k")) - 1))) * 1e4)
+          .cast("long").as("cramers_v_e4"),
+        floor(sqrt(chi2 / (chi2 + col("n"))) * 1e4)
+          .cast("long").as("contingency_e4"),
+        floor((hx - hxy) / hx * 1e4).cast("long").as("theils_u_e4"))
+    }),
+
+    // CH exponentialTimeDecayedAvg(): per-token price with weight
+    // exp(Δt/τ) against the token's LAST trade time (τ = 7 days) —
+    // the "recent trades dominate" smoothing a live price feed wants.
+    // The max-ts window and the weighted aggregate cluster on the
+    // same token key, so one keyed shuffle serves both; no row
+    // retention beyond the sums. floor(·1e4) pins the hash.
+    "q_decayed_price" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("token_id"))
+      trades(s, d)
+        .withColumn("wgt",
+          exp(datediff(col("ts"), max(col("ts")).over(w)).cast("double") / 7.0))
+        .groupBy(col("token_id"))
+        .agg(count(lit(1)).as("n"),
+          floor(sum(col("price") * col("wgt")) / sum(col("wgt")) * 1e4)
+            .cast("long").as("decayed_price_e4"))
+        .filter(col("n") >= 30)
+        .orderBy(col("token_id"))
+    }),
+
+    // CH mannWhitneyUTest(): rank-sum U between taker-buy and
+    // taker-sell fill sizes per token, tie-corrected normal z.
+    // Average ranks come from ONE keyed sort: rank() gives the
+    // min-rank and a RANGE CURRENT ROW frame counts peers, so both
+    // windows and the final aggregate share the token exchange.
+    // The tie term Σ(t³−t) folds to Σrows(cnt²−1). U ships ×10
+    // (half-integral under ties, exact in double), z as floor(·1e4).
+    "q_mann_whitney" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byQty = Window.partitionBy(col("token_id")).orderBy(col("qty"))
+      val peers = byQty.rangeBetween(Window.currentRow, Window.currentRow)
+      val ranked = trades(s, d)
+        .select(col("token_id"), col("qty"),
+          col("is_taker_buy").cast("int").as("buy"))
+        .withColumn("avg_rank",
+          rank().over(byQty) + (count(lit(1)).over(peers) - 1) / 2.0)
+        .withColumn("cnt", count(lit(1)).over(peers).cast("double"))
+      val g = ranked.groupBy(col("token_id")).agg(
+        sum(col("buy")).cast("double").as("n1"),
+        sum(lit(1) - col("buy")).cast("double").as("n2"),
+        sum(col("avg_rank") * col("buy")).as("r1"),
+        sum(col("cnt") * col("cnt") - 1).as("ties"))
+      val n  = col("n1") + col("n2")
+      val u1 = col("r1") - col("n1") * (col("n1") + 1) / 2.0
+      val s2 = col("n1") * col("n2") / 12.0 *
+        ((n + 1) - col("ties") / (n * (n - 1)))
+      g.filter(col("n1") >= 10 && col("n2") >= 10 && s2 > 0)
+        .select(col("token_id"),
+          col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+          floor(u1 * 10).cast("long").as("u_x10"),
+          floor((u1 - col("n1") * col("n2") / 2.0) / sqrt(s2) * 1e4)
+            .cast("long").as("z_e4"))
+        .orderBy(col("token_id"))
+    }),
+
     // Daily active / new wallets over the event stream.
     "q_active_wallets" -> ((s, d) => {
       val daily = Tables.eventStream(s, d)
@@ -5004,6 +5096,71 @@ object SparkEntry {
         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_matches
         |FROM l WHERE event_type = 'click' AND prev = 'view'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_association" ->
+      """WITH cells AS (
+        |  SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS h,
+        |         CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM events GROUP BY 1, 2),
+        |ri AS (SELECT event_type, SUM(c) AS ri FROM cells GROUP BY 1),
+        |cj AS (SELECT h, SUM(c) AS cj FROM cells GROUP BY 1),
+        |a AS (
+        |  SELECT SUM(c) AS n, SUM(c*c/(ri.ri*cj.cj)) AS s2,
+        |    CAST(COUNT(DISTINCT cells.event_type) AS DOUBLE) AS r,
+        |    CAST(COUNT(DISTINCT cells.h) AS DOUBLE) AS k,
+        |    SUM(c*log2(ri.ri)) AS slr, SUM(c*log2(cj.cj)) AS slc,
+        |    SUM(c*log2(c)) AS slcell
+        |  FROM cells JOIN ri USING (event_type) JOIN cj USING (h))
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(FLOOR(n*(s2-1) * 10000) AS BIGINT) AS chi2_e4,
+        |  CAST(FLOOR(sqrt(n*(s2-1) / (n*(least(r,k)-1))) * 10000)
+        |       AS BIGINT) AS cramers_v_e4,
+        |  CAST(FLOOR(sqrt(n*(s2-1) / (n*(s2-1)+n)) * 10000)
+        |       AS BIGINT) AS contingency_e4,
+        |  CAST(FLOOR(((log2(n)-slr/n) - (slc-slcell)/n)
+        |       / (log2(n)-slr/n) * 10000) AS BIGINT) AS theils_u_e4
+        |FROM a""".stripMargin,
+
+    "q_decayed_price" ->
+      s"""WITH $TRADES,
+        |w AS (
+        |  SELECT token_id, price,
+        |    exp(CAST(date_diff('day',
+        |      MAX(ts) OVER (PARTITION BY token_id), ts) AS DOUBLE) / 7.0)
+        |      AS wgt
+        |  FROM trades)
+        |SELECT token_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(FLOOR(SUM(price*wgt) / SUM(wgt) * 10000) AS BIGINT)
+        |    AS decayed_price_e4
+        |FROM w GROUP BY token_id HAVING COUNT(*) >= 30
+        |ORDER BY token_id""".stripMargin,
+
+    "q_mann_whitney" ->
+      s"""WITH $TRADES,
+        |r AS (
+        |  SELECT token_id, CAST(is_taker_buy AS INT) AS buy,
+        |    rank() OVER (PARTITION BY token_id ORDER BY qty)
+        |      + (COUNT(*) OVER (PARTITION BY token_id ORDER BY qty
+        |           RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1) / 2.0
+        |      AS avg_rank,
+        |    CAST(COUNT(*) OVER (PARTITION BY token_id ORDER BY qty
+        |           RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS DOUBLE)
+        |      AS cnt
+        |  FROM trades),
+        |g AS (
+        |  SELECT token_id, CAST(SUM(buy) AS DOUBLE) AS n1,
+        |    CAST(SUM(1-buy) AS DOUBLE) AS n2,
+        |    SUM(avg_rank*buy) AS r1, SUM(cnt*cnt - 1) AS ties
+        |  FROM r GROUP BY 1)
+        |SELECT token_id, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(FLOOR((r1 - n1*(n1+1)/2.0) * 10) AS BIGINT) AS u_x10,
+        |  CAST(FLOOR((r1 - n1*(n1+1)/2.0 - n1*n2/2.0) /
+        |    sqrt(n1*n2/12.0 * ((n1+n2+1) - ties/((n1+n2)*(n1+n2-1))))
+        |    * 10000) AS BIGINT) AS z_e4
+        |FROM g
+        |WHERE n1 >= 10 AND n2 >= 10
+        |  AND n1*n2/12.0 * ((n1+n2+1) - ties/((n1+n2)*(n1+n2-1))) > 0
+        |ORDER BY token_id""".stripMargin,
 
     "q_funnel_summary" ->
       s"""WITH $EV,
