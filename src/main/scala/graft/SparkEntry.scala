@@ -1148,6 +1148,102 @@ object SparkEntry {
         .orderBy(col("token_id"))
     }),
 
+    // CH skewPop()/kurtPop(): per-token price distribution shape from
+    // CENTERED moments — the per-key mean comes from an unordered
+    // window sharing the token exchange with the aggregate, then one
+    // pass folds avg(dx^k). Centering first avoids the catastrophic
+    // cancellation a raw-power-sum formula hits at price^4 magnitudes;
+    // m2^1.5 is written m2·sqrt(m2) because sqrt is correctly-rounded
+    // IEEE in both engines while pow() is not. Only the scale-free
+    // shape stats ship (skew/kurt, floor(·1e4)) — a raw variance at
+    // price² magnitude would sit in float-ulp flip territory.
+    "q_moments" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("token_id"))
+      val dx = col("price") - col("mu")
+      trades(s, d)
+        .select(col("token_id"), col("price"))
+        .withColumn("mu", avg(col("price")).over(w))
+        .groupBy(col("token_id"))
+        .agg(count(lit(1)).as("n"),
+          avg(dx * dx).as("m2"), avg(dx * dx * dx).as("m3"),
+          avg((dx * dx) * (dx * dx)).as("m4"))
+        .filter(col("n") >= 30 && col("m2") > 0)
+        .select(col("token_id"), col("n"),
+          floor(col("m3") / (col("m2") * sqrt(col("m2"))) * 1e4)
+            .cast("long").as("skew_e4"),
+          floor((col("m4") / (col("m2") * col("m2")) - 3) * 1e4)
+            .cast("long").as("kurt_e4"))
+        .orderBy(col("token_id"))
+    }),
+
+    // CH kolmogorovSmirnovTest(): two-sample KS between taker-buy and
+    // taker-sell fill sizes per token. The ECDFs come from one keyed
+    // sort over per-(token, qty) cells: ordered cumulative counts vs
+    // unordered per-group totals (both windows share the token
+    // exchange), D = max|c1/n1 − c2/n2| at each distinct value. The
+    // statistic is a ratio of INTEGERS evaluated identically in both
+    // engines, so the floor pin is deterministic, not merely
+    // ulp-improbable; z = D·sqrt(n1n2/n) (sqrt is IEEE-exact).
+    "q_ks_test" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = trades(s, d)
+        .groupBy(col("token_id"), col("qty"))
+        .agg(sum(col("is_taker_buy").cast("int")).as("c1"),
+          sum(lit(1) - col("is_taker_buy").cast("int")).as("c2"))
+      val byTok = Window.partitionBy(col("token_id"))
+      val ord   = byTok.orderBy(col("qty"))
+      val g = cells
+        .withColumn("cum1", sum(col("c1")).over(ord))
+        .withColumn("cum2", sum(col("c2")).over(ord))
+        .withColumn("n1", sum(col("c1")).over(byTok).cast("double"))
+        .withColumn("n2", sum(col("c2")).over(byTok).cast("double"))
+        .groupBy(col("token_id"))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(abs(col("cum1") / col("n1") - col("cum2") / col("n2")))
+            .as("d"))
+      g.filter(col("n1") >= 10 && col("n2") >= 10)
+        .select(col("token_id"),
+          col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+          floor(col("d") * 1e4).cast("long").as("d_e4"),
+          floor(col("d") * sqrt(col("n1") * col("n2") /
+            (col("n1") + col("n2"))) * 1e4).cast("long").as("z_e4"))
+        .orderBy(col("token_id"))
+    }),
+
+    // CH largestTriangleThreeBuckets(20): per-token chart downsample
+    // of the (day, price) series — the bounded-size series shape the
+    // candles API serves. Sequential per series → per-key fold
+    // (operators/Downsample.scala); rows-only by declaration, gated
+    // by q_lttb_gate + DownsampleSpec's hand-computed pick.
+    "q_lttb" -> ((s, d) =>
+      Downsample.lttb(
+          trades(s, d).select(col("token_id"),
+            datediff(col("ts"), lit("1995-01-01")).as("day"), col("price")),
+          "token_id", "day", "price", 20)
+        .toDF()
+        .withColumnRenamed("key", "token_id")
+        .orderBy(col("token_id"), col("bucket"))),
+
+    // Hash-green gate over q_lttb's OUTPUT: per token the pick count
+    // is exactly least(n, 20), bucket indexes are the full 0..k-1
+    // range (sum = k(k−1)/2 — one point per bucket, none dropped),
+    // and the selected endpoints are the series endpoints. The
+    // max-area selection itself is pinned by DownsampleSpec's
+    // hand-computed example (SQL can't express the sequential pick).
+    "q_lttb_gate" -> ((s, d) =>
+      Downsample.lttb(
+          trades(s, d).select(col("token_id"),
+            datediff(col("ts"), lit("1995-01-01")).as("day"), col("price")),
+          "token_id", "day", "price", 20)
+        .toDF()
+        .groupBy(col("key").as("token_id"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("bucket")).cast("long").as("bucket_sum"),
+          min(col("x")).cast("long").as("first_day"),
+          max(col("x")).cast("long").as("last_day"))
+        .orderBy(col("token_id"))),
+
     // Daily active / new wallets over the event stream.
     "q_active_wallets" -> ((s, d) => {
       val daily = Tables.eventStream(s, d)
@@ -5161,6 +5257,63 @@ object SparkEntry {
         |WHERE n1 >= 10 AND n2 >= 10
         |  AND n1*n2/12.0 * ((n1+n2+1) - ties/((n1+n2)*(n1+n2-1))) > 0
         |ORDER BY token_id""".stripMargin,
+
+    "q_moments" ->
+      s"""WITH $TRADES,
+        |c AS (
+        |  SELECT token_id, price,
+        |    AVG(price) OVER (PARTITION BY token_id) AS mu
+        |  FROM trades),
+        |m AS (
+        |  SELECT token_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    AVG((price-mu)*(price-mu)) AS m2,
+        |    AVG((price-mu)*(price-mu)*(price-mu)) AS m3,
+        |    AVG(((price-mu)*(price-mu))*((price-mu)*(price-mu))) AS m4
+        |  FROM c GROUP BY token_id)
+        |SELECT token_id, n,
+        |  CAST(FLOOR(m3 / (m2*sqrt(m2)) * 10000) AS BIGINT) AS skew_e4,
+        |  CAST(FLOOR((m4 / (m2*m2) - 3) * 10000) AS BIGINT) AS kurt_e4
+        |FROM m WHERE n >= 30 AND m2 > 0
+        |ORDER BY token_id""".stripMargin,
+
+    "q_ks_test" ->
+      s"""WITH $TRADES,
+        |cells AS (
+        |  SELECT token_id, qty,
+        |    SUM(CAST(is_taker_buy AS INT)) AS c1,
+        |    SUM(1 - CAST(is_taker_buy AS INT)) AS c2
+        |  FROM trades GROUP BY 1, 2),
+        |w AS (
+        |  SELECT token_id,
+        |    SUM(c1) OVER (PARTITION BY token_id ORDER BY qty) AS cum1,
+        |    SUM(c2) OVER (PARTITION BY token_id ORDER BY qty) AS cum2,
+        |    CAST(SUM(c1) OVER (PARTITION BY token_id) AS DOUBLE) AS n1,
+        |    CAST(SUM(c2) OVER (PARTITION BY token_id) AS DOUBLE) AS n2
+        |  FROM cells),
+        |g AS (
+        |  SELECT token_id, MAX(n1) AS n1, MAX(n2) AS n2,
+        |    MAX(abs(cum1/n1 - cum2/n2)) AS d
+        |  FROM w GROUP BY token_id)
+        |SELECT token_id, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(FLOOR(d * 10000) AS BIGINT) AS d_e4,
+        |  CAST(FLOOR(d * sqrt(n1*n2/(n1+n2)) * 10000) AS BIGINT) AS z_e4
+        |FROM g WHERE n1 >= 10 AND n2 >= 10
+        |ORDER BY token_id""".stripMargin,
+
+    "q_lttb_gate" ->
+      s"""WITH $TRADES,
+        |s AS (
+        |  SELECT token_id,
+        |    date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS day
+        |  FROM trades),
+        |g AS (
+        |  SELECT token_id, COUNT(*) AS n, MIN(day) AS mn, MAX(day) AS mx
+        |  FROM s GROUP BY 1)
+        |SELECT token_id, CAST(least(n, 20) AS BIGINT) AS n_points,
+        |  CAST(least(n, 20)*(least(n, 20)-1)//2 AS BIGINT) AS bucket_sum,
+        |  CAST(mn AS BIGINT) AS first_day,
+        |  CAST(mx AS BIGINT) AS last_day
+        |FROM g ORDER BY token_id""".stripMargin,
 
     "q_funnel_summary" ->
       s"""WITH $EV,
