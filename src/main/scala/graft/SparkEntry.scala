@@ -1244,6 +1244,103 @@ object SparkEntry {
           max(col("x")).cast("long").as("last_day"))
         .orderBy(col("token_id"))),
 
+    // CH sumMap()/maxMap(): element-wise map aggregation — per wallet
+    // the token→(total qty, max fill) map, serialized as a sorted
+    // "token:sum:max" list (the q_recent_tokens comma-join recipe, so
+    // the driver hash covers the MAP CONTENT, not engine-specific map
+    // types). Two partial-agg shuffles; values cast to BIGINT before
+    // formatting (qty is integral) so both engines print identically.
+    "q_summap" -> ((s, d) => {
+      val g = wt(s, d)
+        .groupBy(col("wallet"), col("token_id"))
+        .agg(sum(col("qty")).cast("long").as("sq"),
+          max(col("qty")).cast("long").as("mq"))
+      g.groupBy(col("wallet"))
+        .agg(sort_array(collect_list(
+          struct(col("token_id"), col("sq"), col("mq")))).as("m"))
+        .select(col("wallet"), size(col("m")).cast("long").as("n_tokens"),
+          concat_ws(",", transform(col("m"), x =>
+            concat(x("token_id").cast("string"), lit(":"),
+              x("sq").cast("string"), lit(":"), x("mq").cast("string"))))
+            .as("token_map"))
+        .orderBy(col("wallet"))
+    }),
+
+    // CH deltaSum() + boundingRatio(): per-token total upward price
+    // movement (sum of positive consecutive deltas in (ts, trade_id)
+    // order) and the endpoint slope (last − first price over the day
+    // span). One keyed sort serves the lag window; the endpoints come
+    // from min_by/max_by on the same (ts, trade_id) struct so the
+    // pick is deterministic under timestamp ties.
+    "q_deltasum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("token_id"))
+        .orderBy(col("ts"), col("trade_id"))
+      val t = trades(s, d)
+        .withColumn("prev", lag(col("price"), 1).over(w))
+        .withColumn("day",
+          datediff(col("ts"), lit("1995-01-01")).cast("double"))
+      t.groupBy(col("token_id"))
+        .agg(count(lit(1)).as("n"),
+          floor(sum(when(col("price") > col("prev"),
+              col("price") - col("prev")).otherwise(lit(0.0))) * 1e4)
+            .cast("long").as("delta_sum_e4"),
+          min_by(col("price"), struct(col("ts"), col("trade_id")))
+            .as("first_p"),
+          max_by(col("price"), struct(col("ts"), col("trade_id")))
+            .as("last_p"),
+          min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .filter(col("n") >= 30 && col("d1") > col("d0"))
+        .select(col("token_id"), col("n"), col("delta_sum_e4"),
+          floor((col("last_p") - col("first_p")) /
+            (col("d1") - col("d0")) * 1e4).cast("long").as("bounding_e4"))
+        .orderBy(col("token_id"))
+    }),
+
+    // DSIR importance resampling (arXiv:2302.03169, deterministic
+    // form): rank corpus docs by hashed-unigram importance toward a
+    // target domain (here lang='en') and keep each source's top 5.
+    // Features are 256 md5-prefix buckets; the per-doc log importance
+    // weight Σ_b c_db·ln((ct_b+1)/(cs_b+1)) folds through a broadcast
+    // join against the two 256-row bucket dims, and the totals term
+    // n_d·(ln(Ts+256) − ln(Tt+256)) rides a 1-row broadcast scalar.
+    // Docs rank by the FLOORED score (what the hash pins) so the
+    // top-5 cut is reproducible across engines.
+    "q_dsir_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"),
+          explode(split(trim(col("text")), " +")).as("word"))
+        .filter(length(col("word")) > 0)
+        .withColumn("b", substring(md5(col("word")), 1, 2))
+      val src = words.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+      val tgt = words.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val dims = src.join(tgt, Seq("b"), "left")
+        .select(col("b"),
+          (log(coalesce(col("ct"), lit(0L)) + 1) - log(col("cs") + 1))
+            .as("lr"))
+      val tot = words.agg(
+        count(lit(1)).cast("double").as("ts_all"),
+        sum((col("lang") === "en").cast("long")).cast("double").as("tt"))
+      val perDoc = words.join(broadcast(dims), "b")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).cast("double").as("nw"), sum(col("lr")).as("s0"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("source"),
+          col("nw").cast("long").as("n_words"),
+          floor((col("s0") + col("nw") *
+            (log(col("ts_all") + 256) - log(col("tt") + 256))) * 1e4)
+            .cast("long").as("score_e4"))
+      perDoc
+        .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("score_e4").desc, col("doc_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("doc_id"), col("n_words"),
+          col("score_e4"), col("rk").cast("long").as("rk"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // Daily active / new wallets over the event stream.
     "q_active_wallets" -> ((s, d) => {
       val daily = Tables.eventStream(s, d)
@@ -5314,6 +5411,75 @@ object SparkEntry {
         |  CAST(mn AS BIGINT) AS first_day,
         |  CAST(mx AS BIGINT) AS last_day
         |FROM g ORDER BY token_id""".stripMargin,
+
+    "q_summap" ->
+      s"""WITH $WT,
+        |g AS (
+        |  SELECT wallet, token_id, CAST(SUM(qty) AS BIGINT) AS sq,
+        |         CAST(MAX(qty) AS BIGINT) AS mq
+        |  FROM wt GROUP BY 1, 2)
+        |SELECT wallet, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  string_agg(CAST(token_id AS VARCHAR) || ':' ||
+        |             CAST(sq AS VARCHAR) || ':' || CAST(mq AS VARCHAR),
+        |             ',' ORDER BY token_id) AS token_map
+        |FROM g GROUP BY wallet ORDER BY wallet""".stripMargin,
+
+    "q_deltasum" ->
+      s"""WITH $TRADES,
+        |t AS (
+        |  SELECT token_id, ts, trade_id, price,
+        |    LAG(price) OVER (PARTITION BY token_id
+        |                     ORDER BY ts, trade_id) AS prev,
+        |    CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))
+        |         AS DOUBLE) AS day
+        |  FROM trades)
+        |SELECT token_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(FLOOR(SUM(CASE WHEN price > prev THEN price - prev
+        |                      ELSE 0.0 END) * 10000) AS BIGINT)
+        |    AS delta_sum_e4,
+        |  CAST(FLOOR((last(price ORDER BY ts, trade_id) -
+        |              first(price ORDER BY ts, trade_id)) /
+        |             (MAX(day) - MIN(day)) * 10000) AS BIGINT)
+        |    AS bounding_e4
+        |FROM t GROUP BY token_id
+        |HAVING COUNT(*) >= 30 AND MAX(day) > MIN(day)
+        |ORDER BY token_id""".stripMargin,
+
+    "q_dsir_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, lang,
+        |    unnest(regexp_split_to_array(trim(text), ' +')) AS word
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source, lang, word, substr(md5(word), 1, 2) AS b
+        |  FROM w WHERE len(word) > 0),
+        |src AS (SELECT b, COUNT(*) AS cs FROM f GROUP BY 1),
+        |tgt AS (SELECT b, COUNT(*) AS ct FROM f WHERE lang = 'en'
+        |        GROUP BY 1),
+        |dims AS (
+        |  SELECT src.b, ln(coalesce(ct, 0) + 1) - ln(cs + 1) AS lr
+        |  FROM src LEFT JOIN tgt ON src.b = tgt.b),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS ts_all,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+        |      AS tt
+        |  FROM f),
+        |pd AS (
+        |  SELECT doc_id, source, CAST(COUNT(*) AS DOUBLE) AS nw,
+        |         SUM(lr) AS s0
+        |  FROM f JOIN dims USING (b) GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_id, source, CAST(nw AS BIGINT) AS n_words,
+        |    CAST(FLOOR((s0 + nw * (ln(ts_all + 256) - ln(tt + 256)))
+        |         * 10000) AS BIGINT) AS score_e4
+        |  FROM pd, tot),
+        |r AS (
+        |  SELECT source, doc_id, n_words, score_e4,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY score_e4 DESC, doc_id) AS BIGINT) AS rk
+        |  FROM sc)
+        |SELECT source, doc_id, n_words, score_e4, rk
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
 
     "q_funnel_summary" ->
       s"""WITH $EV,

@@ -22,7 +22,9 @@ class PlanAuditSpec extends SparkSpec {
     // TextAnalysis.vocabulary's 1-row broadcast n_docs scalar (idf)
     "q_vocab",
     // 1-row broadcast count-min sketch probed in projection
-    "q_word_counts_cm", "q_cm_gate")
+    "q_word_counts_cm", "q_cm_gate",
+    // DSIR: 1-row broadcast word-total scalar (smoothing constant)
+    "q_dsir_sample")
 
   // Unpartitioned-window allowlist: every entry is an unpartitioned
   // WindowExec over PROVABLY BOUNDED input, documented at the site
