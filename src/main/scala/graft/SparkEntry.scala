@@ -1341,6 +1341,40 @@ object SparkEntry {
         .orderBy(col("source"), col("rk"))
     }),
 
+    // Mergeable KLL quantile states (CH quantileTDigestState/Merge MV
+    // pattern, functions/KllExprs.scala): per-(token, day) sketch
+    // states re-aggregated per token, median/p90 read from the MERGED
+    // state. The gate is tie-robust and estimation-safe: v is an
+    // accepted q-quantile when count(<v)/n ≤ q+ε and count(≤v)/n ≥
+    // q−ε (exact mode satisfies it with ε=0; ε=0.05 covers KLL's
+    // ~1.65% k=200 rank error plus discretization). Raw estimates
+    // never enter the hash — in estimation mode the retained sample
+    // is merge-order-dependent, only the rank-error CONTRACT is
+    // deterministic.
+    "q_kll_gate" -> ((s, d) => {
+      import graft.functions.KllExprs._
+      val states = trades(s, d)
+        .select(col("token_id"), date_trunc("day", col("ts")).as("day"),
+          col("qty"))
+        .groupBy(col("token_id"), col("day"))
+        .agg(kll_agg(col("qty"), 200).as("st"))
+      val merged = states.groupBy(col("token_id"))
+        .agg(count(lit(1)).as("n_states"), kll_merge(col("st"), 200).as("st"))
+        .select(col("token_id"), col("n_states"),
+          kll_quantile(col("st"), lit(0.5)).as("m"),
+          kll_quantile(col("st"), lit(0.9)).as("p90"))
+      def okAt(v: Column, q: Double) =
+        (sum((col("qty") < v).cast("long")) / count(lit(1)) <= q + 0.05) &&
+        (sum((col("qty") <= v).cast("long")) / count(lit(1)) >= q - 0.05)
+      trades(s, d).join(merged, "token_id")
+        .groupBy(col("token_id"))
+        .agg(count(lit(1)).as("n"),
+          max(col("n_states")).cast("long").as("n_states"),
+          okAt(col("m"), 0.5).as("ok_median"),
+          okAt(col("p90"), 0.9).as("ok_p90"))
+        .orderBy(col("token_id"))
+    }),
+
     // Daily active / new wallets over the event stream.
     "q_active_wallets" -> ((s, d) => {
       val daily = Tables.eventStream(s, d)
@@ -5480,6 +5514,13 @@ object SparkEntry {
         |  FROM sc)
         |SELECT source, doc_id, n_words, score_e4, rk
         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    "q_kll_gate" ->
+      s"""WITH $TRADES
+        |SELECT token_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_states,
+        |  true AS ok_median, true AS ok_p90
+        |FROM trades GROUP BY token_id ORDER BY token_id""".stripMargin,
 
     "q_funnel_summary" ->
       s"""WITH $EV,

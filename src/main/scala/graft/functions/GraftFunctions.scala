@@ -47,7 +47,13 @@ object GraftFunctions {
     "graft_theta_intersect" -> ((es: Seq[Expression]) =>
       ThetaSetEstimate(es(0), es(1), "intersect")),
     "graft_theta_diff" -> ((es: Seq[Expression]) =>
-      ThetaSetEstimate(es(0), es(1), "diff")))
+      ThetaSetEstimate(es(0), es(1), "diff")),
+    "graft_kll_agg" -> ((es: Seq[Expression]) =>
+      KllSketchAgg(es(0), intArg(es(1)))),
+    "graft_kll_merge" -> ((es: Seq[Expression]) =>
+      KllMergeAgg(es(0), intArg(es(1)))),
+    "graft_kll_quantile" -> ((es: Seq[Expression]) =>
+      KllQuantile(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -107,6 +107,48 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql.getDouble(2) == 0.0)
   }
 
+  test("KLL states: exact-mode quantiles equal true order stats, agg-then-merge ≡ direct, partitioning-invariant") {
+    import graft.functions.KllExprs._
+    // 99 values per group, k=200 → exact mode: getQuantile(q) is the
+    // true inclusive order statistic regardless of layout or whether
+    // the values flow through per-day states first
+    val rows = for (g <- Seq("a", "b"); i <- 1 to 99)
+      yield (g, i % 7, (if (g == "a") i else 1000 - i).toDouble)
+    for (parts <- Seq(1, 5)) {
+      val df = spark.sparkContext.parallelize(rows, parts).toDF("g", "day", "x")
+      val direct = df.groupBy($"g").agg(kll_agg($"x", 200).as("st"))
+        .select($"g", kll_quantile($"st", lit(0.5)).as("m"),
+          kll_quantile($"st", lit(0.9)).as("p90"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val viaStates = df.groupBy($"g", $"day").agg(kll_agg($"x", 200).as("st"))
+        .groupBy($"g").agg(kll_merge($"st", 200).as("st"))
+        .select($"g", kll_quantile($"st", lit(0.5)).as("m"),
+          kll_quantile($"st", lit(0.9)).as("p90"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(direct("a") == ((50.0, 90.0)), s"parts=$parts direct=$direct")
+      assert(direct("b") == ((950.0, 990.0)), s"parts=$parts direct=$direct")
+      assert(viaStates == direct, s"parts=$parts merge path diverged")
+    }
+  }
+
+  test("KLL SQL functions match the Column API; estimation-mode rank error within bound") {
+    import graft.functions.KllExprs._
+    GraftFunctions.register(spark)
+    val n = 20000 // >> k=200 → estimation mode
+    spark.sparkContext.parallelize(1 to n, 8).map(_.toDouble).toDF("x")
+      .createOrReplaceTempView("fx_kll")
+    val viaSql = spark.sql(
+      """SELECT graft_kll_quantile(graft_kll_merge(st, 200), CAST(0.5 AS DOUBLE)) AS m
+        |FROM (SELECT graft_kll_agg(x, 200) AS st FROM fx_kll GROUP BY CAST(x AS INT) % 13)"""
+        .stripMargin).head().getDouble(0)
+    // normalized rank error for k=200 is ~1.65%; assert 5%
+    assert(math.abs(viaSql / n - 0.5) < 0.05, s"median estimate $viaSql")
+    val viaApi = spark.table("fx_kll")
+      .agg(kll_agg($"x", 200).as("st"))
+      .select(kll_quantile($"st", lit(0.25)).as("q")).head().getDouble(0)
+    assert(math.abs(viaApi / n - 0.25) < 0.05, s"p25 estimate $viaApi")
+  }
+
   test("uniqUpTo: exact below N, saturates at N+1, sticky across merges") {
     import graft.functions.UniqUpTo.uniq_up_to
     // group a: 30 distinct ids (> N=10 → 11); group b: 4 distinct (< N → 4);
