@@ -1375,6 +1375,28 @@ object SparkEntry {
         .orderBy(col("token_id"))
     }),
 
+    // CH sequenceNextNode(): path analysis — what does each user do
+    // RIGHT AFTER their first signup? Per user: lexicographic-first
+    // signup via min(struct(ts, event_id)), then min_by over the
+    // later events picks the immediate successor; the report is the
+    // successor-type distribution. Three aggregations, all keyed on
+    // user_id, plus one tiny type-level rollup — no windows, ties
+    // broken by event_id so the pick is a pure function of the data.
+    "q_next_after_signup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          struct(col("ts"), col("event_id")).as("k"))
+      val first = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("k")).as("fk"))
+      ev.join(first, "user_id")
+        .filter(col("k") > col("fk"))
+        .groupBy(col("user_id"))
+        .agg(min_by(col("event_type"), col("k")).as("next_event"))
+        .groupBy(col("next_event"))
+        .agg(count(lit(1)).as("users"))
+        .orderBy(col("next_event"))
+    }),
+
     // Daily active / new wallets over the event stream.
     "q_active_wallets" -> ((s, d) => {
       val daily = Tables.eventStream(s, d)
@@ -5514,6 +5536,24 @@ object SparkEntry {
         |  FROM sc)
         |SELECT source, doc_id, n_words, score_e4, rk
         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    "q_next_after_signup" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    first(ts ORDER BY ts, event_id) AS fts,
+        |    first(event_id ORDER BY ts, event_id) AS fid
+        |  FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |nx AS (
+        |  SELECT e.user_id,
+        |    first(e.event_type ORDER BY e.ts, e.event_id) AS next_event
+        |  FROM e JOIN u USING (user_id)
+        |  WHERE (e.ts, e.event_id) > (u.fts, u.fid)
+        |  GROUP BY 1)
+        |SELECT next_event, CAST(COUNT(*) AS BIGINT) AS users
+        |FROM nx GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_kll_gate" ->
       s"""WITH $TRADES
