@@ -1397,6 +1397,53 @@ object SparkEntry {
         .orderBy(col("next_event"))
     }),
 
+    // Funnel latency report: time from first view to the first
+    // purchase AFTER it, exact interpolated median/p90 minutes per
+    // weekly cohort of the anchor view — composes the funnel anchor
+    // pattern with the exact-quantile machinery (Rank.groupedQuantiles,
+    // the q_trade_quantiles engine). Latency is microsecond-exact in
+    // both engines (integer timestampdiff) before one IEEE division,
+    // so the quantile inputs are bit-identical.
+    "q_funnel_latency" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val lat = v.join(p, "user_id")
+        .select(date_trunc("week", col("t1")).as("cohort_week"),
+          (expr("timestampdiff(MICROSECOND, t1, t2)").cast("double") / 6e7)
+            .as("lat_min"))
+      graft.operators.Rank.groupedQuantiles(lat, "cohort_week",
+          col("lat_min"),
+          Seq("median_min" -> 0.5, "p90_min" -> 0.9), countName = "users")
+        .orderBy(col("cohort_week"))
+    }),
+
+    // CH studentTTest(): pooled-variance two-sample t — the
+    // equal-variance twin of q_welch_ttest, from the same streaming
+    // moments (n/mean/var per side, one partial-agg shuffle each).
+    "q_student_ttest" -> ((s, d) => {
+      val t = trades(s, d)
+      def side(buy: Boolean, p: String) = t
+        .filter(col("is_taker_buy") === buy)
+        .groupBy(col("token_id"))
+        .agg(count(lit(1)).cast("double").as(s"n$p"),
+          avg(col("qty")).as(s"m$p"), var_samp(col("qty")).as(s"v$p"))
+      val j = side(buy = true, "1").join(side(buy = false, "2"), "token_id")
+        .filter(col("n1") >= 20 && col("n2") >= 20)
+      val sp2 = ((col("n1") - 1) * col("v1") + (col("n2") - 1) * col("v2")) /
+        (col("n1") + col("n2") - 2)
+      j.select(col("token_id"),
+          col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+          floor((col("m1") - col("m2")) /
+            sqrt(sp2 * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))) * 1e4)
+            .cast("long").as("t_e4"))
+        .orderBy(col("token_id"))
+    }),
+
     // Daily active / new wallets over the event stream.
     "q_active_wallets" -> ((s, d) => {
       val daily = Tables.eventStream(s, d)
@@ -5536,6 +5583,44 @@ object SparkEntry {
         |  FROM sc)
         |SELECT source, doc_id, n_words, score_e4, rk
         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    "q_funnel_latency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.t1 GROUP BY 1),
+        |l AS (
+        |  SELECT date_trunc('week', v.t1) AS cohort_week,
+        |    CAST(date_diff('microsecond', v.t1, p.t2) AS DOUBLE) / 60000000.0
+        |      AS lat
+        |  FROM v JOIN p USING (user_id))
+        |SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS users,
+        |  quantile_cont(lat, 0.5) AS median_min,
+        |  quantile_cont(lat, 0.9) AS p90_min
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_student_ttest" ->
+      s"""WITH $TRADES,
+        |s1 AS (SELECT token_id, CAST(COUNT(*) AS DOUBLE) AS n1,
+        |         AVG(qty) AS m1, var_samp(qty) AS v1
+        |       FROM trades WHERE is_taker_buy GROUP BY token_id),
+        |s2 AS (SELECT token_id, CAST(COUNT(*) AS DOUBLE) AS n2,
+        |         AVG(qty) AS m2, var_samp(qty) AS v2
+        |       FROM trades WHERE NOT is_taker_buy GROUP BY token_id)
+        |SELECT s1.token_id AS token_id,
+        |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(FLOOR((m1 - m2) /
+        |    sqrt(((n1-1)*v1 + (n2-1)*v2)/(n1+n2-2) * (1.0/n1 + 1.0/n2))
+        |    * 10000) AS BIGINT) AS t_e4
+        |FROM s1 JOIN s2 ON s1.token_id = s2.token_id
+        |WHERE n1 >= 20 AND n2 >= 20
+        |ORDER BY token_id""".stripMargin,
 
     "q_next_after_signup" ->
       """WITH e AS (
