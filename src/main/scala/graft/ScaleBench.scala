@@ -115,9 +115,16 @@ object ScaleBench {
     "q_dedup_incremental", // bloom prefilter + exact confirm join:
                            // both sides of the sketch/join grow with
                            // the corpus — the re-crawl shape's axis
-    "q_cohort_overlap")    // theta set algebra: sketch build ∝ rows,
+    "q_cohort_overlap",    // theta set algebra: sketch build ∝ rows,
                            // set ops O(k) — wall should track the
                            // cohort scan, not the overlap math
+    "q_interval_sweep",    // +1/-1 endpoint sweep: per-key window
+                           // state ∝ distinct endpoints — entities
+                           // axis adds keys, density packs more
+                           // endpoints per key (r14 continuation)
+    "q_kll_gate")          // KLL state rollup + merge + rank gate:
+                           // states O(k·log) per (token, day); the
+                           // merge level is ∝ day-states per token
 
   private def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRecursively)

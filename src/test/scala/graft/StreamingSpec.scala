@@ -114,6 +114,42 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(g.getDouble(1) - b.getDouble(1)) < 1e-6)
   }
 
+  test("streaming KLL quantile-state MV: streamed states equal batch states, merge level reads true quantiles") {
+    // The quantile rollup-MV (§2 #182) maintained BY A STREAM: the
+    // TypedImperativeAggregate's serialize/deserialize round-trips
+    // through the state store across micro-batches, so per-group
+    // sketch states stream exactly like count/sum MVs do.
+    import graft.functions.KllExprs._
+    val grouped = streamingEvents
+      .select((col("user_id") % 8).as("g"), col("value"))
+      .groupBy(col("g")).agg(kll_agg(col("value"), 200).as("st"))
+    StreamingIngest.runToMemory(spark, grouped, "kll_stream_out",
+      outputMode = "complete")
+    val streamed = spark.table("kll_stream_out")
+      .select(col("g"), kll_quantile(col("st"), lit(0.5)).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // batch twin: exact-mode medians (events per group < k=200 at
+    // sf0.001 → the sketch holds every value; quantiles are the true
+    // inclusive order stats, so streamed == batch EXACTLY)
+    val ev = graft.model.Tables.events(spark, sf)
+      .select((col("user_id") % 8).as("g"), col("value"))
+    val sizes = ev.groupBy(col("g")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.values.forall(_ < 200), s"exact-mode precondition: $sizes")
+    val batch = ev.groupBy(col("g")).agg(kll_agg(col("value"), 200).as("st"))
+      .select(col("g"), kll_quantile(col("st"), lit(0.5)).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch)
+    // merge level over the STREAMED states answers the global median
+    // within the KLL rank bound (merged n > k → estimation mode)
+    val n = ev.count()
+    val est = spark.table("kll_stream_out")
+      .agg(kll_merge(col("st"), 200).as("st"))
+      .select(kll_quantile(col("st"), lit(0.5)).as("m")).head().getDouble(0)
+    val rank = ev.filter(col("value") <= est).count().toDouble / n
+    assert(math.abs(rank - 0.5) < 0.05, s"merged median rank $rank")
+  }
+
   test("foreachBatch sink lands month-partitioned parquet that compaction can merge") {
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val ck = java.nio.file.Files.createTempDirectory("graft-sink-ck").toString
