@@ -296,10 +296,14 @@ object ScaleBench {
       s"""{"metric":"scale_curve","unit":"exponent","value":$meanE,"axis":"$axis","scales":${scales.mkString("[", ",", "]")},"src":"$srcDir","steady":"min_of_3","fit":"k>=2","queries":$perQuery}"""
     try {
       // a SCALE_ONLY focus run gets its own artifact so it never
-      // clobbers the full-set curve
+      // clobbers the full-set curve; DIFFERENT focus runs still share
+      // one default name, so SPARK_GRAFT_SCALE_OUT names the artifact
+      // explicitly (an r14 focus run silently overwrote the committed
+      // ivf2 focus curve — the Bench.dumpLocal lesson, same class)
       val base = if (axis == "density") "SCALE_CURVE_DENSITY"
                  else "SCALE_CURVE"
-      val out = base + (if (only.isDefined) "_FOCUS.json" else ".json")
+      val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+        base + (if (only.isDefined) "_FOCUS.json" else ".json"))
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line)
     } catch { case e: Throwable => System.err.println(s"[scale] dump: ${e.getMessage}") }
     spark.sparkContext.setLogLevel("OFF"); spark.stop()
