@@ -849,6 +849,50 @@ object VersionedStore {
     }
   }
 
+  /** ClickHouse MergeTree TTL at partition granularity (`TTL ts +
+    * INTERVAL … DELETE` where the TTL key drives PARTITION BY;
+    * Delta's metadata-only `DELETE WHERE partition < cutoff`): drop
+    * every partition whose VALUE satisfies `expired` in one
+    * METADATA-ONLY commit — surviving partitions' manifest lines are
+    * carried VERBATIM, no data file is read or written, cost
+    * O(#partitions). Provability is the point: a predicate on the
+    * partition value cannot be wrong about any row inside the
+    * partition, so no file probe runs at all — contrast
+    * [[deletePartitioned]], which probes files because a row
+    * predicate needs row evidence (a TTL expressed as a row
+    * predicate there would READ every expired partition just to
+    * learn everything matched). Carried `#dv` lines stay: vector
+    * rows naming dropped files are inert by path-keying, exactly as
+    * with compaction. Old versions still reference the dropped
+    * partitions (time travel intact) until vacuum reclaims them.
+    * Expiring EVERY partition refuses — an all-partitions drop is an
+    * `overwrite()` decision, not a maintenance pass. */
+  def expirePartitions(spark: SparkSession, path: String,
+                       expired: String => Boolean): Int = {
+    val cur = currentVersion(path)
+    require(cur > 0, s"cannot expire: no committed version at $path")
+    require(!isFlatVersion(path, cur),
+      s"version $cur is flat — TTL expiry drops PARTITIONS")
+    val ml = readMlist(path, cur)
+    val (dead, live) = ml.parts.partition(p => expired(p.value))
+    if (dead.isEmpty) cur
+    else {
+      require(live.nonEmpty,
+        "TTL would expire every partition — refusing (use overwrite())")
+      val v = cur + 1
+      val deadVals = dead.map(_.value).toSet
+      val prevLines = Files.readAllLines(mlistFile(path, cur).toPath)
+        .asScala.toSeq.filter(_.nonEmpty)
+      val kept = prevLines.tail.filterNot { l =>
+        !l.startsWith("#dv\t") && deadVals.contains(l.split("\t", -1)(0))
+      }
+      recordSchema(path, v, effectiveSchema(spark, path, cur))
+      writeAtomic(mlistFile(path, v),
+        (prevLines.head +: kept).mkString("\n"), replace = false)
+      v
+    }
+  }
+
   /** [[merge]] on a HIERARCHICAL table — the COPY-ON-WRITE upsert:
     * files holding a matched key rewrite inside their partitions
     * (matched rows drop from the rewrite; the update rows land

@@ -1766,4 +1766,49 @@ class VersionedStoreSpec extends SparkSpec {
         Seq("id"))
     }
   }
+
+  test("TTL partition expiry: metadata-only drop, survivors carried " +
+    "verbatim, vectors stay inert, time travel intact, guards") {
+    import spark.implicits._
+    val path = freshDir()
+    def month(m: String, ids: Range) =
+      ids.map(i => (i.toLong, m)).toDF("id", "month")
+    VersionedStore.appendPartitioned(
+      month("1996-01", 0 until 50)
+        .unionByName(month("1996-02", 50 until 100))
+        .unionByName(month("1996-03", 100 until 150)),
+      path, "month")                                                // v1
+    // a vectored delete first, so carried `#dv` lines cross the expiry
+    val v2 = VersionedStore.deletePartitionedVectored(spark, path,
+      col("id").isin(10L, 60L, 110L))                               // v2
+    val ml2 = VersionedStore.readMlist(path, v2)
+    // expire everything before 1996-03
+    val v3 = VersionedStore.expirePartitions(spark, path, _ < "1996-03")
+    assert(v3 == 3)
+    val ml3 = VersionedStore.readMlist(path, v3)
+    assert(ml3.parts.map(_.value) == Seq("1996-03"))
+    // the surviving partition's manifest ENTRY is byte-identical (no
+    // pmanifest re-mint, no data file read — metadata-only commit)
+    assert(ml3.parts == ml2.parts.filter(_.value == "1996-03"))
+    assert(ml3.dvs == ml2.dvs, "carried #dv lines stay; dropped-file " +
+      "vector rows are inert by path-keying")
+    // rows: only the live partition, still vector-applied
+    val got = VersionedStore.readAsOf(spark, path, v3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (100L until 150L).toSet - 110L)
+    // time travel to v2 still reads the expired months
+    assert(VersionedStore.readAsOf(spark, path, v2).count() == 147)
+    // no expired partition: same version, no commit minted
+    assert(VersionedStore.expirePartitions(spark, path, _ < "1995-01") == 3)
+    // expiring everything refuses
+    intercept[IllegalArgumentException] {
+      VersionedStore.expirePartitions(spark, path, _ => true)
+    }
+    // flat tables refuse
+    val flat = freshDir()
+    VersionedStore.append(Seq((1L, "a")).toDF("id", "name"), flat)
+    intercept[IllegalArgumentException] {
+      VersionedStore.expirePartitions(spark, flat, _ => true)
+    }
+  }
 }
