@@ -116,6 +116,24 @@ case class GraftMergeCommand(table: String, source: String,
   }
 }
 
+/** `ALTER TABLE <registered> DROP PARTITION '<value>'` — ClickHouse's
+  * partition-drop statement, dispatching to
+  * [[VersionedStore.expirePartitions]]: a METADATA-ONLY commit (no
+  * data file read or written; #186's TTL mechanism). Unknown
+  * partition values are a no-op returning the current version, like
+  * a zero-match DELETE. */
+case class GraftDropPartitionCommand(table: String, value: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[AttributeReference] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = VersionedSqlTables.pathOf(spark, table).getOrElse(
+      sys.error(s"$table is not a registered graft-versioned table"))
+    Seq(Row(VersionedStore.expirePartitions(spark, path, _ == value)))
+  }
+}
+
 /** `DESCRIBE HISTORY <registered>` — the commit audit surface
   * (Delta's DESCRIBE HISTORY): one row per retained version from
   * [[VersionedStore.history]], newest first. Read-only. */
@@ -151,6 +169,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*DELETE\s+FROM\s+([A-Za-z_]\w*)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*""".r
+  private val DropPartRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+DROP\s+PARTITION\s+'([^']*)'\s*;?\s*""".r
   private val MergeRe =
     ("""(?is)\s*MERGE\s+INTO\s+([A-Za-z_]\w*)\s+USING\s+([A-Za-z_]\w*)""" +
       """\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
@@ -184,6 +204,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftMergeCommand(target, source, keysOf(on, target, source))
     case HistoryRe(name) if registered(name) =>
       GraftHistoryCommand(name)
+    case DropPartRe(name, value) if registered(name) =>
+      GraftDropPartitionCommand(name, value)
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -186,4 +186,26 @@ class VersionedSqlSpec extends SparkSpec {
       } finally spark.conf.unset("spark.graft.mutation.mode")
     }
   }
+
+  test("ALTER TABLE DROP PARTITION: CH's partition drop parses to the " +
+    "metadata-only expiry; unknown value no-ops; unregistered delegates") {
+    import graft.sources.GraftDropPartitionCommand
+    val path = partTable()
+    VersionedSqlTables.register(spark, "vsql_drop", path)
+    val ml1 = VersionedStore.readMlist(path, 1)
+    val got = parser.parsePlan(
+      "ALTER TABLE vsql_drop DROP PARTITION '1996-01'")
+      .asInstanceOf[GraftDropPartitionCommand].run(spark)
+    assert(got.head.getInt(0) == 2)
+    val ml2 = VersionedStore.readMlist(path, 2)
+    assert(ml2.parts == ml1.parts.filter(_.value == "1996-02"),
+      "surviving entry carried verbatim — metadata-only commit")
+    assert(rowsOf(path).forall(_._3 == "1996-02"))
+    // unknown partition value: no commit minted
+    assert(parser.parsePlan("ALTER TABLE vsql_drop DROP PARTITION '2099-12'")
+      .asInstanceOf[GraftDropPartitionCommand].run(spark).head.getInt(0) == 2)
+    // unregistered table falls through to Spark's parser
+    assert(!parser.parsePlan("ALTER TABLE some_other DROP PARTITION (p=1)")
+      .isInstanceOf[GraftDropPartitionCommand])
+  }
 }
