@@ -1444,6 +1444,52 @@ object SparkEntry {
         .orderBy(col("token_id"))
     }),
 
+    // BPE pair counting (Sennrich et al. 2016, the merge-selection
+    // step of byte-pair-encoding tokenizer training): adjacent
+    // character-pair counts over the frequency-WEIGHTED vocabulary —
+    // aggregating to the vocab first is the operator's point (vocab ≪
+    // corpus, so each merge iteration scans |vocab| words, not the
+    // corpus). Pairs via a codegen transform(sequence) 2-gram explode;
+    // top-50 with a deterministic (count, pair) tiebreak.
+    "q_bpe_pairs" -> ((s, d) => {
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), " +")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      vocab
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, length(word) - 1)," +
+            " i -> substring(word, i, 2))")).as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("freq")).as("occurrences"))
+        .orderBy(col("occurrences").desc, col("pair"))
+        .limit(50)
+    }),
+
+    // CCNet perplexity buckets (Wenzek et al. 2019: per-language
+    // head/middle/tail thirds by LM score — the standard quality
+    // partition for crawl corpora; head = most fluent under the
+    // corpus LM). ntile(3) over a lang-partitioned order on the
+    // ALREADY-PINNED nll_4 score (so the bucket cut inherits the
+    // floor pin's determinism), then per-bucket profile.
+    "q_ppl_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scores = TextAnalysis.lmScore(Tables.documents(s, d),
+        "doc_id", "text")
+      val meta = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("nll_4"), col("doc_id"))
+      scores.join(meta, "doc_id")
+        .withColumn("bucket", ntile(3).over(w))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("docs"),
+          min(col("nll_4")).as("nll_min_4"),
+          max(col("nll_4")).as("nll_max_4"),
+          sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // Daily active / new wallets over the event stream.
     "q_active_wallets" -> ((s, d) => {
       val daily = Tables.eventStream(s, d)
@@ -5621,6 +5667,47 @@ object SparkEntry {
         |FROM s1 JOIN s2 ON s1.token_id = s2.token_id
         |WHERE n1 >= 20 AND n2 >= 20
         |ORDER BY token_id""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word
+        |  FROM documents),
+        |v AS (SELECT word, COUNT(*) AS freq FROM w
+        |      WHERE len(word) >= 2 GROUP BY 1),
+        |p AS (
+        |  SELECT substr(word, CAST(i AS INT), 2) AS pair, freq
+        |  FROM v, UNNEST(range(1, len(word))) AS t(i))
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS occurrences
+        |FROM p GROUP BY 1
+        |ORDER BY occurrences DESC, pair LIMIT 50""".stripMargin,
+
+    "q_ppl_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), ' +')) AS word
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, word FROM t WHERE len(word) > 0),
+        |c AS (SELECT word, COUNT(*) AS cnt FROM t2 GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total,
+        |         CAST(COUNT(*) AS DOUBLE) AS vocab
+        |  FROM c),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(FLOOR(SUM(-ln(CAST(c.cnt + 1 AS DOUBLE)
+        |        / (tot.n_total + tot.vocab)))
+        |      / COUNT(*) * 1e4) AS BIGINT) AS nll_4
+        |  FROM t2 JOIN c USING (word) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |b AS (
+        |  SELECT d.lang, d.n_chars, s.nll_4,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |                   ORDER BY s.nll_4, s.doc_id) AS bucket
+        |  FROM s JOIN documents d USING (doc_id))
+        |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  MIN(nll_4) AS nll_min_4, MAX(nll_4) AS nll_max_4,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_next_after_signup" ->
       """WITH e AS (

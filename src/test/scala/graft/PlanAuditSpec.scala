@@ -24,7 +24,10 @@ class PlanAuditSpec extends SparkSpec {
     // 1-row broadcast count-min sketch probed in projection
     "q_word_counts_cm", "q_cm_gate",
     // DSIR: 1-row broadcast word-total scalar (smoothing constant)
-    "q_dsir_sample")
+    "q_dsir_sample",
+    // CCNet buckets ride lmScore's 1-row broadcast (n_total, vocab)
+    // scalar — the same shape that allowlists q_lm_score itself
+    "q_ppl_buckets")
 
   // Unpartitioned-window allowlist: every entry is an unpartitioned
   // WindowExec over PROVABLY BOUNDED input, documented at the site
