@@ -122,9 +122,16 @@ object ScaleBench {
                            // state ∝ distinct endpoints — entities
                            // axis adds keys, density packs more
                            // endpoints per key (r14 continuation)
-    "q_kll_gate")          // KLL state rollup + merge + rank gate:
+    "q_kll_gate",          // KLL state rollup + merge + rank gate:
                            // states O(k·log) per (token, day); the
                            // merge level is ∝ day-states per token
+    "q_summap",            // map aggregation: per-wallet collect of
+                           // (token, sums) — per-key state ∝ that
+                           // wallet's distinct tokens (density axis
+                           // is the per-key map-growth story)
+    "q_mann_whitney")      // rank test: one keyed sort, two window
+                           // frames + fold — per-key cost ∝ fills
+                           // per token (density axis)
 
   private def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRecursively)

@@ -182,6 +182,17 @@ object StreamBench {
         "30 days")
       val l2 = run("leaderboard_daily_mv", lb, "update", s"$tmp/ckpt", tag, store)
 
+      // streaming quantile-state MV (§2 #182): per-(token, day) KLL
+      // sketch states maintained incrementally — the
+      // TypedImperativeAggregate buffer serializes through the state
+      // store each batch, so this measures sketch-state commit cost
+      // next to the count/sum MV (leaderboard) above
+      val kll = replay(s"$tmp/ticks", pt)
+        .withWatermark("ts", "30 days")
+        .groupBy(col("token_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(graft.functions.KllExprs.kll_agg(col("price"), 200).as("st"))
+      val l2b = run("quantile_state_mv", kll, "update", s"$tmp/ckpt", tag, store)
+
       // incremental FIFO ledger: open lots carried across batches
       val fillDs = replay(s"$tmp/fills", pt).select(
           col("wallet").cast("long").as("wallet"), col("ts"),
@@ -217,7 +228,7 @@ object StreamBench {
             .withColumn("ym", date_format(col("ts"), "yyyyMM")),
           upPart, Seq("token_id"), Seq("ts", "event_id"),
           s"$tmp/ckpt/upsert-part-$tag-$store", partCol = Some("ym")))
-      Seq(l0, l1, l2, l3, l4, l5)
+      Seq(l0, l1, l2, l2b, l3, l4, l5)
     }
     lines.flatten.foreach(l => System.err.println(s"[streambench] $l"))
     spark.stop()
