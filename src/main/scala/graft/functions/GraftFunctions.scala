@@ -74,5 +74,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectParser((session, delegate) =>
       new graft.sources.GraftSqlParser(session, delegate))
+    // transparent rollup selection (CH PROJECTIONs): post-hoc
+    // resolution so matching happens on the plan exactly as written,
+    // before pruning reshapes it
+    ext.injectPostHocResolutionRule(session =>
+      new graft.plans.RollupRewrite.RewriteRule(session))
   }
 }

@@ -1,0 +1,158 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Transparent rollup selection — ClickHouse PROJECTIONs / the
+  * classic materialized-view aggregate rewrite, as a Catalyst rule.
+  *
+  * The reference leans on pre-aggregated tables the server picks
+  * automatically (a CH PROJECTION rewrites a matching GROUP BY onto
+  * the projection's smaller part files; api.ts's leaderboard reads
+  * the rollup table instead of trades). graft's session MVs
+  * (Views.cached, walletTokenFlows) give the same economics but the
+  * QUERY has to name the rollup. This rule closes that gap: register
+  * a (source, rollup) pair once, and ANY aggregate whose shape the
+  * rollup can answer is rewritten onto it at analysis time — the
+  * query keeps reading "the source".
+  *
+  * Soundness contract (the registrar's obligation, same as CH's):
+  * `rollup` ≡ `source.groupBy(dims).agg(partials)` at query time —
+  * graft's session MVs satisfy it by construction (built once per
+  * (session, sfDir) from the same source plan).
+  *
+  * Matching is ANALYSIS-LEVEL (injected as a post-hoc resolution
+  * rule, or driven directly): the query's child must equal the
+  * registered source by canonicalized-plan equality — positionally
+  * robust to exprId differences across separate constructions of the
+  * same view — and then:
+  *   - every grouping expression is a source attribute in `dims`;
+  *   - every aggregate is `sum(e)` where `e` (translated onto the
+  *     registered source's attributes) canonical-matches a registered
+  *     partial expression → re-aggregates the partial column, result
+  *     cast back to the original type (sum-of-sums widens decimals);
+  *   - or `count(<literal>)`/count(*) → `sum(rollup row-count col)`;
+  *   - or `min(e)`/`max(e)` over a registered min/max partial.
+  * Anything else — filters on the agg, DISTINCT, an expression the
+  * rollup has no partial for — leaves the plan untouched: the rule
+  * only ever substitutes a provably-equal computation.
+  */
+object RollupRewrite {
+
+  /** One registered (source, rollup) pair. `sums`/`mins`/`maxs` map a
+    * RESOLVED source-side expression to the rollup column holding its
+    * per-group partial; `countCol` holds per-group row counts. */
+  final case class Registration(source: LogicalPlan, rollup: LogicalPlan,
+                                dims: Map[String, String],
+                                sums: Seq[(Expression, String)],
+                                countCol: Option[String])
+
+  private val regs = new java.util.concurrent.ConcurrentHashMap[
+    String, Vector[Registration]]()
+
+  private def key(spark: SparkSession) = spark.sparkContext.applicationId
+
+  /** Register a rollup for this session's app. `dims` maps source
+    * grouping columns to rollup columns; `sums` maps source-side
+    * expressions (resolved against `source` here) to the rollup's
+    * partial-sum columns; `countCol` names the rollup's row-count
+    * column if it has one. */
+  def register(spark: SparkSession, source: DataFrame, rollup: DataFrame,
+               dims: Map[String, String], sums: Seq[(Column, String)],
+               countCol: Option[String]): Unit = {
+    val srcPlan = source.queryExecution.analyzed
+    val resolvedSums = sums.map { case (c, name) =>
+      source.select(c).queryExecution.analyzed match {
+        case Project(Seq(Alias(child, _)), _) => (child, name)
+        case Project(Seq(e), _)               => (e: Expression, name)
+        case other => sys.error(s"cannot resolve rollup partial: $other")
+      }
+    }
+    regs.merge(key(spark), Vector(Registration(srcPlan,
+      rollup.queryExecution.analyzed, dims, resolvedSums, countCol)),
+      (a, b) => a ++ b)
+    ()
+  }
+
+  def clear(spark: SparkSession): Unit = { regs.remove(key(spark)); () }
+
+  /** The rewrite rule; inject via GraftExtensions
+    * (postHocResolutionRule) or apply directly to an analyzed plan. */
+  class RewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      val rs = Option(regs.get(key(spark))).getOrElse(Vector.empty)
+      if (rs.isEmpty) plan
+      else plan.transformUp {
+        case agg: Aggregate =>
+          rs.iterator
+            .filter(r => agg.child.canonicalized == r.source.canonicalized)
+            .flatMap(r => tryRewrite(agg, agg.child, r))
+            .nextOption().getOrElse(agg)
+      }
+    }
+  }
+
+  private def tryRewrite(agg: Aggregate, child: LogicalPlan,
+                         r: Registration): Option[Aggregate] = {
+    val rollupAttr: Map[String, Attribute] =
+      r.rollup.output.map(a => a.name -> a).toMap
+    if (!r.dims.values.forall(rollupAttr.contains) ||
+        !r.sums.forall(s => rollupAttr.contains(s._2)) ||
+        !r.countCol.forall(rollupAttr.contains)) return None
+    // translate query-side attributes onto the registered source's
+    // (canonical plan equality ⇒ outputs correspond positionally)
+    if (child.output.length != r.source.output.length) return None
+    val sub: Map[ExprId, Attribute] =
+      child.output.zip(r.source.output).map { case (q, s) => q.exprId -> s }.toMap
+    def toReg(e: Expression): Expression = e.transform {
+      case a: AttributeReference => sub.getOrElse(a.exprId, a)
+    }
+    def dimFor(a: AttributeReference): Option[Attribute] =
+      r.dims.get(a.name).map(rollupAttr)
+
+    val newGroupings: Option[Seq[Expression]] =
+      traverse(agg.groupingExpressions.map {
+        case a: AttributeReference => dimFor(a)
+        case _ => None
+      })
+
+    def rewriteAggFn(fn: AggregateFunction): Option[Expression] = fn match {
+      case Sum(e, mode) =>
+        r.sums.collectFirst {
+          case (regE, partial)
+              if toReg(e).canonicalized == regE.canonicalized =>
+            val again = Sum(rollupAttr(partial), mode).toAggregateExpression()
+            if (again.dataType == fn.dataType) again
+            else Cast(again, fn.dataType)
+        }
+      case Count(children) if children.forall(_.foldable) =>
+        r.countCol.map { c =>
+          val s = Sum(rollupAttr(c)).toAggregateExpression()
+          if (s.dataType == fn.dataType) s else Cast(s, fn.dataType)
+        }
+      case _ => None
+    }
+
+    val newAggs: Option[Seq[NamedExpression]] =
+      traverse(agg.aggregateExpressions.map {
+        case a: AttributeReference =>
+          dimFor(a).map(ra => Alias(ra, a.name)(exprId = a.exprId))
+        case al @ Alias(ae: AggregateExpression, name)
+            if ae.filter.isEmpty && !ae.isDistinct =>
+          rewriteAggFn(ae.aggregateFunction)
+            .map(e => Alias(e, name)(exprId = al.exprId))
+        case al @ Alias(a: AttributeReference, name) =>
+          dimFor(a).map(ra => Alias(ra, name)(exprId = al.exprId))
+        case _ => None
+      })
+
+    for (gs <- newGroupings; as <- newAggs)
+      yield Aggregate(gs, as, r.rollup)
+  }
+
+  private def traverse[T](xs: Seq[Option[T]]): Option[Seq[T]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.model.Tables
+import graft.operators.Leaderboard
+import graft.plans.RollupRewrite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Transparent rollup selection (§2 #189): a registered
+  * (source, rollup) pair rewrites matching aggregates onto the
+  * rollup at plan level — the query keeps naming the source. */
+class RollupRewriteSpec extends SparkSpec {
+
+  private def wt: DataFrame = Leaderboard.walletTrades(Tables.trades(spark, sf))
+  private lazy val flows = Leaderboard.walletTokenFlows(wt)
+  private lazy val rule = new RollupRewrite.RewriteRule(spark)
+
+  private lazy val registered: Unit = {
+    RollupRewrite.register(spark, wt, flows,
+      dims = Map("wallet" -> "wallet", "token_id" -> "token_id"),
+      sums = Seq(
+        (when(col("side") === "buy", col("qty")).otherwise(lit(0.0)), "buy_qty"),
+        (when(col("side") === "sell", col("qty")).otherwise(lit(0.0)), "sell_qty"),
+        (when(col("side") === "buy", round(col("usd") * 10000).cast("long"))
+          .otherwise(0L), "bi")),
+      countCol = Some("trades"))
+  }
+
+  private def rewritten(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    registered
+    rule(df.queryExecution.analyzed)
+  }
+
+  test("a matching aggregate rewrites onto the rollup and returns identical rows") {
+    // a FRESH construction of the source (new exprIds) — canonical
+    // plan equality must still recognize it
+    val q = wt.groupBy(col("wallet"))
+      .agg(sum(when(col("side") === "buy", col("qty")).otherwise(lit(0.0)))
+        .as("buy_qty"),
+        count(lit(1)).as("trades"))
+    val plan = rewritten(q)
+    // the rewritten tree aggregates over the ROLLUP's plan, not the explode
+    assert(plan.exists(_.canonicalized == flows.queryExecution.analyzed.canonicalized),
+      "rollup plan not found in the rewrite")
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.length == 2, "outer re-aggregation over the rollup's aggregate")
+    val got = ColumnBridge.ofRows(spark, plan)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val want = q.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == want, "rewritten result must be row-identical")
+    assert(got.nonEmpty)
+  }
+
+  test("scaled-long money partials rewrite too; grouping on both dims") {
+    val q = wt.groupBy(col("wallet"), col("token_id"))
+      .agg(sum(when(col("side") === "buy", round(col("usd") * 10000)
+        .cast("long")).otherwise(0L)).as("bi"))
+    val plan = rewritten(q)
+    assert(plan.exists(_.canonicalized == flows.queryExecution.analyzed.canonicalized))
+    val got = ColumnBridge.ofRows(spark, plan).agg(sum("bi")).head().getLong(0)
+    assert(got == q.agg(sum("bi")).head().getLong(0))
+  }
+
+  test("non-answerable shapes stay untouched") {
+    registered
+    // an aggregate the rollup has no partial for
+    val avgQ = wt.groupBy(col("wallet")).agg(avg(col("qty")).as("a"))
+    assert(rule(avgQ.queryExecution.analyzed) == avgQ.queryExecution.analyzed,
+      "avg() must not rewrite")
+    // grouping outside the rollup's dims
+    val sideQ = wt.groupBy(col("side")).agg(count(lit(1)).as("n"))
+    assert(rule(sideQ.queryExecution.analyzed) == sideQ.queryExecution.analyzed,
+      "non-dim grouping must not rewrite")
+    // a different source entirely
+    val other = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    assert(rule(other.queryExecution.analyzed) == other.queryExecution.analyzed,
+      "unregistered source must not rewrite")
+    // DISTINCT aggregates are not answerable from sum partials
+    val dQ = wt.groupBy(col("wallet")).agg(countDistinct(col("token_id")).as("n"))
+    assert(rule(dQ.queryExecution.analyzed) == dQ.queryExecution.analyzed,
+      "count(DISTINCT) must not rewrite")
+  }
+}
