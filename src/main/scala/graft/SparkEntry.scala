@@ -1490,6 +1490,38 @@ object SparkEntry {
         .orderBy(col("lang"), col("bucket"))
     }),
 
+    // Transparent rollup selection, oracle-gated (§2 #189): the query
+    // names the RAW two-sided explode; RollupRewrite substitutes the
+    // wallet_token_flows rollup at plan level (the CH-PROJECTION
+    // mechanism), and the driver hash proves the rewritten plan
+    // computes exactly the named computation. The rule is applied
+    // explicitly here because Verify's session is extension-free —
+    // GraftSession-built sessions get it injected.
+    "q_rollup_auto" -> ((s, d) => {
+      val source = wt(s, d)
+      graft.plans.RollupRewrite.clear(s)
+      graft.plans.RollupRewrite.register(s, source,
+        walletTokenFlows(s, d),
+        dims = Map("wallet" -> "wallet", "token_id" -> "token_id"),
+        sums = Seq(
+          (when(col("side") === "buy", col("qty")).otherwise(lit(0.0)),
+            "buy_qty"),
+          (when(col("side") === "sell", col("qty")).otherwise(lit(0.0)),
+            "sell_qty")),
+        countCol = Some("trades"))
+      val q = source.groupBy(col("wallet"))
+        .agg(count(lit(1)).as("trades"),
+          sum(when(col("side") === "buy", col("qty")).otherwise(lit(0.0)))
+            .as("buy_qty"),
+          sum(when(col("side") === "sell", col("qty")).otherwise(lit(0.0)))
+            .as("sell_qty"))
+        .orderBy(col("wallet"))
+      val plan = new graft.plans.RollupRewrite.RewriteRule(s)(
+        q.queryExecution.analyzed)
+      require(plan != q.queryExecution.analyzed, "rewrite must fire")
+      org.apache.spark.sql.graft.ColumnBridge.ofRows(s, plan)
+    }),
+
     // Daily active / new wallets over the event stream.
     "q_active_wallets" -> ((s, d) => {
       val daily = Tables.eventStream(s, d)
@@ -5667,6 +5699,13 @@ object SparkEntry {
         |FROM s1 JOIN s2 ON s1.token_id = s2.token_id
         |WHERE n1 >= 20 AND n2 >= 20
         |ORDER BY token_id""".stripMargin,
+
+    "q_rollup_auto" ->
+      s"""WITH $WT
+        |SELECT wallet, CAST(COUNT(*) AS BIGINT) AS trades,
+        |  SUM(CASE WHEN side = 'buy' THEN qty ELSE 0.0 END) AS buy_qty,
+        |  SUM(CASE WHEN side = 'sell' THEN qty ELSE 0.0 END) AS sell_qty
+        |FROM wt GROUP BY wallet ORDER BY wallet""".stripMargin,
 
     "q_bpe_pairs" ->
       """WITH w AS (
