@@ -48,7 +48,9 @@ object RollupRewrite {
   final case class Registration(source: LogicalPlan, rollup: LogicalPlan,
                                 dims: Map[String, String],
                                 sums: Seq[(Expression, String)],
-                                countCol: Option[String])
+                                countCol: Option[String],
+                                mins: Seq[(Expression, String)] = Nil,
+                                maxs: Seq[(Expression, String)] = Nil)
 
   private val regs = new java.util.concurrent.ConcurrentHashMap[
     String, Vector[Registration]]()
@@ -62,9 +64,11 @@ object RollupRewrite {
     * column if it has one. */
   def register(spark: SparkSession, source: DataFrame, rollup: DataFrame,
                dims: Map[String, String], sums: Seq[(Column, String)],
-               countCol: Option[String]): Unit = {
+               countCol: Option[String],
+               mins: Seq[(Column, String)] = Nil,
+               maxs: Seq[(Column, String)] = Nil): Unit = {
     val srcPlan = source.queryExecution.analyzed
-    val resolvedSums = sums.map { case (c, name) =>
+    def resolve(cs: Seq[(Column, String)]) = cs.map { case (c, name) =>
       source.select(c).queryExecution.analyzed match {
         case Project(Seq(Alias(child, _)), _) => (child, name)
         case Project(Seq(e), _)               => (e: Expression, name)
@@ -72,7 +76,8 @@ object RollupRewrite {
       }
     }
     regs.merge(key(spark), Vector(Registration(srcPlan,
-      rollup.queryExecution.analyzed, dims, resolvedSums, countCol)),
+      rollup.queryExecution.analyzed, dims, resolve(sums), countCol,
+      resolve(mins), resolve(maxs))),
       (a, b) => a ++ b)
     ()
   }
@@ -100,7 +105,7 @@ object RollupRewrite {
     val rollupAttr: Map[String, Attribute] =
       r.rollup.output.map(a => a.name -> a).toMap
     if (!r.dims.values.forall(rollupAttr.contains) ||
-        !r.sums.forall(s => rollupAttr.contains(s._2)) ||
+        !(r.sums ++ r.mins ++ r.maxs).forall(s => rollupAttr.contains(s._2)) ||
         !r.countCol.forall(rollupAttr.contains)) return None
     // translate query-side attributes onto the registered source's
     // (canonical plan equality ⇒ outputs correspond positionally)
@@ -132,6 +137,20 @@ object RollupRewrite {
         r.countCol.map { c =>
           val s = Sum(rollupAttr(c)).toAggregateExpression()
           if (s.dataType == fn.dataType) s else Cast(s, fn.dataType)
+        }
+      // min-of-mins / max-of-maxs re-aggregate losslessly and never
+      // widen, so no cast is needed
+      case Min(e) =>
+        r.mins.collectFirst {
+          case (regE, partial)
+              if toReg(e).canonicalized == regE.canonicalized =>
+            Min(rollupAttr(partial)).toAggregateExpression()
+        }
+      case Max(e) =>
+        r.maxs.collectFirst {
+          case (regE, partial)
+              if toReg(e).canonicalized == regE.canonicalized =>
+            Max(rollupAttr(partial)).toAggregateExpression()
         }
       case _ => None
     }

@@ -17,7 +17,8 @@ class RollupRewriteSpec extends SparkSpec {
   private lazy val flows = Leaderboard.walletTokenFlows(wt)
   private lazy val rule = new RollupRewrite.RewriteRule(spark)
 
-  private lazy val registered: Unit = {
+  private def registered: Unit = {
+    RollupRewrite.clear(spark)
     RollupRewrite.register(spark, wt, flows,
       dims = Map("wallet" -> "wallet", "token_id" -> "token_id"),
       sums = Seq(
@@ -61,6 +62,27 @@ class RollupRewriteSpec extends SparkSpec {
     assert(plan.exists(_.canonicalized == flows.queryExecution.analyzed.canonicalized))
     val got = ColumnBridge.ofRows(spark, plan).agg(sum("bi")).head().getLong(0)
     assert(got == q.agg(sum("bi")).head().getLong(0))
+  }
+
+  test("min/max partials rewrite from a dedicated rollup") {
+    RollupRewrite.clear(spark)
+    val src = wt
+    val mm = src.groupBy(col("token_id"))
+      .agg(min(col("qty")).as("mn"), max(col("qty")).as("mx"),
+        count(lit(1)).as("n"))
+    RollupRewrite.register(spark, src, mm,
+      dims = Map("token_id" -> "token_id"),
+      sums = Nil, countCol = Some("n"),
+      mins = Seq((col("qty"), "mn")), maxs = Seq((col("qty"), "mx")))
+    val q = wt.groupBy(col("token_id"))
+      .agg(min(col("qty")).as("lo"), max(col("qty")).as("hi"))
+    val plan = rule(q.queryExecution.analyzed)
+    assert(plan.exists(_.canonicalized == mm.queryExecution.analyzed.canonicalized),
+      "min/max rollup plan not found in the rewrite")
+    val got = ColumnBridge.ofRows(spark, plan)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == q.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet)
   }
 
   test("non-answerable shapes stay untouched") {
