@@ -1522,6 +1522,21 @@ object SparkEntry {
       org.apache.spark.sql.graft.ColumnBridge.ofRows(s, plan)
     }),
 
+    // CH groupUniqArray(): the distinct-set aggregate — each wallet's
+    // traded markets as a sorted comma list (the summap serialization
+    // recipe, so the hash pins SET CONTENT). collect_set carries the
+    // per-group distinct state through partial aggregation; the join
+    // to markets is broadcast.
+    "q_group_uniq" -> ((s, d) => {
+      wt(s, d)
+        .join(broadcast(markets(s, d)), Seq("token_id"))
+        .groupBy(col("wallet"))
+        .agg(sort_array(collect_set(col("market"))).as("m"))
+        .select(col("wallet"), size(col("m")).cast("long").as("n_markets"),
+          concat_ws(",", col("m")).as("markets"))
+        .orderBy(col("wallet"))
+    }),
+
     // Daily active / new wallets over the event stream.
     "q_active_wallets" -> ((s, d) => {
       val daily = Tables.eventStream(s, d)
@@ -5699,6 +5714,15 @@ object SparkEntry {
         |FROM s1 JOIN s2 ON s1.token_id = s2.token_id
         |WHERE n1 >= 20 AND n2 >= 20
         |ORDER BY token_id""".stripMargin,
+
+    "q_group_uniq" ->
+      s"""WITH $WT
+        |SELECT wallet,
+        |  CAST(COUNT(DISTINCT p.p_brand) AS BIGINT) AS n_markets,
+        |  string_agg(DISTINCT p.p_brand, ',' ORDER BY p.p_brand)
+        |    AS markets
+        |FROM wt JOIN part p ON wt.token_id = p.p_partkey
+        |GROUP BY wallet ORDER BY wallet""".stripMargin,
 
     "q_rollup_auto" ->
       s"""WITH $WT
