@@ -901,6 +901,16 @@ object SparkEntry {
         .withColumnRenamed("user", "wallet")
         .orderBy(col("wallet"))),
 
+    // CH strict_dedup funnel mode: the chain advances only if the
+    // matched step-i event does not REPEAT in the gap before step
+    // i+1 (the dual of strict_order's other-type gate; same earliest-
+    // chain anchoring deviations, documented at Funnel.windowFunnelStrict).
+    "q_funnel_dedup" -> ((s, d) =>
+      Funnel.windowFunnelDedup(Tables.eventStream(s, d), "wallet", "ts",
+          "event_type", Seq("view", "click", "purchase"), 24)
+        .withColumnRenamed("user", "wallet")
+        .orderBy(col("wallet"))),
+
     // Funnel conversion summary (users per reached level).
     "q_funnel_summary" -> ((s, d) =>
       Funnel.funnelSummary(
@@ -5384,6 +5394,45 @@ object SparkEntry {
         |         CASE WHEN t3 IS NOT NULL AND coalesce(x3, 0) = 0 THEN 3
         |              ELSE 2 END
         |       ELSE 1 END AS level_strict
+        |FROM chain c LEFT JOIN x USING (u)
+        |ORDER BY wallet""".stripMargin,
+
+    // strict_dedup: the same greedy chain, each gap validated against
+    // REPEATS of the step type that opened it
+    "q_funnel_dedup" ->
+      s"""WITH $EV,
+        |s1 AS (
+        |  SELECT wallet AS u, MIN(ts) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.wallet AS u, MIN(e.ts) AS t2
+        |  FROM ev e JOIN s1 ON e.wallet = s1.u
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.wallet AS u, MIN(e.ts) AS t3
+        |  FROM ev e JOIN s1 ON e.wallet = s1.u JOIN s2 ON e.wallet = s2.u
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |    AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+        |  GROUP BY 1),
+        |chain AS (
+        |  SELECT s1.u, t1, t2, t3
+        |  FROM s1 LEFT JOIN s2 USING (u) LEFT JOIN s3 USING (u)),
+        |x AS (
+        |  SELECT c.u,
+        |    SUM(CASE WHEN e.ts > c.t1 AND e.ts < c.t2
+        |             AND e.event_type = 'view' THEN 1 ELSE 0 END) AS x2,
+        |    SUM(CASE WHEN e.ts > c.t2 AND e.ts < c.t3
+        |             AND e.event_type = 'click' THEN 1 ELSE 0 END) AS x3
+        |  FROM ev e JOIN chain c ON e.wallet = c.u
+        |  WHERE e.event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY 1)
+        |SELECT c.u AS wallet, c.t1,
+        |  CASE WHEN t2 IS NOT NULL AND coalesce(x2, 0) = 0 THEN
+        |         CASE WHEN t3 IS NOT NULL AND coalesce(x3, 0) = 0 THEN 3
+        |              ELSE 2 END
+        |       ELSE 1 END AS level_dedup
         |FROM chain c LEFT JOIN x USING (u)
         |ORDER BY wallet""".stripMargin,
 

@@ -70,7 +70,26 @@ object Funnel {
     * more aggregate join keyed by user over the funnel-typed events. */
   def windowFunnelStrict(events: DataFrame, userCol: String, tsCol: String,
                          typeCol: String, steps: Seq[String],
-                         windowHours: Int): DataFrame = {
+                         windowHours: Int): DataFrame =
+    gatedFunnel(events, userCol, tsCol, typeCol, steps, windowHours,
+      interloperIsOtherType = true, out = "level_strict")
+
+  /** ClickHouse `strict_dedup` mode, same anchoring deviations as
+    * [[windowFunnelStrict]]: the chain advances to step i+1 only if
+    * the step-i event does NOT REPEAT strictly between the step-i and
+    * step-i+1 matches — the dual gate (strict_order breaks on OTHER
+    * funnel types in the gap; strict_dedup breaks on a repeat of the
+    * MATCHED type). Returns (user, t1, level_dedup). */
+  def windowFunnelDedup(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, steps: Seq[String],
+                        windowHours: Int): DataFrame =
+    gatedFunnel(events, userCol, tsCol, typeCol, steps, windowHours,
+      interloperIsOtherType = false, out = "level_dedup")
+
+  private def gatedFunnel(events: DataFrame, userCol: String, tsCol: String,
+                          typeCol: String, steps: Seq[String],
+                          windowHours: Int, interloperIsOtherType: Boolean,
+                          out: String): DataFrame = {
     require(steps.size >= 2)
     val base = windowFunnel(events, userCol, tsCol, typeCol, steps,
       windowHours)
@@ -78,8 +97,15 @@ object Funnel {
       .select(col(userCol).as("user"), col(tsCol).as("_ts"),
         col(typeCol).as("_tp"))
     val gapExprs = steps.indices.tail.map { i =>
+      // gap (t_i, t_{i+1}): strict_order breaks on any funnel type
+      // that is not the NEXT step's (steps(i) — its earliest match IS
+      // t_{i+1}, so none can precede it); strict_dedup breaks on a
+      // REPEAT of the step that opened the gap (steps(i-1))
+      val typeGate =
+        if (interloperIsOtherType) col("_tp") =!= steps(i)
+        else col("_tp") === steps(i - 1)
       sum(when(col("_ts") > col(s"t$i") && col("_ts") < col(s"t${i + 1}") &&
-          col("_tp") =!= steps(i), 1L).otherwise(0L)).as(s"x${i + 1}")
+          typeGate, 1L).otherwise(0L)).as(s"x${i + 1}")
     }
     val gaps = ev.join(base, Seq("user"))
       .groupBy(col("user"))
@@ -90,7 +116,7 @@ object Funnel {
         coalesce(col(s"x$m"), lit(0L)) === 0L, lit(m)).otherwise(acc)
     }
     base.join(gaps, Seq("user"), "left")
-      .select(col("user"), col("t1"), lvl.as("level_strict"))
+      .select(col("user"), col("t1"), lvl.as(out))
   }
 
   /** The ClickHouse `sequenceMatch('(?1).*(?2)…')` surface: per user,
