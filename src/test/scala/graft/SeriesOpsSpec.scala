@@ -66,6 +66,39 @@ class SeriesOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("funnel mode trio: the gates separate on hand-built chains") {
+    import graft.operators.Funnel
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1: view → purchase(interloper) → click → purchase:
+    //   plain reaches 3; strict breaks at gap1 (other-type purchase);
+    //   dedup is untouched (no view repeat) and reaches 3.
+    // u2: view → view(repeat) → click → purchase:
+    //   plain reaches 3; dedup breaks at gap1 (view repeat);
+    //   strict ALSO breaks (a view repeat is an other-type-than-click
+    //   interloper under the strict gate).
+    // u3: clean view → click → purchase: all three reach 3.
+    val rows = Seq(
+      (1L, ts(0), "view"), (1L, ts(1), "purchase"), (1L, ts(2), "click"),
+      (1L, ts(3), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(1), "view"), (2L, ts(2), "click"),
+      (2L, ts(3), "purchase"),
+      (3L, ts(0), "view"), (3L, ts(1), "click"), (3L, ts(2), "purchase"))
+    val ev = rows.toDF("wallet", "ts", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    def levels(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.collect().map(r => r.getAs[Long]("user") -> r.getAs[Int](c)).toMap
+    val plain = Funnel.windowFunnel(ev, "wallet", "ts", "event_type", steps, 24)
+    assert(plain.collect().map(r =>
+      r.getAs[Long]("user") -> r.getAs[Int]("level")).toMap ==
+      Map(1L -> 3, 2L -> 3, 3L -> 3))
+    val strict = levels(Funnel.windowFunnelStrict(
+      ev, "wallet", "ts", "event_type", steps, 24), "level_strict")
+    assert(strict == Map(1L -> 1, 2L -> 1, 3L -> 3), s"strict=$strict")
+    val dedup = levels(Funnel.windowFunnelDedup(
+      ev, "wallet", "ts", "event_type", steps, 24), "level_dedup")
+    assert(dedup == Map(1L -> 3, 2L -> 1, 3L -> 3), s"dedup=$dedup")
+  }
+
   test("Mann-Whitney average ranks: tie-heavy hand case") {
     // values (group): 1(a) 1(b) 2(a) 2(a) 2(b) 3(b) — avg ranks
     // 1.5, 1.5, 4, 4, 4, 6; R_a = 1.5+4+4 = 9.5 → U_a = 9.5 - 6 = 3.5
