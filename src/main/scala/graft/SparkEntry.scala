@@ -2976,6 +2976,24 @@ object SparkEntry {
           TextAnalysis.langId(col("text")).as("predicted"))
         .orderBy(col("doc_id"))),
 
+    // Classifier-evaluation harness shape: the langid heuristic's
+    // row-normalized confusion matrix against the labeled lang column
+    // — per (true, predicted) cell counts + share. The honest eval
+    // story is visible in the matrix itself: the heuristic has no zh
+    // class, so zh rows land in the latin-language cells. Counts are
+    // exact; shares are integer ratios (deterministic floor).
+    "q_langid_eval" -> ((s, d) => {
+      val cells = Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("docs"))
+      val tot = cells.groupBy(col("lang")).agg(sum(col("docs")).as("t"))
+      cells.join(tot, "lang")
+        .select(col("lang"), col("predicted"), col("docs"),
+          floor(col("docs") / col("t") * 1e4).cast("long").as("share_e4"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
     "q_text_quality" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.quality(col("text")).as("q"))
@@ -4738,6 +4756,33 @@ object SparkEntry {
         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
         |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_langid_eval" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(trim(text), ' +'),
+        |      x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS s_en,
+        |    len(list_filter(regexp_split_to_array(trim(text), ' +'),
+        |      x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))) AS s_de,
+        |    len(list_filter(regexp_split_to_array(trim(text), ' +'),
+        |      x -> x IN ('le','la','les','et','est','un','une','pas'))) AS s_fr,
+        |    len(list_filter(regexp_split_to_array(trim(text), ' +'),
+        |      x -> x IN ('el','los','las','y','es','un','una','no'))) AS s_es
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |         WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted
+        |  FROM scored),
+        |cells AS (
+        |  SELECT lang, predicted, COUNT(*) AS docs FROM p GROUP BY 1, 2),
+        |tot AS (SELECT lang, SUM(docs) AS t FROM cells GROUP BY 1)
+        |SELECT lang, predicted, CAST(docs AS BIGINT) AS docs,
+        |  CAST(FLOOR(CAST(docs AS DOUBLE) / CAST(t AS DOUBLE) * 10000)
+        |       AS BIGINT) AS share_e4
+        |FROM cells JOIN tot USING (lang)
+        |ORDER BY lang, predicted""".stripMargin,
 
     "q_text_quality" ->
       """SELECT doc_id,
