@@ -1373,9 +1373,20 @@ object SparkEntry {
         .select(col("token_id"), col("n_states"),
           kll_quantile(col("st"), lit(0.5)).as("m"),
           kll_quantile(col("st"), lit(0.9)).as("p90"))
+      // Gate margin derived from the sketch's own bound, not a magic
+      // constant (ADVICE r14: DataSketches KLL compaction is
+      // randomized, so estimation-mode merges are run-to-run
+      // nondeterministic and the margin must dominate the sketch's
+      // rank error on every run): 3× the 99%-confidence normalized
+      // rank error for k=200 (~1.65%) plus 1pp headroom for value
+      // discretization at the quantile (qty repeats heavily) ≈ 0.060;
+      // floored at the historical 0.05 so the gate can only loosen.
+      val eps = math.max(0.05,
+        3.0 * org.apache.datasketches.kll.KllSketch
+          .getNormalizedRankError(200, false) + 0.01)
       def okAt(v: Column, q: Double) =
-        (sum((col("qty") < v).cast("long")) / count(lit(1)) <= q + 0.05) &&
-        (sum((col("qty") <= v).cast("long")) / count(lit(1)) >= q - 0.05)
+        (sum((col("qty") < v).cast("long")) / count(lit(1)) <= q + eps) &&
+        (sum((col("qty") <= v).cast("long")) / count(lit(1)) >= q - eps)
       trades(s, d).join(merged, "token_id")
         .groupBy(col("token_id"))
         .agg(count(lit(1)).as("n"),
@@ -1509,10 +1520,12 @@ object SparkEntry {
     // GraftSession-built sessions get it injected.
     "q_rollup_auto" -> ((s, d) => {
       val source = wt(s, d)
-      graft.plans.RollupRewrite.clear(s)
+      // no clear(): register dedupes structurally, so repeated query
+      // construction (and the session-wide registrations other
+      // rollup-served queries install) co-exist
       graft.plans.RollupRewrite.register(s, source,
         walletTokenFlows(s, d),
-        dims = Map("wallet" -> "wallet", "token_id" -> "token_id"),
+        dims = Seq((col("wallet"), "wallet"), (col("token_id"), "token_id")),
         sums = Seq(
           (when(col("side") === "buy", col("qty")).otherwise(lit(0.0)),
             "buy_qty"),
@@ -5443,7 +5456,7 @@ object SparkEntry {
         |ORDER BY wallet""".stripMargin,
 
     // strict_dedup: the same greedy chain, each gap validated against
-    // REPEATS of the step type that opened it
+    // repeats of ANY already-matched step type (the CH contract)
     "q_funnel_dedup" ->
       s"""WITH $EV,
         |s1 AS (
@@ -5469,7 +5482,7 @@ object SparkEntry {
         |    SUM(CASE WHEN e.ts > c.t1 AND e.ts < c.t2
         |             AND e.event_type = 'view' THEN 1 ELSE 0 END) AS x2,
         |    SUM(CASE WHEN e.ts > c.t2 AND e.ts < c.t3
-        |             AND e.event_type = 'click' THEN 1 ELSE 0 END) AS x3
+        |             AND e.event_type IN ('view', 'click') THEN 1 ELSE 0 END) AS x3
         |  FROM ev e JOIN chain c ON e.wallet = c.u
         |  WHERE e.event_type IN ('view', 'click', 'purchase')
         |  GROUP BY 1)

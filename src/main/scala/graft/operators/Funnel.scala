@@ -76,10 +76,12 @@ object Funnel {
 
   /** ClickHouse `strict_dedup` mode, same anchoring deviations as
     * [[windowFunnelStrict]]: the chain advances to step i+1 only if
-    * the step-i event does NOT REPEAT strictly between the step-i and
-    * step-i+1 matches — the dual gate (strict_order breaks on OTHER
-    * funnel types in the gap; strict_dedup breaks on a repeat of the
-    * MATCHED type). Returns (user, t1, level_dedup). */
+    * NO ALREADY-MATCHED step type repeats strictly between the step-i
+    * and step-i+1 matches — CH interrupts on a repeat of ANY condition
+    * matched so far, not just the one that opened the gap (a 'view'
+    * repeat between click and purchase breaks the chain too; ADVICE
+    * r14). The dual gate of strict_order (which breaks on OTHER funnel
+    * types in the gap). Returns (user, t1, level_dedup). */
   def windowFunnelDedup(events: DataFrame, userCol: String, tsCol: String,
                         typeCol: String, steps: Seq[String],
                         windowHours: Int): DataFrame =
@@ -100,10 +102,11 @@ object Funnel {
       // gap (t_i, t_{i+1}): strict_order breaks on any funnel type
       // that is not the NEXT step's (steps(i) — its earliest match IS
       // t_{i+1}, so none can precede it); strict_dedup breaks on a
-      // REPEAT of the step that opened the gap (steps(i-1))
+      // repeat of ANY already-matched step type (steps 1..i — the CH
+      // contract; ADVICE r14 flagged the old opened-the-gap-only gate)
       val typeGate =
         if (interloperIsOtherType) col("_tp") =!= steps(i)
-        else col("_tp") === steps(i - 1)
+        else col("_tp").isin(steps.take(i): _*)
       sum(when(col("_ts") > col(s"t$i") && col("_ts") < col(s"t${i + 1}") &&
           typeGate, 1L).otherwise(0L)).as(s"x${i + 1}")
     }

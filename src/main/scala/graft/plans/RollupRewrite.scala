@@ -29,12 +29,19 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * registered source by canonicalized-plan equality — positionally
   * robust to exprId differences across separate constructions of the
   * same view — and then:
-  *   - every grouping expression is a source attribute in `dims`;
-  *   - every aggregate is `sum(e)` where `e` (translated onto the
-  *     registered source's attributes) canonical-matches a registered
-  *     partial expression → re-aggregates the partial column, result
-  *     cast back to the original type (sum-of-sums widens decimals);
-  *   - or `count(<literal>)`/count(*) → `sum(rollup row-count col)`;
+  *   - every grouping expression, translated onto the registered
+  *     source's attributes via the positional exprId substitution,
+  *     canonical-matches a registered dim EXPRESSION (a plain column
+  *     or a derived key like `date_trunc('day', ts)` both work — dims
+  *     are matched by expression identity, never by output name);
+  *   - every aggregate is `sum(e)` where `e` (translated the same
+  *     way) canonical-matches a registered partial expression →
+  *     re-aggregates the partial column, result cast back to the
+  *     original type (sum-of-sums widens decimals);
+  *   - or `count(<non-null literal>)`/count(*) → `sum(rollup
+  *     row-count col)` — with a global (ungrouped) count wrapped in
+  *     `coalesce(·, 0)` so an empty source still yields 0, and a
+  *     `count(NULL)` (which must return 0) never rewritten;
   *   - or `min(e)`/`max(e)` over a registered min/max partial.
   * Anything else — filters on the agg, DISTINCT, an expression the
   * rollup has no partial for — leaves the plan untouched: the rule
@@ -42,11 +49,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object RollupRewrite {
 
-  /** One registered (source, rollup) pair. `sums`/`mins`/`maxs` map a
-    * RESOLVED source-side expression to the rollup column holding its
-    * per-group partial; `countCol` holds per-group row counts. */
+  /** One registered (source, rollup) pair. `dims` maps a RESOLVED
+    * source-side grouping expression to the rollup column carrying its
+    * value; `sums`/`mins`/`maxs` map a resolved source-side expression
+    * to the rollup column holding its per-group partial; `countCol`
+    * holds per-group row counts. */
   final case class Registration(source: LogicalPlan, rollup: LogicalPlan,
-                                dims: Map[String, String],
+                                dims: Seq[(Expression, String)],
                                 sums: Seq[(Expression, String)],
                                 countCol: Option[String],
                                 mins: Seq[(Expression, String)] = Nil,
@@ -57,13 +66,30 @@ object RollupRewrite {
 
   private def key(spark: SparkSession) = spark.sparkContext.applicationId
 
+  private def eqPairs(a: Seq[(Expression, String)],
+                      b: Seq[(Expression, String)]): Boolean =
+    a.length == b.length && a.zip(b).forall { case ((ea, na), (eb, nb)) =>
+      na == nb && ea.canonicalized == eb.canonicalized
+    }
+
+  /** Structural identity of two registrations — repeated registration
+    * of the same (source, rollup, columns) is a no-op, so callers can
+    * register idempotently per query construction without clear(). */
+  private def sameReg(a: Registration, b: Registration): Boolean =
+    a.source.canonicalized == b.source.canonicalized &&
+      a.rollup.canonicalized == b.rollup.canonicalized &&
+      a.countCol == b.countCol &&
+      eqPairs(a.dims, b.dims) && eqPairs(a.sums, b.sums) &&
+      eqPairs(a.mins, b.mins) && eqPairs(a.maxs, b.maxs)
+
   /** Register a rollup for this session's app. `dims` maps source
-    * grouping columns to rollup columns; `sums` maps source-side
-    * expressions (resolved against `source` here) to the rollup's
-    * partial-sum columns; `countCol` names the rollup's row-count
-    * column if it has one. */
+    * grouping expressions (plain columns or derived keys) to rollup
+    * columns; `sums` maps source-side expressions (resolved against
+    * `source` here) to the rollup's partial-sum columns; `countCol`
+    * names the rollup's row-count column if it has one. Registering a
+    * structurally identical pair twice is a no-op. */
   def register(spark: SparkSession, source: DataFrame, rollup: DataFrame,
-               dims: Map[String, String], sums: Seq[(Column, String)],
+               dims: Seq[(Column, String)], sums: Seq[(Column, String)],
                countCol: Option[String],
                mins: Seq[(Column, String)] = Nil,
                maxs: Seq[(Column, String)] = Nil): Unit = {
@@ -75,10 +101,10 @@ object RollupRewrite {
         case other => sys.error(s"cannot resolve rollup partial: $other")
       }
     }
-    regs.merge(key(spark), Vector(Registration(srcPlan,
-      rollup.queryExecution.analyzed, dims, resolve(sums), countCol,
-      resolve(mins), resolve(maxs))),
-      (a, b) => a ++ b)
+    val reg = Registration(srcPlan, rollup.queryExecution.analyzed,
+      resolve(dims), resolve(sums), countCol, resolve(mins), resolve(maxs))
+    regs.merge(key(spark), Vector(reg),
+      (a, b) => if (a.exists(sameReg(_, b.head))) a else a ++ b)
     ()
   }
 
@@ -104,8 +130,8 @@ object RollupRewrite {
                          r: Registration): Option[Aggregate] = {
     val rollupAttr: Map[String, Attribute] =
       r.rollup.output.map(a => a.name -> a).toMap
-    if (!r.dims.values.forall(rollupAttr.contains) ||
-        !(r.sums ++ r.mins ++ r.maxs).forall(s => rollupAttr.contains(s._2)) ||
+    if (!(r.dims ++ r.sums ++ r.mins ++ r.maxs)
+          .forall(s => rollupAttr.contains(s._2)) ||
         !r.countCol.forall(rollupAttr.contains)) return None
     // translate query-side attributes onto the registered source's
     // (canonical plan equality ⇒ outputs correspond positionally)
@@ -115,14 +141,18 @@ object RollupRewrite {
     def toReg(e: Expression): Expression = e.transform {
       case a: AttributeReference => sub.getOrElse(a.exprId, a)
     }
-    def dimFor(a: AttributeReference): Option[Attribute] =
-      r.dims.get(a.name).map(rollupAttr)
+    // dim lookup by EXPRESSION identity (ADVICE r14: name-keyed
+    // translation could mis-map when output names diverge or collide;
+    // expression matching also admits derived grouping keys)
+    def dimFor(e: Expression): Option[Attribute] = {
+      val t = toReg(e).canonicalized
+      r.dims.collectFirst {
+        case (regE, rcol) if regE.canonicalized == t => rollupAttr(rcol)
+      }
+    }
 
     val newGroupings: Option[Seq[Expression]] =
-      traverse(agg.groupingExpressions.map {
-        case a: AttributeReference => dimFor(a)
-        case _ => None
-      })
+      traverse(agg.groupingExpressions.map(g => dimFor(g)))
 
     def rewriteAggFn(fn: AggregateFunction): Option[Expression] = fn match {
       case Sum(e, mode) =>
@@ -133,10 +163,21 @@ object RollupRewrite {
             if (again.dataType == fn.dataType) again
             else Cast(again, fn.dataType)
         }
-      case Count(children) if children.forall(_.foldable) =>
+      // count(*) / count(<provably non-null literal>) = the row count.
+      // count(NULL) must stay 0 and is NOT the row count — the
+      // eval()!=null guard keeps it unrewritten (ADVICE r14). A
+      // GLOBAL count over an empty source returns 0 where sum(n) over
+      // the (empty) rollup returns NULL, so the ungrouped form wraps
+      // in coalesce(·, 0) (ADVICE r14).
+      case Count(children)
+          if children.forall(c => c.foldable && c.eval() != null) =>
         r.countCol.map { c =>
-          val s = Sum(rollupAttr(c)).toAggregateExpression()
-          if (s.dataType == fn.dataType) s else Cast(s, fn.dataType)
+          val s: Expression = Sum(rollupAttr(c)).toAggregateExpression()
+          val grouped =
+            if (agg.groupingExpressions.nonEmpty) s
+            else Coalesce(Seq(s, Literal(0L)))
+          if (grouped.dataType == fn.dataType) grouped
+          else Cast(grouped, fn.dataType)
         }
       // min-of-mins / max-of-maxs re-aggregate losslessly and never
       // widen, so no cast is needed
@@ -163,8 +204,11 @@ object RollupRewrite {
             if ae.filter.isEmpty && !ae.isDistinct =>
           rewriteAggFn(ae.aggregateFunction)
             .map(e => Alias(e, name)(exprId = al.exprId))
-        case al @ Alias(a: AttributeReference, name) =>
-          dimFor(a).map(ra => Alias(ra, name)(exprId = al.exprId))
+        // a grouping expression (plain column OR derived key like
+        // date_trunc) projected under an alias
+        case al @ Alias(e, name) if !e.exists(
+            _.isInstanceOf[AggregateExpression]) =>
+          dimFor(e).map(ra => Alias(ra, name)(exprId = al.exprId))
         case _ => None
       })
 

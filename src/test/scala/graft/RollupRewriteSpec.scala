@@ -20,7 +20,7 @@ class RollupRewriteSpec extends SparkSpec {
   private def registered: Unit = {
     RollupRewrite.clear(spark)
     RollupRewrite.register(spark, wt, flows,
-      dims = Map("wallet" -> "wallet", "token_id" -> "token_id"),
+      dims = Seq((col("wallet"), "wallet"), (col("token_id"), "token_id")),
       sums = Seq(
         (when(col("side") === "buy", col("qty")).otherwise(lit(0.0)), "buy_qty"),
         (when(col("side") === "sell", col("qty")).otherwise(lit(0.0)), "sell_qty"),
@@ -71,7 +71,7 @@ class RollupRewriteSpec extends SparkSpec {
       .agg(min(col("qty")).as("mn"), max(col("qty")).as("mx"),
         count(lit(1)).as("n"))
     RollupRewrite.register(spark, src, mm,
-      dims = Map("token_id" -> "token_id"),
+      dims = Seq((col("token_id"), "token_id")),
       sums = Nil, countCol = Some("n"),
       mins = Seq((col("qty"), "mn")), maxs = Seq((col("qty"), "mx")))
     val q = wt.groupBy(col("token_id"))
@@ -83,6 +83,51 @@ class RollupRewriteSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
     assert(got == q.collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet)
+  }
+
+  test("derived grouping keys (date_trunc) rewrite via expression-matched dims") {
+    RollupRewrite.clear(spark)
+    val src = Tables.trades(spark, sf)
+    val day = date_trunc("day", col("ts"))
+    val roll = src.groupBy(col("token_id"), day.as("day"))
+      .agg(sum(round(col("usd") * 10000).cast("long")).as("ui"),
+        count(lit(1)).as("n"))
+    RollupRewrite.register(spark, src, roll,
+      dims = Seq((col("token_id"), "token_id"), (day, "day")),
+      sums = Seq((round(col("usd") * 10000).cast("long"), "ui")),
+      countCol = Some("n"))
+    val q = src.groupBy(col("token_id"), day.as("day"))
+      .agg(sum(round(col("usd") * 10000).cast("long")).as("ui"),
+        count(lit(1)).as("trades"))
+    val plan = rule(q.queryExecution.analyzed)
+    assert(plan.exists(_.canonicalized == roll.queryExecution.analyzed.canonicalized),
+      "derived-dim rollup plan not found in the rewrite")
+    val got = ColumnBridge.ofRows(spark, plan)
+      .agg(sum("ui"), sum("trades")).head()
+    assert(got == q.agg(sum("ui"), sum("trades")).head())
+  }
+
+  test("global (ungrouped) count over an empty source rewrites to 0, not NULL") {
+    RollupRewrite.clear(spark)
+    val src = wt.filter(col("qty") < 0) // provably empty
+    val roll = src.groupBy(col("wallet")).agg(count(lit(1)).as("n"))
+    RollupRewrite.register(spark, src, roll,
+      dims = Seq((col("wallet"), "wallet")), sums = Nil,
+      countCol = Some("n"))
+    val q = src.agg(count(lit(1)).as("n"))
+    val plan = rule(q.queryExecution.analyzed)
+    assert(plan != q.queryExecution.analyzed, "global count must rewrite")
+    assert(plan.exists(_.canonicalized == roll.queryExecution.analyzed.canonicalized))
+    val row = ColumnBridge.ofRows(spark, plan).head()
+    assert(!row.isNullAt(0) && row.getLong(0) == 0L,
+      s"coalesce-wrapped global count must be 0, got $row")
+  }
+
+  test("count(NULL) never rewrites to the row count") {
+    registered
+    val q = wt.groupBy(col("wallet")).agg(count(lit(null)).as("n"))
+    assert(rule(q.queryExecution.analyzed) == q.queryExecution.analyzed,
+      "count(<null literal>) must stay unrewritten — it counts 0, not rows")
   }
 
   test("non-answerable shapes stay untouched") {

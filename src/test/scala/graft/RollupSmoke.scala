@@ -20,7 +20,7 @@ object RollupSmoke {
       .agg(sum(when($"side" === "buy", $"qty").otherwise(0.0)).as("bq"),
         count(lit(1)).as("n"))
     graft.plans.RollupRewrite.register(s, src, roll,
-      dims = Map("wallet" -> "wallet"),
+      dims = Seq((col("wallet"), "wallet")),
       sums = Seq((when($"side" === "buy", $"qty").otherwise(0.0), "bq")),
       countCol = Some("n"))
     val q = src.groupBy($"wallet")

@@ -77,12 +77,20 @@ class SeriesOpsSpec extends SparkSpec {
     //   strict ALSO breaks (a view repeat is an other-type-than-click
     //   interloper under the strict gate).
     // u3: clean view → click → purchase: all three reach 3.
+    // u4: view → click → view(repeat of the ALREADY-MATCHED step 1)
+    //   → purchase: plain reaches 3; strict breaks at gap2 (the view
+    //   is an other-type-than-purchase interloper); dedup ALSO breaks
+    //   at gap2 — CH strict_dedup interrupts on a repeat of ANY
+    //   matched condition, not just the one that opened the gap
+    //   (ADVICE r14: the old gate only watched 'click' there).
     val rows = Seq(
       (1L, ts(0), "view"), (1L, ts(1), "purchase"), (1L, ts(2), "click"),
       (1L, ts(3), "purchase"),
       (2L, ts(0), "view"), (2L, ts(1), "view"), (2L, ts(2), "click"),
       (2L, ts(3), "purchase"),
-      (3L, ts(0), "view"), (3L, ts(1), "click"), (3L, ts(2), "purchase"))
+      (3L, ts(0), "view"), (3L, ts(1), "click"), (3L, ts(2), "purchase"),
+      (4L, ts(0), "view"), (4L, ts(1), "click"), (4L, ts(2), "view"),
+      (4L, ts(3), "purchase"))
     val ev = rows.toDF("wallet", "ts", "event_type")
     val steps = Seq("view", "click", "purchase")
     def levels(df: org.apache.spark.sql.DataFrame, c: String) =
@@ -90,13 +98,13 @@ class SeriesOpsSpec extends SparkSpec {
     val plain = Funnel.windowFunnel(ev, "wallet", "ts", "event_type", steps, 24)
     assert(plain.collect().map(r =>
       r.getAs[Long]("user") -> r.getAs[Int]("level")).toMap ==
-      Map(1L -> 3, 2L -> 3, 3L -> 3))
+      Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3))
     val strict = levels(Funnel.windowFunnelStrict(
       ev, "wallet", "ts", "event_type", steps, 24), "level_strict")
-    assert(strict == Map(1L -> 1, 2L -> 1, 3L -> 3), s"strict=$strict")
+    assert(strict == Map(1L -> 1, 2L -> 1, 3L -> 3, 4L -> 2), s"strict=$strict")
     val dedup = levels(Funnel.windowFunnelDedup(
       ev, "wallet", "ts", "event_type", steps, 24), "level_dedup")
-    assert(dedup == Map(1L -> 3, 2L -> 1, 3L -> 3), s"dedup=$dedup")
+    assert(dedup == Map(1L -> 3, 2L -> 1, 3L -> 3, 4L -> 2), s"dedup=$dedup")
   }
 
   test("Mann-Whitney average ranks: tie-heavy hand case") {
