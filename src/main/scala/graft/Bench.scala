@@ -114,6 +114,33 @@ object Bench {
       : Map[String, (Double, Double)] =
     steady.flatMap { case (n, s) =>
       baseline.get(n).map(b => n -> (s, b)) }.toMap
+  // ---- the >2x substantive weak-list (VERDICT r14 #2) ----------------
+  // med_sub keeps its 0.5 s population bar, but the WEAK-LIST bar
+  // carries hysteresis at 0.4 s: r14's min-of-two baseline regen pushed
+  // q_lb_explain (0.478 s) and q_volume_ma7 (0.473 s) a hair under the
+  // old 0.5 s bar, so the committed artifact's over2x_substantive
+  // structurally under-reported exactly the queries under watch. On
+  // top of the hysteresis, every query that has EVER crossed the bar
+  // in a committed artifact is pinned on a watch-list that ignores the
+  // bar entirely — a baseline regen can never hide a watched query
+  // again.
+  private[graft] val SubstantiveBar = 0.5
+  private[graft] val Over2xBar = 0.4
+  private[graft] val Over2xWatch: Set[String] = Set(
+    "q_vwap", "q_volume_ma7", "q_lb_explain", "q_portfolio_light",
+    "q_win_rate", "q_ledger_from_logs_full", "q_positions")
+  /** Pure renderer for over2x_substantive, unit-tested by
+    * BenchHeadlineSpec: name → ratio for every query whose ratio
+    * exceeds 2x and whose baseline clears the hysteresis bar OR whose
+    * name is on the pinned watch-list. */
+  private[graft] def over2xJson(vsb: Map[String, (Double, Double)]): String =
+    vsb.toSeq
+      .collect { case (n, (s, b))
+          if (b >= Over2xBar || Over2xWatch(n)) && s / b > 2.0 => (n, s / b) }
+      .sortBy(-_._2)
+      .map { case (n, r) => s""""$n":${fmt2(r)}""" }
+      .mkString("{", ",", "}")
+
   private def mapJson(rs: Seq[(String, Double, Boolean)]): String =
     rs.map { case (k, v, ok) => s"\"$k\":" + (if (ok) fmt(v) else "-1") }
       .mkString("{", ",", "}")
@@ -186,7 +213,7 @@ object Bench {
         // engine (a 2 ms constant-gate oracle vs any Spark query is a
         // floor measurement by construction).
         val sum = vsb.values.map(_._1).sum / vsb.values.map(_._2).sum
-        val sub = vsb.collect { case (_, (s, b)) if b >= 0.5 => s / b }
+        val sub = vsb.collect { case (_, (s, b)) if b >= SubstantiveBar => s / b }
           .toSeq.sorted
         val subJson =
           if (sub.isEmpty) "" else s""""sub_n":${sub.size},"med_sub":${fmt2(med(sub))},"""
@@ -244,14 +271,10 @@ object Bench {
       .map { case (n, (s, b)) => s""""$n":${fmt2(s / b)}""" }
       .mkString("{", ",", "}")
     // the >2x SUBSTANTIVE set by name (VERDICT r13 nit): queries whose
-    // DuckDB oracle takes >=0.5s and whose ratio exceeds the 2x gate —
-    // explicit here so an outlier can never hide outside the headline's
-    // worst-10 window
-    val over2x = vsbFull.toSeq
-      .collect { case (n, (s, b)) if b >= 0.5 && s / b > 2.0 => (n, s / b) }
-      .sortBy(-_._2)
-      .map { case (n, r) => s""""$n":${fmt2(r)}""" }
-      .mkString("{", ",", "}")
+    // DuckDB oracle takes >= the substantive bar and whose ratio
+    // exceeds the 2x gate — explicit here so an outlier can never hide
+    // outside the headline's worst-10 window
+    val over2x = over2xJson(vsbFull)
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":${passes.length},"mv_warmup":${mapJson(mvWarmup)},"queries":${mapJson(rs)},$passJson,"failed":${failedJson(rs)},"vs_baseline":$vsbJson,"over2x_substantive":$over2x,"steady_scope":"all","mode":"$modeV","sf":"$sfDirV"}"""
     try {

@@ -56,6 +56,70 @@ object SparkEntry {
     graft.model.Views.cached(s, d, "wallet_token_flows")(
       Leaderboard.walletTokenFlows(wt(s, d)))
 
+  // ---- transparent rollups (VERDICT r14 #1) -------------------------
+  // The CH-PROJECTION economics for the substantive queries that sat at
+  // 2.3-2.9x vs the DuckDB baseline: a (token, day) trades rollup and a
+  // (wallet, market) flows rollup, registered once per (session, dir)
+  // with RollupRewrite. The served queries keep naming the RAW source;
+  // the rule substitutes the MV at analysis time, and each query's own
+  // driver hash proves the substitution computes the named computation.
+  private def tradesTokenDay(s: SparkSession, d: String): DataFrame =
+    graft.model.Views.cached(s, d, "trades_token_day")(
+      trades(s, d)
+        .groupBy(col("token_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(round(col("usd") * 10000).cast("long")).as("ui"),
+          sum(round(col("qty") * 10000).cast("long")).as("qi"),
+          sum(col("usd")).as("vol_dec"),
+          count(lit(1)).as("n")))
+  private def walletMarketFlows(s: SparkSession, d: String): DataFrame =
+    graft.model.Views.cached(s, d, "wallet_market_flows")(
+      walletTokenFlows(s, d).join(broadcast(markets(s, d)), Seq("token_id"))
+        .groupBy(col("wallet"), col("market"))
+        .agg(sum(col("trades")).as("trades"),
+          sum(col("bi")).as("bi"), sum(col("si")).as("si")))
+
+  /** Register the session rollups (idempotent — register() dedupes
+    * structurally). Sum partials are the same 1e-4-scaled longs /
+    * exact decimals the raw plans compute, so rewrites are
+    * value-identical, not just approximately equal. */
+  private def registerRollups(s: SparkSession, d: String): Unit = {
+    graft.plans.RollupRewrite.register(s, trades(s, d), tradesTokenDay(s, d),
+      dims = Seq((col("token_id"), "token_id"),
+        (date_trunc("day", col("ts")), "day")),
+      sums = Seq((round(col("usd") * 10000).cast("long"), "ui"),
+        (round(col("qty") * 10000).cast("long"), "qi"),
+        (col("usd"), "vol_dec")),
+      countCol = Some("n"))
+    graft.plans.RollupRewrite.register(s,
+      walletTokenFlows(s, d).join(broadcast(markets(s, d)), Seq("token_id")),
+      walletMarketFlows(s, d),
+      dims = Seq((col("wallet"), "wallet"), (col("market"), "market")),
+      sums = Seq((col("trades"), "trades"), (col("bi"), "bi"),
+        (col("si"), "si")),
+      countCol = None)
+  }
+
+  /** Apply the rollup rewrite to `q` and REQUIRE it fired: the
+    * rollup-served queries are fixed plans, so a non-firing rewrite is
+    * a bug to surface, not a silent fallback to the slow path. */
+  private def rolledUp(s: SparkSession, q: DataFrame): DataFrame = {
+    val analyzed = q.queryExecution.analyzed
+    val plan = new graft.plans.RollupRewrite.RewriteRule(s)(analyzed)
+    require(plan != analyzed, "rollup rewrite must fire")
+    org.apache.spark.sql.graft.ColumnBridge.ofRows(s, plan)
+  }
+
+  // 1-minute OHLCV candles as a session MV — the reference's
+  // candles_1m AggregatingMergeTree table is ingest-maintained; every
+  // candle query (1m/1h/15m/fill/interp) re-aggregates THESE partials
+  // instead of re-scanning the event stream (VERDICT r14 #3: the
+  // re-derivation per query was the q_candles_interp regression).
+  private def candles1m(s: SparkSession, d: String): DataFrame =
+    graft.model.Views.cached(s, d, "candles_1m")(
+      Candles.fromTicks(graft.model.Views.eventStream(s, d), "minute",
+        col("token_id"), col("ts"), col("event_id"), col("price"),
+        col("usd")))
+
   // Month-partitioned manifest-versioned trades table, built once per
   // (session, sfDir) in two commits split at 1997-01-01 — the driver
   // fixture behind q_versioned_scan. `ts` is the declared stats column
@@ -429,6 +493,9 @@ object SparkEntry {
     "last_price" -> ((s, d) => lastPrice(s, d)),
     "daily_flows" -> ((s, d) => dailyFlows(s, d)),
     "wallet_token_flows" -> ((s, d) => walletTokenFlows(s, d)),
+    "wallet_market_flows" -> ((s, d) => walletMarketFlows(s, d)),
+    "trades_token_day" -> ((s, d) => tradesTokenDay(s, d)),
+    "candles_1m" -> ((s, d) => candles1m(s, d)),
     "ledger" -> ((s, d) => graft.model.Views.ledger(s, d)),
     "ledger_open" -> ((s, d) => graft.model.Views.ledgerOpen(s, d)),
     "quant_base_qty" -> ((s, d) => quantBase(s, d, "qty")),
@@ -498,40 +565,27 @@ object SparkEntry {
     "q_balances" -> ((s, d) =>
       balances(s, d).orderBy(col("wallet"), col("token_id"))),
 
-    "q_candles_1m" -> ((s, d) => {
-      val ev = graft.model.Views.eventStream(s, d)
-      Candles.finalize(Candles.fromTicks(ev, "minute", col("token_id"), col("ts"),
-          col("event_id"), col("price"), col("usd")))
-        .orderBy(col("token_id"), col("bucket"))
-    }),
+    "q_candles_1m" -> ((s, d) =>
+      Candles.finalize(candles1m(s, d))
+        .orderBy(col("token_id"), col("bucket"))),
 
-    "q_candles_1h" -> ((s, d) => {
-      val ev = graft.model.Views.eventStream(s, d)
-      val c1m = Candles.fromTicks(ev, "minute", col("token_id"), col("ts"),
-        col("event_id"), col("price"), col("usd"))
-      Candles.finalize(Candles.reaggregate(c1m, "hour"))
-        .orderBy(col("token_id"), col("bucket"))
-    }),
+    "q_candles_1h" -> ((s, d) =>
+      Candles.finalize(Candles.reaggregate(candles1m(s, d), "hour"))
+        .orderBy(col("token_id"), col("bucket"))),
 
     // 15-minute candles re-aggregated from the 1m partials — the
     // arbitrary-interval path (5m/15m/4h/1w) of the reference's
     // /market/candles endpoint.
-    "q_candles_15m" -> ((s, d) => {
-      val ev = graft.model.Views.eventStream(s, d)
-      val c1m = Candles.fromTicks(ev, "minute", col("token_id"), col("ts"),
-        col("event_id"), col("price"), col("usd"))
+    "q_candles_15m" -> ((s, d) =>
       Candles.finalize(
-          Candles.reaggregateInterval(c1m, Candles.intervalSeconds("15m")))
-        .orderBy(col("token_id"), col("bucket"))
-    }),
+          Candles.reaggregateInterval(candles1m(s, d),
+            Candles.intervalSeconds("15m")))
+        .orderBy(col("token_id"), col("bucket"))),
 
     // Gap-filled hourly candles (CH WITH FILL): empty hours become
     // flat zero-volume candles at the previous close.
     "q_candles_fill" -> ((s, d) => {
-      val ev = graft.model.Views.eventStream(s, d)
-      val c1h = Candles.finalize(Candles.reaggregate(
-        Candles.fromTicks(ev, "minute", col("token_id"), col("ts"),
-          col("event_id"), col("price"), col("usd")), "hour"))
+      val c1h = Candles.finalize(Candles.reaggregate(candles1m(s, d), "hour"))
       Candles.gapFill(c1h, 3600)
         .orderBy(col("token_id"), col("bucket"))
     }),
@@ -540,10 +594,7 @@ object SparkEntry {
     // q_candles_fill's hold-forward): missing hourly closes are
     // interpolated between the nearest real closes, time-weighted.
     "q_candles_interp" -> ((s, d) => {
-      val ev = graft.model.Views.eventStream(s, d)
-      val c1h = Candles.finalize(Candles.reaggregate(
-        Candles.fromTicks(ev, "minute", col("token_id"), col("ts"),
-          col("event_id"), col("price"), col("usd")), "hour"))
+      val c1h = Candles.finalize(Candles.reaggregate(candles1m(s, d), "hour"))
       Candles.gapFillInterp(c1h, 3600)
         .orderBy(col("token_id"), col("bucket"))
     }),
@@ -574,9 +625,25 @@ object SparkEntry {
     "q_leaderboard_window" -> ((s, d) =>
       Leaderboard.leaderboardWindow(wt(s, d), "1996-01-01", "1997-01-01", 100)),
 
-    "q_lb_explain" -> ((s, d) =>
-      Leaderboard.explainFromFlows(walletTokenFlows(s, d), markets(s, d))
-        .orderBy(col("wallet"), col("market"))),
+    // Served by the wallet_market_flows rollup via RollupRewrite
+    // (VERDICT r14 #1): the query names the flows⋈markets re-agg; the
+    // rule substitutes the (wallet, market) MV, so per-query work is a
+    // re-agg over the market-grain rollup instead of the token-grain
+    // flows. The sums are exact 1e-4-scaled longs either way.
+    "q_lb_explain" -> ((s, d) => {
+      registerRollups(s, d)
+      val agg = walletTokenFlows(s, d)
+        .join(broadcast(markets(s, d)), Seq("token_id"))
+        .groupBy(col("wallet"), col("market"))
+        .agg(sum(col("trades")).as("trades"),
+          sum(col("bi")).as("bi"), sum(col("si")).as("si"))
+      rolledUp(s, agg)
+        .select(col("wallet"), col("market"), col("trades"),
+          (col("bi") / 10000.0).as("buy_usd"),
+          (col("si") / 10000.0).as("sell_usd"),
+          ((col("si") - col("bi")) / 10000.0).as("net_cashflow_usd"))
+        .orderBy(col("wallet"), col("market"))
+    }),
 
     "q_positions" -> ((s, d) =>
       Positions.positionsFromFlows(balances(s, d), walletTokenFlows(s, d),
@@ -2238,25 +2305,25 @@ object SparkEntry {
     // scaled-long sums (usd/qty ≤4-decimals-exact); each integer sum
     // divides back to double BEFORE the vwap ratio so the rounding
     // stages match the oracle's decimal-sum-then-cast exactly
-    "q_vwap" -> ((s, d) =>
-      // ONE range exchange serves BOTH the aggregate's clustering and
-      // the output order (RangePartitioning(token, day) satisfies
-      // ClusteredDistribution(token, day)): measured 0.99 -> 0.83 s
-      // steady at sf0.1 vs the partial-agg + hash-exchange + range-
-      // sort plan — at a 10:1 row:group ratio the saved exchange
-      // outweighs the lost map-side combine
-      trades(s, d)
-        .select(col("token_id"), date_trunc("day", col("ts")).as("day"),
-          col("usd"), col("qty"))
-        .repartitionByRange(col("token_id"), col("day"))
-        .groupBy(col("token_id"), col("day"))
+    // Served by the trades_token_day rollup via RollupRewrite (VERDICT
+    // r14 #1 — the rollup rewrite, not more plan hand-tuning): the
+    // query names raw trades grouped at (token, day); the rule
+    // substitutes the session MV, so per-query work is a re-agg over
+    // token×day rows. Partials are the same 1e-4-scaled long sums the
+    // raw plan computed, so the result is value-identical.
+    "q_vwap" -> ((s, d) => {
+      registerRollups(s, d)
+      val agg = trades(s, d)
+        .groupBy(col("token_id"), date_trunc("day", col("ts")).as("day"))
         .agg(sum(round(col("usd") * 10000).cast("long")).as("ui"),
           sum(round(col("qty") * 10000).cast("long")).as("qi"),
           count(lit(1)).as("trades"))
+      rolledUp(s, agg)
         .select(col("token_id"), col("day"),
           ((col("ui") / 10000.0) / (col("qi") / 10000.0)).as("vwap"),
           (col("ui") / 10000.0).as("volume_usd"), col("trades"))
-        .sortWithinPartitions(col("token_id"), col("day"))),
+        .orderBy(col("token_id"), col("day"))
+    }),
 
     // ClickHouse groupArray(5)-style ordered collection: each wallet's
     // 5 most recent tokens as a CSV string. A row_number window would
@@ -2276,18 +2343,25 @@ object SparkEntry {
         .orderBy(col("wallet"))
     }),
 
+    // Served by the trades_token_day rollup via RollupRewrite (VERDICT
+    // r14 #1): the daily-volume aggregate names raw trades; the rule
+    // substitutes the MV's exact decimal partial (vol_dec). The re-agg
+    // reuses the cached rollup's hash(token, day) partitioning (no
+    // exchange), then ONE range exchange on token_id serves BOTH the
+    // MA window (RangePartitioning(token) clusters each token) and
+    // the output order (equal tokens share a partition, so the local
+    // (token, day) sort is globally ordered) — 1 shuffle total where
+    // the r14 plan paid 2 over a frame the rollup barely compresses
+    // (596 k token-days from 600 k trades at sf0.1).
     "q_volume_ma7" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      // one keyed exchange feeds BOTH the aggregate and the window:
-      // hash-partitioning on token_id alone satisfies the groupBy's
-      // ClusteredDistribution on (token_id, day) AND the window's
-      // partitionBy(token_id), so neither inserts its own shuffle —
-      // 2 exchanges total (this one + the output sort) instead of 3
-      val daily = trades(s, d)
-        .repartition(col("token_id"))
+      registerRollups(s, d)
+      val daily0 = trades(s, d)
         .groupBy(col("token_id"), date_trunc("day", col("ts")).as("day"))
         .agg(sum(col("usd")).as("vol_dec"))
+      val daily = rolledUp(s, daily0)
         .withColumn("day_num", datediff(col("day"), lit("1990-01-01")))
+        .repartitionByRange(col("token_id"))
       val w = Window.partitionBy(col("token_id")).orderBy(col("day_num"))
         .rangeBetween(-6, 0)
       daily
@@ -2297,7 +2371,7 @@ object SparkEntry {
         .withColumn("ma7_usd", sum(col("vol_dec")).over(w).cast("double") /
           count(lit(1)).over(w))
         .select(col("token_id"), col("day"), col("volume_usd"), col("ma7_usd"))
-        .orderBy(col("token_id"), col("day"))
+        .sortWithinPartitions(col("token_id"), col("day"))
     }),
 
     // ROLLUP subtotals (ClickHouse WITH ROLLUP): volumes by

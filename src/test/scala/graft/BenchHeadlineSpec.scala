@@ -133,6 +133,28 @@ class BenchHeadlineSpec extends AnyFunSuite {
     assert(line.endsWith("""}"""))
   }
 
+  test("over2x_substantive cannot under-report: hysteresis bar + pinned " +
+    "watch-list (VERDICT r14 #2)") {
+    // a watched query whose baseline slid under EVERY bar still shows
+    val vsb = Map(
+      "q_volume_ma7" -> (1.3, 0.35),     // watched, sub-bar baseline
+      "q_lb_explain" -> (1.19, 0.478),   // watched, in the 0.4-0.5 gap
+      "q_other_slow" -> (1.0, 0.45),     // unwatched, hysteresis keeps it
+      "q_tiny_gate" -> (0.4, 0.002),     // 200x but a 2 ms oracle: floor
+      "q_fine" -> (0.6, 0.6))            // substantive and inside 2x
+    val js = Bench.over2xJson(vsb)
+    assert(js.contains("\"q_volume_ma7\":3.71"), js)
+    assert(js.contains("\"q_lb_explain\":2.49"), js)
+    assert(js.contains("\"q_other_slow\":2.22"), js)
+    assert(!js.contains("q_tiny_gate"),
+      "a 2 ms oracle measures Spark's fixed floor, not the engine")
+    assert(!js.contains("q_fine"))
+    // every query that has ever crossed the bar is pinned
+    for (q <- Seq("q_vwap", "q_volume_ma7", "q_lb_explain",
+        "q_portfolio_light", "q_win_rate", "q_ledger_from_logs_full"))
+      assert(Bench.Over2xWatch(q), s"$q must stay on the watch-list")
+  }
+
   test("scoped and bucketed runs never target the committed " +
     "BENCH_LOCAL.json (VERDICT r13 #3)") {
     assert(Bench.localDumpTarget("flat", scoped = false) ==
