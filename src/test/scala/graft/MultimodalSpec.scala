@@ -60,6 +60,70 @@ class MultimodalSpec extends SparkSpec {
     assert(hits.forall(r => r.getLong(0) != r.getLong(2)))
   }
 
+  // ---- REAL header decode (VERDICT r14 #6) ----------------------------
+
+  private def pngBytes(w: Int, h: Int, depth: Int, colorType: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(33)
+    bb.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(w).putInt(h)
+    bb.put(depth.toByte).put(colorType.toByte)
+    bb.put(0.toByte).put(0.toByte).put(0.toByte)  // comp/filter/interlace
+    bb.putInt(0xdeadbeef)                         // fake CRC
+    bb.array()
+  }
+
+  private def jpegBytes(w: Int, h: Int, nComp: Int,
+                        withSof: Boolean = true): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
+    b(0xff, 0xd8)                                       // SOI
+    b(0xff, 0xe0, 0x00, 0x10)                           // APP0 len 16
+    out.write("JFIF".getBytes("US-ASCII")); b(0x00)
+    b(0x01, 0x02, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00)
+    if (withSof) {
+      b(0xff, 0xc0, 0x00, 8 + 3 * nComp, 0x08)          // SOF0
+      b(h >> 8, h & 0xff, w >> 8, w & 0xff, nComp)
+      (1 to nComp).foreach(i => b(i, 0x11, 0x00))
+    }
+    b(0xff, 0xda, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3f, 0x00) // SOS
+    b(0xff, 0xd9)                                       // EOI
+    out.toByteArray
+  }
+
+  test("PNG IHDR + JPEG SOF0 parse real bytes; corrupt headers quarantine") {
+    val rows = Seq(
+      (1L, "png", pngBytes(640, 480, 8, 2)),      // rgb → 3 channels
+      (2L, "png", pngBytes(31, 7, 16, 6)),        // rgba16 → 4 channels
+      (3L, "jpeg", jpegBytes(1920, 1080, 3)),
+      (4L, "jpeg", jpegBytes(5, 9, 1)),
+      (5L, "png", pngBytes(10, 10, 8, 0).take(20)),          // truncated
+      (6L, "jpeg", jpegBytes(64, 64, 3, withSof = false)),   // no SOF
+      (7L, "???", "not an image at all".getBytes("UTF-8")),  // unknown
+      (8L, "png", { val b = pngBytes(9, 9, 8, 0); b(25) = 9; b })
+    ).toDF("media_id", "kind", "data")
+    val got = Multimodal.decodeHeaders(spark, rows, batchSize = 3)
+      .collect().map(r => r.media_id -> r).toMap
+    def dims(id: Long) = {
+      val r = got(id)
+      (r.format, r.width.get, r.height.get, r.bit_depth.get, r.channels.get)
+    }
+    assert(dims(1L) == ("png", 640L, 480L, 8L, 3L))
+    assert(dims(2L) == ("png", 31L, 7L, 16L, 4L))
+    assert(dims(3L) == ("jpeg", 1920L, 1080L, 8L, 3L))
+    assert(dims(4L) == ("jpeg", 5L, 9L, 8L, 1L))
+    // corrupt rows quarantine into (ok=false, err) — never an exception
+    for ((id, fmt, err) <- Seq(
+        (5L, "png", "truncated"), (6L, "jpeg", "no SOF before scan"),
+        (7L, "unknown", "unknown format"), (8L, "png", "bad color type 9"))) {
+      val r = got(id)
+      assert(!r.ok && r.format == fmt && r.err.contains(err) &&
+        r.width.isEmpty && r.channels.isEmpty, s"row $id: $r")
+    }
+    assert(got.values.count(_.ok) == 4)
+  }
+
   test("frame sampling: every Nth fixed-size frame, exact bytes, lazy fan-out") {
     // "video" = 10 frames of 4 bytes each: frame i is [i, i, i, i]
     val vid = Array.tabulate(40)(b => (b / 4).toByte)
