@@ -128,6 +128,7 @@ object Views {
     // assignment holds a persisted frame per corpus, the PCA model
     // driver arrays — both rebuildable on next touch
     graft.operators.IvfIndex.reset(spark)
+    graft.operators.PqIndex.reset(spark)
     graft.operators.EmbeddingCompress.reset(spark)
     ()
   }

@@ -41,6 +41,32 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.5, s"recall=$recall")
   }
 
+  test("PQ at full probe with an exhaustive shortlist equals brute force " +
+    "exactly (the rerank is the proof the ADC path feeds real candidates)") {
+    import graft.operators.{IvfIndex, PqIndex}
+    val nrm = Similarity.normalized(Tables.embeddings(spark, sf), "vec_id",
+      "embedding")
+    val n = nrm.count().toInt
+    val q = nrm.filter(col("id") < 3)
+    val ivf = IvfIndex.buildCached(spark, nrm, corpusKey = sf + "#pqspec",
+      nlist = 16)
+    val pq = PqIndex.buildCached(spark, ivf, corpusKey = sf + "#pqspec",
+      dim = 64, m = 8)
+    // nprobe = all cells, shortlist > corpus: the PQ path degenerates
+    // to exact brute force — codes only order the shortlist, and the
+    // rerank reads true vectors
+    val got = PqIndex.topK(spark, ivf, pq, q, k = 5, nprobe = 16,
+        refine = n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = Similarity.bruteForceTopK(nrm, q, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want, "full-probe exhaustive-shortlist PQ must equal " +
+      "brute force row-for-row")
+    // codes are byte-range: m values in [0, ksub) with ksub <= 256
+    val mx = pq.coded.select(max(array_max(col("codes")))).head().getInt(0)
+    assert(pq.ksub <= 256 && mx < pq.ksub)
+  }
+
   test("int8 quantization round-trips within scale/127 per component") {
     import spark.implicits._
     val df = Seq((1L, Array(0.6, -0.8, 0.0, 0.05))).toDF("id", "unit")
