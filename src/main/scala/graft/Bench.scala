@@ -427,6 +427,10 @@ object Bench {
       def prio(n: String) = n match {
         case "trades" | "event_stream" => 0
         case x if x.startsWith("logs_") => 1
+        // wallet_token_flows must warm BEFORE wallet_market_flows
+        // (alphabetical order inverts the dependency): each label's
+        // time stays its own build
+        case "wallet_token_flows" => 1
         case _ => 2
       }
       val mvs = SparkEntry.sessionViews.toSeq.sortBy { case (n, _) => (prio(n), n) }

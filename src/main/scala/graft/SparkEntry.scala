@@ -747,8 +747,10 @@ object SparkEntry {
         .orderBy(col("wallet"), col("day"))),
 
     "q_portfolio_light" -> ((s, d) =>
+      // in-partition sort: the light plan's single wallet-range
+      // exchange already clusters wallets, so this is globally ordered
       Snapshots.portfolioHistoryLight(wt(s, d), lastPrice(s, d))
-        .orderBy(col("wallet"), col("day"))),
+        .sortWithinPartitions(col("wallet"), col("day"))),
 
     // Versioned-store driver surface (§2 #145/#146/#149/#150 promoted
     // from test-only to a hash-green oracle): trades land in a

@@ -117,6 +117,13 @@ object Snapshots {
       .withColumn("value_delta_s",
         floor(col("signed_qty") * coalesce(col("last_price"), lit(0.0)) * 1e4)
           .cast("long"))
+      // ONE range exchange on wallet serves the whole chain (r15):
+      // RangePartitioning(wallet) satisfies the groupBy's
+      // ClusteredDistribution(wallet, day), the running-total window's
+      // partitionBy(wallet), AND — equal wallets share a partition —
+      // the caller's (wallet, day) output order as an in-partition
+      // sort. The r14 plan paid three exchanges over the same rows.
+      .repartitionByRange(col("wallet"))
       .groupBy(col("wallet"), date_trunc("day", col("ts")).as("day"))
       // 1e-4-scaled LONG cash sum (usd ≤4-decimals-exact): integer
       // partial agg, one /1e4 per output row — same exact value as
