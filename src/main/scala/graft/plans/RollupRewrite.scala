@@ -127,7 +127,7 @@ object RollupRewrite {
   }
 
   private def tryRewrite(agg: Aggregate, child: LogicalPlan,
-                         r: Registration): Option[Aggregate] = {
+                         r: Registration): Option[LogicalPlan] = {
     val rollupAttr: Map[String, Attribute] =
       r.rollup.output.map(a => a.name -> a).toMap
     if (!(r.dims ++ r.sums ++ r.mins ++ r.maxs)
@@ -153,6 +153,40 @@ object RollupRewrite {
 
     val newGroupings: Option[Seq[Expression]] =
       traverse(agg.groupingExpressions.map(g => dimFor(g)))
+
+    // EXACT-GRAIN detection: when the query groups by EVERY registered
+    // dim, each rollup row already IS one query group (the rollup is
+    // unique per dims by the registration contract), so the rewrite
+    // needs no re-aggregation at all — sum(e) is the partial column,
+    // count(*) is the row-count column, min/max are their partials. A
+    // CH PROJECTION hit at matching grain reads the projection parts
+    // the same way. The Project also preserves the rollup MV's
+    // partitioning and sort order for downstream operators, which an
+    // Aggregate would destroy.
+    val exactGrain = r.dims.nonEmpty && newGroupings.exists(gs =>
+      gs.collect { case a: Attribute => a.exprId }.toSet.size == r.dims.size)
+
+    def partialFor(fn: AggregateFunction): Option[Expression] = {
+      def direct(pairs: Seq[(Expression, String)], e: Expression) =
+        pairs.collectFirst {
+          case (regE, partial)
+              if toReg(e).canonicalized == regE.canonicalized =>
+            val a = rollupAttr(partial)
+            if (a.dataType == fn.dataType) a else Cast(a, fn.dataType)
+        }
+      fn match {
+        case Sum(e, _) => direct(r.sums, e)
+        case Count(children)
+            if children.forall(c => c.foldable && c.eval() != null) =>
+          r.countCol.map { c =>
+            val a = rollupAttr(c)
+            if (a.dataType == fn.dataType) a else Cast(a, fn.dataType)
+          }
+        case Min(e) => direct(r.mins, e)
+        case Max(e) => direct(r.maxs, e)
+        case _ => None
+      }
+    }
 
     def rewriteAggFn(fn: AggregateFunction): Option[Expression] = fn match {
       case Sum(e, mode) =>
@@ -196,13 +230,14 @@ object RollupRewrite {
       case _ => None
     }
 
-    val newAggs: Option[Seq[NamedExpression]] =
+    def outputList(aggFn: AggregateFunction => Option[Expression])
+        : Option[Seq[NamedExpression]] =
       traverse(agg.aggregateExpressions.map {
         case a: AttributeReference =>
           dimFor(a).map(ra => Alias(ra, a.name)(exprId = a.exprId))
         case al @ Alias(ae: AggregateExpression, name)
             if ae.filter.isEmpty && !ae.isDistinct =>
-          rewriteAggFn(ae.aggregateFunction)
+          aggFn(ae.aggregateFunction)
             .map(e => Alias(e, name)(exprId = al.exprId))
         // a grouping expression (plain column OR derived key like
         // date_trunc) projected under an alias
@@ -212,8 +247,15 @@ object RollupRewrite {
         case _ => None
       })
 
-    for (gs <- newGroupings; as <- newAggs)
-      yield Aggregate(gs, as, r.rollup)
+    if (exactGrain) {
+      // prefer the aggregation-free form; fall back to the re-agg form
+      // if some aggregate has a partial only the re-agg can express
+      outputList(partialFor).map(Project(_, r.rollup))
+        .orElse(for (gs <- newGroupings; as <- outputList(rewriteAggFn))
+          yield Aggregate(gs, as, r.rollup))
+    } else
+      for (gs <- newGroupings; as <- outputList(rewriteAggFn))
+        yield Aggregate(gs, as, r.rollup)
   }
 
   private def traverse[T](xs: Seq[Option[T]]): Option[Seq[T]] =

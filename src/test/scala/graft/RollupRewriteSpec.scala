@@ -107,6 +107,28 @@ class RollupRewriteSpec extends SparkSpec {
     assert(got == q.agg(sum("ui"), sum("trades")).head())
   }
 
+  test("exact grain (grouping = ALL dims) rewrites to a PROJECT, no re-agg") {
+    registered
+    val q = wt.groupBy(col("wallet"), col("token_id"))
+      .agg(sum(when(col("side") === "buy", col("qty")).otherwise(lit(0.0)))
+        .as("buy_qty"),
+        count(lit(1)).as("trades"))
+    val plan = rule(q.queryExecution.analyzed)
+    assert(plan.exists(_.canonicalized == flows.queryExecution.analyzed.canonicalized))
+    // the rollup row IS the group: no Aggregate above the rollup plan
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.length == 1,
+      s"exact-grain rewrite must not re-aggregate (found ${aggs.length} " +
+        "Aggregates; 1 = the rollup's own)")
+    val got = ColumnBridge.ofRows(spark, plan)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val want = q.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getLong(3))).toSet
+    assert(got == want, "exact-grain projection must be row-identical")
+    assert(got.nonEmpty)
+  }
+
   test("global (ungrouped) count over an empty source rewrites to 0, not NULL") {
     RollupRewrite.clear(spark)
     val src = wt.filter(col("qty") < 0) // provably empty
