@@ -131,5 +131,20 @@ class PlanAuditSpec extends SparkSpec {
       s"q_win_rate: ${shuffles("q_win_rate")}")
     assert(shuffles("q_lb_explain") <= 2,
       s"q_lb_explain: ${shuffles("q_lb_explain")}")
+    // r15 exact-grain/MV-served shapes: the rewrite is a Project over
+    // the pre-partitioned rollup, so the whole query carries at most
+    // the window/union exchange (+1 slack for InMemoryTableScan
+    // partitioning-forwarding variance across confs)
+    assert(shuffles("q_vwap") == 0,
+      s"q_vwap must be a pure projection of the sorted MV: ${shuffles("q_vwap")}")
+    assert(shuffles("q_volume_ma7") <= 2,
+      s"q_volume_ma7: ${shuffles("q_volume_ma7")}")
+    assert(shuffles("q_price_asof") <= 2,
+      s"q_price_asof: ${shuffles("q_price_asof")}")
+    assert(shuffles("q_price_asof_tol") <= 2,
+      s"q_price_asof_tol: ${shuffles("q_price_asof_tol")}")
+    // one wallet-range exchange serves groupBy + window + output order
+    assert(shuffles("q_portfolio_light") <= 1,
+      s"q_portfolio_light: ${shuffles("q_portfolio_light")}")
   }
 }
