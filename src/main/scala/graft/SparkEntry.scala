@@ -112,6 +112,22 @@ object SparkEntry {
       sums = Seq((col("trades"), "trades"), (col("bi"), "bi"),
         (col("si"), "si")),
       countCol = None)
+    // the two-sided explode → flows rollup, full partial set (the
+    // q_rollup_auto gate registers a subset of the same pair — both
+    // co-exist; the rule tries each)
+    val ui = round(col("usd") * 10000).cast("long")
+    graft.plans.RollupRewrite.register(s, wt(s, d), walletTokenFlows(s, d),
+      dims = Seq((col("wallet"), "wallet"), (col("token_id"), "token_id")),
+      sums = Seq(
+        (when(col("side") === "buy", col("qty")).otherwise(lit(0.0)),
+          "buy_qty"),
+        (when(col("side") === "sell", col("qty")).otherwise(lit(0.0)),
+          "sell_qty"),
+        (when(col("side") === "buy", ui).otherwise(0L), "bi"),
+        (when(col("side") === "sell", ui).otherwise(0L), "si"),
+        (col("qty"), "tq")),
+      countCol = Some("trades"),
+      maxs = Seq((col("qty"), "mxq")))
   }
 
   /** Apply the rollup rewrite to `q` and REQUIRE it fired: the
@@ -1360,10 +1376,17 @@ object SparkEntry {
     // types). Two partial-agg shuffles; values cast to BIGINT before
     // formatting (qty is integral) so both engines print identically.
     "q_summap" -> ((s, d) => {
-      val g = wt(s, d)
+      registerRollups(s, d)
+      // exact grain ⇒ Project over the flows MV: the explode and its
+      // (wallet, token) shuffle never run per query (r15; the casts
+      // live OUTSIDE the aggregate so the rewrite sees bare
+      // sum/max partials)
+      val g0 = wt(s, d)
         .groupBy(col("wallet"), col("token_id"))
-        .agg(sum(col("qty")).cast("long").as("sq"),
-          max(col("qty")).cast("long").as("mq"))
+        .agg(sum(col("qty")).as("sqd"), max(col("qty")).as("mqd"))
+      val g = rolledUp(s, g0)
+        .select(col("wallet"), col("token_id"),
+          col("sqd").cast("long").as("sq"), col("mqd").cast("long").as("mq"))
       g.groupBy(col("wallet"))
         .agg(sort_array(collect_list(
           struct(col("token_id"), col("sq"), col("mq")))).as("m"))

@@ -243,7 +243,13 @@ object Leaderboard {
         sum(when(col("side") === "sell", col("qty")).otherwise(lit(0.0)))
           .as("sell_qty"),
         sum(when(col("side") === "buy", ui).otherwise(0L)).as("bi"),
-        sum(when(col("side") === "sell", ui).otherwise(0L)).as("si"))
+        sum(when(col("side") === "sell", ui).otherwise(0L)).as("si"),
+        // side-blind qty partials (r15): the sumMap/maxMap report
+        // re-aggregates THESE via the rollup rewrite instead of
+        // re-shuffling the explode (qty values are integral, so the
+        // double sums are exact)
+        sum(col("qty")).as("tq"),
+        max(col("qty")).as("mxq"))
   }
 
   /** [[explain]] re-aggregated from [[walletTokenFlows]] partials —
