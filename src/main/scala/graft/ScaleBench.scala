@@ -129,9 +129,15 @@ object ScaleBench {
                            // (token, sums) — per-key state ∝ that
                            // wallet's distinct tokens (density axis
                            // is the per-key map-growth story)
-    "q_mann_whitney")      // rank test: one keyed sort, two window
+    "q_mann_whitney",      // rank test: one keyed sort, two window
                            // frames + fold — per-key cost ∝ fills
                            // per token (density axis)
+    "q_ann_pq",            // IVF-PQ: fits on the capped hash sample
+                           // (O(1) past fitCap), encode + ADC scan
+                           // O(n·m) — should track the corpus scan
+    "q_multimodal_decode") // per-row byte parse: scan-stage, zero
+                           // shuffles before the output sort — the
+                           // purest linear shape in the registry
 
   private def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRecursively)
