@@ -2800,6 +2800,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // By-residual IVF-PQ (Faiss's default recipe): codes quantize
+    // x − centroid(cell), ADC adds the exact per-cell ⟨q, centroid⟩
+    // term. Rows-only; recall gated ≥0.85 on both corpus shapes by
+    // q_ann_recall's pqr rows.
+    "q_ann_pqr" -> ((s, d) => {
+      val nrm = Similarity.normalized(Tables.embeddings(s, d), "vec_id", "embedding")
+      val model = IvfIndex.buildCached(s, nrm, corpusKey = d, nlist = 16)
+      val pqr = PqIndex.buildCached(s, model, corpusKey = d + ":pqr",
+        dim = 64, m = 8, byResidual = true)
+      PqIndex.topK(s, model, pqr, nrm.filter(col("id") < 5), k = 10,
+          nprobe = 12, refine = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ANN recall gate: every approximate method's recall@10 against
     // the exact brute-force top-k, reduced to a hash-checkable
     // (method, bar, recall_ge_bar) row enforced by the driver's
@@ -2853,6 +2867,11 @@ object SparkEntry {
         // already at refine=5.
         val pq = PqIndex.buildCached(s, model, corpusKey = cacheKey + ":pq",
           dim = 64, m = 8)
+        // and the BY-RESIDUAL variant (Faiss's IVF-PQ default): codes
+        // cover the within-cell spread, ADC adds the exact
+        // ⟨q, centroid⟩ term per probed cell — same operating point
+        val pqr = PqIndex.buildCached(s, model, corpusKey = cacheKey + ":pqr",
+          dim = 64, m = 8, byResidual = true)
         gate("ivf", 0.9, IvfIndex.topK(s, model, queries, k = 10, nprobe = 8))
           .unionByName(gate("ivf2", 0.9,
             IvfIndex.topKHier(s, hier, queries, k = 10, nprobe1 = 3,
@@ -2864,6 +2883,9 @@ object SparkEntry {
             Similarity.sqTopK(corpus, queries, k = 10, refine = 4)))
           .unionByName(gate("pq", 0.85,
             PqIndex.topK(s, model, pq, queries, k = 10, nprobe = 12,
+              refine = 20)))
+          .unionByName(gate("pqr", 0.85,
+            PqIndex.topK(s, model, pqr, queries, k = 10, nprobe = 12,
               refine = 20)))
       }
       val emb = Tables.embeddings(s, d)
@@ -5215,6 +5237,7 @@ object SparkEntry {
         |  ('ivf2', 'isotropic', 0.9, true), ('ivf2', 'clustered', 0.9, true),
         |  ('lsh', 'isotropic', 0.6, true), ('lsh', 'clustered', 0.6, true),
         |  ('pq', 'isotropic', 0.85, true), ('pq', 'clustered', 0.85, true),
+        |  ('pqr', 'isotropic', 0.85, true), ('pqr', 'clustered', 0.85, true),
         |  ('sq', 'isotropic', 0.9, true), ('sq', 'clustered', 0.9, true))
         |  t(method, shape, bar, recall_ge_bar)
         |ORDER BY method, shape""".stripMargin,

@@ -34,12 +34,17 @@ import org.apache.spark.sql.functions._
 object PqIndex {
 
   /** `codebooks(j)` = subquantizer j's flattened ksub×dsub matrix;
-    * `coded` = (id, unit, cell, codes) with `codes(j)` ∈ [0, ksub). */
+    * `coded` = (id, unit, cell, codes) with `codes(j)` ∈ [0, ksub).
+    * `byResidual` = true quantizes x − coarse_centroid(cell) (Faiss's
+    * IVF-PQ default): the codes only have to cover the within-cell
+    * spread, and ADC adds the exact ⟨q, centroid(cell)⟩ term per
+    * probed cell. */
   final case class PqModel(codebooks: Array[Array[Double]], m: Int,
-                           dsub: Int, ksub: Int, coded: DataFrame)
+                           dsub: Int, ksub: Int, coded: DataFrame,
+                           byResidual: Boolean = false)
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Int, Int, Long, Long), PqModel]()
+    (String, String, Int, Int, Long, Long, Boolean), PqModel]()
 
   /** Deterministic ~fitCap-row hash sample (the IvfIndex recipe: train
     * on a sample, encode everything). */
@@ -53,39 +58,65 @@ object PqIndex {
     * a multiple of ksub training points per subspace) up to the
     * standard 256 ceiling — at 256 each code fits one byte. */
   def build(spark: SparkSession, ivf: IvfIndex.Model, dim: Int, m: Int,
-            seed: Long = 42L, fitCap: Long = 65536L): PqModel = {
+            seed: Long = 42L, fitCap: Long = 65536L,
+            byResidual: Boolean = false): PqModel = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val dsub = dim / m
+    val flatIvf = typedLit(ivf.centroids.flatten.toSeq)
+    // the vector the subquantizers see: the raw unit vector, or its
+    // within-cell residual (one zip_with in the same scan)
+    val encCol =
+      if (byResidual)
+        zip_with(col("unit"),
+          slice(flatIvf, col("cell") * dim + 1, lit(dim)), (a, b) => a - b)
+      else col("unit")
     val base = ivf.assigned // (id, unit, cell), session-persisted
     val n = graft.model.Views.memoizedStat(base)(_.count())
     val ksub = math.max(16L, math.min(256L, n / 8L)).toInt
-    val fit = sampled(base, fitCap, n)
-    val codebooks = (0 until m).map { j =>
-      val sub = fit.select(
-        array_to_vector(slice(col("unit"), j * dsub + 1, dsub)).as("fv"))
-      val km = new KMeans().setK(ksub).setSeed(seed + j).setFeaturesCol("fv")
-        .setPredictionCol("c").fit(sub)
-      km.clusterCenters.flatMap(_.toArray)
-    }.toArray
+    val sample = sampled(base, fitCap, n)
+    // persist the filtered sample (8 fits re-read it) — but never
+    // re-persist/unpersist the session-owned assigned frame itself
+    val fitIsBase = sample eq base
+    val fit = if (fitIsBase) sample
+      else sample.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the m subquantizer fits are independent tiny jobs — run them
+    // CONCURRENTLY (Spark schedules jobs from multiple threads);
+    // serial fits paid ~1 s of fixed per-fit overhead × m on the
+    // cold path of every gate that builds an index
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val codebooks = Await.result(Future.traverse((0 until m).toList) { j =>
+      Future {
+        val sub = fit.select(
+          array_to_vector(slice(encCol, j * dsub + 1, dsub)).as("fv"))
+        val km = new KMeans().setK(ksub).setSeed(seed + j)
+          .setFeaturesCol("fv").setPredictionCol("c").fit(sub)
+        km.clusterCenters.flatMap(_.toArray)
+      }
+    }, Duration.Inf).toArray
+    if (!fitIsBase) { fit.unpersist(); () }
     val codeCols = (0 until m).map { j =>
       element_at(graft.functions.NearestCells.nearest_cells(
-        slice(col("unit"), j * dsub + 1, dsub),
+        slice(encCol, j * dsub + 1, dsub),
         typedLit(codebooks(j).toSeq), 1), 1).cast("int")
     }
     val coded = base.select(col("id"), col("unit"), col("cell"),
         array(codeCols: _*).as("codes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    PqModel(codebooks, m, dsub, ksub, coded)
+    PqModel(codebooks, m, dsub, ksub, coded, byResidual)
   }
 
   /** Session-cached [[build]] — ingest-time-index policy, same as
     * [[IvfIndex.buildCached]]. */
   def buildCached(spark: SparkSession, ivf: IvfIndex.Model, corpusKey: String,
                   dim: Int, m: Int, seed: Long = 42L,
-                  fitCap: Long = 65536L): PqModel =
+                  fitCap: Long = 65536L,
+                  byResidual: Boolean = false): PqModel =
     cache.computeIfAbsent(
-      (spark.sparkContext.applicationId, corpusKey, dim, m, seed, fitCap),
-      _ => build(spark, ivf, dim, m, seed, fitCap))
+      (spark.sparkContext.applicationId, corpusKey, dim, m, seed, fitCap,
+        byResidual),
+      _ => build(spark, ivf, dim, m, seed, fitCap, byResidual))
 
   /** [[graft.model.Views.reset]] hook. */
   def reset(spark: SparkSession): Unit = {
@@ -118,10 +149,22 @@ object PqIndex {
   def topK(spark: SparkSession, ivf: IvfIndex.Model, pq: PqModel,
            queries: DataFrame, k: Int, nprobe: Int, refine: Int): DataFrame = {
     val flatIvf = typedLit(ivf.centroids.flatten.toSeq)
-    val probes = queries.select(col("id").as("query_id"), col("unit").as("qu"),
-        lutCol(pq, col("unit")).as("lut"),
-        explode(graft.functions.NearestCells.nearest_cells(
-          col("unit"), flatIvf, nprobe)).as("cell"))
+    val dim = pq.m * pq.dsub
+    val base = queries.select(col("id").as("query_id"), col("unit").as("qu"),
+      lutCol(pq, col("unit")).as("lut"),
+      explode(graft.functions.NearestCells.nearest_cells(
+        col("unit"), flatIvf, nprobe)).as("cell"))
+    // by-residual ADC decomposes ⟨q, x⟩ ≈ ⟨q, centroid(cell)⟩ +
+    // ⟨q, decode(residual codes)⟩: the first term is exact and
+    // per-(query, cell) — computed once on the probe row; the LUT
+    // (over the residual codebooks) supplies the second
+    val probes =
+      if (pq.byResidual)
+        base.withColumn("cell_dot",
+          aggregate(zip_with(col("qu"),
+            slice(flatIvf, col("cell") * dim + 1, lit(dim)), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x))
+      else base.withColumn("cell_dot", lit(0.0))
     val ksub = pq.ksub
     val adc = pq.coded
       .select(col("cell"), col("id").as("corpus_id"), col("unit").as("cu"),
@@ -129,10 +172,10 @@ object PqIndex {
       .join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("qu"), col("corpus_id"), col("cu"),
-        aggregate(
+        (col("cell_dot") + aggregate(
           transform(col("codes"),
             (c, j) => element_at(col("lut"), j * ksub + c + 1)),
-          lit(0.0), (acc, x) => acc + x).as("adc"))
+          lit(0.0), (acc, x) => acc + x)).as("adc"))
     val wShort = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("corpus_id"))
     val short = adc.withColumn("sr", row_number().over(wShort))

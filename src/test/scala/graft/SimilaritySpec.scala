@@ -55,16 +55,25 @@ class SimilaritySpec extends SparkSpec {
     // nprobe = all cells, shortlist > corpus: the PQ path degenerates
     // to exact brute force — codes only order the shortlist, and the
     // rerank reads true vectors
+    val want = Similarity.bruteForceTopK(nrm, q, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val got = PqIndex.topK(spark, ivf, pq, q, k = 5, nprobe = 16,
         refine = n)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    val want = Similarity.bruteForceTopK(nrm, q, 5)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(got == want, "full-probe exhaustive-shortlist PQ must equal " +
       "brute force row-for-row")
     // codes are byte-range: m values in [0, ksub) with ksub <= 256
     val mx = pq.coded.select(max(array_max(col("codes")))).head().getInt(0)
     assert(pq.ksub <= 256 && mx < pq.ksub)
+    // same property for the BY-RESIDUAL variant (the cell_dot term
+    // changes the ADC order, never the exhaustive-shortlist rerank)
+    val pqr = PqIndex.buildCached(spark, ivf, corpusKey = sf + "#pqspec",
+      dim = 64, m = 8, byResidual = true)
+    val gotR = PqIndex.topK(spark, ivf, pqr, q, k = 5, nprobe = 16,
+        refine = n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotR == want, "full-probe exhaustive-shortlist residual PQ " +
+      "must equal brute force row-for-row")
   }
 
   test("int8 quantization round-trips within scale/127 per component") {
