@@ -69,60 +69,77 @@ object TextAnalysis {
     }.getField("lang")
   }
 
+  /** One document's repetition report — the row-local value
+    * [[repetition]] computes. Option fields are NULL when the doc has
+    * too few tokens for that gram level (the relational form's
+    * conditional-sum semantics). */
+  final case class RepetitionRow(doc_id: Long, n_tokens: Long,
+                                 distinct_token_ratio: Double,
+                                 dup_bigram_frac: Option[Double],
+                                 dup_trigram_frac: Option[Double],
+                                 top_bigram_cover: Option[Double])
+
   /** Gopher-style repetition signals per document (Rae et al. 2021,
     * "Scaling Language Models", table A1): distinct-token ratio,
     * duplicate bi/tri-gram occurrence fractions, and the fraction of
-    * tokens covered by the single most frequent bigram. N-grams are
-    * built codegen-friendly: one posexplode of the token array, two
-    * `lead` columns over the (doc, pos) window, then a `stack` into
-    * tagged (n, gram) rows — no higher-order array functions
-    * (transform/slice are CodegenFallback and evaluated this
-    * per-element shape ~18× slower). Then one (doc, n, gram) count and
-    * one per-doc re-aggregation; everything is linear in token count
-    * and no per-row n-gram map is ever held in memory.
+    * tokens covered by the single most frequent bigram.
+    *
+    * ROW-LOCAL computation (r15): every signal is a function of one
+    * document's own gram multiset, so the operator is a per-row fold
+    * over the token array — zero shuffles before the caller's output
+    * sort, embarrassingly parallel at any corpus size, and the
+    * per-row state (two count maps) is bounded by that document's
+    * length. The relational form (posexplode → lead windows → stack →
+    * two aggregations) computes the identical report but pays a
+    * corpus-wide token exchange for adjacency that already exists in
+    * the row — measured 1.5-1.8 s vs ~0.35 s at sf0.1. Same
+    * mapPartitions justification as the Ledger fold and LTTB: the
+    * per-key computation is inherently sequential/local and Catalyst
+    * has no shuffle-free way to express it. Tokenization matches the
+    * relational form exactly (trim + split on " +"; empty text yields
+    * the single empty token both ways), and the Option fields
+    * reproduce its conditional-sum NULLs for docs below each gram
+    * level.
     */
   def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // lead() windows over the posexploded tokens: the window's doc_id
-    // exchange is real, but the alternative (building all three gram
-    // levels as array HOFs in the scan stage) measured 10× WORSE at
-    // sf0.1 — the nested transform/flatten/explode chain evaluates
-    // interpreted per element and materializes ~3·W structs per doc
-    // (tried and reverted, r15). The window form streams.
-    import org.apache.spark.sql.expressions.Window
-    val tokens = docs.select(col(idCol).as("doc_id"),
-      posexplode(split(trim(col(textCol)), " +")).as(Seq("pos", "w1")))
-    val wW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val exploded = tokens
-      .withColumn("w2", lead(col("w1"), 1).over(wW))
-      .withColumn("w3", lead(col("w1"), 2).over(wW))
-      .select(col("doc_id"), expr(
-        """stack(3,
-          |  1, w1,
-          |  2, IF(w2 IS NULL, NULL, concat_ws(' ', w1, w2)),
-          |  3, IF(w3 IS NULL, NULL, concat_ws(' ', w1, w2, w3)))
-          |AS (n, gram)""".stripMargin))
-      .filter(col("gram").isNotNull)
-    val counts = exploded.groupBy(col("doc_id"), col("n"), col("gram"))
-      .agg(count(lit(1)).as("c"))
-    // one aggregation from gram counts to the per-doc report:
-    // total(n) = Σc | n, uniq(n) = Σ1 | n — conditional sums replace
-    // the per-(doc,n) intermediate groupBy (one less exchange; the
-    // gram-count shuffle above is the one that matters at scale)
-    def at(n: Int, c: Column): Column = sum(when(col("n") === n, c))
-    def atMax(n: Int, c: Column): Column = max(when(col("n") === n, c))
-    counts.groupBy(col("doc_id"))
-      .agg(
-        at(1, col("c")).cast("long").as("n_tokens"),
-        (at(1, lit(1L)).cast("double") / at(1, col("c")).cast("double"))
-          .as("distinct_token_ratio"),
-        ((at(2, col("c")) - at(2, lit(1L))).cast("double") /
-          greatest(at(2, col("c")).cast("double"), lit(1.0)))
-          .as("dup_bigram_frac"),
-        ((at(3, col("c")) - at(3, lit(1L))).cast("double") /
-          greatest(at(3, col("c")).cast("double"), lit(1.0)))
-          .as("dup_trigram_frac"),
-        (atMax(2, col("c")).cast("double") * 2.0 /
-          at(1, col("c")).cast("double")).as("top_bigram_cover"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("_1"), col(textCol).as("_2"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val ws = (if (text == null) "" else text).trim.split(" +", -1)
+        val n = ws.length
+        val uni = new java.util.HashSet[String]()
+        var i = 0
+        while (i < n) { uni.add(ws(i)); i += 1 }
+        var uniq2 = 0L; var maxB = 0L; var uniq3 = 0L
+        if (n >= 2) {
+          val big = new java.util.HashMap[String, Long]()
+          i = 0
+          while (i < n - 1) {
+            val k = ws(i) + " " + ws(i + 1)
+            val c = big.merge(k, 1L, (a, b) => a + b)
+            if (c > maxB) maxB = c
+            i += 1
+          }
+          uniq2 = big.size.toLong
+        }
+        if (n >= 3) {
+          val tri = new java.util.HashSet[String]()
+          i = 0
+          while (i < n - 2) {
+            tri.add(ws(i) + " " + ws(i + 1) + " " + ws(i + 2)); i += 1
+          }
+          uniq3 = tri.size.toLong
+        }
+        RepetitionRow(id, n.toLong,
+          uni.size.toDouble / n.toDouble,
+          if (n >= 2) Some((n - 1 - uniq2).toDouble /
+            math.max(n - 1, 1).toDouble) else None,
+          if (n >= 3) Some((n - 2 - uniq3).toDouble /
+            math.max(n - 2, 1).toDouble) else None,
+          if (n >= 2) Some(maxB.toDouble * 2.0 / n.toDouble) else None)
+      }).toDF()
   }
 
   /** Corpus-wide token frequency top-k (the Zipf table): one explode,
