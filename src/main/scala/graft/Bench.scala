@@ -128,7 +128,11 @@ object Bench {
   private[graft] val Over2xBar = 0.4
   private[graft] val Over2xWatch: Set[String] = Set(
     "q_vwap", "q_volume_ma7", "q_lb_explain", "q_portfolio_light",
-    "q_win_rate", "q_ledger_from_logs_full", "q_positions")
+    "q_win_rate", "q_ledger_from_logs_full", "q_positions",
+    // r15 crossers (union-window as-of noise band; the summap and
+    // repetition boundaries before their rewrites): once crossed,
+    // watched forever
+    "q_price_asof", "q_price_asof_tol", "q_doc_repetition", "q_summap")
   /** Pure renderer for over2x_substantive, unit-tested by
     * BenchHeadlineSpec: name → ratio for every query whose ratio
     * exceeds 2x and whose baseline clears the hysteresis bar OR whose

@@ -2450,36 +2450,55 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
-    // r15 plan: 4 exchanges → 1. Both the quote stream AND the probe
-    // set derive from the cached (token, day) rollup — ts is
-    // date-grain, so the rollup's day-grain last price (lp = the
-    // max-trade_id trade of the day) is exactly the deduped quote the
-    // raw plan computed — and the probe distinct reuses the MV's
-    // hash(token) partitioning. The only exchange left is the
-    // union-window's own.
+    // r15 plan, final form: the probe set (months where the token
+    // trades) and the quote set share one generating frame, so the
+    // as-of collapses to a MONTH-GRAIN lag over the day rollup — no
+    // probe/quote union, no 1.2M-row window. Per (token, month):
+    // mstart = the quote exactly AT the month boundary (ts is
+    // date-grain, so "at or before M_start" admits only it from M
+    // itself), mlast = the month's last trading day's price; the
+    // as-of at probe M is coalesce(mstart, lag(mlast)) — the previous
+    // ROW in the (token, month) frame IS the previous month with
+    // trades, and months between two frame rows have no quotes by
+    // construction. Value-identical to the union-window form (same
+    // day-grain winner), verified by the unchanged oracle hash.
     "q_price_asof" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val mv = tradesTokenDay(s, d)
-      val quotes = mv.select(col("token_id"), col("day").as("ts"),
-        col("lp").as("price"))
-      val probes = mv.select(col("token_id"),
-        date_trunc("month", col("day")).as("pts")).distinct()
-      AsOf.joinAsOf(quotes, probes, "token_id", "ts", "price", "pts")
+      val monthly = mv
+        .groupBy(col("token_id"), date_trunc("month", col("day")).as("pts"))
+        .agg(max_by(col("lp"), col("day")).as("mlast"),
+          max(when(col("day") === date_trunc("month", col("day")),
+            col("lp"))).as("mstart"))
+      val w = Window.partitionBy(col("token_id")).orderBy(col("pts"))
+      monthly.select(col("token_id"), col("pts"),
+          coalesce(col("mstart"), lag(col("mlast"), 1).over(w))
+            .as("value_asof"))
         .sortWithinPartitions(col("token_id"), col("pts"))
     }),
 
     // As-of with a staleness bound: a price older than 3 days at the
     // probe instant is no price (CH ASOF + bounded lookback; pandas
-    // merge_asof tolerance). Same single-exchange MV plan as
-    // q_price_asof; the matched quote's own ts (= its day, ts being
-    // date-grain) feeds the staleness comparison unchanged.
+    // merge_asof tolerance). Same month-grain lag plan as
+    // q_price_asof; the matched quote's own day rides the frame so
+    // one timestampdiff applies the bound.
     "q_price_asof_tol" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val mv = tradesTokenDay(s, d)
-      val quotes = mv.select(col("token_id"), col("day").as("ts"),
-        col("lp").as("price"))
-      val probes = mv.select(col("token_id"),
-        date_trunc("month", col("day")).as("pts")).distinct()
-      AsOf.joinAsOfTolerance(quotes, probes, "token_id", "ts", "price",
-          "pts", toleranceSec = 259200L)
+      val mstartDay = col("day") === date_trunc("month", col("day"))
+      val monthly = mv
+        .groupBy(col("token_id"), date_trunc("month", col("day")).as("pts"))
+        .agg(max_by(col("lp"), col("day")).as("mlast"),
+          max(col("day")).as("mlast_day"),
+          max(when(mstartDay, col("lp"))).as("mstart"))
+      val w = Window.partitionBy(col("token_id")).orderBy(col("pts"))
+      monthly
+        .withColumn("qlast", lag(col("mlast"), 1).over(w))
+        .withColumn("qday", lag(col("mlast_day"), 1).over(w))
+        .select(col("token_id"), col("pts"),
+          coalesce(col("mstart"),
+            when(expr("timestampdiff(SECOND, qday, pts)") <= 259200L,
+              col("qlast"))).as("value_asof"))
         .sortWithinPartitions(col("token_id"), col("pts"))
     }),
 
