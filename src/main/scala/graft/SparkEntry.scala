@@ -2823,6 +2823,36 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SEMANTIC eval-set decontamination (the embedding companion to
+    // q_decontaminate's 13-gram overlap — the Phi/FineWeb-style
+    // "remove training docs semantically close to the benchmark"
+    // step): the benchmark's embeddings broadcast (an eval set is
+    // always tiny next to the corpus), ONE scan of the corpus scores
+    // every (doc, bench) pair, and each contaminated doc reports its
+    // nearest benchmark item. Cosines ride the family's round(·, 6)
+    // pin; ties break on bench_id so the pick is deterministic on
+    // both engines. At a benchmark too large to broadcast the same
+    // query runs through the IVF probe join (#35b) — the threshold
+    // and report shape are unchanged.
+    "q_decontaminate_semantic" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Similarity.normalized(Tables.embeddings(s, d), "vec_id",
+        "embedding")
+      val bench = emb.filter(pmod(col("id"), lit(29L)) === 0)
+        .select(col("id").as("bench_id"), col("unit").as("bu"))
+      val corpus = emb.filter(pmod(col("id"), lit(29L)) =!= 0)
+      val scored = corpus.join(broadcast(bench))
+        .select(col("id").as("doc_id"), col("bench_id"),
+          round(Similarity.dot(col("unit"), col("bu")), 6).as("cosine"))
+        .filter(col("cosine") >= 0.3)
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("cosine").desc, col("bench_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("bench_id").as("nearest_bench"),
+          col("cosine"))
+        .orderBy(col("doc_id"))
+    }),
+
     // By-residual IVF-PQ (Faiss's default recipe): codes quantize
     // x − centroid(cell), ADC adds the exact per-cell ⟨q, centroid⟩
     // term. Rows-only; recall gated ≥0.85 on both corpus shapes by
@@ -5228,6 +5258,29 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT query_id, rank, corpus_id, cosine FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the embedding twin of q_decontaminate: exact all-pairs vs the
+    // (tiny) benchmark slice, same round-6 cosine pin as the ANN
+    // family, deterministic bench_id tiebreak
+    "q_decontaminate_semantic" ->
+      """WITH nrm AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS unit
+        |  FROM embeddings
+        |  WHERE sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) > 0),
+        |scored AS (
+        |  SELECT c.id AS doc_id, b.id AS bench_id,
+        |    round(list_dot_product(c.unit, b.unit), 6) AS cosine
+        |  FROM nrm c JOIN nrm b ON c.id % 29 <> 0 AND b.id % 29 = 0),
+        |hits AS (SELECT * FROM scored WHERE cosine >= 0.3),
+        |ranked AS (
+        |  SELECT doc_id, bench_id, cosine,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY cosine DESC, bench_id) AS rn
+        |  FROM hits)
+        |SELECT doc_id, bench_id AS nearest_bench, cosine
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // full-probe IVF through the batch (unbroadcast) plan is
     // exhaustive ⇒ identical to brute force — same oracle

@@ -27,7 +27,12 @@ class PlanAuditSpec extends SparkSpec {
     "q_dsir_sample",
     // CCNet buckets ride lmScore's 1-row broadcast (n_total, vocab)
     // scalar — the same shape that allowlists q_lm_score itself
-    "q_ppl_buckets")
+    "q_ppl_buckets",
+    // corpus × broadcast BENCHMARK all-pairs: bounded by the eval
+    // set's size (always tiny next to the corpus — the q_ann_topk
+    // brute-force convention; the >broadcastable-benchmark path is
+    // the IVF probe join, documented at the query)
+    "q_decontaminate_semantic")
 
   // Unpartitioned-window allowlist: every entry is an unpartitioned
   // WindowExec over PROVABLY BOUNDED input, documented at the site
