@@ -2892,7 +2892,11 @@ object SparkEntry {
     "q_ann_recall" -> ((s, d) => {
       def gatesFor(shape: String, corpus: DataFrame, cacheKey: String) = {
         val queries = corpus.filter(col("id") < 5)
-        val exact = Similarity.bruteForceTopK(corpus, queries, 10)
+        // session-cached per shape: SEVEN method gates consume this one
+        // truth set — uncached, the corpus-wide brute-force plan would
+        // re-execute once per gate (VERDICT r15 #1)
+        val exact = Similarity
+          .bruteForceTopKCached(corpus, queries, 10, cacheKey + ":truth")
           .select(col("query_id"), col("corpus_id"))
         def gate(name: String, bar: Double, approx: DataFrame) =
           exact.join(

@@ -112,6 +112,11 @@ object Multimodal {
     var i = 2
     while (i + 3 < b.length) {
       if (u8(i) != 0xff) return Left("bad marker")
+      // ITU-T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+      // marker — skip them so a fill byte is never read as a marker
+      // whose next two bytes then misparse as a segment length
+      while (i + 3 < b.length && u8(i + 1) == 0xff) i += 1
+      if (i + 3 >= b.length) return Left("truncated")
       val marker = u8(i + 1)
       // standalone markers (RSTn, EOI, TEM) carry no length field
       if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2

@@ -30,6 +30,33 @@ object Similarity {
       .filter(col("n") > 0)
       .select(col("id"), transform(col("v"), x => x / col("n")).as("unit"))
 
+  private val truthCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int), DataFrame]()
+
+  /** Session-cached [[bruteForceTopK]] keyed by a caller-chosen corpus
+    * key — the ANN recall gate consumes ONE ground-truth set per corpus
+    * shape from SEVEN method gates, so without a cache the corpus-wide
+    * brute-force plan re-executes once per gate (VERDICT r15 #1: the
+    * suite's most expensive steady query was ~6 re-runs of this). The
+    * result is tiny (k rows per query vector) and persisted; lifetime
+    * follows the session MVs via [[reset]]. */
+  def bruteForceTopKCached(corpus: DataFrame, queries: DataFrame, k: Int,
+                           cacheKey: String): DataFrame =
+    truthCache.computeIfAbsent(
+      (corpus.sparkSession.sparkContext.applicationId, cacheKey, k),
+      _ => bruteForceTopK(corpus, queries, k).cache())
+
+  /** Unpersist and forget this app's cached truth sets
+    * ([[graft.model.Views.reset]] calls this). */
+  def reset(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
+    val it = truthCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == app) { e.getValue.unpersist(); it.remove() }
+    }
+  }
+
   /** Exact brute-force top-k: for each query vector, the k nearest
     * corpus vectors by cosine. The (small) query set is broadcast —
     * the corpus streams once, no shuffle until the per-query top-k. */

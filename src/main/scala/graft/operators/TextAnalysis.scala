@@ -97,17 +97,19 @@ object TextAnalysis {
     * per-key computation is inherently sequential/local and Catalyst
     * has no shuffle-free way to express it. Tokenization matches the
     * relational form exactly (trim + split on " +"; empty text yields
-    * the single empty token both ways), and the Option fields
-    * reproduce its conditional-sum NULLs for docs below each gram
-    * level.
+    * the single empty token both ways; NULL text drops the doc, as
+    * posexplode of split(trim(NULL)) did in the relational form), and
+    * the Option fields reproduce its conditional-sum NULLs for docs
+    * below each gram level.
     */
   def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("_1"), col(textCol).as("_2"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("_1"), col(textCol).as("_2"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val ws = (if (text == null) "" else text).trim.split(" +", -1)
+        val ws = text.trim.split(" +", -1)
         val n = ws.length
         val uni = new java.util.HashSet[String]()
         var i = 0

@@ -101,7 +101,23 @@ object RollupRewrite {
         case other => sys.error(s"cannot resolve rollup partial: $other")
       }
     }
-    val reg = Registration(srcPlan, rollup.queryExecution.analyzed,
+    val rollupPlan = rollup.queryExecution.analyzed
+    // Grain validation (ADVICE r15): the exact-grain Project path is
+    // sound only when the rollup is UNIQUE per registered dims. When
+    // the rollup's own topmost Aggregate is visible in its plan, check
+    // that the registered dims cover ALL of its grouping keys — a
+    // subset registration (dims coarser than the rollup's true grain)
+    // would make the exact-grain rewrite emit finer-grain duplicate
+    // rows with no error. Plans with no visible Aggregate (a stored
+    // table scan) keep the documented registrar's-obligation contract.
+    rollupPlan.collectFirst { case a: Aggregate => a }.foreach { a =>
+      val grain = a.groupingExpressions.length
+      require(dims.length == grain,
+        s"RollupRewrite.register: ${dims.length} registered dims but the " +
+          s"rollup groups by $grain keys — a dims subset would make the " +
+          "exact-grain rewrite return duplicate finer-grain rows")
+    }
+    val reg = Registration(srcPlan, rollupPlan,
       resolve(dims), resolve(sums), countCol, resolve(mins), resolve(maxs))
     regs.merge(key(spark), Vector(reg),
       (a, b) => if (a.exists(sameReg(_, b.head))) a else a ++ b)

@@ -172,4 +172,40 @@ class RollupRewriteSpec extends SparkSpec {
     assert(rule(dQ.queryExecution.analyzed) == dQ.queryExecution.analyzed,
       "count(DISTINCT) must not rewrite")
   }
+
+  test("register rejects dims that are a subset of the rollup's grain") {
+    // flows groups by (wallet, token_id); registering only wallet would
+    // let the exact-grain Project path return finer-grain duplicate
+    // rows — register must fail loudly instead (ADVICE r15)
+    RollupRewrite.clear(spark)
+    val e = intercept[IllegalArgumentException] {
+      RollupRewrite.register(spark, wt, flows,
+        dims = Seq((col("wallet"), "wallet")),
+        sums = Seq((when(col("side") === "buy", col("qty"))
+          .otherwise(lit(0.0)), "buy_qty")),
+        countCol = Some("trades"))
+    }
+    assert(e.getMessage.contains("registered dims"))
+    RollupRewrite.clear(spark)
+  }
+
+  test("colliding output names cannot mis-map a dim (expression-keyed lookup)") {
+    // group by token_id but ALIAS the output "wallet" — a name-keyed
+    // dim translation would map it onto the rollup's wallet column and
+    // return wallet-grain rows under a token_id-shaped contract;
+    // expression identity must map it to token_id regardless of name
+    val q = wt.groupBy(col("token_id").as("wallet"))
+      .agg(count(lit(1)).as("trades"))
+    val plan = rewritten(q)
+    assert(plan.exists(_.canonicalized ==
+        flows.queryExecution.analyzed.canonicalized),
+      "rewrite must fire on the aliased grouping key")
+    val got = ColumnBridge.ofRows(spark, plan)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = wt.groupBy(col("token_id")).agg(count(lit(1)).as("trades"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      "aliased-dim rewrite must return token_id-grain rows, not wallet's")
+    assert(got.nonEmpty)
+  }
 }
