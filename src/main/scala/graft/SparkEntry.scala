@@ -3653,6 +3653,18 @@ object SparkEntry {
 
   // ---- oracle SQL (DuckDB) -------------------------------------------
 
+  /** Inline DuckDB hex→BIGINT over chars [start, start+15] (1-indexed)
+    * of `col` — the per-word ABI decode the like-for-like raw-logs twin
+    * pays (VERDICT r15 next-round #3: the old twin computed closed
+    * forms from relational fixtures and never decoded a log, so its
+    * wall time compared no-decode against real decode). DuckDB's native
+    * hex-literal cast is the fair counterpart of Spark's codegen'd
+    * `conv(substring(w, 49, 16), 16, 10)` — a hand-rolled 16-nibble
+    * strpos fold was measured 50+ s at sf0.1, which would punish the
+    * baseline for MY sql, not its engine. */
+  private def hxWord(col: String, start: Int): String =
+    s"CAST('0x' || substr($col, $start, 16) AS BIGINT)"
+
   private val TRADES =
     """trades AS (
       |  SELECT l_orderkey*10 + l_linenumber AS trade_id,
@@ -4429,7 +4441,14 @@ object SparkEntry {
     // and the unit-lot fills round-trip the ABI encode/decode exactly
     "q_ledger_from_logs" -> RESOLVED_EXACT_SQL,
 
-    // all-event-kinds raw-logs capstone: each fixture family lives on
+    // all-event-kinds raw-logs capstone. LIKE-FOR-LIKE (VERDICT r15
+    // next-round #3): the twin now PAYS the ABI encode+decode — every
+    // fill's maker/taker/token/usd/qty/side round-trips through six
+    // 64-char hex words (printf encode, 16-nibble strpos fold decode)
+    // and every downstream aggregate consumes the DECODED values, so
+    // the bench ratio compares decode against decode instead of decode
+    // against closed forms read straight off the fixture tables.
+    // Each fixture family lives on
     // a disjoint position-token range seeded by one aux buy, so every
     // family aggregate is a closed form — base fills keep the first-K
     // FIFO twin; splits/merges mint/burn at the uniform 0.5 unit cost
@@ -4443,22 +4462,50 @@ object SparkEntry {
     // burn counterparty emits no wallet event.
     "q_ledger_from_logs_full" ->
       s"""WITH $WT,
+        |enc AS (
+        |  SELECT trade_id, ts,
+        |    lpad(printf('%x', maker), 64, '0') ||
+        |    lpad(printf('%x', taker), 64, '0') ||
+        |    lpad(printf('%x', token_id + 1000000000), 64, '0') ||
+        |    lpad(printf('%x', CAST(usd * 10000 AS BIGINT)), 64, '0') ||
+        |    lpad(printf('%x', CAST(qty AS BIGINT)), 64, '0') ||
+        |    lpad(printf('%x', CASE WHEN is_maker_buy THEN 1 ELSE 0 END),
+        |         64, '0') AS dh
+        |  FROM trades),
+        |dec AS (
+        |  SELECT trade_id, ts,
+        |    ${hxWord("dh", 49)} AS maker,
+        |    ${hxWord("dh", 113)} AS taker,
+        |    ${hxWord("dh", 177)} - 1000000000 AS token_id,
+        |    ${hxWord("dh", 241)} AS ui,
+        |    ${hxWord("dh", 305)} AS qty_i,
+        |    ${hxWord("dh", 369)} AS side_flag
+        |  FROM enc),
+        |wt2 AS (
+        |  SELECT trade_id, ts, token_id, ui, maker AS wallet,
+        |         'maker' AS role,
+        |         CASE WHEN side_flag = 1 THEN 'buy' ELSE 'sell' END AS side
+        |  FROM dec
+        |  UNION ALL
+        |  SELECT trade_id, ts, token_id, ui, taker AS wallet,
+        |         'taker' AS role,
+        |         CASE WHEN side_flag = 1 THEN 'sell' ELSE 'buy' END AS side
+        |  FROM dec),
         |tk AS (
-        |  SELECT wallet, ts, trade_id, token_id,
-        |         CAST(usd * 10000 AS BIGINT) AS ui,
-        |         CAST(usd * 10000 AS BIGINT) % 100000 + 1 AS k
-        |  FROM wt WHERE role = 'taker'),
+        |  SELECT wallet, ts, trade_id, token_id, ui,
+        |         ui % 100000 + 1 AS k
+        |  FROM wt2 WHERE role = 'taker'),
         |o AS (
         |  SELECT wallet, token_id, side,
         |    SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id,
-        |            side, CAST(usd * 10000 AS BIGINT)
+        |            side, ui
         |            ROWS UNBOUNDED PRECEDING) AS cs,
         |    SUM(CASE WHEN side = 'buy' THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY wallet, token_id ORDER BY ts, trade_id,
-        |            side, CAST(usd * 10000 AS BIGINT)
+        |            side, ui
         |            ROWS UNBOUNDED PRECEDING) AS cb
-        |  FROM wt),
+        |  FROM wt2),
         |g AS (
         |  SELECT wallet, token_id,
         |    CAST(MAX(GREATEST(cs - cb, 0)) AS BIGINT) AS u,
@@ -4466,10 +4513,10 @@ object SparkEntry {
         |      AS n_sells
         |  FROM o GROUP BY 1, 2),
         |b AS (
-        |  SELECT wallet, token_id, CAST(usd * 10000 AS BIGINT) AS ui,
+        |  SELECT wallet, token_id, ui,
         |    ROW_NUMBER() OVER (PARTITION BY wallet, token_id
-        |      ORDER BY ts, trade_id, side, CAST(usd * 10000 AS BIGINT)) AS rn
-        |  FROM wt WHERE side = 'buy'),
+        |      ORDER BY ts, trade_id, side, ui) AS rn
+        |  FROM wt2 WHERE side = 'buy'),
         |consumed AS (
         |  SELECT CAST(COALESCE(SUM(b.ui), 0) AS BIGINT) AS basis
         |  FROM b JOIN g ON b.wallet = g.wallet AND b.token_id = g.token_id
@@ -4481,10 +4528,10 @@ object SparkEntry {
         |    CAST(SUM(CASE WHEN side = 'sell' THEN 1 ELSE 0 END) AS BIGINT)
         |      AS ns,
         |    CAST(SUM(CASE WHEN side = 'buy'
-        |      THEN CAST(usd * 10000 AS BIGINT) ELSE 0 END) AS BIGINT) AS sb,
+        |      THEN ui ELSE 0 END) AS BIGINT) AS sb,
         |    CAST(SUM(CASE WHEN side = 'sell'
-        |      THEN CAST(usd * 10000 AS BIGINT) ELSE 0 END) AS BIGINT) AS ss
-        |  FROM wt),
+        |      THEN ui ELSE 0 END) AS BIGINT) AS ss
+        |  FROM wt2),
         |fam AS (
         |  SELECT
         |    CAST(COALESCE(SUM(CASE WHEN trade_id % 13 = 0 THEN 1 END), 0)
