@@ -527,6 +527,55 @@ object VersionedStore {
     }
   }
 
+  /** Project `sets` onto rows matching `predicate` — each SET
+    * expression evaluates against the OLD row (ANSI UPDATE: all
+    * assignments are simultaneous) and is cast back to its column's
+    * declared type; non-matching rows and unset columns pass through
+    * verbatim. Unknown or duplicate SET columns refuse loudly. */
+  private def applySets(rows: DataFrame,
+                        predicate: org.apache.spark.sql.Column,
+                        sets: Seq[(String, org.apache.spark.sql.Column)])
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val byName = sets.map { case (n, e) =>
+      n.toLowerCase(java.util.Locale.ROOT) -> e }.toMap
+    require(byName.size == sets.size, "duplicate column in SET")
+    val fields = rows.schema.fields.toSeq
+      .filterNot(_.name.startsWith("__dv_"))
+    byName.keys.foreach(n =>
+      require(fields.exists(_.name.equalsIgnoreCase(n)),
+        s"SET column $n is not a table column"))
+    val p = coalesce(predicate, lit(false))
+    rows.select(fields.map { f =>
+      byName.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(e) =>
+          when(p, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+  }
+
+  /** ANSI `UPDATE … SET … WHERE …` (flat table, copy-on-write): the
+    * [[delete]] machinery with a projection instead of a drop — only
+    * the data files holding a matched row are rewritten (matched rows
+    * projected through `sets`, their file-mates carried into the
+    * rewrite verbatim), every other file carried by reference.
+    * ClickHouse's `ALTER TABLE … UPDATE` / Delta's UPDATE. Returns
+    * the new version, or the current one when nothing matched. */
+  def update(spark: SparkSession, path: String,
+             predicate: org.apache.spark.sql.Column,
+             sets: Seq[(String, org.apache.spark.sql.Column)]): Int = {
+    val cur = flatCurrent(path, "update")
+    val touched = touchedFiles(spark, path, cur, _.filter(predicate))
+    if (touched.isEmpty) cur
+    else {
+      val rows = readFilesApplied(spark, path, touched,
+        Some(effectiveSchema(spark, path, cur)), cur)
+      commitRewrite(spark, applySets(rows, predicate, sets), path, cur,
+        touched)
+    }
+  }
+
   /** Upsert `updates` by `keys` as a new version: rows whose key
     * matches an update are REPLACED by the update row, unmatched
     * update rows are inserted, and only the data files containing a
@@ -643,6 +692,42 @@ object VersionedStore {
       (carriedLines(path, cur) ++ dataParts ++
         (if (anyDead) dvParts.map(DvPrefix + _) else Nil)).sorted)
     v
+  }
+
+  /** [[update]] in merge-on-read form: matched rows die by DELETE
+    * VECTOR, their `sets`-projected copies land in new data files —
+    * nothing rewritten, commit cost O(matched rows), the scattered-
+    * point-update shape at 100 TB. Returns the current version
+    * unchanged when nothing matched. */
+  def updateVectored(spark: SparkSession, path: String,
+                     predicate: org.apache.spark.sql.Column,
+                     sets: Seq[(String, org.apache.spark.sql.Column)])
+      : Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val cur = flatCurrent(path, "updateVectored")
+    val v = cur + 1
+    val matched = snapshotWithMeta(spark, path, cur)
+      .filter(coalesce(predicate, lit(false)))
+    val dvRel = writeSidecar(
+      matched.select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+        .repartition(col("file")), path, v)
+    val dvParts = listParquet(path, dvRel)
+    if (sidecarRowCount(path, dvParts) == 0L)
+      cur // nothing matched — the empty attempt dir is invisible debris
+    else {
+      // the replacements: matched rows, every SET applied (predicate
+      // already filtered, so the projection is unconditional)
+      val updated = applySets(matched, lit(true), sets)
+      val dataRel = s"data/commit-$v-${attemptId()}"
+      updated.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/$dataRel")
+      val dataParts = listParquet(path, dataRel)
+      recordSchema(path, v, effectiveSchema(spark, path, cur))
+      publishManifest(path, v,
+        (carriedLines(path, cur) ++ dataParts ++
+          dvParts.map(DvPrefix + _)).sorted)
+      v
+    }
   }
 
   /** Targeted read-amplification reclaim (Delta's `REORG … APPLY
@@ -793,10 +878,48 @@ object VersionedStore {
   def deletePartitioned(spark: SparkSession, path: String,
                         predicate: org.apache.spark.sql.Column): Int = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
+    rewriteMatchedPartitioned(spark, path, predicate, "delete",
+      _.filter(not(coalesce(predicate, lit(false)))))
+  }
+
+  /** [[update]] on a HIERARCHICAL table (copy-on-write): probe for the
+    * files holding a matched row, rewrite only those inside their own
+    * partitions with matched rows projected through `sets`, carry the
+    * rest by reference — [[deletePartitioned]]'s metadata shape with a
+    * projection instead of a drop. SET on the partition column refuses
+    * loudly (a partition-moving update is [[updatePartitionedVectored]]
+    * territory — copy-on-write would have to rewrite both partitions). */
+  def updatePartitioned(spark: SparkSession, path: String,
+                        predicate: org.apache.spark.sql.Column,
+                        sets: Seq[(String, org.apache.spark.sql.Column)])
+      : Int = {
     val cur = currentVersion(path)
-    require(cur > 0, s"cannot delete: no committed version at $path")
+    if (cur > 0 && !isFlatVersion(path, cur)) {
+      val partCol = readMlist(path, cur).partCol
+      require(!sets.exists(_._1.equalsIgnoreCase(partCol)),
+        s"UPDATE SET on partition column $partCol is not supported " +
+          "copy-on-write — use the vectored mode for partition moves")
+    }
+    rewriteMatchedPartitioned(spark, path, predicate, "update",
+      applySets(_, predicate, sets))
+  }
+
+  /** Shared copy-on-write matched-file rewrite on a hierarchical
+    * table: find the files holding a predicate match on the
+    * vector-applied snapshot, re-read them file-bounded inside their
+    * partitions, put them through `rewrite`, and commit with untouched
+    * partitions carried by reference. `rewrite` sees the partition
+    * column attached and vectors subtracted. */
+  private def rewriteMatchedPartitioned(spark: SparkSession, path: String,
+                                        predicate: org.apache.spark.sql.Column,
+                                        op: String,
+                                        rewrite: DataFrame => DataFrame)
+      : Int = {
+    import org.apache.spark.sql.functions.lit
+    val cur = currentVersion(path)
+    require(cur > 0, s"cannot $op: no committed version at $path")
     require(!isFlatVersion(path, cur),
-      s"version $cur is flat — use delete()")
+      s"version $cur is flat — use $op()")
     val ml = readMlist(path, cur)
     // table-relative file -> its partition value (relative paths are
     // the manifest lines themselves — unique by construction, where a
@@ -842,7 +965,7 @@ object VersionedStore {
       val applied =
         if (dvsCur.isEmpty) unioned
         else subtractStamped(spark, path, unioned, dvsCur)
-      val survivors = applied.filter(not(coalesce(predicate, lit(false))))
+      val survivors = rewrite(applied)
       commitPartitionedAt(survivors, path, ml.partCol, cur + 1,
         replaceTouched = false, removedFiles = touched.map(_._2).toSet,
         schemaOverride = Some(effectiveSchema(spark, path, cur)))
@@ -1034,6 +1157,46 @@ object VersionedStore {
       s"version $cur is flat — use mergeVectored()")
     mergePartitionedVectoredAt(spark, path, updates, keys, cur + 1,
       replayable = false)
+  }
+
+  /** [[updateVectored]] on a HIERARCHICAL table: matched rows die by a
+    * table-level delete vector, their `sets`-projected copies land
+    * through the ordinary partitioned commit — O(matched rows),
+    * nothing rewritten, and because the old row dies by position while
+    * the new row lands wherever its (possibly updated) partition value
+    * says, SET on the partition column works natively here. */
+  def updatePartitionedVectored(spark: SparkSession, path: String,
+                                predicate: org.apache.spark.sql.Column,
+                                sets: Seq[(String,
+                                  org.apache.spark.sql.Column)]): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val cur = currentVersion(path)
+    require(cur > 0, s"cannot update: no committed version at $path")
+    require(!isFlatVersion(path, cur),
+      s"version $cur is flat — use updateVectored()")
+    val v = cur + 1
+    val ml = readMlist(path, cur)
+    val stamped = withMeta(
+      spark.baseRelationToDataFrame(snapshotRelation(spark, path, cur)))
+    val dvs = deleteVectorsAsOf(path, cur)
+    val applied =
+      if (dvs.isEmpty) stamped
+      else stamped.join(dvFrame(spark, path, dvs),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    val matched = applied.filter(coalesce(predicate, lit(false)))
+    val dvRel = writeSidecar(
+      matched.select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+        .repartition(col("file")), path, v)
+    val dvParts = listParquet(path, dvRel)
+    if (sidecarRowCount(path, dvParts) == 0L)
+      cur // nothing matched — the empty attempt dir is invisible debris
+    else {
+      val updated = applySets(matched, lit(true), sets)
+      commitPartitionedAt(updated, path, ml.partCol, v,
+        replaceTouched = false,
+        schemaOverride = Some(effectiveSchema(spark, path, cur)),
+        extraDvs = dvParts)
+    }
   }
 
   /** [[mergePartitionedVectored]] keyed by micro-batch id — the

@@ -208,4 +208,112 @@ class VersionedSqlSpec extends SparkSpec {
     assert(!parser.parsePlan("ALTER TABLE some_other DROP PARTITION (p=1)")
       .isInstanceOf[GraftDropPartitionCommand])
   }
+
+  test("UPDATE parses in ANSI and ClickHouse spellings; unregistered " +
+    "names delegate; top-level comma/WHERE splitting is paren-aware") {
+    import graft.sources.GraftUpdateCommand
+    val path = partTable()
+    VersionedSqlTables.register(spark, "vsql_upp", path)
+    assert(parser.parsePlan(
+      "UPDATE vsql_upp SET name = 'x' WHERE id = 3")
+      == GraftUpdateCommand("vsql_upp", Seq("name" -> "'x'"),
+        Some("id = 3")))
+    // commas inside a function call stay inside ONE assignment; the
+    // WHERE inside a string literal is not the clause boundary
+    assert(parser.parsePlan(
+      "UPDATE vsql_upp SET name = concat(name, ',', 'WHERE') , id = id + 1")
+      == GraftUpdateCommand("vsql_upp",
+        Seq("name" -> "concat(name, ',', 'WHERE')", "id" -> "id + 1"),
+        None))
+    assert(parser.parsePlan(
+      "ALTER TABLE vsql_upp UPDATE name = upper(name) WHERE id <= 5")
+      == GraftUpdateCommand("vsql_upp", Seq("name" -> "upper(name)"),
+        Some("id <= 5")))
+    assert(!parser.parsePlan("UPDATE not_registered SET a = 1 WHERE b = 2")
+      .isInstanceOf[GraftUpdateCommand])
+  }
+
+  test("SQL UPDATE commits row-for-row what the API commits on a FLAT " +
+    "table, COW and vectored; SET evaluates against the OLD row") {
+    import graft.sources.GraftUpdateCommand
+    import spark.implicits._
+    for (mode <- Seq("cow", "vectored")) {
+      spark.conf.set("spark.graft.mutation.mode", mode)
+      try {
+        val sqlPath = freshDir(); val apiPath = freshDir()
+        val df = (1L to 40L).map(i => (i, s"n$i")).toDF("id", "name")
+        VersionedStore.append(df, sqlPath)
+        VersionedStore.append(df, apiPath)
+        VersionedSqlTables.register(spark, "vsql_upf", sqlPath)
+        val got = parser.parsePlan(
+          "UPDATE vsql_upf SET id = id + 1000, name = upper(name) " +
+            "WHERE id % 5 = 0")
+          .asInstanceOf[GraftUpdateCommand].run(spark)
+        val sets = Seq("id" -> expr("id + 1000"),
+          "name" -> expr("upper(name)"))
+        val vApi =
+          if (mode == "vectored")
+            VersionedStore.updateVectored(spark, apiPath,
+              expr("id % 5 = 0"), sets)
+          else VersionedStore.update(spark, apiPath, expr("id % 5 = 0"), sets)
+        assert(got.head.getInt(0) == 2 && vApi == 2,
+          s"[$mode] both paths mint version 2")
+        def all(p: String) = VersionedStore.read(spark, p).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        assert(all(sqlPath) == all(apiPath), s"[$mode] SQL == API")
+        val want = (1L to 40L).map(i =>
+          if (i % 5 == 0) (i + 1000, s"N$i".toUpperCase)
+          else (i, s"n$i")).toSet
+        assert(all(sqlPath) == want,
+          s"[$mode] matched rows projected (old-row semantics), rest " +
+            "verbatim")
+        if (mode == "vectored")
+          assert(VersionedStore.deleteVectorsAsOf(sqlPath, 2).nonEmpty,
+            "vectored UPDATE kills old rows by vector, not rewrite")
+        // zero-match UPDATE mints nothing
+        assert(parser.parsePlan("UPDATE vsql_upf SET name = 'z' WHERE id < 0")
+          .asInstanceOf[GraftUpdateCommand].run(spark).head.getInt(0) == 2)
+      } finally spark.conf.unset("spark.graft.mutation.mode")
+    }
+  }
+
+  test("SQL UPDATE on a PARTITIONED table: COW and vectored match the " +
+    "API; COW refuses partition-column SET; vectored moves partitions") {
+    import graft.sources.GraftUpdateCommand
+    for (mode <- Seq("cow", "vectored")) {
+      spark.conf.set("spark.graft.mutation.mode", mode)
+      try {
+        val sqlPath = partTable(); val apiPath = partTable()
+        VersionedSqlTables.register(spark, "vsql_upg", sqlPath)
+        val got = parser.parsePlan(
+          "UPDATE vsql_upg SET name = concat(name, '!') WHERE id <= 10")
+          .asInstanceOf[GraftUpdateCommand].run(spark)
+        val sets = Seq("name" -> expr("concat(name, '!')"))
+        val vApi =
+          if (mode == "vectored")
+            VersionedStore.updatePartitionedVectored(spark, apiPath,
+              expr("id <= 10"), sets)
+          else VersionedStore.updatePartitioned(spark, apiPath,
+            expr("id <= 10"), sets)
+        assert(got.head.getInt(0) == 2 && vApi == 2)
+        assert(rowsOf(sqlPath) == rowsOf(apiPath), s"[$mode] SQL == API")
+        assert(rowsOf(sqlPath) == (1L to 100L).map(i =>
+          (i, if (i <= 10) s"n$i!" else s"n$i",
+            if (i <= 50) "1996-01" else "1996-02")).toSet,
+          s"[$mode] exact rows")
+      } finally spark.conf.unset("spark.graft.mutation.mode")
+    }
+    // partition-moving SET: COW refuses loudly, vectored does it
+    val cowPath = partTable()
+    intercept[IllegalArgumentException] {
+      VersionedStore.updatePartitioned(spark, cowPath, expr("id = 1"),
+        Seq("month" -> expr("'1996-03'")))
+    }
+    val vecPath = partTable()
+    VersionedStore.updatePartitionedVectored(spark, vecPath,
+      expr("id = 1"), Seq("month" -> expr("'1996-03'")))
+    assert(rowsOf(vecPath).contains((1L, "n1", "1996-03")) &&
+      !rowsOf(vecPath).exists(r => r._1 == 1L && r._3 == "1996-01"),
+      "vectored UPDATE moved the row's partition")
+  }
 }
