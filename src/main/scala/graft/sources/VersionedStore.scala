@@ -629,9 +629,19 @@ object VersionedStore {
     * the current one unchanged when nothing matched. NULL-predicate
     * rows never match, the [[delete]] contract. */
   def deleteVectored(spark: SparkSession, path: String,
-                     predicate: org.apache.spark.sql.Column): Int = {
+                     predicate: org.apache.spark.sql.Column): Int =
+    deleteVectoredAt(spark, path, predicate,
+      flatCurrent(path, "deleteVectored"))
+
+  /** [[deleteVectored]] against an EXPLICIT base version — the test
+    * seam for the auto-rebase race (a stale base makes the publish
+    * lose deterministically); production callers go through
+    * [[deleteVectored]], which bases on the current head. */
+  private[graft] def deleteVectoredAt(spark: SparkSession, path: String,
+                                      predicate: org.apache.spark.sql.Column,
+                                      base: Int): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
-    val cur = flatCurrent(path, "deleteVectored")
+    val cur = base
     val v = cur + 1
     // matched positions off the vector-applied snapshot: re-deleting
     // an already-dead row can never re-list its position
@@ -645,12 +655,65 @@ object VersionedStore {
     val parts = listParquet(path, dvRel)
     if (sidecarRowCount(path, parts) == 0L)
       cur // nothing matched — the empty attempt dir is invisible debris
-    else {
-      recordSchema(path, v, effectiveSchema(spark, path, cur))
-      publishManifest(path, v,
-        (carriedLines(path, cur) ++ parts.map(DvPrefix + _)).sorted)
-      v
+    else publishDvCommit(spark, path, cur, parts, flat = true)
+  }
+
+  /** Publish a metadata-only delete-vector commit with bounded
+    * AUTO-REBASE (VERDICT r15 #9 — the CDC topology: a streaming
+    * upsert owns the version counter while an ad-hoc GDPR delete
+    * races it). A DV sidecar derives NOTHING from its base except the
+    * carried lines — the (file, position) pairs are base-independent
+    * as long as every data file they name still lives in the head —
+    * so a loser re-publishes against the new head instead of failing,
+    * PROVIDED the winner left all named files in place (a winner that
+    * rewrote/compacted/removed a named file invalidates positions:
+    * loud loser, re-read and retry). Overlap with the winner's own
+    * vectors is harmless (a doubly-dead position stays dead), and
+    * rows the winner appended are untouched — the outcome equals the
+    * serial schedule in which this delete ran FIRST, so the history
+    * stays serializable. */
+  private def publishDvCommit(spark: SparkSession, path: String,
+                              baseV: Int, dvParts: Seq[String],
+                              flat: Boolean): Int = {
+    var base = baseV
+    var target = baseV + 1
+    var tries = 0
+    // data files our vector rows name — read once, only when a retry
+    // actually needs the check
+    lazy val named: Set[String] =
+      dvParts.flatMap(p => spark.read.parquet(s"$path/$p")
+        .select("file").distinct().collect().map(_.getString(0))).toSet
+    var done = -1
+    while (done < 0) {
+      try {
+        recordSchema(path, target, effectiveSchema(spark, path, base))
+        if (flat)
+          publishManifest(path, target,
+            (carriedLines(path, base) ++ dvParts.map(DvPrefix + _)).sorted)
+        else {
+          val prevLines = Files.readAllLines(mlistFile(path, base).toPath)
+            .asScala.toSeq.filter(_.nonEmpty)
+          writeAtomic(mlistFile(path, target),
+            (prevLines ++ dvParts.map(p => s"#dv\t$p")).mkString("\n"),
+            replace = false)
+        }
+        done = target
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          tries += 1
+          if (tries > MaxCommitRetries) throw e
+          val head = currentVersion(path)
+          if (head < target || isFlatVersion(path, head) != flat) throw e
+          if (!named.subsetOf(filesAsOf(path, head).toSet))
+            throw new java.util.ConcurrentModificationException(
+              "concurrent commit removed or rewrote file(s) this delete " +
+                "vector names — positions are file-bound and cannot " +
+                "rebase; re-read the table and retry")
+          base = head
+          target = head + 1
+      }
     }
+    done
   }
 
   /** [[merge]] in merge-on-read form: matched rows die by delete
@@ -1124,16 +1187,7 @@ object VersionedStore {
     val parts = listParquet(path, dvRel)
     if (sidecarRowCount(path, parts) == 0L)
       cur // nothing matched — the empty attempt dir is invisible debris
-    else {
-      val prevLines = Files.readAllLines(mlistFile(path, cur).toPath)
-        .asScala.toSeq.filter(_.nonEmpty)
-      recordSchema(path, v, effectiveSchema(spark, path, cur))
-      // create-exclusive publish: racing writers get one winner
-      writeAtomic(mlistFile(path, v),
-        (prevLines ++ parts.map(p => s"#dv\t$p")).mkString("\n"),
-        replace = false)
-      v
-    }
+    else publishDvCommit(spark, path, cur, parts, flat = false)
   }
 
   /** [[mergeVectored]] on a HIERARCHICAL table: matched rows die by a

@@ -1569,6 +1569,55 @@ class VersionedStoreSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("vectored-delete commits auto-rebase past a concurrent winner " +
+    "whose files survive; a winner that rewrote named files stays a " +
+    "loud loser (the CDC upsert + ad-hoc GDPR delete race)") {
+    import spark.implicits._
+    val path = freshDir()
+    val df = (1L to 40L).map(i => (i, s"n$i")).toDF("id", "name")
+    VersionedStore.append(df, path) // v1
+    // WINNER: a vectored upsert takes v2 (the streaming-CDC shape —
+    // it replaces ids 1 and 2 and inserts id 50, killing the old rows
+    // by vector and landing new data files; every v1 file survives)
+    val ups = Seq((1L, "ONE"), (2L, "TWO"), (50L, "FIFTY"))
+      .toDF("id", "name")
+    assert(VersionedStore.mergeVectored(spark, path, ups, Seq("id")) == 2)
+    // LOSER: an ad-hoc delete whose matched positions were computed
+    // against v1 — it targets v2, loses the publish CAS, and must
+    // REBASE onto v2 (its vector names only v1 files, all alive)
+    val v = VersionedStore.deleteVectoredAt(spark, path,
+      expr("id % 10 = 3"), base = 1)
+    assert(v == 3, "the re-based delete minted the next version")
+    val got = VersionedStore.read(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = ((1L to 40L).filterNot(i => i % 10 == 3).map {
+      case 1L => (1L, "ONE"); case 2L => (2L, "TWO")
+      case i => (i, s"n$i")
+    } :+ (50L, "FIFTY")).toSet
+    assert(got == want,
+      "both commits landed: winner's upsert AND the re-based delete")
+    // vectors stay file-consistent: every file a live vector names is
+    // in the head manifest
+    val headFiles = VersionedStore.read(spark, path) // force no error
+    val named = VersionedStore.deleteVectorsAsOf(path, 3)
+      .flatMap(p => spark.read.parquet(s"$path/$p")
+        .select("file").distinct().collect().map(_.getString(0))).toSet
+    assert(named.nonEmpty, "both the winner's and the loser's vectors live")
+    headFiles.count() // materialize once more post-check
+    // FILE-INCONSISTENT race: a winner that COMPACTED (rewrote every
+    // data file) invalidates the stale vector's positions — loud loser
+    val path2 = freshDir()
+    VersionedStore.append(df, path2) // v1
+    assert(VersionedStore.compact(spark, path2, 1) == 2) // rewrites all
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedStore.deleteVectoredAt(spark, path2,
+        expr("id = 7"), base = 1)
+    }
+    assert(VersionedStore.currentVersion(path2) == 2 &&
+      VersionedStore.read(spark, path2).count() == 40,
+      "the inconsistent delete committed nothing")
+  }
+
   test("sinkVersionedUpsertLatest keep-latest dedups each batch before " +
     "the vectored merge (raw-CDC shape)") {
     import spark.implicits._
