@@ -152,4 +152,73 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles("q_portfolio_light") <= 1,
       s"q_portfolio_light: ${shuffles("q_portfolio_light")}")
   }
+
+  test("rollup-served queries scan ONLY rollup-shaped leaves, rollup-sized" +
+      " (VERDICT r15 #8 scan pins)") {
+    // The shuffle pins above bound EXCHANGES; this pins the INPUT —
+    // a refactor that loses the rewrite (or degrades the MV) would
+    // put raw-fact columns and fact-sized row counts at the leaves
+    // and regress 2-6x unnoticed until the bench. Three properties
+    // per query, from the EXECUTED plan and its runtime metrics:
+    //  1. some in-memory leaf carries the rollup's partial columns;
+    //  2. no in-memory leaf carries raw-fact marker columns;
+    //  3. in-memory leaf numOutputRows == the rollup's true grain
+    //     cardinality (recomputed independently here).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.functions._
+
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case q: QueryStageExec        => leaves(q.plan)
+      case r: ReusedExchangeExec    => leaves(r.child)
+      case l if l.children.isEmpty  => Seq(l)
+      case o => o.children.flatMap(leaves)
+    }
+
+    val trades = graft.model.Views.trades(spark, sf)
+    val wtf = graft.operators.Leaderboard.walletTokenFlows(
+      graft.operators.Leaderboard.walletTrades(trades))
+    val markets = graft.model.Tables.part(spark, sf)
+      .select(col("p_partkey").cast("long").as("token_id"),
+        col("p_brand").as("market"))
+    val tokenDayN = trades
+      .select(col("token_id"), date_trunc("day", col("ts"))).distinct.count()
+    val walletTokenN = wtf.select(col("wallet"), col("token_id")).count()
+    val walletMarketN = wtf.join(markets, Seq("token_id"))
+      .select(col("wallet"), col("market")).distinct.count()
+
+    // raw-fact markers: columns that exist ONLY on the un-rolled
+    // trades / wallet-trades streams — any leaf carrying one means
+    // the rewrite fell back to the fact scan
+    val rawMarkers = Set("usd", "qty", "price", "ts", "side", "trade_id")
+    val pins: Seq[(String, Set[String], Long)] = Seq(
+      ("q_vwap",       Set("ui", "qi"),         tokenDayN),
+      ("q_volume_ma7", Set("vol_dec"),          tokenDayN),
+      ("q_lb_explain", Set("bi", "si", "market"), walletMarketN),
+      ("q_summap",     Set("tq", "mxq"),        walletTokenN))
+    for ((name, partials, grainN) <- pins) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      // execute THROUGH df's own QueryExecution (a .write would wrap
+      // the plan in a fresh QueryExecution and leave these metrics 0)
+      df.collect()
+      val imr = leaves(df.queryExecution.executedPlan)
+        .collect { case s: InMemoryTableScanExec => s }
+      assert(imr.nonEmpty, s"$name: no in-memory rollup leaf at all")
+      val schemas = imr.map(_.output.map(_.name).toSet)
+      assert(schemas.exists(partials.subsetOf(_)),
+        s"$name: no leaf carries the rollup partials $partials " +
+          s"(leaves: ${schemas.mkString(" | ")})")
+      val rawLeaves = schemas.filter(_.exists(rawMarkers))
+      assert(rawLeaves.isEmpty,
+        s"$name: raw-fact columns at a leaf scan — the rewrite was " +
+          s"lost: ${rawLeaves.mkString(" | ")}")
+      val scanned = imr.map(_.metrics("numOutputRows").value).sum
+      assert(scanned == grainN,
+        s"$name: leaf scans emitted $scanned rows, rollup grain is " +
+          s"$grainN — the scan is not rollup-sized")
+    }
+  }
 }
