@@ -148,8 +148,8 @@ object ScaleBench {
     * source rows unchanged (so ×1 differs from sf0.1 only in file
     * layout — every scale point is written by the same writer and read
     * back the same way, keeping the curve apples-to-apples). */
-  private def buildScaled(spark: SparkSession, srcDir: String,
-                          outDir: String, k: Int, axis: String): Unit = {
+  private[graft] def buildScaled(spark: SparkSession, srcDir: String,
+                                 outDir: String, k: Int, axis: String): Unit = {
     for ((table, spec) <- tableSpecs) {
       val src =
         if (table == "events") graft.model.Tables.events(spark, srcDir)
@@ -184,6 +184,21 @@ object ScaleBench {
               transform(split(col("text"), " +"),
                 (w, i) => when(i % 3 === 0, concat(w, lit(s"r$r"))).otherwise(w))))
             .withColumn("n_chars", length(col("text")).cast("long"))
+        // the embedding analogue of the word-salt (found by the r16
+        // full-registry sweep: plain replication gives every vector
+        // k-1 EXACT cross-replica copies, so cosine near-dup pair
+        // OUTPUT grows ∝k² and q_dedup_embedding's curve measures
+        // output volume, not the engine — 1.2 s → 29 s at ×10): a
+        // per-replica diagonal ±1 sign transform. Diagonal ±1 is
+        // ORTHOGONAL, so every intra-replica cosine is preserved
+        // bit-for-bit (true near-dup structure replicates with the
+        // data) while independent per-replica sign patterns scramble
+        // cross-replica cosines toward 0 — replicas cannot alias.
+        if (table == "embeddings" && r > 0)
+          df = df.withColumn("embedding",
+            transform(col("embedding"),
+              (x, i) => when(pmod(hash(i, lit(r)), lit(2)) === 1, -x)
+                .otherwise(x)))
         df
       }.reduce(_ unionByName _)
       unioned.write.mode("overwrite").parquet(s"$outDir/$table.parquet")

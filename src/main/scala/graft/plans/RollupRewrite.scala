@@ -93,6 +93,45 @@ object RollupRewrite {
                countCol: Option[String],
                mins: Seq[(Column, String)] = Nil,
                maxs: Seq[(Column, String)] = Nil): Unit = {
+    val reg = mkRegistration(source, rollup, dims, sums, countCol, mins, maxs)
+    regs.merge(key(spark), Vector(reg),
+      (a, b) => if (a.exists(sameReg(_, b.head))) a else a ++ b)
+    ()
+  }
+
+  /** Register, REPLACING any prior registration of the same source and
+    * column mapping whose ROLLUP plan differs — the stream-maintained
+    * case (StreamingRollup): every committed micro-batch produces a
+    * new snapshot plan for the same logical rollup, and the stale
+    * snapshot must stop serving the moment the fresh one commits.
+    * Registrations of OTHER sources/mappings are untouched. */
+  def registerReplacing(spark: SparkSession, source: DataFrame,
+                        rollup: DataFrame,
+                        dims: Seq[(Column, String)],
+                        sums: Seq[(Column, String)],
+                        countCol: Option[String],
+                        mins: Seq[(Column, String)] = Nil,
+                        maxs: Seq[(Column, String)] = Nil): Unit = {
+    val reg = mkRegistration(source, rollup, dims, sums, countCol, mins, maxs)
+    regs.merge(key(spark), Vector(reg),
+      (a, b) => a.filterNot(sameMapping(_, b.head)) ++ b)
+    ()
+  }
+
+  /** Same (source, dims, partials) mapping, rollup plan NOT compared —
+    * the identity [[registerReplacing]] replaces on. */
+  private def sameMapping(a: Registration, b: Registration): Boolean =
+    a.source.canonicalized == b.source.canonicalized &&
+      a.countCol == b.countCol &&
+      eqPairs(a.dims, b.dims) && eqPairs(a.sums, b.sums) &&
+      eqPairs(a.mins, b.mins) && eqPairs(a.maxs, b.maxs)
+
+  private def mkRegistration(source: DataFrame, rollup: DataFrame,
+                             dims: Seq[(Column, String)],
+                             sums: Seq[(Column, String)],
+                             countCol: Option[String],
+                             mins: Seq[(Column, String)],
+                             maxs: Seq[(Column, String)]): Registration = {
     val srcPlan = source.queryExecution.analyzed
     def resolve(cs: Seq[(Column, String)]) = cs.map { case (c, name) =>
       source.select(c).queryExecution.analyzed match {
@@ -117,11 +156,8 @@ object RollupRewrite {
           s"rollup groups by $grain keys — a dims subset would make the " +
           "exact-grain rewrite return duplicate finer-grain rows")
     }
-    val reg = Registration(srcPlan, rollupPlan,
+    Registration(srcPlan, rollupPlan,
       resolve(dims), resolve(sums), countCol, resolve(mins), resolve(maxs))
-    regs.merge(key(spark), Vector(reg),
-      (a, b) => if (a.exists(sameReg(_, b.head))) a else a ++ b)
-    ()
   }
 
   def clear(spark: SparkSession): Unit = { regs.remove(key(spark)); () }

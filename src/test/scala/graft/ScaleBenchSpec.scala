@@ -86,4 +86,49 @@ class ScaleBenchSpec extends SparkSpec {
         s"replicas alias: ${overlap / base.count()} shingle overlap")
     } finally rm(dir)
   }
+
+  test("embedding sign-salt: intra-replica cosines exact, cross-replica " +
+      "scrambled (the r16 sweep's q_dedup_embedding aliasing fix)") {
+    val dir = build("entities")
+    try {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val e0 = spark.read.parquet(s"$sf/embeddings.parquet")
+      assert(e.count() == 2 * e0.count())
+      def cos = (a: String, b: String) =>
+        aggregate(zip_with(col(a), col(b), (x, y) => (x * y).cast("double")),
+          lit(0.0), (acc, v) => acc + v) /
+          (sqrt(aggregate(transform(col(a), x => (x * x).cast("double")),
+            lit(0.0), (acc, v) => acc + v)) *
+           sqrt(aggregate(transform(col(b), x => (x * x).cast("double")),
+            lit(0.0), (acc, v) => acc + v)))
+      // each base vector vs its own replica-1 copy: the diagonal ±1
+      // transform must kill the identity (cosine ≪ 1) — plain
+      // replication had cosine ≡ 1.0 and inflated near-dup pair
+      // output ∝k²
+      val paired = e.filter(col("vec_id") < 100000000L).as("b")
+        .join(e.filter(col("vec_id") >= 100000000L)
+          .withColumn("vec_id", col("vec_id") - 100000000L).as("r"),
+          Seq("vec_id"))
+        .select(cos("b.embedding", "r.embedding").as("c"))
+      val worst = paired.agg(max(abs(col("c")))).head().getDouble(0)
+      assert(worst < 0.8, s"replica copy still cosine-aliases: $worst")
+      // and the transform is ORTHOGONAL: any two vectors WITHIN
+      // replica 1 keep exactly the cosine their replica-0 originals
+      // have (near-dup structure replicates with the data)
+      val base2 = e0.limit(50).as("x").join(e0.limit(50).as("y"))
+        .filter(col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("i"), col("y.vec_id").as("j"),
+          cos("x.embedding", "y.embedding").as("c0"))
+      val rep1 = e.filter(col("vec_id") >= 100000000L)
+      val rep2 = rep1.as("x").join(rep1.as("y"))
+        .filter(col("x.vec_id") < col("y.vec_id"))
+        .select((col("x.vec_id") - 100000000L).as("i"),
+          (col("y.vec_id") - 100000000L).as("j"),
+          cos("x.embedding", "y.embedding").as("c1"))
+      val drift = base2.join(rep2, Seq("i", "j"))
+        .agg(max(abs(col("c0") - col("c1")))).head().getDouble(0)
+      assert(drift < 1e-6,
+        s"sign transform is not orthogonal — intra-replica cosine drifted $drift")
+    } finally rm(dir)
+  }
 }

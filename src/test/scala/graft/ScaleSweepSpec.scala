@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two-scale-point sweep's exponent fit (VERDICT r15 #1): the
+  * artifact's per-query `exponent` is the least-squares slope of ln t
+  * on ln k — with exactly two points, the log-ratio. Pinned pure so
+  * the committed SCALE_SWEEP.json numbers have a checked meaning. */
+class ScaleSweepSpec extends AnyFunSuite {
+
+  test("two points: exponent is the log-ratio") {
+    // t(1)=0.5, t(10)=5.0 → exactly linear, e=1
+    val e = ScaleSweep.exponent(Seq(1 -> 0.5, 10 -> 5.0)).get
+    assert(math.abs(e - 1.0) < 1e-9)
+    // flat (fixed-cost floor) → e=0
+    val f = ScaleSweep.exponent(Seq(1 -> 0.4, 10 -> 0.4)).get
+    assert(math.abs(f) < 1e-9)
+    // quadratic term: t ∝ k² → e=2
+    val q = ScaleSweep.exponent(Seq(1 -> 0.3, 10 -> 30.0)).get
+    assert(math.abs(q - 2.0) < 1e-9)
+  }
+
+  test("three points: least-squares through a power law recovers it") {
+    val pts = Seq(1, 4, 16).map(k => k -> 0.7 * math.pow(k.toDouble, 1.3))
+    val e = ScaleSweep.exponent(pts).get
+    assert(math.abs(e - 1.3) < 1e-9)
+  }
+
+  test("degenerate inputs return None, never throw") {
+    assert(ScaleSweep.exponent(Nil).isEmpty)
+    assert(ScaleSweep.exponent(Seq(10 -> 3.0)).isEmpty)
+    // identical k (zero variance) can't be fitted
+    assert(ScaleSweep.exponent(Seq(10 -> 3.0, 10 -> 4.0)).isEmpty)
+    // non-positive times are dropped (a failed sample must not poison
+    // the fit with -Inf)
+    assert(ScaleSweep.exponent(Seq(1 -> 0.0, 10 -> 2.0)).isEmpty)
+  }
+}
