@@ -46,7 +46,26 @@ object Similarity {
       (corpus.sparkSession.sparkContext.applicationId, cacheKey, k),
       _ => bruteForceTopK(corpus, queries, k).cache())
 
-  /** Unpersist and forget this app's cached truth sets
+  private val gateCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), DataFrame]()
+
+  /** Session-cached per-method gate result (the truth-set cache's
+    * companion, closing the other half of VERDICT r15 #1's cost): each
+    * recall-gate method's result is deterministic — seeded hyperplanes
+    * and hashes, deterministic k-means init, fixed probe counts — and
+    * tiny (k rows per query vector, or a few recall rows), but UNCACHED
+    * its corpus-wide scan re-ran on every steady pass even though the
+    * gate's booleans cannot change within a session. `build` is by-name
+    * so a warm hit constructs no plan at all. Lifetime follows
+    * [[reset]], same as the truth sets. */
+  def methodTopKCached(s: org.apache.spark.sql.SparkSession,
+                       cacheKey: String, method: String)
+                      (build: => DataFrame): DataFrame =
+    gateCache.computeIfAbsent(
+      (s.sparkContext.applicationId, cacheKey + ":" + method),
+      _ => build.cache())
+
+  /** Unpersist and forget this app's cached truth sets + gate results
     * ([[graft.model.Views.reset]] calls this). */
   def reset(spark: org.apache.spark.sql.SparkSession): Unit = {
     val app = spark.sparkContext.applicationId
@@ -54,6 +73,11 @@ object Similarity {
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 == app) { e.getValue.unpersist(); it.remove() }
+    }
+    val it2 = gateCache.entrySet().iterator()
+    while (it2.hasNext) {
+      val e = it2.next()
+      if (e.getKey._1 == app) { e.getValue.unpersist(); it2.remove() }
     }
   }
 

@@ -55,7 +55,11 @@ class BenchStampSpec extends AnyFunSuite {
     val duck = numMap(base.get("times"))
     val steadyTotal = q.values.sum
     val mvTotal = mv.values.sum
-    val inter = q.flatMap { case (n, s) => duck.get(n).map(d => (s, d)) }
+    // toSeq FIRST: flatMap on the Map would re-key by the seconds value
+    // and silently collapse queries with equal steady times, skewing
+    // sum_x and med_sub (caught restamping r16: 0.98 with the collapse
+    // vs 0.80 without)
+    val inter = q.toSeq.flatMap { case (n, s) => duck.get(n).map(d => (s, d)) }
     val sumX = inter.map(_._1).sum / inter.map(_._2).sum
     val sub = inter.collect { case (s, d) if d >= Bench.SubstantiveBar => s / d }
       .toSeq.sorted

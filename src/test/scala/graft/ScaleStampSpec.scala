@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/** The two-scale-point headline is stamped FROM the committed artifact
+  * (the BenchStampSpec mechanism, extended to SCALE_SWEEP.json): the
+  * r16 scale evidence — every registry query measured at ×1 and ×10 —
+  * is only worth what the prose quoting it can't drift from. SURVEY.md
+  * must carry a canonical line
+  *
+  *   `SCALE (machine-checked by ScaleStampSpec): n=<q> failed=<f>
+  *    exp_max=<e> over_1_1=<k> steady_x1=<s>s steady_x10=<s>s`
+  *
+  * recomputed here from SCALE_SWEEP.json. n/failed/over_1_1 are exact;
+  * the exponent and steady totals get host-noise tolerance.
+  */
+class ScaleStampSpec extends AnyFunSuite {
+
+  test("SURVEY.md SCALE stamp matches SCALE_SWEEP.json") {
+    val p = java.nio.file.Paths.get("SCALE_SWEEP.json")
+    assume(java.nio.file.Files.exists(p), "SCALE_SWEEP.json not present")
+    val sweep = new ObjectMapper().readTree(java.nio.file.Files.readString(p))
+
+    val qs = sweep.get("queries").properties().asScala.toSeq
+    val n = qs.size
+    val failed = sweep.get("failed").size()
+    val exps = qs.flatMap(e => Option(e.getValue.get("exponent"))
+      .filterNot(_.isNull).map(_.asDouble()))
+    val expMax = if (exps.isEmpty) 0.0 else exps.max
+    val over = sweep.get("over_1_1").size()
+    def steady(k: String) =
+      qs.flatMap(e => Option(e.getValue.get(k)).map(_.asDouble())).sum
+    val x1 = steady("x1"); val x10 = steady("x10")
+
+    val survey = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("SURVEY.md"))
+    val re = ("""SCALE \(machine-checked by ScaleStampSpec\): """ +
+      """n=(\d+) failed=(\d+) exp_max=([0-9.]+) over_1_1=(\d+) """ +
+      """steady_x1=([0-9.]+)s steady_x10=([0-9.]+)s""").r
+    val ms = re.findAllMatchIn(survey).toSeq
+    assert(ms.nonEmpty,
+      "SURVEY.md must carry the canonical SCALE stamp line (artifact " +
+        f"at HEAD: n=$n failed=$failed exp_max=$expMax%.2f " +
+        f"over_1_1=$over steady_x1=$x1%.1fs steady_x10=$x10%.1fs)")
+    val m = ms.last
+    def relOk(claimed: Double, actual: Double, tol: Double) =
+      math.abs(claimed - actual) <= tol * actual
+    val checks = Seq(
+      ("n", m.group(1).toDouble, n.toDouble, m.group(1).toInt == n),
+      ("failed", m.group(2).toDouble, failed.toDouble,
+        m.group(2).toInt == failed),
+      ("exp_max", m.group(3).toDouble, expMax,
+        math.abs(m.group(3).toDouble - expMax) <= 0.05),
+      ("over_1_1", m.group(4).toDouble, over.toDouble,
+        m.group(4).toInt == over),
+      ("steady_x1", m.group(5).toDouble, x1,
+        relOk(m.group(5).toDouble, x1, 0.15)),
+      ("steady_x10", m.group(6).toDouble, x10,
+        relOk(m.group(6).toDouble, x10, 0.15)))
+    val bad = checks.collect { case (name, c, a, false) =>
+      f"$name: stamped $c%.2f, artifact says $a%.2f" }
+    assert(bad.isEmpty,
+      "SURVEY's SCALE stamp has drifted from SCALE_SWEEP.json — " +
+        "restamp it from the artifact: " + bad.mkString("; "))
+  }
+}

@@ -3,21 +3,43 @@
 runs each oracle_sql.json query in DuckDB over the sf tables and
 compares against the Spark-written parquet, column-name-sorted,
 row-sorted, exact values."""
-import sys, os, json, glob
+import sys, os, json, glob, threading
 import duckdb
 import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+# Optional per-oracle watchdog (duckdb_baseline.py's mechanism) for the
+# x10 scale-point crosscheck: some gate oracles are quadratic by design
+# and would hang the sweep; a timed-out oracle is reported as TIMEOUT,
+# never silently passed. Unset (default) = no timeout, driver behavior.
+timeout_s = float(os.environ.get("CROSSCHECK_TIMEOUT", "0")) or None
 con = duckdb.connect()
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    # Spark writers (BuildScaled's x10 tables) produce DIRECTORIES named
+    # <table>.parquet; the driver's testdata is single files. Both read.
+    src = f"{f}/*.parquet" if os.path.isdir(f) else f
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 ok, bad = [], []
+timed_out = []
 for name, sql in sorted(oracle.items()):
     try:
-        want = con.sql(sql).df()
+        done = threading.Event()
+        if timeout_s:
+            def watchdog(done=done):  # bind THIS query's event, not the
+                # loop variable a late-starting thread would re-resolve
+                if not done.wait(timeout_s):
+                    con.interrupt()
+            threading.Thread(target=watchdog, daemon=True).start()
+        try:
+            want = con.sql(sql).df()
+        except duckdb.InterruptException:
+            timed_out.append(name)
+            continue
+        finally:
+            done.set()
         got = con.sql(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
         want = want.reindex(sorted(want.columns), axis=1)
         got = got.reindex(sorted(got.columns), axis=1)
@@ -62,6 +84,20 @@ for name, sql in sorted(oracle.items()):
         bad.append((name, f"EXC {str(e)[:200]}"))
 
 print(f"OK ({len(ok)}): {' '.join(ok)}")
+if timed_out:
+    print(f"ORACLE-TIMEOUT ({len(timed_out)}): {' '.join(timed_out)}")
 for name, why in bad:
     print(f"FAIL {name}: {why}")
+# Optional JSON artifact (CROSSCHECK_OUT=path): the x10 scale-point
+# correctness run commits its result next to SCALE_SWEEP.json.
+out_path = os.environ.get("CROSSCHECK_OUT")
+if out_path:
+    json.dump({
+        "metric": "oracle_crosscheck", "sfdir": sfdir,
+        "n_oracles": len(oracle), "ok": len(ok), "fail": len(bad),
+        "oracle_timeout": sorted(timed_out),
+        "timeout_s": timeout_s,
+        "failures": {n: w[:300] for n, w in bad},
+        "ok_names": sorted(ok),
+    }, open(out_path, "w"), indent=1)
 sys.exit(1 if bad else 0)
