@@ -6618,7 +6618,7 @@ object SparkEntry {
         |r AS (
         |  SELECT wallet, token_id,
         |    row_number() OVER (PARTITION BY wallet
-        |      ORDER BY ts DESC, trade_id DESC) AS rn
+        |      ORDER BY ts DESC, trade_id DESC, token_id DESC) AS rn
         |  FROM wt)
         |SELECT wallet, CAST(COUNT(*) AS BIGINT) AS n,
         |  string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY rn)

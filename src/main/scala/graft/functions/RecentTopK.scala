@@ -60,10 +60,19 @@ case class RecentTopK(ts: Expression, seq: Expression, value: Expression,
   override def createAggregationBuffer(): mutable.ArrayBuffer[RecentTopK.Entry] =
     mutable.ArrayBuffer.empty
 
-  // strictly-less ordering on (ts, seq): the minimum is the candidate
-  // to evict
-  private def lt(a: RecentTopK.Entry, bTs: Long, bSeq: Long): Boolean =
-    a.ts < bTs || (a.ts == bTs && a.seq < bSeq)
+  // strictly-less ordering on (ts, seq, value): the minimum is the
+  // candidate to evict. The VALUE is the final tie-break key — found
+  // at the x10 crosscheck: the synthetic trade_id is not unique
+  // (118k duplicate (orderkey, linenumber) pairs at sf0.1), so a
+  // (ts, seq)-only order left equal-(ts, seq) entries in engine-
+  // arbitrary order and the DuckDB twin disagreed on 33 wallets.
+  // With value as the last key the order is total whenever full
+  // entries are distinct; fully-duplicate entries are interchangeable
+  // by definition. The oracle orders by the same three keys.
+  private def lt(a: RecentTopK.Entry, bTs: Long, bSeq: Long,
+                 bVal: Long): Boolean =
+    a.ts < bTs || (a.ts == bTs &&
+      (a.seq < bSeq || (a.seq == bSeq && a.value < bVal)))
 
   private def insert(buf: mutable.ArrayBuffer[RecentTopK.Entry],
                      eTs: Long, eSeq: Long, eVal: Long): Unit =
@@ -73,10 +82,10 @@ case class RecentTopK(ts: Expression, seq: Expression, value: Expression,
       var mi = 0
       var i = 1
       while (i < buf.length) {
-        if (lt(buf(i), buf(mi).ts, buf(mi).seq)) mi = i
+        if (lt(buf(i), buf(mi).ts, buf(mi).seq, buf(mi).value)) mi = i
         i += 1
       }
-      if (lt(buf(mi), eTs, eSeq)) buf(mi) = RecentTopK.Entry(eTs, eSeq, eVal)
+      if (lt(buf(mi), eTs, eSeq, eVal)) buf(mi) = RecentTopK.Entry(eTs, eSeq, eVal)
     }
 
   override def update(buf: mutable.ArrayBuffer[RecentTopK.Entry],
@@ -99,7 +108,8 @@ case class RecentTopK(ts: Expression, seq: Expression, value: Expression,
 
   override def eval(buf: mutable.ArrayBuffer[RecentTopK.Entry]): Any =
     new GenericArrayData(
-      buf.sortWith((a, b) => a.ts > b.ts || (a.ts == b.ts && a.seq > b.seq))
+      buf.sortWith((a, b) => a.ts > b.ts || (a.ts == b.ts &&
+          (a.seq > b.seq || (a.seq == b.seq && a.value > b.value))))
         .map(_.value).toArray)
 
   override def serialize(buf: mutable.ArrayBuffer[RecentTopK.Entry]): Array[Byte] = {

@@ -57,4 +57,26 @@ class RecentTopKSpec extends SparkSpec {
       .collect().head.getString(0)
     assert(out == "120,119,118", out)
   }
+
+  test("equal (ts, seq) ties break by value — total order, engine-stable") {
+    // the x10 crosscheck find: the synthetic trade_id is NOT unique
+    // (duplicate (orderkey, linenumber) pairs), so without the value
+    // tie-break the output order of equal-(ts, seq) entries was
+    // engine-arbitrary and the DuckDB twin (ORDER BY ts DESC, trade_id
+    // DESC, token_id DESC) disagreed on real wallets
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val df = Seq(
+        (1L, t, 7L, 300L), (1L, t, 7L, 900L), (1L, t, 7L, 500L),
+        (1L, t, 3L, 100L))
+      .toDF("wallet", "ts", "seq", "token").repartition(4)
+    val out = df.groupBy(col("wallet"))
+      .agg(expr("graft_recent_topk(ts, seq, token, 3)").as("toks"))
+      .select(concat_ws(",", transform(col("toks"), x => x.cast("string"))))
+      .collect().head.getString(0)
+    // ties at (ts, seq=7) order by value desc, and the k-boundary
+    // eviction keeps the LARGER values deterministically
+    assert(out == "900,500,300", out)
+  }
 }

@@ -65,4 +65,26 @@ class ScaleStampSpec extends AnyFunSuite {
       "SURVEY's SCALE stamp has drifted from SCALE_SWEEP.json — " +
         "restamp it from the artifact: " + bad.mkString("; "))
   }
+
+  test("SURVEY.md SCALECHECK stamp matches SCALE_CORRECTNESS.json") {
+    val p = java.nio.file.Paths.get("SCALE_CORRECTNESS.json")
+    assume(java.nio.file.Files.exists(p), "SCALE_CORRECTNESS.json not present")
+    val cc = new ObjectMapper().readTree(java.nio.file.Files.readString(p))
+    val n = cc.get("n_oracles").asInt()
+    val ok = cc.get("ok").asInt()
+    val fail = cc.get("fail").asInt()
+    val survey = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("SURVEY.md"))
+    val re = ("""SCALECHECK \(machine-checked by ScaleStampSpec\): """ +
+      """oracles=(\d+) ok=(\d+) fail=(\d+)""").r
+    val ms = re.findAllMatchIn(survey).toSeq
+    assert(ms.nonEmpty,
+      "SURVEY.md must carry the canonical SCALECHECK stamp line " +
+        s"(artifact at HEAD: oracles=$n ok=$ok fail=$fail)")
+    val m = ms.last
+    assert(m.group(1).toInt == n && m.group(2).toInt == ok &&
+      m.group(3).toInt == fail,
+      s"SURVEY's SCALECHECK stamp (${m.matched}) has drifted from " +
+        s"SCALE_CORRECTNESS.json (oracles=$n ok=$ok fail=$fail) — restamp")
+  }
 }

@@ -13,6 +13,9 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 # and would hang the sweep; a timed-out oracle is reported as TIMEOUT,
 # never silently passed. Unset (default) = no timeout, driver behavior.
 timeout_s = float(os.environ.get("CROSSCHECK_TIMEOUT", "0")) or None
+# Opt-in relative float tolerance (x10 scale-point runs): 0 = bit-exact,
+# the driver-gate default.
+float_rtol = float(os.environ.get("CROSSCHECK_FLOAT_RTOL", "0"))
 con = duckdb.connect()
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f).replace(".parquet", "")
@@ -68,7 +71,16 @@ for name, sql in sorted(oracle.items()):
             a, b = ws[c], gs[c]
             try:
                 if a.dtype.kind == 'f' or b.dtype.kind == 'f':
-                    neq = ~((a == b) | (a.isna() & b.isna()))
+                    if float_rtol:
+                        # x10 scale-point mode only: summation order over
+                        # 10x the rows moves the 16th digit of a float
+                        # SUM (pure association noise, not a value
+                        # difference); the driver's sf0.01 gate stays
+                        # bit-exact (default rtol 0).
+                        close = (a - b).abs() <= float_rtol * b.abs().clip(lower=1.0)
+                        neq = ~(close | (a.isna() & b.isna()))
+                    else:
+                        neq = ~((a == b) | (a.isna() & b.isna()))
                 else:
                     neq = ~((a.astype(str) == b.astype(str)))
                 if neq.any():
@@ -96,7 +108,7 @@ if out_path:
         "metric": "oracle_crosscheck", "sfdir": sfdir,
         "n_oracles": len(oracle), "ok": len(ok), "fail": len(bad),
         "oracle_timeout": sorted(timed_out),
-        "timeout_s": timeout_s,
+        "timeout_s": timeout_s, "float_rtol": float_rtol,
         "failures": {n: w[:300] for n, w in bad},
         "ok_names": sorted(ok),
     }, open(out_path, "w"), indent=1)
