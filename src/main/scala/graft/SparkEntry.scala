@@ -101,6 +101,13 @@ object SparkEntry {
           max(when(col("day") === date_trunc("month", col("day")),
             col("lp"))).as("mstart"))
         .sortWithinPartitions(col("token_id"), col("pts")))
+  // The uniqState MV (q_uniq_rollup_hll's per-(wallet, day) HLL state
+  // rows — CH AggregatingMergeTree's uniqState table, maintained at
+  // ingest in a deployment).
+  private def uniqHllState(s: SparkSession, d: String): DataFrame =
+    graft.model.Views.cached(s, d, "uniq_hll_state")(
+      wt(s, d).groupBy(col("wallet"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("token_id"), lit(12)).as("sk")))
   private def walletMarketFlows(s: SparkSession, d: String): DataFrame =
     graft.model.Views.cached(s, d, "wallet_market_flows")(
       walletTokenFlows(s, d).join(broadcast(markets(s, d)), Seq("token_id"))
@@ -556,6 +563,7 @@ object SparkEntry {
     "wallet_market_flows" -> ((s, d) => walletMarketFlows(s, d)),
     "trades_token_day" -> ((s, d) => tradesTokenDay(s, d)),
     "trades_token_month" -> ((s, d) => tradesTokenMonth(s, d)),
+    "uniq_hll_state" -> ((s, d) => uniqHllState(s, d)),
     "candles_1m" -> ((s, d) => candles1m(s, d)),
     "ledger" -> ((s, d) => graft.model.Views.ledger(s, d)),
     "ledger_open" -> ((s, d) => graft.model.Views.ledgerOpen(s, d)),
@@ -3031,8 +3039,13 @@ object SparkEntry {
     // HLL is hash-based and order-invariant per lgK.
     "q_uniq_rollup_hll" -> ((s, d) => {
       val w = wt(s, d)
-      val st = w.groupBy(col("wallet"), to_date(col("ts")).as("day"))
-        .agg(hll_sketch_agg(col("token_id"), lit(12)).as("sk"))
+      // the per-(wallet, day) STATE rows are the MV this gate exists to
+      // prove (the AggregatingMergeTree uniqState table an ingest
+      // pipeline maintains) — so they live as a registered session MV
+      // like every other rollup, and the gate's steady cost is the
+      // merge + the exact/one-shot comparison sides, not re-building
+      // the state table it is supposed to be served from
+      val st = uniqHllState(s, d)
       val merged = st.groupBy(col("wallet"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_m"))
       val oneshot = w.groupBy(col("wallet"))
