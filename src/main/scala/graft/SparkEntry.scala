@@ -2924,8 +2924,35 @@ object SparkEntry {
             .agg(avg(coalesce(col("hit"), lit(0))).as("recall"))
             .select(lit(name).as("method"), lit(shape).as("shape"),
               lit(bar).as("bar"), (col("recall") >= bar).as("recall_ge_bar"))
+        // Corpus-size-DERIVED operating point for the flat-IVF family
+        // (the r16 x10 crosscheck find: points tuned at the 2k-vector
+        // sf0.1 corpus sat lower on the recall curve at 20k — ivf
+        // isotropic and pq/pqr clustered dipped under their bars).
+        // Faiss's rule: cells ∝ √N (so per-cell population grows √N,
+        // not N), probe COUNT scales with √N too (constant probed-cell
+        // fraction), and the ADC rerank shortlist stays a constant
+        // CORPUS fraction (refine ∝ N). Clamped at the sf0.1 reference
+        // so sf0.01/sf0.1 behavior is bit-identical to the pinned
+        // operating points; the count is memoized per canonical corpus
+        // plan (one cached-frame job per session). The hierarchical
+        // ivf2 stays FIXED by design — its levels are the mechanism
+        // that absorbs corpus growth — and it held at x10 unscaled.
+        val nCorpus = graft.model.Views.memoizedStat(corpus)(_.count())
+        val opScale = math.max(1.0, nCorpus / 2000.0)
+        val opS = math.sqrt(opScale)
+        val nlistOp = (16 * opS).round.toInt
+        // flat-IVF probe count: N^0.75 growth (base 8 at the reference
+        // corpus). √N (constant fraction) holds the CLUSTERED shape but
+        // measured 0.88 on 10x isotropic noise — structureless data is
+        // IVF's adversarial bound and its probed fraction must grow
+        // toward 1 with N (the hierarchical ivf2 exists precisely to
+        // avoid this; it holds at x10 with fixed levels). 0.75
+        // interpolates to the measured ≥0.9 recall target at x10.
+        val nprobeIvfOp = (8 * math.pow(opScale, 0.75)).round.toInt
+        val nprobePqOp = (12 * opS).round.toInt
+        val refineOp = math.ceil(20 * opScale).toInt
         val model = IvfIndex.buildCached(s, corpus, corpusKey = cacheKey,
-          nlist = 16)
+          nlist = nlistOp)
         // the two-level residual index (the >16M scale step) at a
         // matched operating point: 16 effective cells as 4 coarse x 4
         // residual, probing 3x4 pairs (12/16 cells) — measured 0.90
@@ -2947,7 +2974,8 @@ object SparkEntry {
         // ⟨q, centroid⟩ term per probed cell — same operating point
         val pqr = PqIndex.buildCached(s, model, corpusKey = cacheKey + ":pqr",
           dim = 64, m = 8, byResidual = true)
-        gate("ivf", 0.9, IvfIndex.topK(s, model, queries, k = 10, nprobe = 8))
+        gate("ivf", 0.9,
+            IvfIndex.topK(s, model, queries, k = 10, nprobe = nprobeIvfOp))
           .unionByName(gate("ivf2", 0.9,
             IvfIndex.topKHier(s, hier, queries, k = 10, nprobe1 = 3,
               nprobe2 = 4)))
@@ -2957,11 +2985,11 @@ object SparkEntry {
           .unionByName(gate("sq", 0.9,
             Similarity.sqTopK(corpus, queries, k = 10, refine = 4)))
           .unionByName(gate("pq", 0.85,
-            PqIndex.topK(s, model, pq, queries, k = 10, nprobe = 12,
-              refine = 20)))
+            PqIndex.topK(s, model, pq, queries, k = 10, nprobe = nprobePqOp,
+              refine = refineOp)))
           .unionByName(gate("pqr", 0.85,
-            PqIndex.topK(s, model, pqr, queries, k = 10, nprobe = 12,
-              refine = 20)))
+            PqIndex.topK(s, model, pqr, queries, k = 10, nprobe = nprobePqOp,
+              refine = refineOp)))
       }
       val emb = Tables.embeddings(s, d)
       val iso = Similarity.normalized(emb, "vec_id", "embedding")
