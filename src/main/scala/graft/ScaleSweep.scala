@@ -26,8 +26,12 @@ import org.apache.spark.sql.SparkSession
   *    seconds at both points ride the artifact so the floor is
   *    visible rather than hidden by the fit.
   *
-  * Crash-proof like Bench: the artifact is atomically rewritten after
-  * every query, and a shutdown hook writes whatever completed.
+  * Crash-proof like Bench — but a partial run must never clobber a
+  * committed full-registry artifact (the r16 round-close lesson: an
+  * in-flight re-run's crash dump overwrote the 183-query evidence with
+  * a 4-query partial and the snapshot committed it). In-progress dumps
+  * go to `<out>.partial`; the final path is written only when every
+  * registry query is covered at every scale point (isComplete).
   *
   * Artifact: SCALE_SWEEP.json —
   *   {"metric":"scale_sweep","scales":[1,10],"queries":{name:
@@ -95,13 +99,41 @@ object ScaleSweep {
       s""""mv_warmup":$mvJson,"failed":$failJson,"queries":$qJson}"""
   }
 
+  /** True iff the run covers the ENTIRE registry: every query either
+    * has a measured cell at every scale point or is recorded as failed.
+    * This is the promotion gate — anything less stays at `.partial`. */
+  private[graft] def isComplete(
+      times: Map[String, Map[Int, (Double, Double)]],
+      failed: Seq[String],
+      registry: Set[String],
+      scales: Seq[Int]): Boolean =
+    registry.nonEmpty && registry.forall { n =>
+      failed.contains(n) || times.get(n).exists(m => scales.forall(m.contains))
+    }
+
+  // in-progress (and crash-dump) writes land here, never on outV
+  private def partialPath = outV + ".partial"
+
   private def dump(): Unit = try {
-    val tmp = java.nio.file.Paths.get(outV + ".tmp")
+    val tmp = java.nio.file.Paths.get(partialPath + ".tmp")
     java.nio.file.Files.writeString(tmp, render())
-    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outV),
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(partialPath),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   } catch { case e: Throwable => System.err.println(s"[sweep] dump: ${e.getMessage}") }
+
+  /** Promote `.partial` → the final artifact, but ONLY for a run that
+    * covered the full registry at all scale points. */
+  private def promoteIfComplete(registry: Set[String]): Unit =
+    if (isComplete(times, failed, registry, scalesV)) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(partialPath), java.nio.file.Paths.get(outV),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      System.err.println(s"[sweep] complete — promoted to $outV")
+    } else System.err.println(
+      s"[sweep] run does not cover the full registry — left at $partialPath " +
+        s"(covered ${times.size}/${registry.size}); $outV untouched")
 
   private def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRecursively)
@@ -189,6 +221,7 @@ object ScaleSweep {
       }
     } finally deleteRecursively(root)
     dump()
+    promoteIfComplete(SparkEntry.queries.keySet)
     spark.sparkContext.setLogLevel("OFF"); spark.stop()
     println(render()); System.out.flush()
   }

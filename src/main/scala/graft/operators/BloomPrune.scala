@@ -72,8 +72,32 @@ object BloomPrune {
     val threshold =
       fact.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     // ~48 B/key of HashedRelation footprint; oversizing only flips the
-    // decision toward the shuffle plan, which stays correct.
-    if (threshold > 0 && expectedKeys * 48 <= threshold)
+    // decision toward the shuffle plan, which stays correct. Key count
+    // alone is not enough (ADVICE r16): broadcast(dim) ships FULL rows,
+    // so a key-small dim with wide rows (long strings, many columns)
+    // could pass the key check yet broadcast far more than the
+    // threshold — cap by the optimizer's byte estimate too. When the
+    // estimate is the unknown sentinel (Long.MaxValue, e.g. after the
+    // scalar subquery collapses stats) the key-count bound decides, as
+    // before.
+    // The estimate only vetoes when it is TRUSTWORTHY: scan-shaped
+    // plans (file relation + filter/project) carry file-size-derived
+    // stats, but Aggregate/Join/Window/Generate estimates are
+    // child-size-scaled with no cardinality reduction — a
+    // high-reduction groupBy dim "estimates" near its fact-sized child
+    // and a naive veto would force every derived dim onto the merge
+    // path (measured: +0.4 s on q_bloom_prune before this guard).
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val plan = dim.queryExecution.optimizedPlan
+    val estimateTrustworthy = !plan.exists {
+      case _: Aggregate | _: Join | _: Window | _: Generate |
+           _: Distinct | _: Deduplicate => true
+      case _ => false
+    }
+    val dimBytes = BigInt(plan.stats.sizeInBytes.toString)
+    val bytesOk = !estimateTrustworthy || dimBytes <= 0 ||
+      dimBytes >= BigInt(Long.MaxValue) || dimBytes <= BigInt(threshold)
+    if (threshold > 0 && expectedKeys * 48 <= threshold && bytesOk)
       pruned.join(broadcast(dim), Seq(key))
     else pruned.join(dim.hint("merge"), Seq(key))
   }

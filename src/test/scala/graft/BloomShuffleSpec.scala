@@ -65,6 +65,52 @@ class BloomShuffleSpec extends SparkSpec {
       BloomPrune.dimKeyCount(hot, "wallet"))
   }
 
+  test("wide-row dim: key count small but bytes over threshold → no broadcast") {
+    // ADVICE r16: broadcast(dim) ships FULL rows — a dim whose key
+    // count passes the 48 B/key check can still exceed the broadcast
+    // threshold when its rows are wide. 2k keys × ~64 KiB of string
+    // payload ≈ 128 MiB, far over the default 10 MiB threshold, while
+    // 2k × 48 B is trivially under it. The byte cap must veto.
+    val fact = spark.range(0, 40000).select(
+      (col("id") % 20000).as("k"), col("id").as("v"))
+    val wide = spark.range(0, 20000).select(
+      col("id").as("k"),
+      // 64 DISTINCT digests per row (~2 KiB, incompressible) — a
+      // repeated single digest would dictionary-encode away in parquet
+      concat_ws("", (1 to 64).map(i =>
+        md5(concat(col("id").cast("string"), lit(i)))): _*)
+        .as("payload"))
+      // parquet round-trip so the optimizer has a REAL byte estimate
+      // (an in-memory range plan estimates rows, not string payload)
+      .repartition(1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wide-dim")
+    wide.write.mode("overwrite").parquet(dir.toString)
+    val dimOnDisk = spark.read.parquet(dir.toString)
+    val bytes = BigInt(
+      dimOnDisk.queryExecution.optimizedPlan.stats.sizeInBytes.toString)
+    val threshold =
+      spark.sessionState.conf.autoBroadcastJoinThreshold
+    assume(bytes > BigInt(threshold),
+      s"fixture dim must exceed the broadcast threshold (got $bytes)")
+    val joined = BloomPrune.prunedJoinSized(fact, dimOnDisk, "k",
+      expectedKeys = 20000L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      "wide-row dim must not be forced onto the broadcast path:\n" + plan)
+    // and still row-identical to the plain join
+    val plain = fact.join(dimOnDisk, Seq("k"))
+    assert(sameRows(joined.select(plain.columns.map(col): _*), plain))
+    // ...while an AGGREGATE-derived dim with the same key count keeps
+    // the broadcast: its byte estimate is child-size-scaled garbage
+    // (no cardinality reduction), so it must not veto
+    val aggDim = fact.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val aggJoined = BloomPrune.prunedJoinSized(fact, aggDim, "k",
+      expectedKeys = 20000L)
+    assert(aggJoined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "derived-dim byte estimates must not veto the broadcast")
+  }
+
   test("sketch sizing tracks the dim cardinality at ~10 bits/key") {
     // word-aligned, clamped, proportional in between
     assert(BloomPrune.sizeBits(0) == (1 << 13))

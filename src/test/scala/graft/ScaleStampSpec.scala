@@ -73,18 +73,26 @@ class ScaleStampSpec extends AnyFunSuite {
     val n = cc.get("n_oracles").asInt()
     val ok = cc.get("ok").asInt()
     val fail = cc.get("fail").asInt()
+    // the skip LIST is stamped by name (VERDICT r16 #8): a green
+    // ok-count must not be able to hide a silently-grown skip list —
+    // every adjudicated skip has to be named in SURVEY's stamp line.
+    val skipped = Option(cc.get("oracle_skipped"))
+      .map(_.properties().asScala.map(_.getKey).toSeq.sorted)
+      .getOrElse(Nil)
+    val skipStamp = if (skipped.isEmpty) "none" else skipped.mkString(",")
     val survey = java.nio.file.Files.readString(
       java.nio.file.Paths.get("SURVEY.md"))
     val re = ("""SCALECHECK \(machine-checked by ScaleStampSpec\): """ +
-      """oracles=(\d+) ok=(\d+) fail=(\d+)""").r
+      """oracles=(\d+) ok=(\d+) fail=(\d+) skipped=(\S+)""").r
     val ms = re.findAllMatchIn(survey).toSeq
     assert(ms.nonEmpty,
       "SURVEY.md must carry the canonical SCALECHECK stamp line " +
-        s"(artifact at HEAD: oracles=$n ok=$ok fail=$fail)")
+        s"(artifact at HEAD: oracles=$n ok=$ok fail=$fail skipped=$skipStamp)")
     val m = ms.last
     assert(m.group(1).toInt == n && m.group(2).toInt == ok &&
-      m.group(3).toInt == fail,
+      m.group(3).toInt == fail && m.group(4) == skipStamp,
       s"SURVEY's SCALECHECK stamp (${m.matched}) has drifted from " +
-        s"SCALE_CORRECTNESS.json (oracles=$n ok=$ok fail=$fail) — restamp")
+        s"SCALE_CORRECTNESS.json (oracles=$n ok=$ok fail=$fail " +
+        s"skipped=$skipStamp) — restamp")
   }
 }

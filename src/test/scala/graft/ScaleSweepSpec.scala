@@ -26,6 +26,35 @@ class ScaleSweepSpec extends AnyFunSuite {
     assert(math.abs(e - 1.3) < 1e-9)
   }
 
+  // r16 postmortem: an in-flight partial re-run clobbered the committed
+  // 183-query artifact at round close. The writer now dumps in-progress
+  // state to `.partial` and promotes to the final path only when
+  // isComplete says the FULL registry is covered at EVERY scale point.
+  test("partial coverage can never promote over a complete artifact") {
+    val registry = Set("a", "b", "c")
+    val scales = Seq(1, 10)
+    def cell(ts: (Int, Double)*) = ts.map { case (k, t) => k -> (t, t) }.toMap
+    // complete: every query has every scale
+    assert(ScaleSweep.isComplete(
+      Map("a" -> cell(1 -> 1.0, 10 -> 2.0), "b" -> cell(1 -> 1.0, 10 -> 2.0),
+        "c" -> cell(1 -> 1.0, 10 -> 2.0)), Nil, registry, scales))
+    // a recorded failure still counts as covered (honest artifact;
+    // the stamp spec catches failed != 0)
+    assert(ScaleSweep.isComplete(
+      Map("a" -> cell(1 -> 1.0, 10 -> 2.0), "b" -> cell(1 -> 1.0, 10 -> 2.0)),
+      Seq("c"), registry, scales))
+    // missing query → partial
+    assert(!ScaleSweep.isComplete(
+      Map("a" -> cell(1 -> 1.0, 10 -> 2.0)), Nil, registry, scales))
+    // query present but missing a scale point (the exact r16 clobber
+    // shape: x1-only in-flight dump) → partial
+    assert(!ScaleSweep.isComplete(
+      Map("a" -> cell(1 -> 1.0), "b" -> cell(1 -> 1.0, 10 -> 2.0),
+        "c" -> cell(1 -> 1.0, 10 -> 2.0)), Nil, registry, scales))
+    // empty registry is never "complete"
+    assert(!ScaleSweep.isComplete(Map.empty, Nil, Set.empty, scales))
+  }
+
   test("degenerate inputs return None, never throw") {
     assert(ScaleSweep.exponent(Nil).isEmpty)
     assert(ScaleSweep.exponent(Seq(10 -> 3.0)).isEmpty)

@@ -16,12 +16,16 @@ timeout_s = float(os.environ.get("CROSSCHECK_TIMEOUT", "0")) or None
 # Opt-in relative float tolerance (x10 scale-point runs): 0 = bit-exact,
 # the driver-gate default.
 float_rtol = float(os.environ.get("CROSSCHECK_FLOAT_RTOL", "0"))
-# Opt-in oracle skip list, "name:reason,name:reason" — for oracles PROVEN
+# Opt-in oracle skip list, "name:reason;name:reason" — for oracles PROVEN
 # infeasible on this host (q_pnl_snapshots at x10 exhausts DuckDB's spill
 # disk, and interrupting it mid-spill deadlocks the connection). Skips are
 # recorded in the artifact with their reason, never silently dropped.
+# Entries split on ';' so a reason may contain commas (the r16 artifact's
+# skip reason was truncated mid-sentence at a comma); ',' still accepted
+# as a fallback separator for reason-free lists.
+_skip_raw = os.environ.get("CROSSCHECK_SKIP", "")
 skipped = dict(kv.split(":", 1) for kv in
-               os.environ.get("CROSSCHECK_SKIP", "").split(",") if ":" in kv)
+               _skip_raw.split(";" if ";" in _skip_raw else ",") if ":" in kv)
 con = duckdb.connect()
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f).replace(".parquet", "")
@@ -121,4 +125,8 @@ if out_path:
         "failures": {n: w[:300] for n, w in bad},
         "ok_names": sorted(ok),
     }, open(out_path, "w"), indent=1)
-sys.exit(1 if bad else 0)
+# A timed-out oracle is NOT a pass: exit nonzero so callers gating on
+# status can't see green over unverified oracles. CROSSCHECK_TIMEOUT_OK=1
+# opts back in to the old behavior for exploratory runs.
+timeouts_fail = timed_out and os.environ.get("CROSSCHECK_TIMEOUT_OK") != "1"
+sys.exit(1 if (bad or timeouts_fail) else 0)
