@@ -279,8 +279,13 @@ object Bench {
     // exceeds the 2x gate — explicit here so an outlier can never hide
     // outside the headline's worst-10 window
     val over2x = over2xJson(vsbFull)
+    // MV disk-layer traffic (SPARK_GRAFT_MV_DISK): hits>0 marks this
+    // run as ATTACHED to persisted MV state rather than building it —
+    // a warm-warmup artifact must say so on its face.
+    val mvDisk = s"""{"hits":${graft.model.Views.diskHits.get()},""" +
+      s""""misses":${graft.model.Views.diskMisses.get()}}"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":${passes.length},"mv_warmup":${mapJson(mvWarmup)},"queries":${mapJson(rs)},$passJson,"failed":${failedJson(rs)},"vs_baseline":$vsbJson,"over2x_substantive":$over2x,"steady_scope":"all","mode":"$modeV","sf":"$sfDirV"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":${passes.length},"mv_warmup":${mapJson(mvWarmup)},"mv_disk":$mvDisk,"queries":${mapJson(rs)},$passJson,"failed":${failedJson(rs)},"vs_baseline":$vsbJson,"over2x_substantive":$over2x,"steady_scope":"all","mode":"$modeV","sf":"$sfDirV"}"""
     try {
       // bucketed-mode sweeps land in their own artifact so the
       // zero-exchange layout gets a longitudinal signal (VERDICT r9

@@ -17,6 +17,104 @@ import java.util.concurrent.ConcurrentHashMap
 object Views {
   private val cache = new ConcurrentHashMap[(String, String, String), DataFrame]()
 
+  // ---- persisted MV state (opt-in, SPARK_GRAFT_MV_DISK=<root>) -------
+  //
+  // In production the reference's derived tables are MAINTAINED at
+  // ingest (ClickHouse MVs), not rebuilt by every analytics session —
+  // a session ATTACHES to existing state. The disk layer is that
+  // attach seam for batch sessions: the first session to need an MV
+  // builds it and writes it under a fingerprint of (MV name, input
+  // dir listing, code build); later sessions with the same fingerprint
+  // pay a parquet read instead of the build. Any change to the input
+  // files (size/mtime) or to the compiled code invalidates the key, so
+  // staleness is impossible by construction — a stale hit would need
+  // identical inputs AND identical code, which is a correct hit.
+  // Unset (the default) = session-only caching, exactly as before.
+  private lazy val diskRootEnv: Option[java.nio.file.Path] =
+    sys.env.get("SPARK_GRAFT_MV_DISK").filter(_.nonEmpty).map { p =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+    }
+  /** Test seam (env vars can't be set in-JVM); production code never
+    * touches it. */
+  @volatile private[graft] var diskRootOverride: Option[java.nio.file.Path] = None
+  private def diskRoot: Option[java.nio.file.Path] =
+    diskRootOverride.orElse(diskRootEnv)
+
+  /** Disk-layer traffic counters (Bench reports them so a warm-state
+    * artifact is visibly warm, never silently so). */
+  val diskHits = new java.util.concurrent.atomic.AtomicLong
+  val diskMisses = new java.util.concurrent.atomic.AtomicLong
+
+  // One fingerprint component per JVM: where the graft classes were
+  // loaded from (classes dir or jar), hashed by (relpath, size, mtime)
+  // listing — any recompile produces a different build fingerprint.
+  private lazy val codeFingerprint: String = {
+    val loc = Tables.getClass.getProtectionDomain.getCodeSource
+    if (loc == null || loc.getLocation == null) "unknown"
+    else listingFingerprint(java.nio.file.Paths.get(loc.getLocation.toURI))
+  }
+
+  /** Hash of a file tree: every regular file's (relative path, size,
+    * mtime). Cheap (metadata only) and captures both data edits and
+    * rebuilt class files. */
+  private def listingFingerprint(p: java.nio.file.Path): String = {
+    import java.nio.file.Files
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def feed(s: String): Unit = { md.update(s.getBytes("UTF-8")); () }
+    if (Files.isRegularFile(p)) {
+      feed(p.getFileName.toString); feed(Files.size(p).toString)
+      feed(Files.getLastModifiedTime(p).toMillis.toString)
+    } else if (Files.isDirectory(p)) {
+      val st = Files.walk(p)
+      try {
+        st.filter(f => Files.isRegularFile(f))
+          .sorted(java.util.Comparator.comparing[java.nio.file.Path, String](_.toString))
+          .forEach { f =>
+            feed(p.relativize(f).toString); feed(Files.size(f).toString)
+            feed(Files.getLastModifiedTime(f).toMillis.toString)
+          }
+      } finally st.close()
+    } else feed("absent")
+    md.digest().map("%02x".format(_)).mkString.take(20)
+  }
+
+  private def mvFingerprint(dir: String, name: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(name.getBytes("UTF-8"))
+    md.update(listingFingerprint(java.nio.file.Paths.get(dir)).getBytes("UTF-8"))
+    md.update(codeFingerprint.getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString.take(20)
+  }
+
+  /** Build-or-attach through the disk layer. Both branches return a
+    * frame that SCANS the persisted parquet (not the builder's plan),
+    * so dependent MVs see identical lineage whether this one was built
+    * or attached. The write is atomic: temp dir, then rename. */
+  private def throughDisk(spark: SparkSession, dir: String, name: String,
+                          root: java.nio.file.Path)
+                         (build: => DataFrame): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val path = root.resolve(s"$name-${mvFingerprint(dir, name)}")
+    if (Files.exists(path.resolve("_SUCCESS"))) { diskHits.incrementAndGet(); () }
+    else {
+      diskMisses.incrementAndGet()
+      val tmp = root.resolve(s".${path.getFileName}-tmp-${ProcessHandle.current().pid()}")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.FileSystemException =>
+        // lost a build race to a concurrent session — theirs is
+        // byte-equivalent (same fingerprint), use it
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(tmp.toFile)
+      }
+    }
+    spark.read.parquet(path.toString)
+  }
+
   def cached(spark: SparkSession, dir: String, name: String)
             (build: => DataFrame): DataFrame = {
     val key = (spark.sparkContext.applicationId, dir, name)
@@ -26,7 +124,10 @@ object Views {
       val again = cache.get(key)
       if (again != null) again
       else {
-        val df = build.persist(StorageLevel.MEMORY_AND_DISK)
+        val df = (diskRoot match {
+          case Some(root) => throughDisk(spark, dir, name, root)(build)
+          case None => build
+        }).persist(StorageLevel.MEMORY_AND_DISK)
         cache.put(key, df)
         df
       }

@@ -193,7 +193,17 @@ object Snapshots {
   def pnlSnapshotsFromDaily(daily: DataFrame, lastPrice: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("wallet"), col("token_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // ONE range exchange on wallet serves the whole chain (the
+    // portfolioHistory trick, r15): RangePartitioning(wallet)
+    // clusters every (wallet, token_id) window partition, the
+    // (wallet, day) groupBy, the per-wallet running window, AND
+    // prefix-satisfies the caller's (wallet, day) output order — the
+    // previous plan paid three hash exchanges plus a final range
+    // exchange over the same rows (2.5 s → ~1.4 s steady at sf0.1).
+    // All summands are scaled BIGINTs, so the re-distribution cannot
+    // move a float (oracle-hash safe).
     val state = daily
+      .repartitionByRange(col("wallet"))
       .withColumn("cum_buy_usd", sum(col("buy_usd_d")).over(w))
       .withColumn("cum_buy_qty", sum(col("buy_qty_d")).over(w))
       .withColumn("cum_sell_usd", sum(col("sell_usd_d")).over(w))
