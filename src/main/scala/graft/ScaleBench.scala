@@ -148,9 +148,24 @@ object ScaleBench {
     * source rows unchanged (so ×1 differs from sf0.1 only in file
     * layout — every scale point is written by the same writer and read
     * back the same way, keeping the curve apples-to-apples). */
+  /** Build the ×k replica of ONE table (the loop body of
+    * [[buildScaled]]) — [[graft.ScaleAnn]] uses it to grow just the
+    * embeddings corpus to its off-clamp scale point without paying for
+    * a full ×k dataset. */
+  private[graft] def buildScaledTable(spark: SparkSession, srcDir: String,
+                                      outDir: String, k: Int, axis: String,
+                                      table: String): Unit =
+    buildTables(spark, srcDir, outDir, k, axis,
+      Map(table -> tableSpecs(table)))
+
   private[graft] def buildScaled(spark: SparkSession, srcDir: String,
-                                 outDir: String, k: Int, axis: String): Unit = {
-    for ((table, spec) <- tableSpecs) {
+                                 outDir: String, k: Int, axis: String): Unit =
+    buildTables(spark, srcDir, outDir, k, axis, tableSpecs)
+
+  private def buildTables(spark: SparkSession, srcDir: String,
+                          outDir: String, k: Int, axis: String,
+                          specs: Map[String, TableSpec]): Unit = {
+    for ((table, spec) <- specs) {
       val src =
         if (table == "events") graft.model.Tables.events(spark, srcDir)
         else spark.read.parquet(s"$srcDir/$table.parquet")

@@ -2904,98 +2904,20 @@ object SparkEntry {
     // must come from k-means finding the clusters rather than from
     // the scan fraction. Both shapes share one gate reduction.
     "q_ann_recall" -> ((s, d) => {
-      def gatesFor(shape: String, corpus: DataFrame, cacheKey: String) = {
-        val queries = corpus.filter(col("id") < 5)
-        // session-cached per shape: SEVEN method gates consume this one
-        // truth set — uncached, the corpus-wide brute-force plan would
-        // re-execute once per gate (VERDICT r15 #1)
-        val exact = Similarity
-          .bruteForceTopKCached(corpus, queries, 10, cacheKey + ":truth")
-          .select(col("query_id"), col("corpus_id"))
-        // per-method results session-cache like the truth set (they are
-        // deterministic and k-rows-small; uncached, every steady pass
-        // re-paid twelve corpus scans for booleans that cannot change)
-        def gate(name: String, bar: Double, approx: => DataFrame) =
-          exact.join(
-              Similarity.methodTopKCached(s, cacheKey, name)(
-                  approx.select(col("query_id"), col("corpus_id")))
-                .withColumn("hit", lit(1)),
-              Seq("query_id", "corpus_id"), "left")
-            .agg(avg(coalesce(col("hit"), lit(0))).as("recall"))
-            .select(lit(name).as("method"), lit(shape).as("shape"),
-              lit(bar).as("bar"), (col("recall") >= bar).as("recall_ge_bar"))
-        // Corpus-size-DERIVED operating point for the flat-IVF family
-        // (the r16 x10 crosscheck find: points tuned at the 2k-vector
-        // sf0.1 corpus sat lower on the recall curve at 20k — ivf
-        // isotropic and pq/pqr clustered dipped under their bars).
-        // Faiss's rule: cells ∝ √N (so per-cell population grows √N,
-        // not N), probe COUNT scales with √N too (constant probed-cell
-        // fraction), and the ADC rerank shortlist stays a constant
-        // CORPUS fraction (refine ∝ N). Clamped at the sf0.1 reference
-        // so sf0.01/sf0.1 behavior is bit-identical to the pinned
-        // operating points; the count is memoized per canonical corpus
-        // plan (one cached-frame job per session). The hierarchical
-        // ivf2 stays FIXED by design — its levels are the mechanism
-        // that absorbs corpus growth — and it held at x10 unscaled.
-        val nCorpus = graft.model.Views.memoizedStat(corpus)(_.count())
-        val opScale = math.max(1.0, nCorpus / 2000.0)
-        val opS = math.sqrt(opScale)
-        val nlistOp = (16 * opS).round.toInt
-        // flat-IVF probe count: N^0.75 growth (base 8 at the reference
-        // corpus). √N (constant fraction) holds the CLUSTERED shape but
-        // measured 0.88 on 10x isotropic noise — structureless data is
-        // IVF's adversarial bound and its probed fraction must grow
-        // toward 1 with N (the hierarchical ivf2 exists precisely to
-        // avoid this; it holds at x10 with fixed levels). 0.75
-        // interpolates to the measured ≥0.9 recall target at x10.
-        val nprobeIvfOp = (8 * math.pow(opScale, 0.75)).round.toInt
-        val nprobePqOp = (12 * opS).round.toInt
-        val refineOp = math.ceil(20 * opScale).toInt
-        val model = IvfIndex.buildCached(s, corpus, corpusKey = cacheKey,
-          nlist = nlistOp)
-        // the two-level residual index (the >16M scale step) at a
-        // matched operating point: 16 effective cells as 4 coarse x 4
-        // residual, probing 3x4 pairs (12/16 cells) — measured 0.90
-        // on isotropic noise (the collision bound) and 1.0 clustered
-        val hier = IvfIndex.buildHierarchicalCached(s, corpus,
-          corpusKey = cacheKey + ":hier", nlistTotal = 16)
-        // IVF-PQ (the ~32× compression rung, VERDICT r14 #7): m=8
-        // subquantizers over the same 16-cell IVF, ADC shortlist of
-        // 20·k candidates from 12/16 probed cells, exact rerank — the
-        // codes are 8 sub-byte ints against 64 doubles of floats.
-        // Operating point measured on the adversarial isotropic-noise
-        // shape (ADC ranking of near-tie cosines is hardest there):
-        // recall 0.98 @ sf0.01 / 0.94 @ sf0.1; clustered ≥ 0.85
-        // already at refine=5.
-        val pq = PqIndex.buildCached(s, model, corpusKey = cacheKey + ":pq",
-          dim = 64, m = 8)
-        // and the BY-RESIDUAL variant (Faiss's IVF-PQ default): codes
-        // cover the within-cell spread, ADC adds the exact
-        // ⟨q, centroid⟩ term per probed cell — same operating point
-        val pqr = PqIndex.buildCached(s, model, corpusKey = cacheKey + ":pqr",
-          dim = 64, m = 8, byResidual = true)
-        gate("ivf", 0.9,
-            IvfIndex.topK(s, model, queries, k = 10, nprobe = nprobeIvfOp))
-          .unionByName(gate("ivf2", 0.9,
-            IvfIndex.topKHier(s, hier, queries, k = 10, nprobe1 = 3,
-              nprobe2 = 4)))
-          .unionByName(gate("lsh", 0.6,
-            Similarity.lshTopK(corpus, queries, dim = 64, planes = 6, k = 10,
-              tables = 24)))
-          .unionByName(gate("sq", 0.9,
-            Similarity.sqTopK(corpus, queries, k = 10, refine = 4)))
-          .unionByName(gate("pq", 0.85,
-            PqIndex.topK(s, model, pq, queries, k = 10, nprobe = nprobePqOp,
-              refine = refineOp)))
-          .unionByName(gate("pqr", 0.85,
-            PqIndex.topK(s, model, pqr, queries, k = 10, nprobe = nprobePqOp,
-              refine = refineOp)))
-      }
+      // gate harness shared with graft.ScaleAnn (operators.AnnGates):
+      // seven methods x two corpus shapes against a brute-force truth
+      // set, corpus-size-derived operating points for the flat-IVF
+      // family, ivf2 at fixed levels by design. The recall VALUE is
+      // dropped here so the oracle-facing schema stays (method, shape,
+      // bar, recall_ge_bar); ScaleAnn keeps it as scale evidence.
       val emb = Tables.embeddings(s, d)
       val iso = Similarity.normalized(emb, "vec_id", "embedding")
       val clustered = annClusteredCorpus(s, d)
-      gatesFor("isotropic", iso, d)
-        .unionByName(gatesFor("clustered", clustered, d + ":clustered"))
+      operators.AnnGates.gates(s, d, "isotropic", iso, d)
+        .unionByName(operators.AnnGates.gates(s, d, "clustered", clustered,
+          d + ":clustered"))
+        .select(col("method"), col("shape"), col("bar"),
+          col("recall_ge_bar"))
         .orderBy(col("method"), col("shape"))
     }),
 
@@ -3037,7 +2959,7 @@ object SparkEntry {
       // shape — uncached, every steady pass re-ran both LSH pipelines
       // over corpus ∪ twins for booleans that cannot change
       def gated(shape: String, in: DataFrame) =
-        Similarity.methodTopKCached(s, d, "neardup:" + shape)(
+        graft.model.Views.cached(s, d, "neardup_gate_" + shape)(
             Dedup.plantedRecall(in, "doc_id", "text"))
           .select(col("method"), lit(shape).as("shape"), col("n_truth"),
             when(col("method") === "minhash_lsh", 0.75).otherwise(0.1)

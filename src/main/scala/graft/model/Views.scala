@@ -50,20 +50,33 @@ object Views {
   // listing — any recompile produces a different build fingerprint.
   private lazy val codeFingerprint: String = {
     val loc = Tables.getClass.getProtectionDomain.getCodeSource
-    if (loc == null || loc.getLocation == null) "unknown"
-    else listingFingerprint(java.nio.file.Paths.get(loc.getLocation.toURI))
+    val fp = if (loc == null || loc.getLocation == null) "unknown"
+      else listingFingerprint(java.nio.file.Paths.get(loc.getLocation.toURI))
+    System.err.println(s"[mvdisk] code source " +
+      s"${if (loc == null) "null" else loc.getLocation} fp=$fp")
+    fp
   }
 
   /** Hash of a file tree: every regular file's (relative path, size,
     * mtime). Cheap (metadata only) and captures both data edits and
-    * rebuilt class files. */
+    * rebuilt class files. A single-FILE code source (a jar) is hashed
+    * by CONTENT instead: sbt's runMain repackages the project jar into
+    * a fresh temp path on every invocation (target/bg-jobs/...), so
+    * path+mtime there would move per run while the bytes — and the
+    * code they represent — are identical. Content is stable across
+    * repackages and changes on any recompile, which is exactly the
+    * invalidation the MV cache needs. */
   private def listingFingerprint(p: java.nio.file.Path): String = {
     import java.nio.file.Files
     val md = java.security.MessageDigest.getInstance("SHA-256")
     def feed(s: String): Unit = { md.update(s.getBytes("UTF-8")); () }
     if (Files.isRegularFile(p)) {
-      feed(p.getFileName.toString); feed(Files.size(p).toString)
-      feed(Files.getLastModifiedTime(p).toMillis.toString)
+      val in = Files.newInputStream(p)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
     } else if (Files.isDirectory(p)) {
       val st = Files.walk(p)
       try {
