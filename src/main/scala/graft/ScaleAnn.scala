@@ -66,7 +66,8 @@ object ScaleAnn {
     val op = graft.operators.AnnGates.operatingPoint(iso.count())
     System.err.println(s"[scaleann] op point: n=${op.nCorpus} " +
       s"nlist=${op.nlist} nprobe_ivf=${op.nprobeIvf} " +
-      s"nprobe_pq=${op.nprobePq} refine=${op.refine}")
+      s"nprobe_pq=${op.nprobePq} refine=${op.refine} " +
+      s"sq_refine=${op.sqRefine}")
 
     val tg0 = System.nanoTime()
     val cells = graft.operators.AnnGates.gates(spark, dir, "isotropic", iso, dir)
@@ -88,7 +89,8 @@ object ScaleAnn {
         fmt(cells.map(_._4).min)},"corpus_n":${op.nCorpus},"scale":$k,""" +
       s""""src":"$srcDir","op":{"nlist":${op.nlist},""" +
       s""""nprobe_ivf":${op.nprobeIvf},"nprobe_pq":${op.nprobePq},""" +
-      s""""refine":${op.refine}},"cells":$cellJson,"ok":$allOk,""" +
+      s""""refine":${op.refine},"sq_refine":${op.sqRefine}},""" +
+      s""""cells":$cellJson,"ok":$allOk,""" +
       s""""build_s":${fmt(buildS)},"gates_s":${fmt(gatesS)}}"""
     val tmp = java.nio.file.Paths.get(out + ".tmp")
     java.nio.file.Files.writeString(tmp, json)

@@ -170,16 +170,33 @@ object ScaleSweep {
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Scaled replicas live in a STABLE cache keyed by (source listing,
+    // code build) — deterministic content, so a re-run reuses the
+    // build instead of repeating it, and stable file mtimes let the
+    // persisted-MV layer (SPARK_GRAFT_MV_DISK) attach across sweep
+    // runs (VERDICT r16 #4: the ×10 warmup block). Any source or code
+    // change moves the key and forces a rebuild. SPARK_GRAFT_SWEEP_FRESH=1
+    // opts back into pid-scoped throwaway dirs.
+    val fresh = sys.env.get("SPARK_GRAFT_SWEEP_FRESH").contains("1")
     val root = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      s"graft-sweep-${ProcessHandle.current().pid()}")
-    deleteRecursively(root)
+      if (fresh) s"graft-sweep-${ProcessHandle.current().pid()}"
+      else s"graft-sweep-cache-${graft.model.Views.datasetFingerprint(srcV)}")
+    if (fresh) deleteRecursively(root)
     try {
       for (k <- scalesV) {
-        val dir = new java.io.File(root, s"x$k").getAbsolutePath
+        val dirF = new java.io.File(root, s"$axisV-x$k")
+        val dir = dirF.getAbsolutePath
+        val marker = new java.io.File(dirF, "_GRAFT_BUILD_COMPLETE")
         val tb0 = System.nanoTime()
-        ScaleBench.buildScaled(spark, srcV, dir, k, axisV)
-        System.err.println(f"[sweep] built x$k in ${(System.nanoTime() - tb0) / 1e9}%.1fs")
+        if (marker.exists()) {
+          System.err.println(s"[sweep] reusing cached x$k replica at $dir")
+        } else {
+          deleteRecursively(dirF)
+          ScaleBench.buildScaled(spark, srcV, dir, k, axisV)
+          marker.createNewFile(): Unit
+          System.err.println(f"[sweep] built x$k in ${(System.nanoTime() - tb0) / 1e9}%.1fs")
+        }
         // dependency-ordered MV warmup (Bench's mv_warmup design: each
         // query's cold time is its own work, the shared folds are one
         // labeled cost per scale point)
@@ -217,9 +234,9 @@ object ScaleSweep {
           }
         }
         graft.model.Views.reset(spark)
-        deleteRecursively(new java.io.File(root, s"x$k"))
+        if (fresh) deleteRecursively(new java.io.File(root, s"$axisV-x$k"))
       }
-    } finally deleteRecursively(root)
+    } finally if (fresh) deleteRecursively(root)
     dump()
     promoteIfComplete(SparkEntry.queries.keySet)
     spark.sparkContext.setLogLevel("OFF"); spark.stop()

@@ -91,6 +91,17 @@ object Views {
     md.digest().map("%02x".format(_)).mkString.take(20)
   }
 
+  /** (code build, input tree) fingerprint for harnesses that cache
+    * DERIVED DATASETS on disk (ScaleSweep's scaled replicas): same
+    * invalidation contract as the MV layer — any input or code change
+    * moves the key. */
+  private[graft] def datasetFingerprint(srcDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(listingFingerprint(java.nio.file.Paths.get(srcDir)).getBytes("UTF-8"))
+    md.update(codeFingerprint.getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
   private def mvFingerprint(dir: String, name: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update(name.getBytes("UTF-8"))

@@ -38,7 +38,7 @@ object AnnGates {
     * reference so sf0.01/sf0.1 behavior is bit-identical to the pinned
     * operating points. */
   final case class OpPoint(nCorpus: Long, nlist: Int, nprobeIvf: Int,
-                           nprobePq: Int, refine: Int)
+                           nprobePq: Int, refine: Int, sqRefine: Int)
 
   def operatingPoint(nCorpus: Long): OpPoint = {
     val opScale = math.max(1.0, nCorpus / 2000.0)
@@ -47,7 +47,15 @@ object AnnGates {
       nlist = (16 * opS).round.toInt,
       nprobeIvf = (8 * math.pow(opScale, 0.75)).round.toInt,
       nprobePq = (12 * opS).round.toInt,
-      refine = math.ceil(20 * opScale).toInt)
+      refine = math.ceil(20 * opScale).toInt,
+      // SQ8's exact-rerank shortlist must ALSO grow ∝N (the ×100
+      // off-clamp run's find: fixed refine=4 left sq×clustered at 0.86
+      // vs its 0.9 bar at 200k vectors) — the int8 quantization error
+      // is a fixed absolute cosine band, so the candidate count inside
+      // that band around the true top-k boundary grows with local
+      // density. Same ∝N rule as the PQ family's ADC shortlist,
+      // clamped at the reference corpus like every other derived point.
+      sqRefine = math.ceil(4 * opScale).toInt)
   }
 
   /** All seven method gates over one corpus shape:
@@ -58,7 +66,8 @@ object AnnGates {
     * residual, 3×4 probed — the levels are the mechanism that absorbs
     * corpus growth, measured 0.90 isotropic / 1.0 clustered); lsh
     * ≥0.6 (6 planes × 24 tables); sq ≥0.9 (int8 scan + exact rerank,
-    * refine 4); pq/pqr ≥0.85 (m=8 subquantizers, ADC shortlist
+    * shortlist ∝N, 4·k at the reference); pq/pqr ≥0.85 (m=8
+    * subquantizers, ADC shortlist
     * refine·k from the probed cells, exact rerank — operating point
     * measured on the adversarial isotropic shape where ADC ranks
     * near-tie cosines). */
@@ -99,7 +108,7 @@ object AnnGates {
         Similarity.lshTopK(corpus, queries, dim = 64, planes = 6, k = 10,
           tables = 24)))
       .unionByName(gate("sq", 0.9,
-        Similarity.sqTopK(corpus, queries, k = 10, refine = 4)))
+        Similarity.sqTopK(corpus, queries, k = 10, refine = op.sqRefine)))
       .unionByName(gate("pq", 0.85,
         PqIndex.topK(s, model, pq, queries, k = 10, nprobe = op.nprobePq,
           refine = op.refine)))

@@ -18,9 +18,9 @@ import scala.jdk.CollectionConverters._
   */
 class ScaleStampSpec extends AnyFunSuite {
 
-  test("SURVEY.md SCALE stamp matches SCALE_SWEEP.json") {
-    val p = java.nio.file.Paths.get("SCALE_SWEEP.json")
-    assume(java.nio.file.Files.exists(p), "SCALE_SWEEP.json not present")
+  private def checkSweepStamp(artifact: String, label: String): Unit = {
+    val p = java.nio.file.Paths.get(artifact)
+    assume(java.nio.file.Files.exists(p), s"$artifact not present")
     val sweep = new ObjectMapper().readTree(java.nio.file.Files.readString(p))
 
     val qs = sweep.get("queries").properties().asScala.toSeq
@@ -36,12 +36,12 @@ class ScaleStampSpec extends AnyFunSuite {
 
     val survey = java.nio.file.Files.readString(
       java.nio.file.Paths.get("SURVEY.md"))
-    val re = ("""SCALE \(machine-checked by ScaleStampSpec\): """ +
+    val re = (label + """ \(machine-checked by ScaleStampSpec\): """ +
       """n=(\d+) failed=(\d+) exp_max=([0-9.]+) over_1_1=(\d+) """ +
       """steady_x1=([0-9.]+)s steady_x10=([0-9.]+)s""").r
     val ms = re.findAllMatchIn(survey).toSeq
     assert(ms.nonEmpty,
-      "SURVEY.md must carry the canonical SCALE stamp line (artifact " +
+      s"SURVEY.md must carry the canonical $label stamp line (artifact " +
         f"at HEAD: n=$n failed=$failed exp_max=$expMax%.2f " +
         f"over_1_1=$over steady_x1=$x1%.1fs steady_x10=$x10%.1fs)")
     val m = ms.last
@@ -62,8 +62,42 @@ class ScaleStampSpec extends AnyFunSuite {
     val bad = checks.collect { case (name, c, a, false) =>
       f"$name: stamped $c%.2f, artifact says $a%.2f" }
     assert(bad.isEmpty,
-      "SURVEY's SCALE stamp has drifted from SCALE_SWEEP.json — " +
+      s"SURVEY's $label stamp has drifted from $artifact — " +
         "restamp it from the artifact: " + bad.mkString("; "))
+  }
+
+  test("SURVEY.md SCALE stamp matches SCALE_SWEEP.json") {
+    checkSweepStamp("SCALE_SWEEP.json", "SCALE")
+  }
+
+  // the density axis (same entities, ×k rows per key — the whale/skew
+  // shape) gets the identical anti-drift stamp (VERDICT r16 #5)
+  test("SURVEY.md SCALE_DENSITY stamp matches SCALE_SWEEP_DENSITY.json") {
+    checkSweepStamp("SCALE_SWEEP_DENSITY.json", "SCALE_DENSITY")
+  }
+
+  // the off-clamp ANN evidence (ScaleAnn at ×100 embeddings) carries
+  // the same anti-drift stamp: corpus size, cell count, cells ≥ bar
+  test("SURVEY.md SCALE_ANN stamp matches SCALE_ANN.json") {
+    val p = java.nio.file.Paths.get("SCALE_ANN.json")
+    assume(java.nio.file.Files.exists(p), "SCALE_ANN.json not present")
+    val a = new ObjectMapper().readTree(java.nio.file.Files.readString(p))
+    val n = a.get("corpus_n").asLong()
+    val cells = a.get("cells").size()
+    val ok = (0 until cells).count(i => a.get("cells").get(i).get("ok").asBoolean())
+    val survey = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("SURVEY.md"))
+    val re = ("""SCALE_ANN \(machine-checked by ScaleStampSpec\): """ +
+      """corpus_n=(\d+) cells=(\d+) ok=(\d+)""").r
+    val ms = re.findAllMatchIn(survey).toSeq
+    assert(ms.nonEmpty,
+      "SURVEY.md must carry the canonical SCALE_ANN stamp line " +
+        s"(artifact at HEAD: corpus_n=$n cells=$cells ok=$ok)")
+    val m = ms.last
+    assert(m.group(1).toLong == n && m.group(2).toInt == cells &&
+      m.group(3).toInt == ok,
+      s"SURVEY's SCALE_ANN stamp (${m.matched}) has drifted from " +
+        s"SCALE_ANN.json (corpus_n=$n cells=$cells ok=$ok) — restamp")
   }
 
   test("SURVEY.md SCALECHECK stamp matches SCALE_CORRECTNESS.json") {
