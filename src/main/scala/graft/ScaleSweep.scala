@@ -122,6 +122,8 @@ object ScaleSweep {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   } catch { case e: Throwable => System.err.println(s"[sweep] dump: ${e.getMessage}") }
 
+  @volatile private var promoted = false
+
   /** Promote `.partial` → the final artifact, but ONLY for a run that
     * covered the full registry at all scale points. */
   private def promoteIfComplete(registry: Set[String]): Unit =
@@ -130,6 +132,7 @@ object ScaleSweep {
         java.nio.file.Paths.get(partialPath), java.nio.file.Paths.get(outV),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      promoted = true
       System.err.println(s"[sweep] complete — promoted to $outV")
     } else System.err.println(
       s"[sweep] run does not cover the full registry — left at $partialPath " +
@@ -158,7 +161,10 @@ object ScaleSweep {
       .split(",").flatMap(_.trim.toIntOption).filter(_ >= 1).distinct.sorted.toSeq
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => dump()))
+    // the crash hook must not re-create `.partial` after a successful
+    // promotion (it would shadow the promoted artifact with a stale copy)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (!promoted) dump()))
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
