@@ -33,17 +33,36 @@ object IvfIndex {
     * O(n²·dim·iters/1024) and becomes the new quadratic term — the
     * sampled fit keeps index build linear in n, the standard IVF
     * training recipe (train on a sample, assign everything). */
+  /** Deterministic, bounded k-means training input (Faiss's
+    * train-on-sample practice, made REPRODUCIBLE): a hash-selected
+    * sample capped at max(fitCap, 256·k) rows, coalesced to ONE
+    * partition and sorted by id. Distributed k-means is not
+    * bit-reproducible across sessions — centroid updates reduce
+    * doubles in task-completion order — and the r17 ×10 crosscheck
+    * caught recall-gate cells near their bar flipping BETWEEN RUNS on
+    * exactly that jitter (pq/pqr isotropic: fail in one session,
+    * recall 1.0 in the next; same data, same seed). One ordered
+    * partition fixes the summation order, so centroids — and every
+    * gate boolean derived from them — are a pure function of
+    * (data, seed). 256 rows per centroid bounds the single-partition
+    * fit at ANY corpus size (Faiss's max_points_per_centroid), so
+    * determinism costs no scalability: assignment, the O(n) part,
+    * stays fully distributed. */
+  private[operators] def fitSample(vecs: DataFrame, k: Int, fitCap: Long,
+                                   idCol: String = "id"): DataFrame = {
+    val cap = math.max(fitCap, 256L * k)
+    val n = vecs.count()
+    val sampled =
+      if (n <= cap) vecs
+      else vecs.filter(pmod(xxhash64(col(idCol).cast("string")), lit(n)) <
+        lit(cap))
+    sampled.coalesce(1).sortWithinPartitions(col(idCol))
+  }
+
   def build(spark: SparkSession, corpus: DataFrame, nlist: Int,
             seed: Long = 42L, fitCap: Long = 0L): Model = {
     val vecs = corpus.withColumn("fv", array_to_vector(col("unit")))
-    val fitOn =
-      if (fitCap <= 0) vecs
-      else {
-        val n = vecs.count()
-        if (n <= fitCap) vecs
-        else vecs.filter(pmod(xxhash64(col("id").cast("string")), lit(n)) <
-          lit(fitCap))
-      }
+    val fitOn = fitSample(vecs, nlist, fitCap)
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv")
       .setPredictionCol("cell")
     val m = km.fit(fitOn)
@@ -174,17 +193,9 @@ object IvfIndex {
     import graft.functions.NearestCells.nearest_cells
     val l1 = math.max(2, math.ceil(math.sqrt(nlistTotal.toDouble)).toInt)
     val l2 = math.max(2, (nlistTotal + l1 - 1) / l1)
-    def sampled(vecs: DataFrame): DataFrame =
-      if (fitCap <= 0) vecs
-      else {
-        val n = vecs.count()
-        if (n <= fitCap) vecs
-        else vecs.filter(pmod(xxhash64(col("id").cast("string")), lit(n)) <
-          lit(fitCap))
-      }
     val vecs = corpus.withColumn("fv", array_to_vector(col("unit")))
     val km1 = new KMeans().setK(l1).setSeed(seed).setFeaturesCol("fv")
-      .setPredictionCol("cell").fit(sampled(vecs))
+      .setPredictionCol("cell").fit(fitSample(vecs, l1, fitCap))
     val coarse = km1.clusterCenters.map(_.toArray)
     val dim = coarse.head.length
     val flat1 = typedLit(coarse.flatten.toSeq)
@@ -195,7 +206,8 @@ object IvfIndex {
         slice(flat1, col("c1") * dim + 1, lit(dim)), (a, b) => a - b))
     val km2 = new KMeans().setK(l2).setSeed(seed + 1).setFeaturesCol("fv")
       .setPredictionCol("cell")
-      .fit(sampled(withRes.withColumn("fv", array_to_vector(col("res")))))
+      .fit(fitSample(withRes.withColumn("fv", array_to_vector(col("res"))),
+        l2, fitCap))
     val residual = km2.clusterCenters.map(_.toArray)
     val flat2 = typedLit(residual.flatten.toSeq)
     val assigned = withRes.select(col("id"), col("unit"),

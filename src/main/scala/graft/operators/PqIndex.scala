@@ -48,10 +48,15 @@ object PqIndex {
 
   /** Deterministic ~fitCap-row hash sample (the IvfIndex recipe: train
     * on a sample, encode everything). */
-  private def sampled(vecs: DataFrame, fitCap: Long, n: Long): DataFrame =
-    if (fitCap <= 0 || n <= fitCap) vecs
-    else vecs.filter(pmod(xxhash64(col("id").cast("string")), lit(n)) <
-      lit(fitCap))
+  // deterministic ordered sample — see IvfIndex.fitSample's scaladoc
+  // (the codebook fits share the same cross-session-jitter fix)
+  private def sampled(vecs: DataFrame, fitCap: Long, n: Long): DataFrame = {
+    val s =
+      if (fitCap <= 0 || n <= fitCap) vecs
+      else vecs.filter(pmod(xxhash64(col("id").cast("string")), lit(n)) <
+        lit(fitCap))
+    s.coalesce(1).sortWithinPartitions(col("id"))
+  }
 
   /** Train m subquantizers on the IVF model's assigned frame and
     * encode every vector. `ksub` adapts to corpus size (k-means wants

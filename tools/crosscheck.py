@@ -26,20 +26,36 @@ float_rtol = float(os.environ.get("CROSSCHECK_FLOAT_RTOL", "0"))
 _skip_raw = os.environ.get("CROSSCHECK_SKIP", "")
 skipped = dict(kv.split(":", 1) for kv in
                _skip_raw.split(";" if ";" in _skip_raw else ",") if ":" in kv)
-con = duckdb.connect()
-for f in glob.glob(f"{sfdir}/*.parquet"):
-    name = os.path.basename(f).replace(".parquet", "")
-    # Spark writers (BuildScaled's x10 tables) produce DIRECTORIES named
-    # <table>.parquet; the driver's testdata is single files. Both read.
-    src = f"{f}/*.parquet" if os.path.isdir(f) else f
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+def connect():
+    c = duckdb.connect()
+    for f in glob.glob(f"{sfdir}/*.parquet"):
+        name = os.path.basename(f).replace(".parquet", "")
+        # Spark writers (BuildScaled's x10 tables) produce DIRECTORIES
+        # named <table>.parquet; the driver's testdata is single files.
+        src = f"{f}/*.parquet" if os.path.isdir(f) else f
+        c.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
+    return c
+
+con = connect()
+# Reconnect every N oracles: a single connection accumulates buffer-pool
+# and temp state across 163 queries and eventually fails allocation on
+# the x10 tables (q_text_quality OOM'd at 16 KB after ~150 big oracles,
+# then ran alone in 0.9 s). View creation is metadata-only, so the
+# recycle is free.
+RECYCLE_EVERY = 20
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 ok, bad = [], []
 timed_out = []
+since_recycle = 0
 for name, sql in sorted(oracle.items()):
     if name in skipped:
         continue
+    since_recycle += 1
+    if since_recycle > RECYCLE_EVERY:
+        con.close()
+        con = connect()
+        since_recycle = 1
     try:
         done = threading.Event()
         if timeout_s:
