@@ -118,8 +118,18 @@ object PqIndex {
                   dim: Int, m: Int, seed: Long = 42L,
                   fitCap: Long = 65536L,
                   byResidual: Boolean = false): PqModel =
+    // The key MUST carry the wrapped IVF model's identity (its cell
+    // count): PQ codes live in that model's cell space, and two
+    // callers sharing a corpusKey around DIFFERENT IVF models would
+    // otherwise poison each other — q_ann_pq (fixed nlist=16) and the
+    // recall gate (corpus-derived nlist) collided exactly this way at
+    // ×10, where the derived nlist first leaves the clamp (the gate
+    // ranked probes in 51-cell space over codes assigned in 16-cell
+    // space; found by the r17 ×10 crosscheck, invisible at reference
+    // scale where both nlists clamp to 16).
     cache.computeIfAbsent(
-      (spark.sparkContext.applicationId, corpusKey, dim, m, seed, fitCap,
+      (spark.sparkContext.applicationId,
+        s"$corpusKey@nlist=${ivf.centroids.length}", dim, m, seed, fitCap,
         byResidual),
       _ => build(spark, ivf, dim, m, seed, fitCap, byResidual))
 

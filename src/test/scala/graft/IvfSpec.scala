@@ -61,6 +61,30 @@ class IvfSpec extends SparkSpec {
     assert(recall > 0.5, s"recall=$recall")
   }
 
+  // the r17 x10 crosscheck find: PQ codes live in their IVF model's
+  // cell space, so the session cache must key on the model identity —
+  // two callers sharing a corpusKey around different-nlist models used
+  // to poison each other (invisible at reference scale, where every
+  // derived nlist clamps to the same 16)
+  test("PQ cache: same corpusKey, different IVF models -> distinct codes") {
+    val nrm = Similarity.normalized(Tables.embeddings(spark, sf), "vec_id",
+      "embedding")
+    val m16 = IvfIndex.buildCached(spark, nrm, corpusKey = "pqkey-spec",
+      nlist = 16)
+    val m32 = IvfIndex.buildCached(spark, nrm, corpusKey = "pqkey-spec",
+      nlist = 32)
+    val pq16 = graft.operators.PqIndex.buildCached(spark, m16,
+      corpusKey = "pqkey-spec:pq", dim = 64, m = 8)
+    val pq32 = graft.operators.PqIndex.buildCached(spark, m32,
+      corpusKey = "pqkey-spec:pq", dim = 64, m = 8)
+    assert(!(pq16 eq pq32),
+      "different IVF models behind one corpusKey must not share a PqModel")
+    // and each codes frame lives in ITS model's cell space
+    assert(pq16.coded.agg(max(col("cell"))).head().getInt(0) < 16)
+    assert(pq32.coded.agg(max(col("cell"))).head().getInt(0) >= 16,
+      "32-cell assignment should use cells beyond 16")
+  }
+
   test("NearestCells expression ranks cells by squared L2 distance") {
     import spark.implicits._
     val df = Seq((1L, Seq(0.0, 0.9)), (2L, Seq(1.0, 0.1))).toDF("id", "unit")
