@@ -356,6 +356,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     sfDirV = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // a WARMUP_ONLY prime of a restricted registry is a contradiction:
+    // the warmup phase itself requires the unrestricted registry, so
+    // the combination used to silently emit an empty scoped artifact
+    // (ADVICE r17) — refuse instead
+    if (warmupOnlyV && sys.env.get("SPARK_GRAFT_ONLY").exists(_.trim.nonEmpty)) {
+      System.err.println("[bench] SPARK_GRAFT_WARMUP_ONLY=1 with " +
+        "SPARK_GRAFT_ONLY set would prime nothing (the warmup phase " +
+        "only runs for the full registry) — unset one of them")
+      sys.exit(2)
+    }
+    // persisted-MV layer default-ON (VERDICT r17 #3): the bench
+    // attaches to MVs persisted by an earlier run under the stable
+    // host cache; SPARK_GRAFT_MV_DISK=<path|off> still overrides
+    graft.model.Views.enableDefaultDiskRoot()
     // non-numeric or <1 must not crash or zero the sweep (ADVICE r6)
     val nPasses = math.max(1,
       sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(1))

@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   *   {"metric":"ann_offclamp","corpus_n":N,"scale":k,
   *    "op":{"nlist":..,"nprobe_ivf":..,"nprobe_pq":..,"refine":..},
   *    "cells":[{"method":..,"shape":..,"bar":..,"recall":..,"ok":..}],
-  *    "ok":<all cells ge bar>,"build_s":..,"gates_s":..}
+  *    "ok":<all cells ge bar>,"ann_src_fp":<AnnGates.annSourceFingerprint —
+  *    ScaleStampSpec recomputes it so ANN code changes red the stamp
+  *    until this harness is re-run>,"build_s":..,"gates_s":..}
   *
   * Env: SPARK_GRAFT_SF_DIR (source, default /root/testdata/sf0.1),
   * SPARK_GRAFT_ANN_SCALE (default 100), SPARK_GRAFT_ANN_OUT
@@ -39,6 +41,12 @@ object ScaleAnn {
     val out = sys.env.getOrElse("SPARK_GRAFT_ANN_OUT", "SCALE_ANN.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+    // the persisted-MV layer rides along by default: truth sets and
+    // per-method gate results attach across ScaleAnn runs the same way
+    // Bench's MVs do (ADVICE r17: the pid-scoped throwaway dir made
+    // the advertised attach seam structurally unreachable)
+    graft.model.Views.enableDefaultDiskRoot()
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,11 +55,29 @@ object ScaleAnn {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = new java.io.File(
+    // ScaleSweep's stable replica cache, reused (ADVICE r17): keyed by
+    // (source listing, code build) so re-runs attach to the built
+    // replica — and to every MV fingerprinted off its stable listing —
+    // instead of rebuilding. SPARK_GRAFT_SWEEP_FRESH=1 opts back into a
+    // throwaway dir, same switch as ScaleSweep.
+    val fresh = sys.env.get("SPARK_GRAFT_SWEEP_FRESH").contains("1")
+    val dirF = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      s"graft-scaleann-${ProcessHandle.current().pid()}").getAbsolutePath
+      if (fresh) s"graft-scaleann-${ProcessHandle.current().pid()}"
+      else s"graft-sweep-cache-${graft.model.Views.datasetFingerprint(srcDir)}/ann-x$k")
+    val dir = dirF.getAbsolutePath
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    val marker = new java.io.File(dirF, "_GRAFT_BUILD_COMPLETE")
     val tb0 = System.nanoTime()
-    ScaleBench.buildScaledTable(spark, srcDir, dir, k, "entities", "embeddings")
+    if (marker.exists()) System.err.println(s"[scaleann] reusing cached x$k replica at $dir")
+    else {
+      rm(dirF)
+      ScaleBench.buildScaledTable(spark, srcDir, dir, k, "entities", "embeddings")
+      marker.createNewFile(): Unit
+    }
     val buildS = (System.nanoTime() - tb0) / 1e9
     System.err.println(f"[scaleann] built x$k embeddings in $buildS%.1fs")
 
@@ -91,6 +117,7 @@ object ScaleAnn {
       s""""nprobe_ivf":${op.nprobeIvf},"nprobe_pq":${op.nprobePq},""" +
       s""""refine":${op.refine},"sq_refine":${op.sqRefine}},""" +
       s""""cells":$cellJson,"ok":$allOk,""" +
+      s""""ann_src_fp":"${graft.operators.AnnGates.annSourceFingerprint()}",""" +
       s""""build_s":${fmt(buildS)},"gates_s":${fmt(gatesS)}}"""
     val tmp = java.nio.file.Paths.get(out + ".tmp")
     java.nio.file.Files.writeString(tmp, json)
@@ -98,11 +125,9 @@ object ScaleAnn {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
 
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(dir))
+    // cached replicas stay for the next run (that's the point);
+    // a FRESH run's throwaway dir is cleaned up as before
+    if (fresh) rm(dirF)
     spark.sparkContext.setLogLevel("OFF"); spark.stop()
     println(json); System.out.flush()
   }

@@ -30,8 +30,14 @@ object Views {
   // staleness is impossible by construction — a stale hit would need
   // identical inputs AND identical code, which is a correct hit.
   // Unset (the default) = session-only caching, exactly as before.
+  /** SPARK_GRAFT_MV_DISK values that explicitly DISABLE the layer —
+    * they also veto [[enableDefaultDiskRoot]], so a main that defaults
+    * the layer on stays overridable from the environment. */
+  private[graft] def explicitlyOff(v: String): Boolean =
+    v.isEmpty || v == "0" || v.equalsIgnoreCase("off") ||
+      v.equalsIgnoreCase("none")
   private lazy val diskRootEnv: Option[java.nio.file.Path] =
-    sys.env.get("SPARK_GRAFT_MV_DISK").filter(_.nonEmpty).map { p =>
+    sys.env.get("SPARK_GRAFT_MV_DISK").filterNot(explicitlyOff).map { p =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
     }
   /** Test seam (env vars can't be set in-JVM); production code never
@@ -39,6 +45,22 @@ object Views {
   @volatile private[graft] var diskRootOverride: Option[java.nio.file.Path] = None
   private def diskRoot: Option[java.nio.file.Path] =
     diskRootOverride.orElse(diskRootEnv)
+
+  /** The stable host-local cache the benchmark/scale mains default to
+    * (VERDICT r17 #3): a fresh process ATTACHES to MVs a previous run
+    * persisted instead of rebuilding them — the production shape, where
+    * derived tables are maintained at ingest and analytics sessions
+    * attach. /tmp, not the repo: cache state must never ride a commit. */
+  private[graft] val DefaultDiskRoot = "/tmp/graft-mv-cache"
+
+  /** Turn the disk layer on at [[DefaultDiskRoot]] UNLESS the caller's
+    * environment says otherwise — an explicit SPARK_GRAFT_MV_DISK
+    * (a path, or off/none/0) always wins. Only mains call this;
+    * library code and tests keep the opt-in default (session-only). */
+  def enableDefaultDiskRoot(): Unit =
+    if (sys.env.get("SPARK_GRAFT_MV_DISK").isEmpty && diskRootOverride.isEmpty)
+      diskRootOverride = Some(java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(DefaultDiskRoot)))
 
   /** Disk-layer traffic counters (Bench reports them so a warm-state
     * artifact is visibly warm, never silently so). */
@@ -124,20 +146,39 @@ object Views {
       diskMisses.incrementAndGet()
       val tmp = root.resolve(s".${path.getFileName}-tmp-${ProcessHandle.current().pid()}")
       build.write.mode("overwrite").parquet(tmp.toString)
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
       try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException |
-                   _: java.nio.file.FileSystemException =>
-        // lost a build race to a concurrent session — theirs is
-        // byte-equivalent (same fingerprint), use it
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-          f.delete(): Unit
-        }
-        rm(tmp.toFile)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          // the filesystem can't rename a directory atomically: fall
+          // back to a plain move — readers gate on _SUCCESS inside the
+          // dir, not on the rename, so the marker stays the commit point
+          try Files.move(tmp, path)
+          catch { case e2: java.nio.file.FileSystemException =>
+            if (renameRaceLost(path, e2)) rm(tmp.toFile) else throw e2 }
+        case e: java.nio.file.FileSystemException =>
+          if (renameRaceLost(path, e)) rm(tmp.toFile) else throw e
       }
     }
     spark.read.parquet(path.toString)
   }
+
+  /** Adjudicate a failed tmp→final rename (ADVICE r17): true only when
+    * a concurrent session's byte-equivalent build already sits at
+    * `path` — the loser deletes its tmp and attaches. Everything else
+    * (disk full, permissions, …) must SURFACE, not silently destroy the
+    * fresh build and then fail the subsequent read with a missing-path
+    * error. FileAlreadyExists/DirectoryNotEmpty are the race by
+    * definition; any other FileSystemException counts as the race only
+    * if the winner's _SUCCESS marker is actually present. */
+  private[graft] def renameRaceLost(path: java.nio.file.Path,
+                                    e: java.nio.file.FileSystemException): Boolean =
+    e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
+      e.isInstanceOf[java.nio.file.DirectoryNotEmptyException] ||
+      java.nio.file.Files.exists(path.resolve("_SUCCESS"))
 
   def cached(spark: SparkSession, dir: String, name: String)
             (build: => DataFrame): DataFrame = {

@@ -25,33 +25,31 @@ object IvfIndex {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Int, Long, Long), Model]()
 
-  /** Cluster the corpus (id, unit) into nlist cells.
-    *
-    * `fitCap` > 0 bounds the k-means FIT to a deterministic hash
-    * sample of ~fitCap rows (assignment still transforms the full
-    * corpus): with nlist ∝ n (see [[nlistFor]]) an uncapped fit costs
-    * O(n²·dim·iters/1024) and becomes the new quadratic term — the
-    * sampled fit keeps index build linear in n, the standard IVF
-    * training recipe (train on a sample, assign everything). */
   /** Deterministic, bounded k-means training input (Faiss's
     * train-on-sample practice, made REPRODUCIBLE): a hash-selected
-    * sample capped at max(fitCap, 256·k) rows, coalesced to ONE
-    * partition and sorted by id. Distributed k-means is not
-    * bit-reproducible across sessions — centroid updates reduce
-    * doubles in task-completion order — and the r17 ×10 crosscheck
-    * caught recall-gate cells near their bar flipping BETWEEN RUNS on
-    * exactly that jitter (pq/pqr isotropic: fail in one session,
-    * recall 1.0 in the next; same data, same seed). One ordered
-    * partition fixes the summation order, so centroids — and every
-    * gate boolean derived from them — are a pure function of
-    * (data, seed). 256 rows per centroid bounds the single-partition
-    * fit at ANY corpus size (Faiss's max_points_per_centroid), so
-    * determinism costs no scalability: assignment, the O(n) part,
-    * stays fully distributed. */
+    * sample, coalesced to ONE partition and sorted by id. Distributed
+    * k-means is not bit-reproducible across sessions — centroid
+    * updates reduce doubles in task-completion order — and the r17
+    * ×10 crosscheck caught recall-gate cells near their bar flipping
+    * BETWEEN RUNS on exactly that jitter (pq/pqr isotropic: fail in
+    * one session, recall 1.0 in the next; same data, same seed). One
+    * ordered partition fixes the summation order, so centroids — and
+    * every gate boolean derived from them — are a pure function of
+    * (data, seed). The cap bounds the single-partition fit at ANY
+    * corpus size, so determinism costs no scalability: assignment,
+    * the O(n) part, stays fully distributed.
+    *
+    * `fitCap` contract (ADVICE r17): fitCap <= 0 — the default — means
+    * "no caller preference", which resolves to 256 rows per centroid
+    * (Faiss's max_points_per_centroid). An explicit fitCap > 0 is
+    * HONORED (floored at k so the fit stays well-posed), even below
+    * 256·k: the caller owns the fidelity/cost trade. `nRows`, when the
+    * caller already knows the corpus size, skips the count job. */
   private[operators] def fitSample(vecs: DataFrame, k: Int, fitCap: Long,
-                                   idCol: String = "id"): DataFrame = {
-    val cap = math.max(fitCap, 256L * k)
-    val n = vecs.count()
+                                   idCol: String = "id",
+                                   nRows: Option[Long] = None): DataFrame = {
+    val cap = if (fitCap > 0) math.max(fitCap, k.toLong) else 256L * k
+    val n = nRows.getOrElse(vecs.count())
     val sampled =
       if (n <= cap) vecs
       else vecs.filter(pmod(xxhash64(col(idCol).cast("string")), lit(n)) <
@@ -62,7 +60,11 @@ object IvfIndex {
   def build(spark: SparkSession, corpus: DataFrame, nlist: Int,
             seed: Long = 42L, fitCap: Long = 0L): Model = {
     val vecs = corpus.withColumn("fv", array_to_vector(col("unit")))
-    val fitOn = fitSample(vecs, nlist, fitCap)
+    // corpus count memoized per canonical plan: AnnGates sizes its
+    // operating point from the same count, so the fit-sample decision
+    // rides that one job instead of adding its own
+    val n = graft.model.Views.memoizedStat(corpus)(_.count())
+    val fitOn = fitSample(vecs, nlist, fitCap, nRows = Some(n))
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("fv")
       .setPredictionCol("cell")
     val m = km.fit(fitOn)

@@ -67,6 +67,51 @@ class MvDiskSpec extends SparkSpec {
     }
   }
 
+  // ADVICE r17 (medium): a failed tmp→final rename is only a "lost the
+  // build race" when the winner's build is actually THERE — anything
+  // else (disk full, unsupported op with no winner) must surface, not
+  // silently delete the fresh build and then fail the attach read.
+  test("rename failure adjudication: race cases attach, others rethrow") {
+    withDisk { root =>
+      val path = root.resolve("mv-x")
+      def fse(kind: String): java.nio.file.FileSystemException = kind match {
+        case "exists" => new java.nio.file.FileAlreadyExistsException(path.toString)
+        case "notempty" => new java.nio.file.DirectoryNotEmptyException(path.toString)
+        case _ => new java.nio.file.FileSystemException(path.toString, null, "boom")
+      }
+      // the two rename-collision types are the race by definition
+      assert(Views.renameRaceLost(path, fse("exists")))
+      assert(Views.renameRaceLost(path, fse("notempty")))
+      // a generic FileSystemException with NO winner present = genuine
+      // failure: keep tmp, rethrow
+      assert(!Views.renameRaceLost(path, fse("other")))
+      // ...but with a complete winner at the destination it's the race
+      java.nio.file.Files.createDirectories(path)
+      java.nio.file.Files.createFile(path.resolve("_SUCCESS"))
+      assert(Views.renameRaceLost(path, fse("other")))
+    }
+  }
+
+  // VERDICT r17 #3: the bench/scale mains default the layer ON at a
+  // stable host cache dir; an explicit env value — including the
+  // documented off/none/0 spellings — always wins
+  test("explicit-off spellings and the default-on guard") {
+    assert(Views.explicitlyOff(""))
+    assert(Views.explicitlyOff("0"))
+    assert(Views.explicitlyOff("off") && Views.explicitlyOff("OFF"))
+    assert(Views.explicitlyOff("none") && Views.explicitlyOff("None"))
+    assert(!Views.explicitlyOff("/tmp/somewhere"))
+    // enableDefaultDiskRoot must not clobber an existing override (the
+    // test seam doubles as "the env var was explicit")
+    val prev = Views.diskRootOverride
+    val sentinel = java.nio.file.Paths.get("/tmp/graft-mvdisk-sentinel")
+    Views.diskRootOverride = Some(sentinel)
+    try {
+      Views.enableDefaultDiskRoot()
+      assert(Views.diskRootOverride.contains(sentinel))
+    } finally Views.diskRootOverride = prev
+  }
+
   test("disk layer off (default): builder runs per session, no disk traffic") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mvdisk-off")
     try {

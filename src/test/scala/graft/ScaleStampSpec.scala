@@ -82,6 +82,18 @@ class ScaleStampSpec extends AnyFunSuite {
     val p = java.nio.file.Paths.get("SCALE_ANN.json")
     assume(java.nio.file.Files.exists(p), "SCALE_ANN.json not present")
     val a = new ObjectMapper().readTree(java.nio.file.Files.readString(p))
+    // staleness gate (VERDICT r17 #6): the artifact records the content
+    // fingerprint of the ANN operator sources it was produced by; any
+    // change to that set reds this test until ScaleAnn is re-run
+    val fpNode = a.get("ann_src_fp")
+    assert(fpNode != null,
+      "SCALE_ANN.json predates the ann_src_fp staleness field — re-run " +
+        "graft.ScaleAnn at HEAD")
+    val now = graft.operators.AnnGates.annSourceFingerprint()
+    assert(fpNode.asText() == now,
+      s"SCALE_ANN.json was produced by ANN sources ${fpNode.asText()} but " +
+        s"the working tree is $now — the ANN operator set changed; re-run " +
+        "graft.ScaleAnn (x100 off-clamp) and restamp")
     val n = a.get("corpus_n").asLong()
     val cells = a.get("cells").size()
     val ok = (0 until cells).count(i => a.get("cells").get(i).get("ok").asBoolean())
