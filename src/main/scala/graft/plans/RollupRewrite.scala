@@ -167,15 +167,35 @@ object RollupRewrite {
   class RewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
       val rs = Option(regs.get(key(spark))).getOrElse(Vector.empty)
-      if (rs.isEmpty) plan
-      else plan.transformUp {
+      if (rs.isEmpty) plan else go(plan, rs)
+    }
+
+    /** Top-down with two pruning rules (the r18 MV-partitioning find):
+      *
+      * 1. A subtree that IS a registered rollup's own plan is left
+      *    intact — it's the MV's lineage, and CacheManager swaps it
+      *    for the InMemoryRelation wholesale. The old transformUp
+      *    rewrote the rollup's own builder-Aggregate wherever the MV
+      *    frame was referenced (an identity rewrite): harmless while
+      *    the MV plan ended at that Aggregate, but the moment the MV
+      *    carries a layout wrapper (Views.cached partitionBy →
+      *    Repartition on top) the identity rewrite nested a second
+      *    wrapper, broke canonical equality for every ENCLOSING
+      *    registration match, and un-matched the plan cache.
+      * 2. A fired rewrite substitutes the registered rollup plan and
+      *    stops — descending into the substitution would re-trigger
+      *    rule 1's failure mode one level down. */
+    private def go(p: LogicalPlan, rs: Vector[Registration]): LogicalPlan =
+      if (rs.exists(_.rollup.canonicalized == p.canonicalized)) p
+      else p match {
         case agg: Aggregate =>
           rs.iterator
             .filter(r => agg.child.canonicalized == r.source.canonicalized)
             .flatMap(r => tryRewrite(agg, agg.child, r))
-            .nextOption().getOrElse(agg)
+            .nextOption()
+            .getOrElse(agg.mapChildren(go(_, rs)))
+        case other => other.mapChildren(go(_, rs))
       }
-    }
   }
 
   private def tryRewrite(agg: Aggregate, child: LogicalPlan,
