@@ -231,4 +231,33 @@ object Stats {
         (col("mn") + (col("bin") + 1) * ((col("mx") - col("mn")) / bins))
           .as("bin_hi"))
   }
+
+  /** Spearman rank correlation per group (ClickHouse `rankCorr(x, y)`):
+    * Pearson correlation of the AVERAGE ranks of x and y — the
+    * tie-correct textbook form (ties share the mean of the rank run
+    * they occupy, so the statistic is permutation-stable; plain
+    * row_number ranks would make it depend on shuffle order).
+    *
+    * Average rank as two window passes per variable, no self-join:
+    * `rank()` gives the run's min rank, a count over the value run its
+    * length; avg = min + (len-1)/2. All four windows share ONE keyed
+    * sort per variable (partitionBy group), then corr() re-aggregates —
+    * two keyed exchanges total, each with map-side partials at the
+    * group grain, the 100 TB shape. Output: (group, n, rank_corr). */
+  def rankCorr(df: DataFrame, groupCol: String, x: Column, y: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = col(groupCol)
+    val base = df.select(g.as("grp"), x.as("x"), y.as("y"))
+    def withAvgRank(in: DataFrame, c: String): DataFrame = {
+      val wOrd = Window.partitionBy(col("grp")).orderBy(col(c))
+      val wRun = Window.partitionBy(col("grp"), col(c))
+      in.withColumn(s"${c}_r",
+        (rank().over(wOrd) + (count(lit(1)).over(wRun) - 1) / 2.0))
+    }
+    withAvgRank(withAvgRank(base, "x"), "y")
+      .groupBy(col("grp").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        corr(col("x_r"), col("y_r")).as("rank_corr"))
+  }
 }

@@ -124,17 +124,22 @@ class PlanAuditSpec extends SparkSpec {
     // the output order (repartitionByRange + complete agg + in-
     // partition sort) — a second exchange means the fusion regressed
     assert(shuffles("q_vwap") <= 1, s"q_vwap: ${shuffles("q_vwap")}")
-    // q_positions: both fact inputs are (wallet, token_id)-partitioned
-    // MVs, the dim is broadcast — only the output sort may exchange
-    assert(shuffles("q_positions") <= 1,
+    // q_positions (r18): both fact inputs are WALLET-partitioned MVs —
+    // the (wallet, token_id) join is co-partitioned, the dim is
+    // broadcast, the output sort is in-partition: ZERO exchanges
+    assert(shuffles("q_positions") == 0,
       s"q_positions: ${shuffles("q_positions")}")
     // q_ledger_from_logs: an output sort over the cached settlement MV
     assert(shuffles("q_ledger_from_logs") <= 1,
       s"q_ledger_from_logs: ${shuffles("q_ledger_from_logs")}")
-    // rollup re-aggregations: one keyed exchange + the output sort
-    assert(shuffles("q_win_rate") <= 2,
+    // rollup re-aggregations (r18): the flows MV persists
+    // wallet-partitioned, so the wallet-keyed re-agg needs no exchange
+    // and the output sorts are in-partition: ZERO exchanges in
+    // q_win_rate; q_lb_explain is a Project over the (wallet, market)
+    // rollup MV plus its broadcast — no shuffle exchange either
+    assert(shuffles("q_win_rate") == 0,
       s"q_win_rate: ${shuffles("q_win_rate")}")
-    assert(shuffles("q_lb_explain") <= 2,
+    assert(shuffles("q_lb_explain") == 0,
       s"q_lb_explain: ${shuffles("q_lb_explain")}")
     // r15 exact-grain/MV-served shapes: the rewrite is a Project over
     // the pre-partitioned rollup, so the whole query carries at most
