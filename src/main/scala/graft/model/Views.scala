@@ -50,17 +50,39 @@ object Views {
     * (VERDICT r17 #3): a fresh process ATTACHES to MVs a previous run
     * persisted instead of rebuilding them — the production shape, where
     * derived tables are maintained at ingest and analytics sessions
-    * attach. /tmp, not the repo: cache state must never ride a commit. */
-  private[graft] val DefaultDiskRoot = "/tmp/graft-mv-cache"
+    * attach. tmpdir, not the repo: cache state must never ride a
+    * commit. PER-USER (ADVICE r18): a fixed world-shared path lets
+    * another user pre-own the dir (sticky-bit blocks our writes) or
+    * pre-plant parquet at predictable fingerprinted names that a run
+    * would silently attach to as evidence. */
+  private[graft] def DefaultDiskRoot: String =
+    s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-mv-cache-" +
+      System.getProperty("user.name", "unknown")
 
   /** Turn the disk layer on at [[DefaultDiskRoot]] UNLESS the caller's
     * environment says otherwise — an explicit SPARK_GRAFT_MV_DISK
     * (a path, or off/none/0) always wins. Only mains call this;
-    * library code and tests keep the opt-in default (session-only). */
+    * library code and tests keep the opt-in default (session-only).
+    * The dir is created 0700 and must be OWNED by this user — a
+    * pre-planted dir under someone else's uid is refused loudly, never
+    * attached to (ADVICE r18). */
   def enableDefaultDiskRoot(): Unit =
-    if (sys.env.get("SPARK_GRAFT_MV_DISK").isEmpty && diskRootOverride.isEmpty)
-      diskRootOverride = Some(java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(DefaultDiskRoot)))
+    if (sys.env.get("SPARK_GRAFT_MV_DISK").isEmpty && diskRootOverride.isEmpty) {
+      val p = java.nio.file.Paths.get(DefaultDiskRoot)
+      val created =
+        try java.nio.file.Files.createDirectories(p,
+          java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
+            java.nio.file.attribute.PosixFilePermissions.fromString("rwx------")))
+        catch { case _: UnsupportedOperationException =>
+          java.nio.file.Files.createDirectories(p) }
+      val me = System.getProperty("user.name")
+      val owner =
+        try java.nio.file.Files.getOwner(created).getName
+        catch { case _: UnsupportedOperationException => me }
+      require(owner == me,
+        s"MV cache dir $created is owned by $owner, not $me — refusing to attach")
+      diskRootOverride = Some(created)
+    }
 
   /** Disk-layer traffic counters (Bench reports them so a warm-state
     * artifact is visibly warm, never silently so). */
@@ -146,10 +168,6 @@ object Views {
       diskMisses.incrementAndGet()
       val tmp = root.resolve(s".${path.getFileName}-tmp-${ProcessHandle.current().pid()}")
       build.write.mode("overwrite").parquet(tmp.toString)
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
       try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
       catch {
         case _: java.nio.file.AtomicMoveNotSupportedException =>
@@ -158,27 +176,47 @@ object Views {
           // dir, not on the rename, so the marker stays the commit point
           try Files.move(tmp, path)
           catch { case e2: java.nio.file.FileSystemException =>
-            if (renameRaceLost(path, e2)) rm(tmp.toFile) else throw e2 }
+            adjudicateRename(path, tmp, e2) }
         case e: java.nio.file.FileSystemException =>
-          if (renameRaceLost(path, e)) rm(tmp.toFile) else throw e
+          adjudicateRename(path, tmp, e)
       }
     }
     spark.read.parquet(path.toString)
   }
 
-  /** Adjudicate a failed tmp→final rename (ADVICE r17): true only when
-    * a concurrent session's byte-equivalent build already sits at
-    * `path` — the loser deletes its tmp and attaches. Everything else
-    * (disk full, permissions, …) must SURFACE, not silently destroy the
-    * fresh build and then fail the subsequent read with a missing-path
-    * error. FileAlreadyExists/DirectoryNotEmpty are the race by
-    * definition; any other FileSystemException counts as the race only
-    * if the winner's _SUCCESS marker is actually present. */
-  private[graft] def renameRaceLost(path: java.nio.file.Path,
-                                    e: java.nio.file.FileSystemException): Boolean =
-    e.isInstanceOf[java.nio.file.FileAlreadyExistsException] ||
-      e.isInstanceOf[java.nio.file.DirectoryNotEmptyException] ||
-      java.nio.file.Files.exists(path.resolve("_SUCCESS"))
+  private[graft] def rmTree(p: java.nio.file.Path): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(p.toFile)
+  }
+
+  /** Adjudicate a failed tmp→final rename (ADVICE r17, tightened
+    * ADVICE r18): the ONLY evidence of a lost build race is the
+    * winner's `_SUCCESS` marker. A rename collision WITHOUT the marker
+    * means a crashed session's partial directory squats at `path` —
+    * under r17's rule (collision type = race by definition) that
+    * leftover made every later session delete its own COMPLETE build
+    * and then read the partial dir; the cache never self-healed.
+    *   - complete winner at `path` → drop our tmp, attach to it;
+    *   - partial leftover at `path` → remove IT and retry the move once
+    *     (a concurrent winner completing between the checks still wins
+    *     through its own `_SUCCESS`);
+    *   - nothing at `path` (disk full, permissions, …) → rethrow with
+    *     the fresh tmp kept for inspection. */
+  private[graft] def adjudicateRename(path: java.nio.file.Path,
+                                      tmp: java.nio.file.Path,
+                                      e: java.nio.file.FileSystemException): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(path.resolve("_SUCCESS"))) rmTree(tmp)
+    else if (Files.exists(path)) {
+      rmTree(path)
+      try { Files.move(tmp, path); () }
+      catch { case e2: java.nio.file.FileSystemException =>
+        if (Files.exists(path.resolve("_SUCCESS"))) rmTree(tmp) else throw e2 }
+    } else throw e
+  }
 
   /** `partitionBy`: persist the MV hash-partitioned on these keys.
     * InMemoryTableScan advertises its cached plan's partitioning, so

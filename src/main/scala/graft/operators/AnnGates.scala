@@ -38,16 +38,30 @@ object AnnGates {
     "src/main/scala/graft/ScaleAnn.scala",
     "src/main/scala/graft/ScaleBench.scala")
 
+  /** Known limitation (ADVICE r18): this hashes the WORKING-TREE
+    * sources, i.e. the code the evidence claims, not necessarily the
+    * code that executed (a prebuilt jar run after an uncompiled edit
+    * would stamp the new fingerprint over old behavior). That gap is
+    * closed operationally — ScaleAnn runs through `sbt runMain`, which
+    * compiles first — and the failure mode of a NON-repo CWD (every
+    * file 'absent', one stable fake fingerprint matching nothing real)
+    * is now a loud error instead of a silent stamp. */
   def annSourceFingerprint(
       root: java.nio.file.Path = java.nio.file.Paths.get(".")): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
+    var resolved = 0
     annSourceFiles.foreach { f =>
       md.update(f.getBytes("UTF-8"))
       val p = root.resolve(f)
-      if (java.nio.file.Files.exists(p))
+      if (java.nio.file.Files.exists(p)) {
+        resolved += 1
         md.update(java.nio.file.Files.readAllBytes(p))
-      else md.update("absent".getBytes("UTF-8"))
+      } else md.update("absent".getBytes("UTF-8"))
     }
+    require(resolved > 0,
+      s"annSourceFingerprint: none of ${annSourceFiles.size} ANN sources " +
+        s"resolve under ${root.toAbsolutePath} — run from the repo root " +
+        "(a fingerprint of all-absent files would stamp evidence no code matches)")
     md.digest().map("%02x".format(_)).mkString.take(16)
   }
 

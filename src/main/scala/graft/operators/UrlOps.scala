@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   * canonicalization is O(row), dedup shuffles the canonical-url key
   * once with map-side combine, host caps shuffle the host key once.
   *
-  * No reference analogue (LLM-pipeline extension); the testdata
-  * documents table carries no URL column, so the surface is
-  * spec-pinned on synthetic URLs (UrlOpsSpec) — promote to a
-  * driver-gated query if a URL column ever lands in the testdata.
+  * No reference analogue (LLM-pipeline extension). The testdata
+  * documents table carries no URL column, so the driver gate rides a
+  * deterministic synthesized URL (SparkEntry.docsUrl: four
+  * scheme/www/port/tracking/fragment/slash variants per dup group) —
+  * the Spark side must run the REAL canonicalization chain while the
+  * DuckDB oracle states the expected canonical in closed form
+  * (q_url_dedup, q_host_cap); edge cases stay spec-pinned (UrlOpsSpec).
   */
 object UrlOps {
 
@@ -87,16 +90,36 @@ object UrlOps {
   /** Cap documents per host (domain-level sampling — a handful of
     * template-heavy hosts otherwise dominate a crawl corpus): keeps
     * the `cap` docs with the LONGEST text per host, deterministic
-    * doc-id tie-break. row_number over (host) is one keyed sort; at
-    * 100 TB the same shape AQE-skew-splits the megahost partitions. */
+    * doc-id tie-break.
+    *
+    * NOT a `row_number() over (partition by host)` window (VERDICT r18
+    * #3): that is a single-task sort per host — AQE splits skewed JOIN
+    * partitions, not window sorts, so a host holding 10% of a 100 TB
+    * crawl serializes into one task. Instead the per-host winners come
+    * from a cap-bounded buffer TypedImperativeAggregate (the #94
+    * RecentTopK shape, keyed (length, -id, id) so "longest text,
+    * smallest id on ties" is the buffer's retention order): partial
+    * aggregation runs map-side and the host Exchange carries at most
+    * `cap` entries per host per task — megahosts cost cap·tasks rows
+    * on the wire, never their row count. The winners frame is
+    * host-count-bounded, so AQE turns the semi join back into a
+    * broadcast at any realistic host cardinality. */
   def capPerHost(docs: DataFrame, urlCol: String, idCol: String,
                  textCol: String, cap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("host"))
-      .orderBy(length(col(textCol)).desc, col(idCol))
-    docs.withColumn("host", hostOf(col(urlCol)))
-      .withColumn("host_rank", row_number().over(w))
-      .filter(col("host_rank") <= cap)
-      .drop("host_rank")
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.functions.RecentTopK
+    val withHost = docs.withColumn("host", hostOf(col(urlCol)))
+    val keptAgg = ColumnBridge.column(
+      RecentTopK(
+        ColumnBridge.expression(length(col(textCol)).cast("long")),
+        ColumnBridge.expression((-col(idCol)).cast("long")),
+        ColumnBridge.expression(col(idCol).cast("long")),
+        cap).toAggregateExpression())
+    val keptIds = withHost
+      .groupBy(col("host"))
+      .agg(keptAgg.as("kept"))
+      .select(explode(col("kept")).as("__graft_kept_id"))
+    withHost.join(keptIds,
+      col(idCol).cast("long") === col("__graft_kept_id"), "left_semi")
   }
 }

@@ -67,28 +67,53 @@ class MvDiskSpec extends SparkSpec {
     }
   }
 
-  // ADVICE r17 (medium): a failed tmp→final rename is only a "lost the
-  // build race" when the winner's build is actually THERE — anything
-  // else (disk full, unsupported op with no winner) must surface, not
-  // silently delete the fresh build and then fail the attach read.
-  test("rename failure adjudication: race cases attach, others rethrow") {
+  // ADVICE r17 (medium) + ADVICE r18 (self-healing): a failed
+  // tmp→final rename is only a "lost the build race" when the winner's
+  // _SUCCESS is actually THERE. A collision with a PARTIAL leftover
+  // (crashed build, no _SUCCESS) must evict the leftover and promote
+  // the fresh build — never delete the fresh build and read the
+  // partial dir. Anything else (disk full, no destination) surfaces.
+  test("rename failure adjudication: winner attaches, leftover heals, others rethrow") {
     withDisk { root =>
+      import java.nio.file.Files
       val path = root.resolve("mv-x")
-      def fse(kind: String): java.nio.file.FileSystemException = kind match {
-        case "exists" => new java.nio.file.FileAlreadyExistsException(path.toString)
-        case "notempty" => new java.nio.file.DirectoryNotEmptyException(path.toString)
-        case _ => new java.nio.file.FileSystemException(path.toString, null, "boom")
+      def fse() =
+        new java.nio.file.FileAlreadyExistsException(path.toString)
+      def mkTmp(marker: String): java.nio.file.Path = {
+        val t = root.resolve(".mv-x-tmp")
+        Files.createDirectories(t)
+        Files.createFile(t.resolve(marker))
+        Files.createFile(t.resolve("_SUCCESS"))
+        t
       }
-      // the two rename-collision types are the race by definition
-      assert(Views.renameRaceLost(path, fse("exists")))
-      assert(Views.renameRaceLost(path, fse("notempty")))
-      // a generic FileSystemException with NO winner present = genuine
-      // failure: keep tmp, rethrow
-      assert(!Views.renameRaceLost(path, fse("other")))
-      // ...but with a complete winner at the destination it's the race
-      java.nio.file.Files.createDirectories(path)
-      java.nio.file.Files.createFile(path.resolve("_SUCCESS"))
-      assert(Views.renameRaceLost(path, fse("other")))
+      // 1. complete winner at path → our tmp is dropped, winner kept
+      Files.createDirectories(path)
+      Files.createFile(path.resolve("_SUCCESS"))
+      Files.createFile(path.resolve("winner"))
+      val t1 = mkTmp("loser")
+      Views.adjudicateRename(path, t1, fse())
+      assert(!Files.exists(t1), "loser tmp must be dropped")
+      assert(Files.exists(path.resolve("winner")), "winner must be kept")
+      // 2. PARTIAL leftover (no _SUCCESS) at path → leftover evicted,
+      //    fresh build promoted (the r18 self-heal)
+      Views.rmTree(path)
+      Files.createDirectories(path)
+      Files.createFile(path.resolve("partial"))
+      val t2 = mkTmp("fresh")
+      Views.adjudicateRename(path, t2, fse())
+      assert(Files.exists(path.resolve("_SUCCESS")) &&
+        Files.exists(path.resolve("fresh")),
+        "fresh build must replace the partial leftover")
+      assert(!Files.exists(path.resolve("partial")))
+      // 3. nothing at path (disk full / perms) → rethrow, tmp kept
+      Views.rmTree(path)
+      val t3 = mkTmp("kept")
+      val thrown = intercept[java.nio.file.FileSystemException] {
+        Views.adjudicateRename(path,
+          t3, new java.nio.file.FileSystemException(path.toString, null, "boom"))
+      }
+      assert(thrown.getReason == "boom")
+      assert(Files.exists(t3.resolve("kept")), "tmp must survive for inspection")
     }
   }
 

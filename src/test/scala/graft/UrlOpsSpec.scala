@@ -4,9 +4,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Stats, UrlOps}
 
 /** URL canonicalization / host-dedup (§2 #196) and Spearman rankCorr
-  * (§2 #197) — spec-pinned surfaces (the testdata documents table has
-  * no URL column, and rankCorr's driver promotion is staged for the
-  * next full regen pass; see PLANS.md). */
+  * (§2 #197) — edge-case pins for the driver-gated q_url_dedup /
+  * q_host_cap / q_rank_corr queries (promoted r19; the driver gate
+  * rides SparkEntry.docsUrl's synthesized URL column since the
+  * testdata documents table carries none). */
 class UrlOpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -71,6 +72,33 @@ class UrlOpsSpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().sorted
     // big.com keeps doc 2 (len 6) then doc 1 (len 4, beats doc 4 on id)
     assert(kept.sameElements(Array(1L, 2L, 5L)))
+  }
+
+  test("capPerHost megahost: bounded partial aggregate, no host window (VERDICT r18 #3)") {
+    // one host holding ~98% of the corpus — the shape that serialized
+    // under row_number() over (partition by host)
+    val docs = (1L to 500L).map { i =>
+      val url = if (i % 50 == 0) s"https://tail$i.example/x"
+                else s"https://mega.example/p$i"
+      (i, url, "x" * (i % 37).toInt)
+    }.toDF("doc_id", "url", "text")
+    val out = UrlOps.capPerHost(docs, "url", "doc_id", "text", cap = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "capPerHost must not single-task-sort megahosts through a window")
+    assert(plan.contains("graft_recent_topk"),
+      "per-host winners must come from the bounded k-buffer aggregate")
+    assert(plan.contains("ObjectHashAggregate"),
+      "the k-buffer aggregate must partial-aggregate map-side")
+    // semantics on the skewed host: the 3 longest texts, id tie-break
+    val expected = (1L to 500L).filterNot(_ % 50 == 0)
+      .map(i => (i % 37, i)).sortBy { case (len, id) => (-len, id) }
+      .take(3).map(_._2).toSet
+    val gotMega = out.filter(col("host") === "mega.example")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(gotMega == expected, s"mega host kept $gotMega, want $expected")
+    // every tail host (1 doc each) survives untouched
+    assert(out.count() == 3 + 10)
   }
 
   test("rankCorr: hand-computed Spearman with ties, per group") {

@@ -28,6 +28,18 @@ if [[ -n "$dirty" ]]; then
   exit 1
 fi
 
+# 1b. unstaged SOURCE edits are the same ordering error from the other
+#     side (ADVICE r18): sbt test would run against a working tree that
+#     differs from the tree being committed, so a green gate here would
+#     certify code the commit doesn't carry.
+dirty_src=$(git diff --name-only -- src/ build.sbt tools/ project/)
+if [[ -n "$dirty_src" ]]; then
+  echo "close_round: unstaged source edits — the gate would test a tree" >&2
+  echo "the commit doesn't carry; stage (or stash) these first:" >&2
+  echo "$dirty_src" >&2
+  exit 1
+fi
+
 # 2. the stamp suite (or the full suite with --full) against this tree
 if [[ "${1:-}" == "--full" ]]; then
   sbt -batch test
