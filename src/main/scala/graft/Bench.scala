@@ -468,19 +468,61 @@ object Bench {
         case _ => 2
       }
       val mvs = SparkEntry.sessionViews.toSeq.sortBy { case (n, _) => (prio(n), n) }
+      // Phase 1, SEQUENTIAL: register every MV. With the disk layer on
+      // (the Bench default), a cache MISS runs the build and parquet
+      // write inside Views.cached — so cold build cost lands on its own
+      // label exactly as before — while a HIT is just the attach read.
+      // Per-label attribution of builds therefore needs the disk layer;
+      // with SPARK_GRAFT_MV_DISK=off the build cost lands in the
+      // (materialize) line below instead.
+      var registered: List[(String, org.apache.spark.sql.DataFrame)] = Nil
       for ((name, fn) <- mvs if !contextDead) {
         if (spark.sparkContext.isStopped) contextDead = true
         else {
           val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDirV).write.format("noop").mode("overwrite").save(); true }
+          val frame =
+            try Some(fn(spark, sfDirV))
             catch { case e: Throwable =>
-              System.err.println(s"[bench] warmup $name failed: ${e.getMessage}"); false }
+              System.err.println(s"[bench] warmup $name failed: ${e.getMessage}"); None }
           val dt = (System.nanoTime() - t0) / 1e9
           System.err.println(f"[bench] warmup $name $dt%.2fs")
-          mvWarmup = mvWarmup :+ ((name, dt, ok))
+          mvWarmup = mvWarmup :+ ((name, dt, frame.nonEmpty))
+          frame.foreach(df => registered = (name, df) :: registered)
           dumpLocal()
         }
+      }
+      // Phase 2, PARALLEL: materialize the registered persists with
+      // concurrent noop jobs (VERDICT r18 #5). On an attached cache
+      // this is 40+ independent parquet re-reads — serially they each
+      // pay the fixed job floor (~0.5-0.9 s = the whole 37 s phase);
+      // 8-way they overlap into the IO budget. Reported as ONE
+      // (materialize) wall line so the mv_warmup sum stays the phase's
+      // honest wall clock. Dependents re-entering a neighbour's persist
+      // mid-materialization at worst recompute a cache block that loses
+      // the publish race — correct, bounded, and bounded again by the
+      // pool width.
+      if (!contextDead && registered.nonEmpty) {
+        val t0 = System.nanoTime()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val futs = registered.reverse.map { case (name, df) =>
+          scala.concurrent.Future {
+            try { df.write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] warmup $name materialize failed: ${e.getMessage}")
+              false }
+          }
+        }
+        val oks = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf)
+        pool.shutdown()
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] warmup (materialize) $dt%.2fs " +
+          s"(${registered.size} MVs, 16-way)")
+        mvWarmup = mvWarmup :+ (("(materialize)", dt, oks.forall(identity)))
+        dumpLocal()
       }
       warmedNames = graft.model.Views.cachedNames(spark)
     }

@@ -1191,7 +1191,9 @@ object SparkEntry {
         .select(col("token_id"), col("n"),
           floor(col("rank_corr") * 1e4).cast("long").as("rank_corr_e4"))
         .filter(col("n") >= 30)
-        .orderBy(col("token_id"))),
+        // checker sorts rows; a global orderBy's range sampling would
+        // re-execute the window chain (the r18 sortWithinPartitions rule)
+        .sortWithinPartitions(col("token_id"))),
 
     // CH entropy(): Shannon entropy of each user's event-type
     // distribution (behavioral diversity — bots score ~0, organic

@@ -238,12 +238,19 @@ object Stats {
     * they occupy, so the statistic is permutation-stable; plain
     * row_number ranks would make it depend on shuffle order).
     *
-    * Average rank as two window passes per variable, no self-join:
-    * `rank()` gives the run's min rank, a count over the value run its
-    * length; avg = min + (len-1)/2. All four windows share ONE keyed
-    * sort per variable (partitionBy group), then corr() re-aggregates —
-    * two keyed exchanges total, each with map-side partials at the
-    * group grain, the 100 TB shape. Output: (group, n, rank_corr). */
+    * Average rank as ONE window pass per variable: `rank()` gives the
+    * tie run's min rank and a RANGE-framed count (unbounded preceding →
+    * current row, which includes all PEERS of the current value) gives
+    * the run's MAX rank, so avg = (min + max)/2. Both functions share
+    * the identical (partitionBy group, orderBy value) spec, so Catalyst
+    * plans them in a single Window operator over a single sort — two
+    * sorts total, both riding ONE hash(group) exchange (a window
+    * partitioned by a SUPERSET of the exchange keys would instead
+    * re-sort on normalized float keys, which is why the tie-run count
+    * is NOT expressed as `count over (partition by grp, value)`). The
+    * corr() re-agg reuses the same exchange — one keyed shuffle end to
+    * end, map-side partials at the group grain, the 100 TB shape.
+    * Output: (group, n, rank_corr). */
   def rankCorr(df: DataFrame, groupCol: String, x: Column, y: Column)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -251,9 +258,10 @@ object Stats {
     val base = df.select(g.as("grp"), x.as("x"), y.as("y"))
     def withAvgRank(in: DataFrame, c: String): DataFrame = {
       val wOrd = Window.partitionBy(col("grp")).orderBy(col(c))
-      val wRun = Window.partitionBy(col("grp"), col(c))
+      val wCume = wOrd.rangeBetween(Window.unboundedPreceding,
+        Window.currentRow)
       in.withColumn(s"${c}_r",
-        (rank().over(wOrd) + (count(lit(1)).over(wRun) - 1) / 2.0))
+        (rank().over(wOrd) + count(lit(1)).over(wCume)) / 2.0)
     }
     withAvgRank(withAvgRank(base, "x"), "y")
       .groupBy(col("grp").as(groupCol))
