@@ -688,21 +688,25 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // in-partition sort (the checker sorts rows): a global range sort
+    // over the full explode pays a sampling pass that recomputes the
+    // map-only child (guide §2.4 — an orderBy used only to make output
+    // deterministic is an accidental exchange)
     "q_wallet_trades" -> ((s, d) =>
       wt(s, d).select(col("trade_id"), col("ts"), col("token_id"), col("qty"),
           col("usd").cast("double").as("usd"), col("wallet"), col("role"), col("side"))
-        .orderBy(col("trade_id"), col("role"))),
+        .sortWithinPartitions(col("trade_id"), col("role"))),
 
     "q_balances" -> ((s, d) =>
-      balances(s, d).orderBy(col("wallet"), col("token_id"))),
+      balances(s, d).sortWithinPartitions(col("wallet"), col("token_id"))),
 
     "q_candles_1m" -> ((s, d) =>
       Candles.finalize(candles1m(s, d))
-        .orderBy(col("token_id"), col("bucket"))),
+        .sortWithinPartitions(col("token_id"), col("bucket"))),
 
     "q_candles_1h" -> ((s, d) =>
       Candles.finalize(Candles.reaggregate(candles1m(s, d), "hour"))
-        .orderBy(col("token_id"), col("bucket"))),
+        .sortWithinPartitions(col("token_id"), col("bucket"))),
 
     // 15-minute candles re-aggregated from the 1m partials — the
     // arbitrary-interval path (5m/15m/4h/1w) of the reference's
@@ -711,14 +715,14 @@ object SparkEntry {
       Candles.finalize(
           Candles.reaggregateInterval(candles1m(s, d),
             Candles.intervalSeconds("15m")))
-        .orderBy(col("token_id"), col("bucket"))),
+        .sortWithinPartitions(col("token_id"), col("bucket"))),
 
     // Gap-filled hourly candles (CH WITH FILL): empty hours become
     // flat zero-volume candles at the previous close.
     "q_candles_fill" -> ((s, d) => {
       val c1h = Candles.finalize(Candles.reaggregate(candles1m(s, d), "hour"))
       Candles.gapFill(c1h, 3600)
-        .orderBy(col("token_id"), col("bucket"))
+        .sortWithinPartitions(col("token_id"), col("bucket"))
     }),
 
     // Linear-interpolation gap fill (the "chart line" variant of
@@ -727,7 +731,7 @@ object SparkEntry {
     "q_candles_interp" -> ((s, d) => {
       val c1h = Candles.finalize(Candles.reaggregate(candles1m(s, d), "hour"))
       Candles.gapFillInterp(c1h, 3600)
-        .orderBy(col("token_id"), col("bucket"))
+        .sortWithinPartitions(col("token_id"), col("bucket"))
     }),
 
     "q_last_price" -> ((s, d) =>
@@ -736,10 +740,13 @@ object SparkEntry {
     "q_token_volume_1h" -> ((s, d) => {
       val ev = graft.model.Views.eventStream(s, d)
       Candles.tokenVolume(ev, "hour", col("token_id"), col("ts"), col("usd"))
-        .orderBy(col("token_id"), col("hour"))
+        .sortWithinPartitions(col("token_id"), col("hour"))
     }),
 
-    "q_leaderboard" -> ((s, d) => Leaderboard.leaderboard(wt(s, d), 100)),
+    // served from the flows rollup (one MV aggregation instead of two
+    // full explode shuffles) — value-identical, FlowsRollupSpec-pinned
+    "q_leaderboard" -> ((s, d) =>
+      Leaderboard.leaderboardFromFlows(walletTokenFlows(s, d), 100)),
 
     "q_leaderboard_rollup" -> ((s, d) =>
       // the rollup MV is materialized once (reference: the 1h stats MV
@@ -751,7 +758,7 @@ object SparkEntry {
           Snapshots.portfolioHistoryFromDaily(dailyFlows(s, d), lastPrice(s, d)),
           "day", "week",
           Seq("cum_cashflow", "portfolio_value", "total_value"))
-        .orderBy(col("wallet"), col("bucket"))),
+        .sortWithinPartitions(col("wallet"), col("bucket"))),
 
     "q_leaderboard_window" -> ((s, d) =>
       Leaderboard.leaderboardWindow(wt(s, d), "1996-01-01", "1997-01-01", 100)),
@@ -787,7 +794,8 @@ object SparkEntry {
         .sortWithinPartitions(col("wallet"), col("token_id"))),
 
     "q_user_stats" -> ((s, d) =>
-      Stats.userStats(wt(s, d)).orderBy(col("wallet"))),
+      Stats.userStatsFromFlows(wt(s, d), walletTokenFlows(s, d))
+        .sortWithinPartitions(col("wallet"))),
 
     "q_activity" -> ((s, d) =>
       Activity.feed(Tables.events(s, d), Seq("purchase", "click"), 100, 50)),
@@ -801,7 +809,8 @@ object SparkEntry {
       Activity.tokenTrades(trades(s, d), 7L, 100)),
 
     "q_market_stats" -> ((s, d) =>
-      Stats.marketStats(wt(s, d), balances(s, d), markets(s, d))
+      Stats.marketStatsFromFlows(walletTokenFlows(s, d), balances(s, d),
+          markets(s, d))
         .orderBy(col("market"))),
 
     // Exact interpolated quantiles per market (CH quantile() surface).
@@ -821,7 +830,8 @@ object SparkEntry {
 
     // Market concentration: HHI + top-10 wallet volume share.
     "q_market_hhi" -> ((s, d) =>
-      Stats.marketConcentration(wt(s, d), markets(s, d))
+      Stats.marketConcentrationFromFlows(walletTokenFlows(s, d),
+          markets(s, d))
         .orderBy(col("market"))),
 
     // CH quantileExactWeighted: qty-weighted median micro-price per
@@ -840,10 +850,13 @@ object SparkEntry {
 
     // Equi-width trade-size histogram per market (CH histogram()
     // report shape, fixed 10 bins over [min, max] usd per market).
+    // the explode duplicates each fill's usd once per role, so the
+    // histogram folds exactly from the UN-exploded trades at weight 2
+    // (same mn/mx, every fill's two rows land in the same bin)
     "q_trade_histogram" -> ((s, d) =>
       Stats.histogram(
-          wt(s, d).join(broadcast(markets(s, d)), Seq("token_id")),
-          "market", col("usd"), bins = 10)
+          trades(s, d).join(broadcast(markets(s, d)), Seq("token_id")),
+          "market", col("usd"), bins = 10, weight = lit(2L))
         .orderBy(col("market"), col("bin"))),
 
     "q_top_holders" -> ((s, d) =>
@@ -867,7 +880,7 @@ object SparkEntry {
 
     "q_portfolio_history" -> ((s, d) =>
       Snapshots.portfolioHistoryFromDaily(dailyFlows(s, d), lastPrice(s, d))
-        .orderBy(col("wallet"), col("day"))),
+        .sortWithinPartitions(col("wallet"), col("day"))),
 
     "q_portfolio_light" -> ((s, d) =>
       // in-partition sort: the light plan's single wallet-range
@@ -971,19 +984,21 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))),
 
     "q_pnl_delta" -> ((s, d) =>
-      Snapshots.pnlDelta(wt(s, d), "1997-01-01", "1999-01-01")
-        .orderBy(col("wallet"))),
+      Snapshots.pnlDeltaFromDaily(dailyFlows(s, d),
+          "1997-01-01", "1999-01-01")
+        .sortWithinPartitions(col("wallet"))),
 
     "q_total_pnl" -> ((s, d) =>
-      Snapshots.totalPnl(wt(s, d), balances(s, d), lastPrice(s, d))
-        .orderBy(col("wallet"))),
+      Snapshots.totalPnlFromFlows(walletTokenFlows(s, d), balances(s, d),
+          lastPrice(s, d))
+        .sortWithinPartitions(col("wallet"))),
 
     "q_pnl_rollup_1d" -> ((s, d) =>
       // the 1d rollup is a materialized table in the reference
       // (wallet_condition_pnl_1d, rebuilt by build-rollup-1d.ts) —
       // build once per session, serve reads from the MV
       pnlRollup1dMv(s, d)
-        .orderBy(col("wallet"), col("market"), col("day"))),
+        .sortWithinPartitions(col("wallet"), col("market"), col("day"))),
 
     "q_reconcile" -> ((s, d) => {
       // both sides served from session MVs (the reference reconciles
@@ -992,11 +1007,13 @@ object SparkEntry {
       // flow MV — exact decimal partials, so values are identical to
       // the raw-trade aggregation
       val fromTransfers = balances(s, d)
-      val fromTrades = dailyFlows(s, d)
-        .groupBy(col("wallet"), col("token_id"))
-        .agg(sum(col("buy_qty_d") - col("sell_qty_d")).cast("double")
-          .as("balance"))
-      Rollup.reconcile(fromTransfers, fromTrades).orderBy(col("wallet"))
+      // the flows rollup's grain IS (wallet, token): balance is a pure
+      // projection (qty values are integral, double partials exact)
+      val fromTrades = walletTokenFlows(s, d)
+        .select(col("wallet"), col("token_id"),
+          (col("buy_qty") - col("sell_qty")).as("balance"))
+      Rollup.reconcile(fromTransfers, fromTrades)
+        .sortWithinPartitions(col("wallet"))
     }),
 
     "q_scd2" -> ((s, d) =>
@@ -1021,7 +1038,7 @@ object SparkEntry {
 
     "q_ledger_fifo" -> ((s, d) =>
       Ledger.realizedSummary(graft.model.Views.ledger(s, d))
-        .orderBy(col("wallet"))),
+        .sortWithinPartitions(col("wallet"))),
 
     "q_ledger_resolved" -> ((s, d) => {
       // resolution payouts: a deterministic 0/1 outcome per token,
@@ -1033,7 +1050,7 @@ object SparkEntry {
           when(col("p_size") % 2 === 0, 1.0).otherwise(0.0).as("payout"))
       Ledger.resolvedSummary(
           Ledger.resolveOpen(graft.model.Views.ledgerOpen(s, d), resolutions))
-        .orderBy(col("wallet"))
+        .sortWithinPartitions(col("wallet"))
     }),
 
     // PnL mode decomposition (reference: calculate-pnl.ts PnlMode 1-4):
@@ -1053,7 +1070,7 @@ object SparkEntry {
           (col("realized_pnl") + coalesce(col("unrealized_pnl"), lit(0.0)))
             .as("total_pnl"),
           coalesce(col("open_positions"), lit(0L)).as("open_positions"))
-        .orderBy(col("wallet"))
+        .sortWithinPartitions(col("wallet"))
     }),
 
     // Per-interval snapshot decomposition: realized / unrealized /
@@ -1068,7 +1085,7 @@ object SparkEntry {
 
     "q_pnl_snapshots" -> ((s, d) =>
       Snapshots.pnlSnapshotsFromDaily(dailyFlows(s, d), lastPrice(s, d))
-        .orderBy(col("wallet"), col("day"))),
+        .sortWithinPartitions(col("wallet"), col("day"))),
 
     // Current-version projection of the SCD2 history (reference:
     // market_categories_current view).
@@ -1086,7 +1103,8 @@ object SparkEntry {
 
     // Per-market top-3 wallets by volume (market-scoped leaderboard).
     "q_top_per_market" -> ((s, d) =>
-      Leaderboard.topPerMarket(wt(s, d), markets(s, d), 3)
+      Leaderboard.topPerMarketFromFlows(walletTokenFlows(s, d),
+          markets(s, d), 3)
         .orderBy(col("market"), col("rank"))),
 
     // windowFunnel: view → click → purchase within 24h per wallet.
@@ -1233,8 +1251,15 @@ object SparkEntry {
       val ev = iv.select(col("supplier"), col("t0").as("t"), lit(1).as("delta"))
         .unionAll(iv.select(col("supplier"), col("t1").as("t"), lit(-1).as("delta")))
       // collapse duplicate sweep points before the window pass (partial
-      // aggregation shrinks the per-key sweep to distinct endpoints)
-      val g = ev.groupBy(col("supplier"), col("t"), col("delta"))
+      // aggregation shrinks the per-key sweep to distinct endpoints).
+      // ONE hash(supplier) exchange serves the whole chain (guide §2.4):
+      // HashPartitioning(supplier) satisfies the groupBy's
+      // ClusteredDistribution(supplier, t, delta) AND the window's
+      // partitionBy(supplier) — the r18 plan shuffled the sweep twice
+      // (partial-agg'd by (supplier, t, delta), then again by supplier
+      // for the window).
+      val g = ev.repartition(col("supplier"))
+        .groupBy(col("supplier"), col("t"), col("delta"))
         .agg(sum(col("delta")).as("d"))
       val w = Window.partitionBy(col("supplier"))
         .orderBy(col("t"), col("delta").desc)
@@ -1556,16 +1581,20 @@ object SparkEntry {
           explode(split(trim(col("text")), " +")).as("word"))
         .filter(length(col("word")) > 0)
         .withColumn("b", substring(md5(col("word")), 1, 2))
-      val src = words.groupBy(col("b")).agg(count(lit(1)).as("cs"))
-      val tgt = words.filter(col("lang") === "en")
-        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-      val dims = src.join(tgt, Seq("b"), "left")
+      // ONE bucket aggregation carries both corpus and target counts
+      // (cs = all words, ct = en words — conditional sum ≡ the filtered
+      // count), and the global totals are sums OVER the 256 bucket rows
+      // — two word-explode passes instead of four
+      val buckets = words.groupBy(col("b"))
+        .agg(count(lit(1)).as("cs"),
+          sum((col("lang") === "en").cast("long")).as("ct"))
+      val dims = buckets
         .select(col("b"),
           (log(coalesce(col("ct"), lit(0L)) + 1) - log(col("cs") + 1))
             .as("lr"))
-      val tot = words.agg(
-        count(lit(1)).cast("double").as("ts_all"),
-        sum((col("lang") === "en").cast("long")).cast("double").as("tt"))
+      val tot = graft.model.Views.pinned(buckets).agg(
+        sum(col("cs")).cast("double").as("ts_all"),
+        sum(col("ct")).cast("double").as("tt"))
       val perDoc = words.join(broadcast(dims), "b")
         .groupBy(col("doc_id"), col("source"))
         .agg(count(lit(1)).cast("double").as("nw"), sum(col("lr")).as("s0"))
@@ -1620,7 +1649,7 @@ object SparkEntry {
       def okAt(v: Column, q: Double) =
         (sum((col("qty") < v).cast("long")) / count(lit(1)) <= q + eps) &&
         (sum((col("qty") <= v).cast("long")) / count(lit(1)) >= q - eps)
-      trades(s, d).join(merged, "token_id")
+      trades(s, d).join(broadcast(merged), "token_id")
         .groupBy(col("token_id"))
         .agg(count(lit(1)).as("n"),
           max(col("n_states")).cast("long").as("n_states"),
@@ -1875,8 +1904,11 @@ object SparkEntry {
     // join) — which is exactly what the oracle checks.
     "q_bloom_prune" -> ((s, d) => {
       val w = wt(s, d)
-      val hot = w.groupBy(col("wallet"))
-        .agg(count(lit(1)).as("trades"))
+      // hot-wallet dim folds from the flows rollup (sum of per-pair
+      // counts); the PROBE side stays the raw explode — the runtime
+      // bloom machinery under test is unchanged
+      val hot = walletTokenFlows(s, d).groupBy(col("wallet"))
+        .agg(sum(col("trades")).as("trades"))
         .filter(col("trades") >= 25)
       BloomPrune.prunedJoin(w, hot, "wallet")
         .groupBy(col("wallet"), col("trades"))
@@ -1947,7 +1979,7 @@ object SparkEntry {
         when(col("doc_id") % 13 === 0, concat(lit(" tel 555"),
           lpad(col("doc_id").cast("string"), 7, "0"))).otherwise(lit(""))))
       CorpusPipeline.piiSignals(salted, "doc_id", "text2")
-        .orderBy(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
     }),
 
     // Unigram-LM fluency score (CCNet-style quality filter): mean
@@ -1955,7 +1987,7 @@ object SparkEntry {
     // unigram model, floored ×1e4.
     "q_lm_score" -> ((s, d) =>
       TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
-        .orderBy(col("doc_id"))),
+        .sortWithinPartitions(col("doc_id"))),
 
     // Per-label embedding centroids (IVF-training / class-prototype
     // building block): one row per (label, dim), mean floored ×1e6.
@@ -2450,8 +2482,10 @@ object SparkEntry {
     // adds value-derived histogram offsets; ntile/percent_rank are
     // then pure arithmetic on (rank, total).
     "q_wallet_deciles" -> ((s, d) => {
-      val vol = wt(s, d).groupBy(col("wallet"))
-        .agg(sum(col("usd")).cast("double").as("volume_usd"))
+      // per-wallet volume folds from the flows rollup's exact scaled
+      // longs (identical correctly-rounded double — see q_leaderboard)
+      val vol = walletTokenFlows(s, d).groupBy(col("wallet"))
+        .agg(((sum(col("bi")) + sum(col("si"))) / 10000.0).as("volume_usd"))
       Rank.globalRowNumber(vol, -Rank.monotoneBucket(col("volume_usd")),
           Seq(col("volume_usd").desc, col("wallet")), "rank", "total")
         .select(col("wallet"), col("volume_usd"),
@@ -2689,7 +2723,7 @@ object SparkEntry {
 
     "q_sessions" -> ((s, d) =>
       Sessions.sessionStats(Tables.events(s, d), "user_id", "ts", "value", 30)
-        .orderBy(col("user_id"), col("session_id"))),
+        .sortWithinPartitions(col("user_id"), col("session_id"))),
 
     "q_corpus_clean" -> ((s, d) =>
       CorpusPipeline.clean(Tables.documents(s, d), "doc_id", "text", "lang",
@@ -2752,13 +2786,18 @@ object SparkEntry {
     // rows per wallet against a plain SQL join.
     "q_skew_join" -> ((s, d) => {
       val w = wt(s, d)
-      val dim = w.groupBy(col("token_id"))
-        .agg(sum(col("usd")).as("tok_usd"), count(lit(1)).as("tok_trades"))
+      // dim folds from the flows rollup (exact 1e-4-scaled longs);
+      // the salted-join FACT side stays the raw explode — the skew
+      // machinery under test is unchanged. sum(long)/10000.0 is the
+      // same correctly-rounded double the decimal path cast.
+      val dim = walletTokenFlows(s, d).groupBy(col("token_id"))
+        .agg(sum(col("bi") + col("si")).as("tok_usd_i"),
+          sum(col("trades")).as("tok_trades"))
       Skew.saltedJoin(w, dim, "token_id", col("trade_id"), 8)
         .groupBy(col("wallet"))
         .agg(count(lit(1)).as("trades"),
           sum(col("tok_trades")).as("sum_tok_trades"),
-          sum(col("tok_usd")).cast("double").as("sum_tok_usd"))
+          (sum(col("tok_usd_i")) / 10000.0).as("sum_tok_usd"))
         .orderBy(col("wallet"))
     }),
 
@@ -3117,7 +3156,6 @@ object SparkEntry {
     // / max ≤ 10% (measured 0.03% / 1.5%). Deterministic: DataSketches
     // HLL is hash-based and order-invariant per lgK.
     "q_uniq_rollup_hll" -> ((s, d) => {
-      val w = wt(s, d)
       // the per-(wallet, day) STATE rows are the MV this gate exists to
       // prove (the AggregatingMergeTree uniqState table an ingest
       // pipeline maintains) — so they live as a registered session MV
@@ -3127,10 +3165,15 @@ object SparkEntry {
       val st = uniqHllState(s, d)
       val merged = st.groupBy(col("wallet"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_m"))
-      val oneshot = w.groupBy(col("wallet"))
+      // one-shot + exact sides fold from the flows rollup: HLL updates
+      // are idempotent on duplicate values, so the sketch built over
+      // the distinct (wallet, token) pairs is bit-identical to one
+      // built over the raw explode, and exact = per-wallet row count
+      val fl = walletTokenFlows(s, d)
+      val oneshot = fl.groupBy(col("wallet"))
         .agg(hll_sketch_estimate(
             hll_sketch_agg(col("token_id"), lit(12))).as("est_o"),
-          countDistinct(col("token_id")).as("exact"))
+          count(lit(1)).as("exact"))
       val agg = merged.join(oneshot, "wallet")
         .agg(count(lit(1)).as("n"),
           max(abs(col("est_m") - col("est_o")) / col("est_o")).as("max_dmo"),
@@ -3185,9 +3228,14 @@ object SparkEntry {
     }),
 
     "q_hll_gate" -> ((s, d) => {
-      val w = wt(s, d)
+      // the flows rollup's grain is the distinct (wallet, token) pair
+      // set, and HLL register updates are idempotent on duplicates —
+      // both the exact count (row count per wallet) and the sketch
+      // estimate are IDENTICAL computed over the MV instead of the
+      // raw explode
+      val w = walletTokenFlows(s, d)
       val per = w.groupBy(col("wallet"))
-        .agg(countDistinct(col("token_id")).as("exact"),
+        .agg(count(lit(1)).as("exact"),
           approx_count_distinct(col("token_id")).as("approx"))
         .agg(count(lit(1)).as("n"),
           max(abs(col("approx") - col("exact")).cast("double") /
@@ -3196,6 +3244,8 @@ object SparkEntry {
             col("exact").cast("double")).as("avg_re"))
       val glob = w.agg(countDistinct(col("wallet")).as("exact"),
           approx_count_distinct(col("wallet")).as("approx"))
+      // (wallet value set over the MV = over the explode; sketch and
+      // distinct are set-functions)
         .select(col("exact"),
           (abs(col("approx") - col("exact")).cast("double") /
             col("exact").cast("double")).as("re"))
@@ -3386,7 +3436,7 @@ object SparkEntry {
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langId(col("text")).as("predicted"))
-        .orderBy(col("doc_id"))),
+        .sortWithinPartitions(col("doc_id"))),
 
     // Classifier-evaluation harness shape: the langid heuristic's
     // row-normalized confusion matrix against the labeled lang column
@@ -3415,19 +3465,19 @@ object SparkEntry {
           col("q.nonalpha_ratio").as("nonalpha_ratio"),
           col("q.stopword_ratio").as("stopword_ratio"),
           col("q.space_ratio").as("space_ratio"))
-        .orderBy(col("doc_id"))),
+        .sortWithinPartitions(col("doc_id"))),
 
     "q_token_count" -> ((s, d) => {
       val (ws, bpe) = TextAnalysis.tokenCounts(col("text"))
       Tables.documents(s, d)
         .select(col("doc_id"), ws.as("ws_tokens"), bpe.as("bpe_tokens"))
-        .orderBy(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
     }),
 
     "q_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.fingerprint64(col("text")).as("fp64"))
-        .orderBy(col("doc_id"))),
+        .sortWithinPartitions(col("doc_id"))),
 
     // Sliding-window character chunking (retrieval / context-window
     // prep): 128-char windows at stride 96 (32-char overlap), one
@@ -3435,7 +3485,7 @@ object SparkEntry {
     "q_doc_chunks" -> ((s, d) =>
       TextAnalysis.chunk(Tables.documents(s, d), "doc_id", "text",
           size = 128, stride = 96)
-        .orderBy(col("doc_id"), col("chunk_idx"))),
+        .sortWithinPartitions(col("doc_id"), col("chunk_idx"))),
 
     // Eval-set decontamination (GPT-3 appendix C, 13-gram overlap):
     // every 10th doc poses as the benchmark; the rest is the corpus.
@@ -3454,14 +3504,14 @@ object SparkEntry {
       // plain orderBy: the agg output is doc-count-sized and already
       // shuffle-backed, so sortOnce's resample trick buys nothing
       TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text")
-        .orderBy(col("doc_id"))),
+        .sortWithinPartitions(col("doc_id"))),
 
     // Falcon/RefinedWeb-style segment dedup: 10-token windows duplicated
     // across ≥2 documents, audited per doc.
     "q_segment_dedup" -> ((s, d) =>
       Dedup.segmentDuplication(Tables.documents(s, d), "doc_id", "text",
           chunk = 10, maxDupFrac = 0.5)
-        .orderBy(col("doc_id"))),
+        .sortWithinPartitions(col("doc_id"))),
 
     // Exact repeated-substring spans (Lee et al. 2021 ExactSubstr
     // dedup, relational form): maximal runs of positions whose 8-word

@@ -96,18 +96,115 @@ object Leaderboard {
   def leaderboardFromState(state: DataFrame, k: Int,
                            minTrades: Int = 5): DataFrame = {
     val base = state.filter(!col("wallet").isin(ExcludedWallets: _*))
-    val sums = base.groupBy(col("wallet"))
+    // one pass: collapse the per-bucket partials to (wallet, token)
+    // grain first — the markets count is then a row count riding the
+    // SAME aggregation chain instead of a second full scan + distinct
+    val perTok = base.groupBy(col("wallet"), col("token_id"))
+      .agg(sum(col("t")).as("t"), sum(col("v")).as("v"), sum(col("c")).as("c"))
+    perTok.groupBy(col("wallet"))
       .agg(sum(col("t")).as("trades"),
         sum(col("v")).cast("double").as("volume_usd"),
-        sum(col("c")).cast("double").as("net_cashflow_usd"))
-    val markets = base.select(col("wallet"), col("token_id")).distinct()
-      .groupBy(col("wallet")).agg(count(lit(1)).as("markets"))
-    sums.join(markets, Seq("wallet"))
+        sum(col("c")).cast("double").as("net_cashflow_usd"),
+        count(lit(1)).as("markets"))
       .select(col("wallet"), col("trades"), col("volume_usd"),
         col("net_cashflow_usd"), col("markets"))
       .filter(col("trades") >= minTrades)
       .orderBy(col("net_cashflow_usd").desc, col("wallet"))
       .limit(k)
+  }
+
+  /** [[leaderboard]] re-aggregated from [[walletTokenFlows]] partials —
+    * identical output (FlowsRollupSpec pins row-identity), but ONE
+    * aggregation over the (wallet, token) rollup instead of two full
+    * passes over the raw explode: trades/volume/cashflow are sums of
+    * the exact partials (usd rides 1e-4-scaled longs; `l/10000.0` and
+    * `CAST(decimal AS DOUBLE)` are both the correctly-rounded double
+    * of the same exact rational, so the doubles are bit-identical),
+    * and the distinct-market count is simply the per-wallet row count
+    * — the rollup's grain IS the distinct (wallet, token) pair set. */
+  def leaderboardFromFlows(flows: DataFrame, k: Int,
+                           minTrades: Int = 5): DataFrame =
+    flows.filter(!col("wallet").isin(ExcludedWallets: _*))
+      .groupBy(col("wallet"))
+      .agg(sum(col("trades")).as("trades"),
+        ((sum(col("bi")) + sum(col("si"))) / 10000.0).as("volume_usd"),
+        ((sum(col("si")) - sum(col("bi"))) / 10000.0).as("net_cashflow_usd"),
+        count(lit(1)).as("markets"))
+      .select(col("wallet"), col("trades"), col("volume_usd"),
+        col("net_cashflow_usd"), col("markets"))
+      .filter(col("trades") >= minTrades)
+      .orderBy(col("net_cashflow_usd").desc, col("wallet"))
+      .limit(k)
+
+  /** [[leaderboardWindow]] re-aggregated from the daily [[rollupState]]
+    * partials: the window bounds are day-aligned, so `ts ∈ [from, to)`
+    * ⟺ `bucket ∈ [from, to)` and the decimal partial sums re-aggregate
+    * to the identical totals. Markets = per-wallet count of (wallet,
+    * token) pairs with ≥1 in-window bucket — derived from the same
+    * (wallet, token) pre-aggregation that carries the sums, so the
+    * whole leaderboard is one pass over the state MV. */
+  def leaderboardWindowFromState(state: DataFrame, fromTs: String,
+                                 toTs: String, k: Int,
+                                 minTrades: Int = 5): DataFrame = {
+    val perTok = state
+      .filter(!col("wallet").isin(ExcludedWallets: _*))
+      .filter(col("bucket") >= lit(fromTs) && col("bucket") < lit(toTs))
+      .groupBy(col("wallet"), col("token_id"))
+      .agg(sum(col("t")).as("t"), sum(col("v")).as("v"), sum(col("c")).as("c"))
+    perTok.groupBy(col("wallet"))
+      .agg(sum(col("t")).as("trades"),
+        sum(col("v")).cast("double").as("volume_usd"),
+        sum(col("c")).cast("double").as("net_cashflow_usd"),
+        count(lit(1)).as("markets"))
+      .select(col("wallet"), col("trades"), col("volume_usd"),
+        col("net_cashflow_usd"), col("markets"))
+      .filter(col("trades") >= minTrades)
+      .orderBy(col("net_cashflow_usd").desc, col("wallet"))
+      .limit(k)
+  }
+
+  /** [[auditOnePass]] re-aggregated from the daily [[rollupState]]
+    * partials (window bounds day-aligned): both metric sets fold from
+    * the state's exact decimal (t, c) partials, one keyed pass over
+    * the MV instead of a full corpus shuffle. */
+  def auditOnePassFromState(state: DataFrame, fromTs: String, toTs: String,
+                            k: Int, minTrades: Int = 5): DataFrame = {
+    val inWin = col("bucket") >= lit(fromTs) && col("bucket") < lit(toTs)
+    val g = state.filter(!col("wallet").isin(ExcludedWallets: _*))
+      .groupBy(col("wallet"))
+      .agg(
+        sum(col("t")).as("trades_a"),
+        sum(col("c")).cast("double").as("net_a"),
+        sum(when(inWin, col("t")).otherwise(0L)).as("trades_b"),
+        sum(when(inWin, col("c")).otherwise(lit(0).cast("decimal(18,4)")))
+          .cast("double").as("net_b"))
+    val lbA = g.filter(col("trades_a") >= minTrades)
+      .orderBy(col("net_a").desc, col("wallet")).limit(k)
+      .select(col("wallet"), col("net_a").as("net_cashflow_usd"))
+    val lbB = g.filter(col("trades_b") >= minTrades)
+      .orderBy(col("net_b").desc, col("wallet")).limit(k)
+      .select(col("wallet"), col("net_b").as("net_cashflow_usd"))
+    audit(lbA, lbB)
+  }
+
+  /** [[topPerMarket]] re-aggregated from [[walletTokenFlows]]: the
+    * (market, wallet) volume/trades sums fold from the rollup's exact
+    * partials; only rollup-sized rows ever shuffle. */
+  def topPerMarketFromFlows(flows: DataFrame, markets: DataFrame,
+                            n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vol = flows
+      .filter(!col("wallet").isin(ExcludedWallets: _*))
+      .join(broadcast(markets), Seq("token_id"))
+      .groupBy(col("market"), col("wallet"))
+      .agg(((sum(col("bi")) + sum(col("si"))) / 10000.0).as("volume_usd"),
+        sum(col("trades")).as("trades"))
+    val w = Window.partitionBy(col("market"))
+      .orderBy(col("volume_usd").desc, col("wallet"))
+    vol.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select(col("market"), col("rank"), col("wallet"),
+        col("volume_usd"), col("trades"))
   }
 
   def leaderboardFromRollup(walletTrades: DataFrame, bucket: String, k: Int,

@@ -260,6 +260,45 @@ object Snapshots {
           .otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("cashflow_delta"),
         sum(col("signed")).cast("double").as("cashflow_total"))
 
+  /** [[pnlDelta]] re-aggregated from the (wallet, token, day) daily-flow
+    * partials: both cut timestamps are day-aligned, so `ts < cut` ⟺
+    * `day < cut`, and the signed decimal sums fold exactly from the
+    * per-day (sell_usd_d − buy_usd_d) partials. */
+  def pnlDeltaFromDaily(dailyFlows: DataFrame, fromTs: String,
+                        toTs: String): DataFrame = {
+    val signed = col("sell_usd_d") - col("buy_usd_d")
+    val dec0 = lit(0).cast("decimal(19,4)")
+    dailyFlows.groupBy(col("wallet"))
+      .agg(
+        sum(when(col("day") < lit(fromTs), signed).otherwise(dec0))
+          .cast("double").as("cashflow_before"),
+        sum(when(col("day") >= lit(fromTs) && col("day") < lit(toTs), signed)
+          .otherwise(dec0)).cast("double").as("cashflow_delta"),
+        sum(signed).cast("double").as("cashflow_total"))
+  }
+
+  /** [[totalPnl]] with the cashflow side folded from the (wallet,
+    * token) flows rollup's exact 1e-4-scaled longs — `(Σsi − Σbi) /
+    * 10000.0` is the identical correctly-rounded double the decimal
+    * path casts. */
+  def totalPnlFromFlows(flows: DataFrame, balances: DataFrame,
+                        lastPrice: DataFrame): DataFrame = {
+    val cash = flows.groupBy(col("wallet"))
+      .agg(((sum(col("si")) - sum(col("bi"))) / 10000.0).as("cash_d"))
+    val inv = balances
+      .join(broadcast(lastPrice.select(col("token_id"), col("last_price"))),
+        Seq("token_id"), "left")
+      .groupBy(col("wallet"))
+      .agg(sum(floor(col("balance") * coalesce(col("last_price"), lit(0.0)) * 1e4)
+        .cast("long")).as("inv_s"))
+    cash.join(inv, Seq("wallet"), "left")
+      .select(col("wallet"),
+        col("cash_d").as("net_cashflow_usd"),
+        (coalesce(col("inv_s"), lit(0L)) / 10000.0).as("inventory_value_usd"),
+        (col("cash_d") + coalesce(col("inv_s"), lit(0L)) / 10000.0)
+          .as("total_pnl_usd"))
+  }
+
   /** Mode-4 total PnL: net cashflow + final inventory marked at last
     * traded price (reference: ledger-engine PnlMode.TOTAL_PNL). */
   def totalPnl(walletTrades: DataFrame, balances: DataFrame,

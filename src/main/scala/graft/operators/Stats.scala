@@ -70,6 +70,64 @@ object Stats {
         count(lit(1)).as("tokens"))
   }
 
+  /** [[userStats]] with the distinct-market count served from the
+    * (wallet, token) flows rollup: the rollup's grain IS the distinct
+    * pair set, so `markets` is a per-wallet row count over the MV —
+    * the raw explode is scanned once (for the row-level best/worst/
+    * first/last aggregates the rollup cannot carry) instead of twice. */
+  def userStatsFromFlows(walletTrades: DataFrame, flows: DataFrame): DataFrame = {
+    val signed = col("signed_usd")
+    val sums = walletTrades
+      .withColumn("signed_usd",
+        when(col("side") === "sell", col("usd")).otherwise(-col("usd"))
+          .cast("double"))
+      .groupBy(col("wallet"))
+      .agg(
+        count(lit(1)).as("trades"),
+        sum(col("usd")).cast("double").as("volume_usd"),
+        sum(when(col("side") === "buy", 1L).otherwise(0L)).as("buy_count"),
+        sum(when(col("side") === "sell", 1L).otherwise(0L)).as("sell_count"),
+        max(signed).as("best_trade_usd"),
+        min(signed).as("worst_trade_usd"),
+        min(col("ts")).as("first_trade_ts"),
+        max(col("ts")).as("last_trade_ts"))
+    val markets = flows.groupBy(col("wallet"))
+      .agg(count(lit(1)).as("markets"))
+    sums.join(markets, Seq("wallet"))
+      .select(col("wallet"), col("trades"), col("volume_usd"),
+        col("buy_count"), col("sell_count"), col("markets"),
+        col("best_trade_usd"), col("worst_trade_usd"),
+        col("first_trade_ts"), col("last_trade_ts"))
+  }
+
+  /** [[marketStats]] re-aggregated from the (wallet, token) flows
+    * rollup — identical output (FlowsRollupSpec pins row-identity):
+    * each fill appears exactly TWICE in the explode (maker + taker row,
+    * same usd), so per token `fills = Σtrades div 2` is exact, the
+    * taker volume in 1e-4 longs is `(Σbi + Σsi) div 2` (each fill's
+    * scaled usd is counted once per role), and the distinct trader
+    * count is the rollup's per-token row count. The final
+    * `long/10000.0` double equals `CAST(decimal AS DOUBLE)` of the
+    * same exact rational (both correctly rounded once). */
+  def marketStatsFromFlows(flows: DataFrame, balances: DataFrame,
+                           markets: DataFrame): DataFrame = {
+    val perToken = flows.groupBy(col("token_id"))
+      .agg(expr("sum(trades) div 2").as("fills"),
+        expr("(sum(bi) + sum(si)) div 2").as("vol_i"),
+        count(lit(1)).as("traders"))
+    val holders = balances.filter(col("balance") > 0)
+      .groupBy(col("token_id")).agg(count(lit(1)).as("holders"))
+    perToken
+      .join(holders, Seq("token_id"), "left")
+      .join(broadcast(markets), Seq("token_id"))
+      .groupBy(col("market"))
+      .agg(sum(col("traders")).as("trader_slots"),
+        sum(col("fills")).as("fills"),
+        (sum(col("vol_i")) / 10000.0).as("volume_usd"),
+        sum(coalesce(col("holders"), lit(0L))).as("holders"),
+        count(lit(1)).as("tokens"))
+  }
+
   /** Market concentration: Herfindahl–Hirschman index and top-10
     * wallet volume share per market. Shares are exact decimal ratios
     * cast to double; share² summands are scaled ×10¹² and floored to
@@ -99,6 +157,49 @@ object Stats {
         (sum(when(col("rank") <= topK, col("v"))
           .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
           max(col("tot")).cast("double")).as("top10_share"))
+  }
+
+  /** [[marketConcentration]] re-aggregated from the (wallet, token)
+    * flows rollup: the (market, wallet) volume folds from the exact
+    * 1e-4-scaled long partials (bi + si = both-role usd). The share
+    * doubles are bit-identical to the decimal path's — `l/10000.0` and
+    * `CAST(decimal(l·1e-4) AS DOUBLE)` are both the one correctly-
+    * rounded double of the same exact rational — so every floored
+    * share² summand, rank and ratio is unchanged. */
+  def marketConcentrationFromFlows(flows: DataFrame, markets: DataFrame,
+                                   topK: Int = 10): DataFrame = {
+    // NOT a row_number window: partitionBy(market) has only a handful
+    // of partitions, so the rank sort serializes the whole corpus into
+    // ~|markets| tasks (guide §2.5 — a window cannot be skew-split).
+    // The top-K volumes come from the cap-bounded buffer aggregate
+    // (the #94 RecentTopK shape, keyed (vl, -wallet) so "largest
+    // volume, smallest wallet on ties" is the buffer's retention
+    // order — exactly row_number's (v DESC, wallet) pick): partial
+    // aggregation runs map-side, and both final aggregates ride ONE
+    // hash(market) exchange of pre-aggregated rows.
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.functions.RecentTopK
+    val vol = flows
+      .join(broadcast(markets), Seq("token_id"))
+      .groupBy(col("market"), col("wallet"))
+      .agg(sum(col("bi") + col("si")).as("vl"))
+    val tot = vol.groupBy(col("market")).agg(sum(col("vl")).as("totl"))
+    val topAgg = ColumnBridge.column(RecentTopK(
+      ColumnBridge.expression(col("vl")),
+      ColumnBridge.expression(-col("wallet")),
+      ColumnBridge.expression(col("vl")),
+      topK).toAggregateExpression())
+    vol.join(broadcast(tot), Seq("market"))
+      .withColumn("share", (col("vl") / 10000.0) / (col("totl") / 10000.0))
+      .groupBy(col("market"))
+      .agg(count(lit(1)).as("wallets"),
+        (sum(floor(col("share") * col("share") * 1e12).cast("long")) / 1e12)
+          .as("hhi"),
+        topAgg.as("topv"),
+        max(col("totl")).as("totl"))
+      .select(col("market"), col("wallets"), col("hhi"),
+        ((aggregate(col("topv"), lit(0L), (acc, x) => acc + x) / 10000.0) /
+          (col("totl") / 10000.0)).as("top10_share"))
   }
 
   /** Trade-size distribution per market (ClickHouse `quantile()`
@@ -213,18 +314,18 @@ object Stats {
     * no window sort, no skew sensitivity; bin edges are pure IEEE
     * arithmetic reproducible on any engine. */
   def histogram(df: DataFrame, groupCol: String, value: Column,
-                bins: Int): DataFrame = {
+                bins: Int, weight: Column = lit(1L)): DataFrame = {
     val x = value.cast("double")
     val bounds = df.groupBy(col(groupCol))
       .agg(min(x).as("mn"), max(x).as("mx"))
-    df.select(col(groupCol), x.as("x"))
+    df.select(col(groupCol), x.as("x"), weight.cast("long").as("__w"))
       .join(broadcast(bounds), Seq(groupCol))
       .withColumn("bin",
         when(col("mx") === col("mn"), lit(0L))
           .otherwise(least(floor((col("x") - col("mn")) /
             ((col("mx") - col("mn")) / bins)), lit((bins - 1).toLong))))
       .groupBy(col(groupCol), col("bin"), col("mn"), col("mx"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("__w")).as("n"))
       .select(col(groupCol), col("bin"), col("n"),
         (col("mn") + col("bin") * ((col("mx") - col("mn")) / bins))
           .as("bin_lo"),
