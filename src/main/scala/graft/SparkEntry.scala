@@ -191,8 +191,16 @@ object SparkEntry {
       val dir = java.nio.file.Files.createTempDirectory("graft_vtrades").toFile
       dir.deleteOnExit()
       val path = dir.getAbsolutePath
+      // cluster by month BEFORE the partitioned write (guide §6): the
+      // cached trades frame has ~shuffle.partitions partitions, so an
+      // unclustered partitionBy(month) writes |tasks|×|months| tiny
+      // files — one hash(month) exchange collapses that to one file
+      // per month, and the stats harvest then probes |months| footers
+      // instead of thousands. Layout-only: the query reads the same
+      // rows either way.
       val t = trades(s, d)
         .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+        .repartition(col("month"))
       val cut = lit("1997-01-01").cast("date")
       graft.sources.VersionedStore.appendPartitioned(
         t.where(col("ts") < cut), path, "month", statsCol = Some("ts"))
